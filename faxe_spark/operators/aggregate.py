@@ -1,0 +1,141 @@
+"""Aggregation operators.
+
+Mirrors faxe's `aggregate` node (reference: esp_aggregate.erl:46, function
+whitelist :14-33, incremental accumulators :169-212) and the stats family
+(components/stats/*.erl, alias table faxe_dfs.erl:568-589).
+
+Spark-first: every function maps to a built-in JVM aggregate expression so
+the whole thing runs as partial+final hash aggregation inside whole-stage
+codegen — the reference's incremental accumulators come for free. No UDAFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _geometric_mean(c: Column) -> Column:
+    # exp(mean(ln x)) — matches mathex usage in esp_aggregate.erl:233-254
+    return F.exp(F.avg(F.log(c)))
+
+
+def _range(c: Column) -> Column:
+    return F.max(c) - F.min(c)
+
+
+# name -> fn(Column) -> Column. Names follow the reference whitelist
+# (esp_aggregate.erl:14-33) + stats aliases (faxe_dfs.erl:568-589).
+AGG_FUNCTIONS = {
+    "count": F.count,
+    "count_distinct": F.count_distinct,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "mean": F.avg,
+    "stddev": F.stddev_samp,
+    "variance": F.var_samp,
+    "median": F.median,
+    "range": _range,
+    "skew": F.skewness,
+    "kurtosis": F.kurtosis,
+    "geometric_mean": _geometric_mean,
+    "distinct": lambda c: F.array_sort(F.collect_set(c)),
+}
+
+# functions whose result is exact (no FP accumulation ordering effects);
+# everything else gets optional rounding for oracle-stable output
+_EXACT = {"count", "count_distinct", "min", "max"}
+
+
+def agg_expr(func: str, field: str | Column, alias: str, *, ts_col: str = "ts",
+             round_to: int | None = None) -> Column:
+    """One aggregate expression by reference function name.
+
+    Supports `percentile:P` (P in 0-100, exact linear interpolation —
+    esp_percentile.erl:62-71) and ts-ordered `first`/`last`
+    (stats/c_agg.erl:12-34 picks by timestamp).
+    """
+    c = F.col(field) if isinstance(field, str) else field
+    if func.startswith("percentile"):
+        _, _, at = func.partition(":")
+        expr = F.percentile(c, float(at) / 100.0)
+    elif func == "first":
+        expr = F.min_by(c, F.col(ts_col))
+    elif func == "last":
+        expr = F.max_by(c, F.col(ts_col))
+    else:
+        expr = AGG_FUNCTIONS[func](c)
+    if round_to is not None and func not in _EXACT:
+        expr = F.round(expr, round_to)
+    return expr.alias(alias)
+
+
+def aggregate(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str, str]],
+    by: Iterable[str | Column] = (),
+    *,
+    ts_col: str = "ts",
+    round_to: int | None = None,
+) -> DataFrame:
+    """faxe `aggregate`: N (field, function, as) triples -> one row per group.
+
+    Reference: esp_aggregate.erl:46 (N-triple API), :215-257 (final agg).
+    The reference's `keep`/`keep_tail` carry-over is expressed by adding
+    the kept fields to `by` or joining the result back.
+
+    Scale: pure groupBy().agg() — shuffles once on the group keys; partial
+    aggregation (map-side combine) happens automatically.
+    """
+    exprs = [agg_expr(fn, f, alias, ts_col=ts_col, round_to=round_to) for f, fn, alias in specs]
+    keys = list(by)
+    if keys:
+        return df.groupBy(*keys).agg(*exprs)
+    return df.agg(*exprs)
+
+
+def percentile(df: DataFrame, field: str, at: float, alias: str | None = None,
+               by: Iterable[str] = (), round_to: int | None = None) -> DataFrame:
+    """faxe `percentile` node — exact interpolated percentile (esp_percentile.erl:26)."""
+    alias = alias or f"{field}_percentile"
+    return aggregate(df, [(field, f"percentile:{at}", alias)], by, round_to=round_to)
+
+
+def top_k(df: DataFrame, field: str, k: int, by: Iterable[str] = (), *,
+          bottom: bool = False, tiebreak: str | None = None) -> DataFrame:
+    """stats `top`/`bottom(num)` (stats/esp_top.erl:17-25).
+
+    Emits the k largest (smallest) rows per group with a `rank` column.
+    Deterministic: ties broken by `tiebreak` column when given.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(field).asc() if bottom else F.col(field).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order) if by else Window.orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dist_count(df: DataFrame, field: str | Column, by: Iterable[str] = (),
+               count_alias: str = "cnt") -> DataFrame:
+    """stats `dist_count` — count per distinct value of a field
+    (stats/esp_stats_dist_count.erl:79-99) => groupBy(value).count()."""
+    c = F.col(field) if isinstance(field, str) else field
+    keys = [*by, c.alias("value") if not isinstance(field, str) else field]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def statistics(df: DataFrame, field: str, funcs: Sequence[str], by: Iterable[str] = (),
+               ts_col: str = "ts", round_to: int | None = None) -> DataFrame:
+    """faxe `statistics` node — several stat functions over one field merged
+    into one row (esp_statistics.erl:24) => a single .agg() pass."""
+    specs = [(field, fn, f"{field}_{fn.replace(':', '_')}") for fn in funcs]
+    return aggregate(df, specs, by, ts_col=ts_col, round_to=round_to)

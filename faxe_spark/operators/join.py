@@ -1,0 +1,200 @@
+"""Joins & stream combination (SURVEY.md §2.7).
+
+faxe's `join` is an N-way as-of/nearest-timestamp join with tolerance
+(esp_join.erl:85-128, nearest :197-207, inner-vs-outer fill :146-156).
+
+Two Spark-first implementations:
+
+1. `asof_join` — pure window-function formulation (union + last_value over
+   a key-partitioned ts-ordered frame). Entirely JVM-side / whole-stage
+   codegen, one shuffle on the key: THE scalable path at 100 TB (no Python,
+   no per-row state; AQE handles skewed keys).
+2. `asof_join_exact` — `applyInPandas` + `pandas.merge_asof` per key group.
+   Kept for parity/backstop and for semantics window functions can't
+   express; Arrow-batched, but the union trick above is preferred.
+
+`interval_join` (all pairs within tolerance) is the stream-stream
+interval-join analog; `combine` (esp_combine.erl:55) = backward as-of
+enrich; `union_streams` (esp_union.erl:18) = unionByName.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from faxe_spark.durations import parse_duration_ms
+
+
+def _prefixed(df: DataFrame, keys: Sequence[str], ts_col: str, prefix: str) -> tuple[DataFrame, list[str]]:
+    value_cols = [c for c in df.columns if c not in keys and c != ts_col]
+    renamed = df.select(
+        *keys, F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    return renamed, [f"{prefix}{c}" for c in value_cols]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    tolerance: str | int | None = None,
+    right_prefix: str = "r_",
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: each left row gets the nearest right row per key.
+
+    direction: 'backward' (right.ts <= left.ts, the `combine` semantics),
+    'forward', or 'nearest' (faxe join default; ties -> earlier right row,
+    per SURVEY §7.4 determinism note). `tolerance` limits |Δts|; beyond it
+    the right side is null (how='left') or the row is dropped (how='inner',
+    faxe `full=true`).
+
+    Implementation: union both sides with a source marker, then
+    last_value(right_col, ignorenulls) over (key ORDER BY ts, marker) —
+    a single shuffle, no Python, whole-stage codegen.
+    """
+    tol_ms = parse_duration_ms(tolerance) if tolerance is not None else None
+    keys = list(on)
+    r, r_cols = _prefixed(right, keys, ts_col, right_prefix)
+    r = r.withColumn(f"{right_prefix}_ts", F.col(ts_col))
+    r_cols = [f"{right_prefix}_ts", *r_cols]
+
+    l_marked = left.withColumn("_src", F.lit(1))
+    r_marked = r.withColumn("_src", F.lit(0))
+    unioned = l_marked.unionByName(r_marked, allowMissingColumns=True)
+
+    def enrich(dir_: str, suffix: str) -> list[Column]:
+        if dir_ == "backward":
+            w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("_src").asc())
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            return [F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
+        w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), F.col("_src").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return [F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
+
+    if direction in ("backward", "forward"):
+        d = "backward" if direction == "backward" else "forward"
+        enriched = unioned.select("*", *enrich(d, "_m"))
+        picked = {c: F.col(f"{c}_m") for c in r_cols}
+    else:  # nearest: compute both directions, pick closer (ties -> backward)
+        enriched = unioned.select("*", *enrich("backward", "_b"), *enrich("forward", "_f"))
+        lt = F.unix_millis(F.col(ts_col))
+        bdist = lt - F.unix_millis(F.col(f"{right_prefix}_ts_b"))
+        fdist = F.unix_millis(F.col(f"{right_prefix}_ts_f")) - lt
+        use_b = F.col(f"{right_prefix}_ts_f").isNull() | (
+            F.col(f"{right_prefix}_ts_b").isNotNull() & (bdist <= fdist))
+        picked = {c: F.when(use_b, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f")) for c in r_cols}
+
+    out = enriched.filter(F.col("_src") == 1)
+    match_ts = picked[f"{right_prefix}_ts"]
+    within = F.lit(True)
+    if tol_ms is not None:
+        dist = F.abs(F.unix_millis(F.col(ts_col)) - F.unix_millis(match_ts))
+        within = match_ts.isNotNull() & (dist <= F.lit(tol_ms))
+    else:
+        within = match_ts.isNotNull()
+
+    final_cols = [F.col(c) for c in left.columns]
+    for c in r_cols:
+        final_cols.append(F.when(within, picked[c]).alias(c))
+    res = out.select(*final_cols)
+    if how == "inner":
+        res = res.filter(F.col(f"{right_prefix}_ts").isNotNull())
+    return res
+
+
+def asof_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    tolerance: str | int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """As-of join via pandas.merge_asof inside applyInPandas (per-key
+    groups, Arrow-batched). Semantics identical to `asof_join`; used as a
+    cross-check and for exotic variants. Prefer `asof_join` at scale."""
+    tol = pd.Timedelta(milliseconds=parse_duration_ms(tolerance)) if tolerance is not None else None
+    keys = list(on)
+    r, r_cols = _prefixed(right, keys, ts_col, right_prefix)
+    r = r.withColumn(f"{right_prefix}_ts", F.col(ts_col))
+    r_cols = [f"{right_prefix}_ts", *r_cols]
+
+    out_schema = left.schema
+    from pyspark.sql.types import StructType
+    fields = list(out_schema.fields)
+    r_schema = {f.name: f for f in r.schema.fields}
+    for c in r_cols:
+        fields.append(r_schema[c])
+    result_schema = StructType(fields)
+
+    l_cols = list(left.columns)
+    l_tagged = left.withColumn("_side", F.lit("l"))
+    r_tagged = r.withColumn("_side", F.lit("r"))
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    def merge(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf["_side"] == "l"][l_cols].sort_values(ts_col).reset_index(drop=True)
+        rp = pdf[pdf["_side"] == "r"][[*keys, ts_col, *r_cols]].sort_values(ts_col).reset_index(drop=True)
+        rp = rp.rename(columns={ts_col: "_rts"})
+        if lp.empty:
+            return pd.DataFrame(columns=[*l_cols, *r_cols])
+        if rp.empty:
+            for c in r_cols:
+                lp[c] = None
+            return lp
+        merged = pd.merge_asof(
+            lp, rp.drop(columns=keys), left_on=ts_col, right_on="_rts",
+            direction=direction, tolerance=tol, allow_exact_matches=True,
+        )
+        return merged[[*l_cols, *r_cols]]
+
+    return both.groupBy(*keys).applyInPandas(merge, schema=result_schema)
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str], *,
+                  ts_col: str = "ts", tolerance: str | int = "1s",
+                  right_prefix: str = "r_", how: str = "inner") -> DataFrame:
+    """All-pairs join within |Δts| <= tolerance — Spark's stream-stream
+    interval join analog of faxe `join2` (multi-row-per-ts,
+    esp_join2.erl:50)."""
+    tol_ms = parse_duration_ms(tolerance)
+    keys = list(on)
+    r, r_cols = _prefixed(right, keys, ts_col, right_prefix)
+    r = r.withColumnRenamed(ts_col, f"{right_prefix}_ts")
+    cond = None
+    for k in keys:
+        c = left[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (
+        F.abs(F.unix_millis(left[ts_col]) - F.unix_millis(r[f"{right_prefix}_ts"])) <= F.lit(tol_ms)
+    )
+    joined = left.join(r, cond, how)
+    return joined.select(*[left[c] for c in left.columns], f"{right_prefix}_ts", *r_cols)
+
+
+def combine(trigger: DataFrame, latest_from: DataFrame, on: Sequence[str], *,
+            ts_col: str = "ts", prefix: str = "c_", tolerance: str | int | None = None) -> DataFrame:
+    """faxe `combine` (esp_combine.erl:55): every trigger row enriched with
+    the most recent row from the other stream => backward as-of join."""
+    return asof_join(trigger, latest_from, on, ts_col=ts_col, direction="backward",
+                     tolerance=tolerance, right_prefix=prefix, how="left")
+
+
+def union_streams(*dfs: DataFrame) -> DataFrame:
+    """faxe `union` (esp_union.erl:18) => unionByName(allowMissingColumns)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

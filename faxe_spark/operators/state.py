@@ -1,0 +1,112 @@
+"""State-machine operators — batch analogs (SURVEY.md §2.10).
+
+faxe's state nodes track a lambda-defined boolean state per stream and
+emit on transitions (esp_state_change.erl:45, core FSM lib
+state_change.erl:20-80), count/duration in state (esp_state_count.erl:33,
+esp_state_duration.erl:39), and ordered sequences (esp_state_sequence.erl:47).
+
+Batch formulation (oracle-checkable): the classic gaps-and-islands
+pattern — `changed = state != lag(state)`, `run_id = sum(changed) over
+(key, ts)`. One shuffle on the key; everything stays in whole-stage
+codegen. Streaming variants live in faxe_spark.streaming (state store).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+
+def _ord(ts_col: str, tiebreak: str | None):
+    return [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+
+
+def state_runs(df: DataFrame, condition: str | Column, *, by: Iterable[str] = (),
+               ts_col: str = "ts", tiebreak: str | None = None,
+               state_col: str = "in_state", run_col: str = "run_id") -> DataFrame:
+    """Annotate each row with its boolean state and run id (consecutive
+    same-state rows share a run id, numbered from 1 per key)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys).orderBy(*_ord(ts_col, tiebreak))
+    marked = df.withColumn(state_col, cond.cast("boolean"))
+    changed = (~F.col(state_col).eqNullSafe(F.lag(F.col(state_col)).over(w))).cast("int")
+    marked = marked.withColumn("_new_run", F.coalesce(changed, F.lit(1)))
+    return marked.withColumn(
+        run_col,
+        F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_new_run")
+
+
+def state_change(df: DataFrame, condition: str | Column, *, by: Iterable[str] = (),
+                 ts_col: str = "ts", tiebreak: str | None = None) -> DataFrame:
+    """faxe `state_change`: one row per state transition (the run's first
+    row), annotated with `in_state` and `run_id`."""
+    runs = state_runs(df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak)
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys, F.col("run_id")).orderBy(*_ord(ts_col, tiebreak))
+    return runs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def state_count(df: DataFrame, condition: str | Column, *, by: Iterable[str] = (),
+                ts_col: str = "ts", tiebreak: str | None = None,
+                alias: str = "state_count") -> DataFrame:
+    """faxe `state_count` (esp_state_count.erl:33): consecutive rows in
+    state (1,2,3,…) and -1 when out of state."""
+    runs = state_runs(df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak)
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys, F.col("run_id")).orderBy(*_ord(ts_col, tiebreak))
+    return runs.withColumn(
+        alias,
+        F.when(F.col("in_state"), F.row_number().over(w)).otherwise(F.lit(-1)),
+    )
+
+
+def state_duration(df: DataFrame, condition: str | Column, *, by: Iterable[str] = (),
+                   ts_col: str = "ts", tiebreak: str | None = None, unit_ms: int = 1,
+                   alias: str = "state_duration") -> DataFrame:
+    """faxe `state_duration` (esp_state_duration.erl:39): accumulated
+    event-time in state since the run began (unit-scaled), -1 out of state."""
+    runs = state_runs(df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak)
+    keys = [F.col(c) for c in by]
+    w = (Window.partitionBy(*keys, F.col("run_id"))
+         .orderBy(*_ord(ts_col, tiebreak))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    elapsed = (F.unix_millis(F.col(ts_col)) - F.min(F.unix_millis(F.col(ts_col))).over(w))
+    return runs.withColumn(
+        alias, F.when(F.col("in_state"), (elapsed / F.lit(unit_ms)).cast("long")).otherwise(F.lit(-1))
+    )
+
+
+def state_sequence(df: DataFrame, steps: Sequence[str | Column],
+                   timeouts_ms: Sequence[int], *, by: Iterable[str] = (),
+                   ts_col: str = "ts", tiebreak: str | None = None,
+                   flag_col: str = "seq_complete") -> DataFrame:
+    """faxe `state_sequence` strict mode (esp_state_sequence.erl:47):
+    detect an uninterrupted run of rows matching `steps[0..n-1]` in order,
+    each consecutive pair within `timeouts_ms[i]`.
+
+    Strict = consecutive rows per key (no interleaved non-matching rows),
+    exactly the reference's `strict` option. Returns the input annotated
+    with `seq_complete` on the *starting* row of each complete sequence
+    => lead() pattern matching, one shuffle on the key (CEP-lite).
+    """
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys).orderBy(*_ord(ts_col, tiebreak))
+    out = df
+    # evaluate each step predicate on every row, then shift with lead()
+    for i, step in enumerate(steps):
+        c = F.expr(step) if isinstance(step, str) else step
+        out = out.withColumn(f"_m{i}", c.cast("boolean"))
+    ok = F.col("_m0")
+    for i in range(1, len(steps)):
+        ok = ok & F.coalesce(F.lead(F.col(f"_m{i}"), i).over(w), F.lit(False))
+    for i in range(len(steps) - 1):
+        t_i = F.lead(F.unix_millis(F.col(ts_col)), i).over(w)
+        t_n = F.lead(F.unix_millis(F.col(ts_col)), i + 1).over(w)
+        ok = ok & ((t_n - t_i) <= F.lit(timeouts_ms[i]))
+    out = out.withColumn(flag_col, F.coalesce(ok, F.lit(False)))
+    return out.drop(*[f"_m{i}" for i in range(len(steps))])

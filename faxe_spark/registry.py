@@ -1,0 +1,519 @@
+"""Query registry: every entry pairs a Spark query (built from the
+operator library) with an ANSI-SQL DuckDB oracle over the same testdata.
+
+This backs `__spark_entry__.queries()` / `oracle_sql()` — the driver's
+correctness gate — and doubles as the example corpus (the analog of the
+reference's dfs/ script corpus, SURVEY.md §5).
+
+Hash-stability rules (driver compares value hashes):
+- timestamps are output as epoch micros/millis BIGINTs (never raw
+  timestamps — engine-dependent rendering);
+- double SUMs go through DECIMAL(18,4) so accumulation order can't
+  change the result; per-row double arithmetic is written with identical
+  association on both sides (IEEE-deterministic);
+- order-dependent picks (first/last/top) always carry a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from faxe_spark.tables import load_table
+from faxe_spark import operators as ops
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None => rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(fn, sql, doc)
+        return fn
+    return deco
+
+
+# DuckDB helpers: events.ts is TIMESTAMP_NS in parquet; normalize to
+# microsecond TIMESTAMP exactly like the Spark loader does (truncation).
+_EV = "(SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)"
+
+
+def _dec_sum(col: str, alias: str) -> F.Column:
+    """Order-independent double sum: route through DECIMAL(18,4)."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _dec_sum_expr(expr: F.Column, alias: str) -> F.Column:
+    return F.sum(expr.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# M0 flagship: source -> where -> win_time -> aggregate   (SURVEY §7.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "win_time_agg",
+    f"""
+    SELECT (epoch_us(ts) // 300000000) * 300000 AS window_start_ms,
+           event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    WHERE value > 5
+    GROUP BY 1, 2
+    """,
+    doc="faxe: value_emitter -> where -> win_time(5m) -> aggregate (esp_win_time.erl, esp_aggregate.erl)",
+)
+def win_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    filtered = ops.where(ev, F.col("value") > 5)
+    grouped = filtered.groupBy(
+        ops.win_time("ts", "5m").alias("w"), "event_type"
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("_avg"),
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum("value", "sum_value"),
+    )
+    return grouped.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "event_type",
+        F.round("_avg", 4).alias("avg_value"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "where_filter",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM {_EV}
+    WHERE value > 30 AND event_type = 'click'
+    """,
+    doc="faxe where node (esp_where.erl:22) — predicate pushes to parquet scan",
+)
+def where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.where(ev, (F.col("value") > 30) & (F.col("event_type") == "click"))
+    return out.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@register(
+    "eval_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           upper(l_returnflag) AS flag_u
+    FROM lineitem
+    WHERE l_quantity >= 25
+    """,
+    doc="faxe eval node (esp_eval.erl:24): sequential lambdas -> withColumns",
+)
+def eval_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li = ops.where(li, F.col("l_quantity") >= 25)
+    li = ops.eval_lambdas(li, {
+        "disc_price": F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+        "charge": F.col("disc_price") * (F.lit(1) + F.col("l_tax")),  # sees earlier result
+        "flag_u": F.upper("l_returnflag"),
+    })
+    return ops.keep(li, ["l_orderkey", "l_linenumber", "disc_price", "charge", "flag_u"])
+
+
+@register(
+    "case_when_bucket",
+    f"""
+    SELECT event_type,
+           CASE WHEN value < 10 THEN 'small' WHEN value < 50 THEN 'mid' ELSE 'big' END AS size_class,
+           count(*) AS cnt
+    FROM {_EV}
+    GROUP BY 1, 2
+    """,
+    doc="faxe case node (esp_case.erl:28): first-true lambda -> F.when chain",
+)
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ops.case_when(
+        ev,
+        [F.col("value") < 10, F.col("value") < 50],
+        ["small", "mid"],
+        alias="size_class",
+        default="big",
+    )
+    return ev.groupBy("event_type", "size_class").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "aggregate_multi",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(DISTINCT l_partkey) AS cd_part,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             stddev_samp(l_quantity) AS sd,
+             var_samp(l_quantity) AS vr,
+             median(l_quantity) AS med,
+             avg(ln(l_quantity)) AS lngm,
+             avg(l_quantity) AS m1,
+             avg(l_quantity * l_quantity) AS m2,
+             avg(l_quantity * l_quantity * l_quantity) AS m3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_qty, cd_part,
+           round(sum_qty / n, 4) AS avg_qty,
+           round(sd, 4) AS stddev_qty,
+           round(vr, 4) AS var_qty,
+           round(med, 4) AS median_qty,
+           max_qty - min_qty AS range_qty,
+           round(exp(lngm), 4) AS geo_qty,
+           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5), 4) AS skew_qty
+    FROM m
+    """,
+    doc="faxe aggregate node, full function whitelist (esp_aggregate.erl:14-33)",
+)
+def aggregate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("l_quantity", "sum_qty"),
+        F.count_distinct("l_partkey").alias("cd_part"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        (F.max("l_quantity") - F.min("l_quantity")).alias("range_qty"),
+        F.round(F.exp(F.avg(F.log("l_quantity"))), 4).alias("geo_qty"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+    return out.withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("n"), 4))
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="faxe percentile node — exact linear interpolation (esp_percentile.erl:62-71)",
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ops.aggregate(
+        li,
+        [("l_extendedprice", "percentile:25", "p25"),
+         ("l_extendedprice", "percentile:50", "p50"),
+         ("l_extendedprice", "percentile:90", "p90"),
+         ("l_extendedprice", "percentile:99", "p99")],
+        by=["l_returnflag"],
+        round_to=4,
+    )
+
+
+@register(
+    "tpch_q1",
+    """
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+             CAST(l_extendedprice AS DECIMAL(10,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2)) AS disc_price,
+             CAST(l_extendedprice AS DECIMAL(10,2))
+               * CAST(1 - l_discount AS DECIMAL(4,2))
+               * CAST(1 + l_tax AS DECIMAL(4,2)) AS charge
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(charge) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM d
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary — group-agg muscle; bench headline query",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    # exact decimal arithmetic: the inputs are 2dp-exact, so every product
+    # below is an exact decimal and the sums are order-independent
+    disc = (F.col("l_extendedprice").cast("decimal(10,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    charge = disc * (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"),
+        _dec_sum("l_extendedprice", "sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        _dec_sum("l_discount", "_sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 4).alias("avg_price"),
+        F.round(F.col("_sum_disc") / F.col("count_order"), 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows & sessions
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_windows",
+    f"""
+    WITH e AS (SELECT user_id, ts FROM {_EV}),
+    d AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) // 1000 AS session_start_ms,
+           epoch_us(max(ts)) // 1000 AS last_event_ms,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="faxe win_session (esp_win_session.erl:30) => native session_window(ts, gap)",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy(ops.win_session("ts", "30m"), "user_id").agg(
+        F.min("ts").alias("_start"),
+        F.max("ts").alias("_last"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("_start").alias("session_start_ms"),
+        F.unix_millis("_last").alias("last_event_ms"),
+        "n_events",
+    )
+
+
+@register(
+    "win_event_rolling",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER w AS rn,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_max
+      FROM {_EV}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, roll_avg, roll_max
+    FROM r WHERE rn % 5 = 0
+    """,
+    doc="faxe win_event count window (esp_win_event.erl:29): period=5, every=5",
+)
+def win_event_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.win_event_agg(
+        ev,
+        [("value", "avg", "roll_avg"), ("value", "max", "roll_max")],
+        period=5, every=5, by=["user_id"], ts_col="ts", order_tiebreak="event_id",
+        round_to=4,
+    )
+    return out.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+                      "roll_avg", "roll_max")
+
+
+@register(
+    "batch_by_count",
+    f"""
+    WITH b AS (
+      SELECT user_id, value, ts,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 20 AS batch_id
+      FROM {_EV}
+    )
+    SELECT user_id, batch_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           epoch_us(min(ts)) // 1000 AS batch_start_ms
+    FROM b GROUP BY user_id, batch_id
+    """,
+    doc="faxe batch node (esp_batch.erl:30): count-based batching per key",
+)
+def batch_by_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ops.batch_by_count(ev, 20, by=["user_id"], ts_col="ts", order_tiebreak="event_id")
+    return b.groupBy("user_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("value", "sum_value"),
+        F.unix_millis(F.min("ts")).alias("batch_start_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diffs / change detection / sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_diff",
+    f"""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_diff
+    FROM {_EV}
+    """,
+    doc="faxe value_diff (esp_value_diff.erl:31): current - previous per key",
+)
+def value_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.value_diff(ev, ["value"], mode="c-p", by=["user_id"],
+                         ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id",
+                      F.round("value_diff", 4).alias("value_diff"))
+
+
+@register(
+    "time_diff",
+    f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms FROM {_EV})
+    SELECT event_id, user_id,
+           ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS time_diff_ms
+    FROM e
+    """,
+    doc="faxe time_diff (esp_time_diff.erl:31): ms between consecutive items",
+)
+def time_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.time_diff(ev, by=["user_id"], ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", "time_diff_ms")
+
+
+@register(
+    "count_change",
+    f"""
+    WITH d AS (
+      SELECT user_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AND lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+                  THEN 1 ELSE 0 END AS chg
+      FROM {_EV}
+    )
+    SELECT user_id, sum(chg) AS count_change FROM d GROUP BY user_id
+    """,
+    doc="faxe count_change (esp_count_change.erl:26): number of value changes",
+)
+def count_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.count_change(ev, "event_type", by=["user_id"], ts_col="ts",
+                            tiebreak="event_id", alias="count_change")
+
+
+@register(
+    "change_detect",
+    f"""
+    WITH d AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM {_EV}
+    )
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM d WHERE prev IS NULL OR event_type <> prev
+    """,
+    doc="faxe change_detect (esp_change_detect.erl:41): emit only on change",
+)
+def change_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.change_detect(ev, ["event_type"], by=["user_id"], ts_col="ts",
+                            tiebreak="event_id")
+    return out.select("event_id", "user_id", "event_type",
+                      F.unix_micros("ts").alias("ts_us"))
+
+
+@register(
+    "sample_nth",
+    f"""
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM {_EV}
+    )
+    SELECT event_id, user_id, value FROM r WHERE rn % 10 = 0
+    """,
+    doc="faxe sample (esp_sample.erl:27): pass every Nth item per key",
+)
+def sample_nth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.sample_nth(ev, 10, by=["user_id"], ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Collect / first-last
+# ---------------------------------------------------------------------------
+
+@register(
+    "collect_unique",
+    f"""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM {_EV}
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="faxe collect_unique (esp_collect_unique.erl:51): last row per key value",
+)
+def collect_unique_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.collect_unique(ev, "user_id", ts_col="ts", tiebreak="event_id")
+    return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_type", "value")
+
+
+@register(
+    "first_last",
+    f"""
+    SELECT user_id,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value,
+           count(*) AS n
+    FROM {_EV}
+    GROUP BY user_id
+    """,
+    doc="stats first/last by timestamp (stats/c_agg.erl:12-34) => min_by/max_by",
+)
+def first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.aggregate(
+        ev,
+        [("value", "first", "first_value"), ("value", "last", "last_value"),
+         ("value", "count", "n")],
+        by=["user_id"],
+    )

@@ -1,0 +1,42 @@
+"""Loading the driver testdata tables (TESTDATA.md).
+
+`events.ts` is stored as parquet TIMESTAMP(NANOS); Spark reads it only
+as a long (nanoseconds) under spark.sql.legacy.parquet.nanosAsLong.
+We truncate ns -> us (exactly what DuckDB's TIMESTAMP cast does) so the
+DuckDB oracle and Spark agree to the microsecond.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from faxe_spark.session import configure_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes events.ts to TimestampType."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns -> us truncation via integer division (double division would
+        # lose precision: ns epoch ~1.7e18 exceeds double's 2^53 mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
