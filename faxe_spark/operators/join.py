@@ -87,19 +87,20 @@ def asof_join(
         picked = {c: F.col(f"{c}_m") for c in r_cols}
     else:  # nearest: compute both directions, pick closer (ties -> backward)
         enriched = unioned.select("*", *enrich("backward", "_b"), *enrich("forward", "_f"))
-        lt = F.unix_millis(F.col(ts_col))
-        bdist = lt - F.unix_millis(F.col(f"{right_prefix}_ts_b"))
-        fdist = F.unix_millis(F.col(f"{right_prefix}_ts_f")) - lt
+        lt = F.unix_micros(F.col(ts_col))
+        bdist = lt - F.unix_micros(F.col(f"{right_prefix}_ts_b"))
+        fdist = F.unix_micros(F.col(f"{right_prefix}_ts_f")) - lt
         use_b = F.col(f"{right_prefix}_ts_f").isNull() | (
             F.col(f"{right_prefix}_ts_b").isNotNull() & (bdist <= fdist))
         picked = {c: F.when(use_b, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f")) for c in r_cols}
 
     out = enriched.filter(F.col("_src") == 1)
     match_ts = picked[f"{right_prefix}_ts"]
-    within = F.lit(True)
     if tol_ms is not None:
-        dist = F.abs(F.unix_millis(F.col(ts_col)) - F.unix_millis(match_ts))
-        within = match_ts.isNotNull() & (dist <= F.lit(tol_ms))
+        # compare at microsecond precision — ms truncation could disagree
+        # with an oracle at the exact tolerance boundary
+        dist = F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(match_ts))
+        within = match_ts.isNotNull() & (dist <= F.lit(tol_ms * 1000))
     else:
         within = match_ts.isNotNull()
 
@@ -178,7 +179,7 @@ def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str], *,
         c = left[k] == r[k]
         cond = c if cond is None else cond & c
     cond = cond & (
-        F.abs(F.unix_millis(left[ts_col]) - F.unix_millis(r[f"{right_prefix}_ts"])) <= F.lit(tol_ms)
+        F.abs(F.unix_micros(left[ts_col]) - F.unix_micros(r[f"{right_prefix}_ts"])) <= F.lit(tol_ms * 1000)
     )
     joined = left.join(r, cond, how)
     return joined.select(*[left[c] for c in left.columns], f"{right_prefix}_ts", *r_cols)

@@ -240,7 +240,7 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST(1 - l_discount AS DECIMAL(4,2))
                * CAST(1 + l_tax AS DECIMAL(4,2)) AS charge
       FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     )
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -258,7 +258,7 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    li = li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     # exact decimal arithmetic: the inputs are 2dp-exact, so every product
     # below is an exact decimal and the sums are order-independent
     disc = (F.col("l_extendedprice").cast("decimal(10,2)")
@@ -517,3 +517,433 @@ def first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("value", "count", "n")],
         by=["user_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins & stream combination (M4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_nearest",
+    f"""
+    WITH a AS (SELECT event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'view'),
+         b AS (SELECT user_id, ts, value FROM {_EV} WHERE event_type = 'click'),
+         bk AS (
+           SELECT a.event_id, b.ts AS bts, b.value AS bval
+           FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         ),
+         fw AS (
+           SELECT a.event_id, b.ts AS fts, b.value AS fval
+           FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.ts
+         ),
+         j AS (
+           SELECT a.event_id, a.user_id, a.ts, bk.bts, bk.bval, fw.fts, fw.fval,
+                  CASE WHEN fw.fts IS NULL OR (bk.bts IS NOT NULL
+                            AND epoch_us(a.ts) - epoch_us(bk.bts)
+                                <= epoch_us(fw.fts) - epoch_us(a.ts))
+                       THEN 'b' ELSE 'f' END AS pick
+           FROM a LEFT JOIN bk USING (event_id) LEFT JOIN fw USING (event_id)
+         )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN m_ts IS NOT NULL AND abs(epoch_us(ts) - epoch_us(m_ts)) <= 300000000
+                THEN epoch_us(m_ts) END AS match_ts_us,
+           CASE WHEN m_ts IS NOT NULL AND abs(epoch_us(ts) - epoch_us(m_ts)) <= 300000000
+                THEN m_val END AS match_value
+    FROM (SELECT *, CASE WHEN pick = 'b' THEN bts ELSE fts END AS m_ts,
+                    CASE WHEN pick = 'b' THEN bval ELSE fval END AS m_val
+          FROM j)
+    """,
+    doc="faxe join: nearest-ts as-of with tolerance (esp_join.erl:85-128, nearest :197-207)",
+)
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    b = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = ops.asof_join(a, b, ["user_id"], ts_col="ts", direction="nearest",
+                      tolerance="5m", right_prefix="m_")
+    return j.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("m__ts").alias("match_ts_us"),
+        F.col("m_value").alias("match_value"),
+    )
+
+
+@register(
+    "combine_enrich",
+    f"""
+    WITH a AS (SELECT event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'purchase'),
+         b AS (SELECT user_id, ts, value FROM {_EV} WHERE event_type = 'view')
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us, a.value,
+           epoch_us(b.ts) AS seen_ts_us, b.value AS seen_value
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    doc="faxe combine (esp_combine.erl:55): trigger enriched with latest other-stream row",
+)
+def combine_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    b = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = ops.combine(a, b, ["user_id"], ts_col="ts", prefix="seen_")
+    return j.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value",
+        F.unix_micros("seen__ts").alias("seen_ts_us"),
+        F.col("seen_value").alias("seen_value"),
+    )
+
+
+@register(
+    "interval_join",
+    f"""
+    WITH a AS (SELECT event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'view'),
+         b AS (SELECT event_id AS b_event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'error')
+    SELECT a.event_id, b.b_event_id, a.user_id,
+           epoch_us(a.ts) AS ts_us, epoch_us(b.ts) AS err_ts_us, b.value AS err_value
+    FROM a JOIN b ON a.user_id = b.user_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+    """,
+    doc="faxe join2 all-pairs-within-tolerance (esp_join2.erl:50) = interval join",
+)
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    b = (ev.filter(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("b_event_id"), "user_id", "ts", "value"))
+    j = ops.interval_join(a, b.withColumnRenamed("b_event_id", "event_id_b"),
+                          ["user_id"], ts_col="ts", tolerance="2m", right_prefix="err_")
+    return j.select(
+        "event_id", F.col("err_event_id_b").alias("b_event_id"), "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("err__ts").alias("err_ts_us"),
+        F.col("err_value").alias("err_value"),
+    )
+
+
+@register(
+    "union_streams",
+    f"""
+    WITH u AS (
+      SELECT event_id, user_id, value, 'hot' AS stream FROM {_EV} WHERE value > 100
+      UNION ALL
+      SELECT event_id, user_id, value, 'err' AS stream FROM {_EV} WHERE event_type = 'error'
+    )
+    SELECT stream, user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM u GROUP BY stream, user_id
+    """,
+    doc="faxe union (esp_union.erl:18) => unionByName of two filtered streams",
+)
+def union_streams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.filter(F.col("value") > 100).withColumn("stream", F.lit("hot"))
+    err = ev.filter(F.col("event_type") == "error").withColumn("stream", F.lit("err"))
+    u = ops.union_streams(hot, err)
+    return u.groupBy("stream", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), _dec_sum("value", "sum_value"))
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate) // 1000 AS orderdate_ms
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-01'
+      AND l.l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(4,2))) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: broadcast dim join + group-agg + exact-decimal top-k",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+    rev = (F.col("l_extendedprice").cast("decimal(10,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    g = (j.groupBy("o_orderkey", "o_orderdate")
+          .agg(F.sum(rev).alias("_rev"))
+          .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+          .limit(10))
+    return g.select(
+        "o_orderkey", F.col("_rev").cast("double").alias("revenue"),
+        # o_orderdate is TIMESTAMP_NTZ; session tz is pinned to UTC by
+        # load_table, so the cast yields the UTC instant
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"))
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5: 6-table star join, small dims broadcast",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(10,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+                 & (c.c_nationkey == s.s_nationkey))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return j.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# State machines (M5 batch analogs)
+# ---------------------------------------------------------------------------
+
+_STATE_RUNS_SQL = f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value > 30 AS st FROM {_EV}
+    ),
+    c AS (
+      SELECT *, CASE WHEN lag(st) OVER w IS NULL OR st <> lag(st) OVER w
+                     THEN 1 ELSE 0 END AS chg
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM c
+    )
+"""
+
+
+@register(
+    "state_count_duration",
+    _STATE_RUNS_SQL + """
+    SELECT event_id, user_id,
+           CASE WHEN st THEN row_number() OVER w2 ELSE -1 END AS state_count,
+           CASE WHEN st THEN epoch_us(ts) // 1000 - min(epoch_us(ts) // 1000) OVER w2
+                ELSE -1 END AS state_duration
+    FROM r
+    WINDOW w2 AS (PARTITION BY user_id, run_id ORDER BY ts, event_id)
+    """,
+    doc="faxe state_count + state_duration (esp_state_count.erl:33, esp_state_duration.erl:39)",
+)
+def state_count_duration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.state_count(ev, F.col("value") > 30, by=["user_id"],
+                          ts_col="ts", tiebreak="event_id", alias="state_count")
+    out = ops.state_duration(out.drop("in_state", "run_id"), F.col("value") > 30,
+                             by=["user_id"], ts_col="ts", tiebreak="event_id",
+                             alias="state_duration")
+    return out.select("event_id", "user_id", "state_count", "state_duration")
+
+
+@register(
+    "state_change",
+    _STATE_RUNS_SQL + """
+    SELECT event_id, user_id, st AS in_state, run_id, epoch_us(ts) AS ts_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, run_id
+                                       ORDER BY ts, event_id) AS rn FROM r)
+    WHERE rn = 1
+    """,
+    doc="faxe state_change (esp_state_change.erl:45): emit on state transitions",
+)
+def state_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.state_change(ev, F.col("value") > 30, by=["user_id"],
+                           ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", "in_state", "run_id",
+                      F.unix_micros("ts").alias("ts_us"))
+
+
+@register(
+    "state_sequence",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             epoch_us(ts) // 1000 AS ms,
+             lead(event_type, 1) OVER w AS et1,
+             lead(event_type, 2) OVER w AS et2,
+             lead(epoch_us(ts) // 1000, 1) OVER w AS ms1,
+             lead(epoch_us(ts) // 1000, 2) OVER w AS ms2
+      FROM {_EV}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM e
+    WHERE event_type = 'view' AND et1 = 'click' AND et2 = 'purchase'
+      AND ms1 - ms <= 86400000 AND ms2 - ms1 <= 86400000
+    """,
+    doc="faxe state_sequence strict mode (esp_state_sequence.erl:47): view->click->purchase",
+)
+def state_sequence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.state_sequence(
+        ev,
+        [F.col("event_type") == "view", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        timeouts_ms=[86_400_000, 86_400_000],
+        by=["user_id"], ts_col="ts", tiebreak="event_id",
+    )
+    return out.filter(F.col("seq_complete")).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# Collect / JSON / reshaping
+# ---------------------------------------------------------------------------
+
+@register(
+    "collect_fields",
+    f"""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_click_value
+    FROM {_EV}
+    """,
+    doc="faxe collect_fields (esp_collect_fields.erl:33): carry last seen value forward",
+)
+def collect_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_click_v", F.when(F.col("event_type") == "click", F.col("value")))
+    out = ops.collect_fields(ev, ["_click_v"], by=["user_id"], ts_col="ts",
+                             tiebreak="event_id", suffix="_last")
+    return out.select("event_id", "user_id", "event_type",
+                      F.col("_click_v_last").alias("last_click_value"))
+
+
+@register(
+    "collect_table",
+    f"""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM {_EV}
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+       AND event_type <> 'error'
+    """,
+    doc="faxe collect (esp_collect.erl:63): keyed upsert table, remove-lambda analog",
+)
+def collect_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.collect_table(ev, ["user_id"], remove_when=F.col("event_type") == "error",
+                            ts_col="ts", tiebreak="event_id")
+    return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_type", "value")
+
+
+@register(
+    "extract_json",
+    f"""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nk
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+    doc="faxe parser/extract_path on JSON payloads (esp_parser.erl:29) => get_json_object",
+)
+def extract_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = ops.eval_lambdas(ev, {"k": k})
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count_distinct("k").alias("nk"))
+
+
+@register(
+    "top_bottom",
+    f"""
+    WITH t AS (
+      SELECT event_type, 'top' AS kind, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+      FROM {_EV} QUALIFY rank <= 3
+    ),
+    b AS (
+      SELECT event_type, 'bottom' AS kind, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id) AS rank
+      FROM {_EV} QUALIFY rank <= 3
+    )
+    SELECT * FROM t UNION ALL SELECT * FROM b
+    """,
+    doc="stats top/bottom(num) (stats/esp_top.erl:17-25) => rank <= k per group",
+)
+def top_bottom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    top = ops.top_k(ev, "value", 3, by=["event_type"], tiebreak="event_id") \
+        .withColumn("kind", F.lit("top"))
+    bot = ops.top_k(ev, "value", 3, by=["event_type"], bottom=True, tiebreak="event_id") \
+        .withColumn("kind", F.lit("bottom"))
+    u = ops.union_streams(top, bot)
+    return u.select("event_type", "kind", "value", "event_id", "rank")
+
+
+@register(
+    "dist_count",
+    f"""
+    SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
+    FROM {_EV} GROUP BY 1, 2
+    """,
+    doc="stats dist_count (stats/esp_stats_dist_count.erl:79-99): count per distinct value",
+)
+def dist_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    return ops.dist_count(ev.select("event_type", bucket), "bucket",
+                          by=["event_type"], count_alias="cnt")
+
+
+@register(
+    "array_explode",
+    """
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS comp
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    doc="faxe array_explode (esp_array_explode.erl:28): 1-based positions, posexplode",
+)
+def array_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    out = ops.array_explode(emb, ["embedding"], aliases=["comp"], keep_cols=["vec_id"])
+    return out.select("vec_id", "pos", F.col("comp").cast("double").alias("comp"))
+
+
+@register(
+    "path_split",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+    doc="faxe path_split (esp_path_split.erl:22): melt root keys to rows",
+)
+def path_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ops.path_split(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                          keep_cols=["l_orderkey", "l_linenumber"],
+                          key_alias="name", value_alias="value")
