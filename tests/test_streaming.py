@@ -1,0 +1,133 @@
+"""Streaming semantics tests: file-stream the sf0.001 events table with
+an availableNow trigger into a memory sink, and check stateful operators
+against their batch analogs (the reference's test strategy: golden
+behavior from synthetic emitters, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+EVENTS = f"{SF_SMOKE}/events.parquet"
+
+
+def _run_available_now(sdf, name):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_win_time_matches_batch(spark):
+    from faxe_spark.streaming import stream_parquet, win_time_stream
+    from faxe_spark.tables import load_table
+
+    s = stream_parquet(spark, EVENTS)
+    agg = win_time_stream(
+        s, [("value", "sum", "sum_v"), ("value", "count", "n")],
+        ts_col="ts", period="1h", by=["event_type"], watermark="0s")
+    _run_available_now(agg, "win_stream")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT window.start, event_type, sum_v, n FROM win_stream").collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+             .agg(F.sum("value").alias("sum_v"), F.count("value").alias("n"))
+             # append mode only emits windows the final watermark (= max ts)
+             # has closed; the trailing open window is withheld by design
+             .filter(F.col("window.end") <= F.lit(max_ts))
+             .select(F.col("window.start"), "event_type", "sum_v", "n"))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_state_change_stream_matches_batch(spark):
+    from faxe_spark.streaming import stream_parquet, state_change_stream
+    from faxe_spark.operators import state_change
+    from faxe_spark.tables import load_table
+
+    s = stream_parquet(spark, EVENTS).withColumn("st", F.col("value") > 30)
+    out = state_change_stream(s, key_col="user_id", state_col="st", ts_col="ts")
+    _run_available_now(out, "sc_stream")
+    got = {(r.key, r.ts_ms, r.in_state, r.run_id)
+           for r in spark.sql("SELECT * FROM sc_stream").collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = state_change(ev, F.col("value") > 30, by=["user_id"],
+                         ts_col="ts", tiebreak="event_id")
+    want = {(r.user_id, r.ts_ms, r.in_state, r.run_id) for r in batch.select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "in_state",
+        F.col("run_id").cast("long").alias("run_id")).collect()}
+    assert got == want
+
+
+def test_collect_stream_upsert_actions(spark):
+    from faxe_spark.streaming import stream_parquet, collect_stream
+
+    s = stream_parquet(spark, EVENTS)
+    out = collect_stream(s, key_col="user_id", value_col="event_type",
+                         remove_value="error", ts_col="ts")
+    _run_available_now(out, "collect_stream")
+    rows = spark.sql("SELECT * FROM collect_stream").collect()
+    assert rows, "collect emitted nothing"
+    by_key: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.key, r.ts_ms)):
+        by_key.setdefault(r.key, []).append(r)
+    for key, krows in by_key.items():
+        assert krows[0].action == "add", f"key {key} first action {krows[0].action}"
+        for prev, cur in zip(krows, krows[1:]):
+            if cur.action == "add":
+                assert prev.action == "remove", "add only valid after remove"
+            if cur.action in ("update", "remove"):
+                assert prev.action in ("add", "update")
+        # emit-on-change contract: within a lifetime (between removes),
+        # consecutive emitted values must differ
+        prev_val = None
+        for r in krows:
+            if r.action == "remove":
+                prev_val = None
+                continue
+            assert r.value != prev_val, f"key {key} re-emitted unchanged value"
+            prev_val = r.value
+
+
+def test_session_window_stream_runs(spark):
+    from faxe_spark.streaming import stream_parquet, win_session_stream
+
+    s = stream_parquet(spark, EVENTS)
+    agg = win_session_stream(s, [("value", "count", "n")], ts_col="ts",
+                             gap="30m", by=["user_id"], watermark="0s")
+    _run_available_now(agg, "sess_stream")
+    n = spark.sql("SELECT count(*) c FROM sess_stream").collect()[0].c
+    assert n > 0
+
+
+def test_deadman_stream_times_out(spark):
+    """Drive the processing-time timeout: one data batch, then silence;
+    the watchdog must emit alive=false rows after the timeout."""
+    from faxe_spark.streaming import stream_parquet, deadman_stream
+
+    s = stream_parquet(spark, EVENTS)
+    out = deadman_stream(s, key_col="user_id", timeout="2s", ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("deadman_stream")
+         .outputMode("update").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        dead = 0
+        while time.time() < deadline:
+            dead = spark.sql(
+                "SELECT count(*) c FROM deadman_stream WHERE alive = false").collect()[0].c
+            if dead > 0:
+                break
+            time.sleep(1)
+        alive = spark.sql(
+            "SELECT count(*) c FROM deadman_stream WHERE alive = true").collect()[0].c
+        assert alive > 0, "no heartbeat rows emitted"
+        assert dead > 0, "deadman never fired after silence"
+    finally:
+        q.stop()
