@@ -1,0 +1,195 @@
+"""Flow: the pipeline builder — the DFS graph (SURVEY.md §3) as a Python
+DSL. Each method mirrors a reference node; `build(spark)` composes the
+operator functions into one DataFrame plan (Catalyst fuses the chain —
+the per-node Erlang processes and mailbox hops have no runtime analog).
+
+Compile-time checks mirror faxe_dfs.erl:
+- unknown node options raise with a "did you mean" suggestion
+  (faxe_dfs.erl:355-367 Levenshtein);
+- the point/batch item-kind check on every edge (faxe_dfs.erl:165-183):
+  windows emit 'batch', `aggregate` wants 'batch' (or explicit group
+  keys), scalar transforms want 'point'.
+"""
+
+from __future__ import annotations
+
+import difflib
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from faxe_spark import operators as ops
+from faxe_spark.tables import load_table
+
+
+class FlowBuildError(ValueError):
+    pass
+
+
+def _check_kwargs(node: str, given: dict, allowed: set[str]) -> None:
+    for k in given:
+        if k not in allowed:
+            hint = difflib.get_close_matches(k, allowed, n=1)
+            extra = f" Did you mean '{hint[0]}'?" if hint else ""
+            raise FlowBuildError(f"Unknown option '{k}' for node '{node}'.{extra}")
+
+
+@dataclass
+class _Step:
+    node: str
+    wants: str  # 'point' | 'batch' | 'any'
+    emits: str
+    apply: Callable[[DataFrame, "Flow"], DataFrame]
+
+
+@dataclass
+class Flow:
+    """Immutable-ish chained builder. Example (SURVEY §7.5 slice):
+
+    >>> f = (Flow.parquet_source("events", event_time="ts")
+    ...      .where("value > 0")
+    ...      .win_time(period="5m")
+    ...      .aggregate([("value", "avg", "v_avg"), ("value", "count", "v_cnt")],
+    ...                 by=["event_type"]))
+    >>> df = f.build(spark, sf_dir)
+    """
+
+    _source: Callable[[SparkSession, str], DataFrame] | None = None
+    _steps: list[_Step] = field(default_factory=list)
+    _kind: str = "point"
+    _event_time: str = "ts"
+    _window: Any = None  # pending window Column (the open data_batch)
+    _group_keys: list[str] = field(default_factory=list)
+
+    # -- sources ----------------------------------------------------------
+    @staticmethod
+    def parquet_source(table: str, event_time: str = "ts") -> "Flow":
+        f = Flow()
+        f._source = lambda spark, sf_dir: load_table(spark, sf_dir, table)
+        f._event_time = event_time
+        return f
+
+    @staticmethod
+    def dataframe_source(df: DataFrame, event_time: str = "ts") -> "Flow":
+        f = Flow()
+        f._source = lambda spark, sf_dir: df
+        f._event_time = event_time
+        return f
+
+    # -- internals --------------------------------------------------------
+    def _push(self, node: str, wants: str, emits: str,
+              fn: Callable[[DataFrame, "Flow"], DataFrame]) -> "Flow":
+        if wants != "any" and wants != self._kind:
+            raise FlowBuildError(
+                f"node '{node}' wants item kind '{wants}' but the flow "
+                f"currently emits '{self._kind}' (faxe edge type-check, "
+                f"faxe_dfs.erl:165-183)")
+        self._steps.append(_Step(node, wants, emits, fn))
+        if emits != "same":
+            self._kind = emits
+        return self
+
+    # -- scalar / projection nodes ---------------------------------------
+    def where(self, predicate) -> "Flow":
+        return self._push("where", "point", "same", lambda df, f: ops.where(df, predicate))
+
+    def eval(self, **exprs) -> "Flow":
+        return self._push("eval", "point", "same", lambda df, f: ops.eval_lambdas(df, exprs))
+
+    def set(self, **values) -> "Flow":
+        return self._push("set", "point", "same", lambda df, f: ops.set_fields(df, values))
+
+    def default(self, **defaults) -> "Flow":
+        return self._push("default", "point", "same",
+                          lambda df, f: ops.default_fields(df, defaults))
+
+    def keep(self, fields, aliases=None) -> "Flow":
+        return self._push("keep", "point", "same", lambda df, f: ops.keep(df, fields, aliases))
+
+    def delete(self, fields, when=None) -> "Flow":
+        return self._push("delete", "point", "same",
+                          lambda df, f: ops.delete(df, fields, when=when))
+
+    def rename(self, **mapping) -> "Flow":
+        return self._push("rename", "point", "same", lambda df, f: ops.rename(df, mapping))
+
+    def case(self, conditions, values, alias, default=None) -> "Flow":
+        return self._push("case", "point", "same",
+                          lambda df, f: ops.case_when(df, conditions, values, alias, default))
+
+    def sample(self, n=None, every=None, **kw) -> "Flow":
+        _check_kwargs("sample", kw, {"tiebreak"})
+        if n is not None:
+            return self._push("sample", "point", "same",
+                              lambda df, f: ops.sample_nth(df, n, by=f._group_keys,
+                                                           ts_col=f._event_time, **kw))
+        return self._push("sample", "point", "same",
+                          lambda df, f: ops.sample_per(df, every, by=f._group_keys,
+                                                       ts_col=f._event_time, **kw))
+
+    def change_detect(self, fields, **kw) -> "Flow":
+        _check_kwargs("change_detect", kw, {"tiebreak", "emit_first"})
+        return self._push("change_detect", "point", "same",
+                          lambda df, f: ops.change_detect(df, fields, by=f._group_keys,
+                                                          ts_col=f._event_time, **kw))
+
+    def value_diff(self, fields, **kw) -> "Flow":
+        _check_kwargs("value_diff", kw, {"mode", "tiebreak", "suffix", "default"})
+        return self._push("value_diff", "point", "same",
+                          lambda df, f: ops.value_diff(df, fields, by=f._group_keys,
+                                                       ts_col=f._event_time, **kw))
+
+    # -- grouping (esp_group_by: the subgraph-cloning machinery reduces to
+    #    remembering the keys — Catalyst parallelizes per key natively) ---
+    def group_by(self, *keys: str) -> "Flow":
+        def apply(df, f):
+            return df
+        self._group_keys = list(keys)
+        return self._push("group_by", "point", "same", apply)
+
+    # -- windows: point -> batch ------------------------------------------
+    def win_time(self, period: str, every: str | None = None) -> "Flow":
+        def apply(df, f):
+            f._window = ops.win_time(f._event_time, period, every).alias("window")
+            return df
+        return self._push("win_time", "point", "batch", apply)
+
+    def win_session(self, timeout: str) -> "Flow":
+        def apply(df, f):
+            f._window = ops.win_session(f._event_time, timeout).alias("session")
+            return df
+        return self._push("win_session", "point", "batch", apply)
+
+    def batch(self, size: int, tiebreak: str | None = None) -> "Flow":
+        def apply(df, f):
+            f._window = None
+            out = ops.batch_by_count(df, size, by=f._group_keys,
+                                     ts_col=f._event_time, order_tiebreak=tiebreak)
+            f._group_keys = [*f._group_keys, "batch_id"]
+            return out
+        return self._push("batch", "point", "batch", apply)
+
+    # -- aggregation: batch -> point --------------------------------------
+    def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
+        def apply(df, f):
+            keys = list(by or []) + f._group_keys
+            if f._window is not None:
+                keys = [f._window, *keys]
+            f._window = None
+            return ops.aggregate(df, specs, by=keys, ts_col=f._event_time,
+                                 round_to=round_to)
+        return self._push("aggregate", "batch", "point", apply)
+
+    # -- build -------------------------------------------------------------
+    def build(self, spark: SparkSession, sf_dir: str = "") -> DataFrame:
+        if self._source is None:
+            raise FlowBuildError("flow has no source node")
+        if self._kind == "batch":
+            raise FlowBuildError(
+                "flow ends with an open window/batch — add an aggregate "
+                "node (faxe: win_* emits data_batch; a sink wants points)")
+        df = self._source(spark, sf_dir)
+        for step in self._steps:
+            df = step.apply(df, self)
+        return df

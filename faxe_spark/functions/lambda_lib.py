@@ -1,0 +1,94 @@
+"""The lambda expression library (SURVEY.md §2.11).
+
+faxe lambdas (`lambda: str_concat("field", 'x')`) evaluate over the
+point's fields with the faxe_lambda_lib + mathex function set (whitelist
+faxe_dfs.erl:19; evidenced functions faxe_lambdalib_tests.erl:19-31).
+Here each name maps to a Spark Column function — JVM-side, codegen'd —
+plus Erlang-truthiness and undefined-as-null helpers. Double-quoted DFS
+field references become F.col paths; single-quoted literals become lits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def truthy(x) -> Column:
+    """Erlang/dfs_std_lib:bool truthiness: false/undefined/null/0/'' are
+    falsy, everything else truthy (used by where, esp_where.erl:39-40)."""
+    c = _c(x)
+    return F.when(c.isNull(), F.lit(False)).otherwise(
+        c.cast("string").isNotNull() & ~c.cast("string").isin("false", "0", ""))
+
+
+def undefined() -> Column:
+    """faxe `undefined` == SQL NULL."""
+    return F.lit(None)
+
+
+def _if(cond, then, else_):
+    return F.when(truthy(cond), _c(then)).otherwise(_c(else_))
+
+
+def _time_align(ts, unit_ms):
+    """faxe_time align: snap epoch-ms timestamp down to a unit boundary."""
+    ms = F.unix_millis(_c(ts)) if not isinstance(unit_ms, Column) else None
+    return F.timestamp_millis((F.unix_millis(_c(ts)) / _c(unit_ms)).cast("long") * _c(unit_ms))
+
+
+# reference-name -> Column function. Everything resolves to built-in
+# Spark expressions (no UDFs): the whole lambda surface stays in codegen.
+LAMBDA_FUNCTIONS = {
+    # conversions (faxe_lambdalib_tests.erl:19-31)
+    "string": lambda x: _c(x).cast("string"),
+    "int": lambda x: _c(x).cast("long"),
+    "float": lambda x: _c(x).cast("double"),
+    "bool": truthy,
+    # math
+    "abs": lambda x: F.abs(_c(x)),
+    "round": lambda x: F.round(_c(x), 0).cast("long"),
+    "round_float": lambda x, n=2: F.round(_c(x), n),
+    "floor": lambda x: F.floor(_c(x)),
+    "ceiling": lambda x: F.ceil(_c(x)),
+    "log": lambda x: F.log(_c(x)),
+    "log10": lambda x: F.log10(_c(x)),
+    "sqrt": lambda x: F.sqrt(_c(x)),
+    "pow": lambda x, y: F.pow(_c(x), _c(y)),
+    "max": lambda *xs: F.greatest(*[_c(x) for x in xs]),
+    "min": lambda *xs: F.least(*[_c(x) for x in xs]),
+    "random": lambda n: (F.rand() * _c(n)).cast("long"),
+    "random_real": lambda n: F.rand() * _c(n),
+    # strings
+    "str_concat": lambda *xs: F.concat(*[_c(x) for x in xs]),
+    "str_replace": lambda s, a, b: F.replace(_c(s), _c(a), _c(b)),
+    "str_slice": lambda s, start, length=None: (
+        F.substring(_c(s), start + 1, length) if length is not None
+        else F.substring(_c(s), start + 1, 2**31 - 1)),
+    "str_downcase": lambda s: F.lower(_c(s)),
+    "str_upcase": lambda s: F.upper(_c(s)),
+    "str_trim": lambda s: F.trim(_c(s)),
+    "str_ends_with": lambda s, suf: _c(s).endswith(_c(suf)),
+    "str_starts_with": lambda s, pre: _c(s).startswith(_c(pre)),
+    "str_contains": lambda s, sub: _c(s).contains(_c(sub)),
+    "str_length": lambda s: F.length(_c(s)),
+    "str_split": lambda s, sep: F.split(_c(s), sep),
+    # maps / lists (1-based element_at matches faxe's 1-based paths)
+    "map_get": lambda m, k: F.element_at(_c(m), k),
+    "list_get": lambda l, i: F.element_at(_c(l), i),
+    "size": lambda x: F.size(_c(x)),
+    # control / null handling
+    "if": _if,
+    "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
+    "is_undefined": lambda x: _c(x).isNull(),
+    "defined": lambda x: _c(x).isNotNull(),
+    # time (faxe_time semantics, SURVEY §2.12)
+    "now": F.current_timestamp,
+    "time_align": _time_align,
+    "to_date_string": lambda ts: F.date_format(_c(ts), "yyyy-MM-dd HH:mm:ss"),
+    "dt_parse": lambda s, fmt="yyyy-MM-dd HH:mm:ss": F.to_timestamp(_c(s), fmt),
+}

@@ -1,0 +1,60 @@
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+from faxe_spark.flow import Flow, FlowBuildError
+
+
+def test_flagship_flow_matches_direct(spark):
+    f = (Flow.parquet_source("events", event_time="ts")
+         .where("value > 5")
+         .group_by("event_type")
+         .win_time(period="5m")
+         .aggregate([("value", "avg", "v_avg"), ("value", "count", "v_cnt")]))
+    df = f.build(spark, SF_SMOKE)
+    assert set(df.columns) == {"window", "event_type", "v_avg", "v_cnt"}
+    assert df.count() > 0
+
+
+def test_kind_check_rejects_agg_on_points(spark):
+    with pytest.raises(FlowBuildError, match="wants item kind 'batch'"):
+        (Flow.parquet_source("events")
+         .aggregate([("value", "avg", "a")]))
+
+
+def test_open_window_rejected_at_build(spark):
+    f = Flow.parquet_source("events").win_time(period="5m")
+    with pytest.raises(FlowBuildError, match="open window"):
+        f.build(spark, SF_SMOKE)
+
+
+def test_unknown_option_suggestion(spark):
+    with pytest.raises(FlowBuildError, match="Did you mean 'tiebreak'"):
+        Flow.parquet_source("events").sample(n=5, tiebrek="event_id")
+
+
+def test_eval_chain_and_keep(spark):
+    f = (Flow.parquet_source("events")
+         .eval(v2=F.col("value") * 2, v4=F.col("v2") * 2)  # sequential visibility
+         .keep(["event_id", "v4"]))
+    df = f.build(spark, SF_SMOKE)
+    row = df.orderBy("event_id").first()
+    assert row.v4 == pytest.approx(
+        4 * spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy("event_id").first().value)
+
+
+def test_lambda_lib_functions(spark):
+    from faxe_spark.functions import LAMBDA_FUNCTIONS as L
+
+    df = spark.range(1).select(
+        L["str_concat"](F.lit("a"), F.lit("-"), F.lit("b")).alias("c"),
+        L["if"](F.lit(1), "yes", "no").alias("i"),
+        L["round_float"](F.lit(3.14159), 2).alias("r"),
+        L["str_slice"](F.lit("hello"), 1, 3).alias("s"),
+        L["max"](F.lit(3), F.lit(7)).alias("m"),
+        L["is_undefined"](F.lit(None)).alias("u"),
+        L["bool"](F.lit(0)).alias("b0"),
+        L["bool"](F.lit("x")).alias("b1"),
+    ).collect()[0]
+    assert (df.c, df.i, df.r, df.s, df.m, df.u, df.b0, df.b1) == \
+        ("a-b", "yes", 3.14, "ell", 7, True, False, True)

@@ -1,0 +1,53 @@
+"""Physical-plan assertions: pin the plans we want at 100 TB scale —
+pushdown to the scan, column pruning, broadcasts for small dims, bounded
+shuffle counts. A regression here is a scale bug even when results stay
+correct."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_ORACLE
+from faxe_spark import plans
+from faxe_spark.registry import QUERIES
+
+
+def test_where_filter_pushes_to_scan(spark):
+    df = QUERIES["where_filter"].fn(spark, SF_ORACLE)
+    plans.assert_filter_pushed(df, "value")
+    plans.assert_filter_pushed(df, "event_type")
+    # projection only needs 4 columns -> props must be pruned from the scan
+    plans.assert_column_pruned(df, "props")
+
+
+def test_tpch_q1_prunes_and_single_shuffle(spark):
+    df = QUERIES["tpch_q1"].fn(spark, SF_ORACLE)
+    plans.assert_column_pruned(df, "l_partkey")
+    plans.assert_column_pruned(df, "l_suppkey")
+    # partial + final hash agg over one group-key shuffle (AQE may add a
+    # read-side coalesce but no second Exchange)
+    assert plans.count_exchanges(df) <= 1, plans.formatted_plan(df)
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    df = QUERIES["tpch_q3"].fn(spark, SF_ORACLE)
+    assert plans.count_broadcasts(df) >= 2, "orders+customer should broadcast"
+    plans.assert_filter_pushed(df, "c_mktsegment")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+last_value as-of join must cost ONE shuffle on the key
+    (the whole point of the formulation vs a sort-merge interval join)."""
+    df = QUERIES["asof_join_nearest"].fn(spark, SF_ORACLE)
+    assert plans.count_exchanges(df) <= 1, plans.formatted_plan(df)
+
+
+def test_aggregate_multi_two_shuffles_max(spark):
+    # count_distinct legitimately needs a second (expand) shuffle; more
+    # than 2 would mean the multi-agg stopped fusing into one pass
+    df = QUERIES["aggregate_multi"].fn(spark, SF_ORACLE)
+    assert plans.count_exchanges(df) <= 2, plans.formatted_plan(df)
+    assert plans.count_hash_aggregates(df) >= 2  # partial + final
+
+
+def test_win_time_agg_no_extra_shuffles(spark):
+    df = QUERIES["win_time_agg"].fn(spark, SF_ORACLE)
+    assert plans.count_exchanges(df) <= 1, plans.formatted_plan(df)
