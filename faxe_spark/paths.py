@@ -1,0 +1,105 @@
+"""Dot-path field addressing on nested columns — the `flowdata` analog.
+
+Reference semantics (SURVEY.md §1.2; flowdata_tests.erl):
+- `"a.b.c"` deep access (tests :60-72), auto-creating intermediate
+  objects on set (:175-184);
+- `"this[2].is.my.paths[2].id"` — 1-based array indexes (:26-29),
+  matching Spark's `element_at`;
+- delete / rename operate on paths (:74-160).
+
+Spark mapping: reads compile to `getField`/`element_at` chains; writes
+use `Column.withField` (nested struct rebuild — Catalyst turns it into
+a single projection); deletes use `dropFields`. All pure Column ops.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_SEG = re.compile(r"^([^\[\]]+)((?:\[\d+\])*)$")
+
+
+def parse_path(path: str) -> list[tuple[str, list[int]]]:
+    """'a.b[2].c' -> [('a', []), ('b', [2]), ('c', [])]; indexes 1-based."""
+    out = []
+    for seg in path.split("."):
+        m = _SEG.match(seg)
+        if not m:
+            raise ValueError(f"invalid path segment: {seg!r} in {path!r}")
+        name, idx_part = m.group(1), m.group(2)
+        idxs = [int(i) for i in re.findall(r"\[(\d+)\]", idx_part)]
+        if any(i < 1 for i in idxs):
+            raise ValueError(f"array indexes are 1-based (got {seg!r})")
+        out.append((name, idxs))
+    return out
+
+
+def get_path(path: str) -> Column:
+    """Column for a dot-path; missing paths read as NULL (undefined)."""
+    segs = parse_path(path)
+    col: Column | None = None
+    for name, idxs in segs:
+        col = F.col(name) if col is None else col.getField(name)
+        for i in idxs:
+            col = F.element_at(col, i)  # 1-based, like the reference
+    return col
+
+
+def get_path_safe(df: DataFrame, path: str) -> Column:
+    """Like get_path, but a path absent from the schema reads as NULL
+    (the reference's `undefined` for missing fields, esp_aggregate.erl:
+    134-137 skip-undefined behavior) instead of an analysis error."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    dtype: object = df.schema
+    for name, idxs in parse_path(path):
+        if not isinstance(dtype, StructType) or name not in dtype.fieldNames():
+            return F.lit(None)
+        dtype = dtype[name].dataType
+        for _ in idxs:
+            if not isinstance(dtype, ArrayType):
+                return F.lit(None)
+            dtype = dtype.elementType
+    return get_path(path)
+
+
+def set_path(df: DataFrame, path: str, value: Column | object) -> DataFrame:
+    """Set a (possibly deep) path, auto-creating intermediate structs
+    (flowdata_tests.erl:175-184). Root paths take the fast path
+    (esp_set.erl:60-67 root-path optimization = plain withColumn)."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    segs = parse_path(path)
+    if any(idxs for _, idxs in segs):
+        raise NotImplementedError(
+            "array-index writes: rebuild the array with F.transform/F.concat "
+            "at the call site (struct-path writes are supported)")
+    names = [n for n, _ in segs]
+    if len(names) == 1:
+        return df.withColumn(names[0], v)
+    root = names[0]
+    if root not in df.columns:
+        # auto-create the whole intermediate chain as nested structs
+        nested = v
+        for n in reversed(names[1:]):
+            nested = F.struct(nested.alias(n))
+        return df.withColumn(root, nested)
+    return df.withColumn(root, F.col(root).withField(".".join(names[1:]), v))
+
+
+def delete_path(df: DataFrame, path: str) -> DataFrame:
+    """Drop a path (flowdata_tests.erl:74-101)."""
+    names = [n for n, idxs in parse_path(path)]
+    if len(names) == 1:
+        return df.drop(names[0])
+    return df.withColumn(names[0], F.col(names[0]).dropFields(".".join(names[1:])))
+
+
+def rename_path(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Move a value between paths, value untouched (esp_rename.erl:27;
+    deep->deep allowed)."""
+    value = get_path(src)
+    out = set_path(df, dst, value)
+    return delete_path(out, src)

@@ -1,0 +1,70 @@
+"""flowdata path semantics (SURVEY §1.2; mirrors flowdata_tests.erl
+scenarios: deep get/set/delete/rename, auto-created intermediates,
+1-based array indexes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from faxe_spark import paths
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    schema = ("ts long, data struct<code: long, meta: struct<unit: string, ok: boolean>>, "
+              "vals array<double>")
+    data = [(1, (7, ("C", True)), [10.0, 20.0, 30.0])]
+    return spark.createDataFrame(data, schema)
+
+
+def test_deep_get(nested_df):
+    row = nested_df.select(
+        paths.get_path("data.code").alias("c"),
+        paths.get_path("data.meta.unit").alias("u"),
+        paths.get_path("vals[2]").alias("v2"),  # 1-based -> 20.0
+    ).collect()[0]
+    assert (row.c, row.u, row.v2) == (7, "C", 20.0)
+
+
+def test_missing_path_is_null(nested_df):
+    # schema-aware resolution: absent paths read as NULL (undefined)
+    row = nested_df.select(
+        paths.get_path_safe(nested_df, "data.meta.missing").alias("m"),
+        paths.get_path_safe(nested_df, "nosuch.deep.path").alias("n"),
+        paths.get_path_safe(nested_df, "data.code").alias("ok"),
+    ).collect()[0]
+    assert (row.m, row.n, row.ok) == (None, None, 7)
+
+
+def test_set_deep_existing(nested_df):
+    out = paths.set_path(nested_df, "data.meta.unit", "F")
+    assert out.select(paths.get_path("data.meta.unit")).collect()[0][0] == "F"
+    # siblings untouched
+    assert out.select(paths.get_path("data.meta.ok")).collect()[0][0] is True
+
+
+def test_set_autocreates_intermediates(nested_df):
+    # flowdata_tests.erl:175-184: set "x.y.z" creates x and x.y
+    out = paths.set_path(nested_df, "x.y.z", 42)
+    assert out.select(paths.get_path("x.y.z")).collect()[0][0] == 42
+
+
+def test_set_root_fast_path(nested_df):
+    out = paths.set_path(nested_df, "newroot", "v")
+    assert out.select("newroot").collect()[0][0] == "v"
+
+
+def test_delete_deep(nested_df):
+    out = paths.delete_path(nested_df, "data.meta.ok")
+    fields = out.select("data.meta.*").columns
+    assert fields == ["unit"]
+
+
+def test_rename_deep_to_deep(nested_df):
+    out = paths.rename_path(nested_df, "data.meta.unit", "data.unit_moved")
+    assert out.select(paths.get_path("data.unit_moved")).collect()[0][0] == "C"
+    assert "unit" not in out.select("data.meta.*").columns
+
+
+def test_one_based_index_enforced():
+    with pytest.raises(ValueError, match="1-based"):
+        paths.parse_path("a[0].b")
