@@ -1245,3 +1245,189 @@ def image_features_fake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = mm_ops.attach_binary(d, "text", "payload")
     return mm_ops.decode_image_features(d, id_col="doc_id",
                                         payload_col="payload", fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Coverage wave 4: remaining stats, sliding windows, lookups, defaults
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_extra",
+    """
+    WITH r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_a,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn_d
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_linestatus,
+             count(*) AS n,
+             avg(l_quantity) AS m1,
+             avg(l_quantity * l_quantity) AS m2,
+             avg(l_quantity * l_quantity * l_quantity) AS m3,
+             avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4,
+             max(CASE WHEN rn_a = 1 THEN l_quantity END) AS first_qty,
+             max(CASE WHEN rn_d = 1 THEN l_quantity END) AS last_qty,
+             epoch_us(max(l_shipdate)) // 1000 - epoch_us(min(l_shipdate)) // 1000 AS elapsed_ms
+      FROM r GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n, first_qty, last_qty, elapsed_ms,
+           round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+                 / ((m2 - m1*m1) * (m2 - m1*m1)) - 3, 4) AS kurtosis_qty
+    FROM m
+    """,
+    doc="stats: kurtosis (population excess, Spark semantics), ts-ordered first/last, elapsed",
+)
+def stats_extra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        # composite ordering key: ties on the date-granular shipdate are
+        # broken deterministically (struct comparison is lexicographic)
+        F.min_by("l_quantity", F.struct("l_shipdate", "l_orderkey", "l_linenumber")).alias("first_qty"),
+        F.max_by("l_quantity", F.struct("l_shipdate", "l_orderkey", "l_linenumber")).alias("last_qty"),
+        (F.unix_millis(F.max(F.col("l_shipdate").cast("timestamp")))
+         - F.unix_millis(F.min(F.col("l_shipdate").cast("timestamp")))).alias("elapsed_ms"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurtosis_qty"),
+    )
+
+
+@register(
+    "statistics_node",
+    f"""
+    SELECT event_type,
+           count(value) AS value_count,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS value_avg,
+           round(stddev_samp(value), 4) AS value_stddev,
+           round(median(value), 4) AS value_median,
+           round(quantile_cont(value, 0.9), 4) AS value_p90
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+    doc="faxe statistics node (esp_statistics.erl:24): several stat modules, one pass",
+)
+def statistics_node_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("value_count"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("value_avg"),
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+        F.round(F.median("value"), 4).alias("value_median"),
+        F.round(F.percentile("value", 0.9), 4).alias("value_p90"),
+    )
+
+
+@register(
+    "sliding_window",
+    f"""
+    WITH starts AS (
+      SELECT event_id, value,
+             unnest([ (epoch_us(ts) // 300000000) * 300000,
+                      (epoch_us(ts) // 300000000) * 300000 - 300000 ]) AS window_start_ms
+      FROM {_EV}
+    )
+    SELECT window_start_ms, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY window_start_ms
+    """,
+    doc="faxe win_time sliding (period=10m, every=5m, esp_win_time.erl:28) => F.window slide",
+)
+def sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(ops.win_time("ts", "10m", "5m").alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("value", "sum_value"))
+    return g.select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                    "cnt", "sum_value")
+
+
+@register(
+    "lookup_enrich",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="faxe jsn_select/mem lookup (esp_jsn_select.erl:33): broadcast-join small lookup",
+)
+def lookup_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    lookup = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)
+                          .select("n_nationkey", "r_name"))
+    return (c.join(lookup, c.c_nationkey == lookup.n_nationkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 _dec_sum("c_acctbal", "sum_acctbal")))
+
+
+@register(
+    "default_rename_extract",
+    f"""
+    SELECT event_id,
+           coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+           coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS m,
+           value AS reading
+    FROM {_EV}
+    WHERE event_type = 'view'
+    """,
+    doc="faxe default+rename+extract_path (esp_default.erl:26, esp_rename.erl:27, esp_extract_path.erl:24)",
+)
+def default_rename_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ops.where(ev, F.col("event_type") == "view")
+    ev = ops.eval_lambdas(ev, {
+        "k": F.get_json_object("props", "$.k").cast("long"),
+        "m": F.get_json_object("props", "$.missing").cast("long"),
+    })
+    ev = ops.default_fields(ev, {"k": 0, "m": -1})
+    ev = ops.rename(ev, {"value": "reading"})
+    return ops.extract_path(ev, ["event_id", "k", "m", "reading"],
+                            ["event_id", "k", "m", "reading"])
+
+
+@register(
+    "sample_per_period",
+    f"""
+    WITH b AS (
+      SELECT event_id, user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id, (epoch_us(ts) // 3600000000)
+                                ORDER BY ts, event_id) AS rn
+      FROM {_EV}
+    )
+    SELECT event_id, user_id, value FROM b WHERE rn = 1
+    """,
+    doc="faxe sample(rate=duration) (esp_sample.erl:27): first item per time bucket",
+)
+def sample_per_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.sample_per(ev, "1h", by=["user_id"], ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", "value")
+
+
+@register(
+    "group_by_lambda",
+    f"""
+    SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS value_band,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+    FROM {_EV}
+    GROUP BY 1, 2
+    """,
+    doc="faxe group_by with lambda key (esp_group_by.erl:26): computed group keys",
+)
+def group_by_lambda_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / 100).cast("long").alias("value_band")
+    return ev.groupBy("event_type", band).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)), 4).alias("avg_value"))
