@@ -52,18 +52,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """(id, seed, minhash) rows: minhash h_i(doc) = min over shingles of
-    md5(i || ':' || shingle) (lexicographic min of hex = uniform min).
+    """Wide minhash signature: one row per doc with columns mh0..mh{k-1},
+    where mh_i = min over shingles of md5(i || ':' || shingle)
+    (lexicographic min of uniform hex = uniform min).
 
-    Layout: explode shingles once, cross with a *literal* seed array
-    (explode of a 16-element array — not a join), aggregate min per
-    (id, seed). Shuffle volume = docs x num_hashes rows.
-    """
+    Layout: k min-aggregates over the exploded shingle rows — partial
+    (map-side) mins mean the shuffle carries only docs x k values, never
+    the (doc, seed) cross product. At 100 TB this is the difference
+    between shuffling per-shingle rows and shuffling signatures."""
     sh = shingle_rows(df, id_col, text_col, n=shingle_n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    expanded = sh.select(id_col, "shingle", seeds)
-    mh = F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
-    return expanded.groupBy(id_col, "seed").agg(mh.alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
@@ -78,12 +80,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     hotspot and get handled by AQE skew-join or a bucket-size cap."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-    band_sig = banded.groupBy(id_col, "band").agg(
-        F.md5(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda x: x["minhash"]),
-            ",")).alias("band_hash"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    band_sig = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.band", "_b.band_hash")
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     pairs = (a.join(b, ["band", "band_hash"])

@@ -40,12 +40,15 @@ def test_asof_join_single_shuffle(spark):
     assert plans.count_exchanges(df) <= 1, plans.formatted_plan(df)
 
 
-def test_aggregate_multi_two_shuffles_max(spark):
-    # count_distinct legitimately needs a second (expand) shuffle; more
-    # than 2 would mean the multi-agg stopped fusing into one pass
+def test_aggregate_multi_split_plan(spark):
+    # the distinct+imperative mix is deliberately split into two hash-agg
+    # passes joined on the keys (see operators/aggregate.py): expect
+    # hash aggregation everywhere (no ObjectHashAggregate-through-expand)
+    # and at most 3 shuffles (distinct expand pair + imperative pass);
+    # the key join itself broadcasts (tiny agg outputs)
     df = QUERIES["aggregate_multi"].fn(spark, SF_ORACLE)
-    assert plans.count_exchanges(df) <= 2, plans.formatted_plan(df)
-    assert plans.count_hash_aggregates(df) >= 2  # partial + final
+    assert plans.count_exchanges(df) <= 3, plans.formatted_plan(df)
+    assert plans.count_hash_aggregates(df) >= 4  # partial+final x 2 passes
 
 
 def test_win_time_agg_no_extra_shuffles(spark):
