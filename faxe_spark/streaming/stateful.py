@@ -155,3 +155,54 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def triggered_timeout_stream(df: DataFrame, *, key_col: str, trigger_col: str,
+                             cancel_col: str, timeout: str,
+                             ts_col: str = "ts") -> DataFrame:
+    """faxe `triggered_timeout` (esp_triggered_timeout.erl:46): a trigger
+    row arms a per-key processing-time timer; a qualifying (cancel) row
+    disarms it; if the timer fires first, emit a synthetic timeout row.
+
+    trigger_col / cancel_col are precomputed booleans (the reference's
+    lambdas). Output: (key, armed_ts_ms, fired) — fired=false rows are
+    cancellation acks, fired=true rows are the synthetic timeout points.
+    """
+    from faxe_spark.durations import parse_duration_ms
+
+    timeout_ms = parse_duration_ms(timeout)
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("armed_ts_ms", LongType()),
+        StructField("fired", BooleanType()),
+    ])
+    state_schema = StructType([StructField("armed_ts_ms", LongType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (armed,) = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], armed, True)],
+                               columns=["key", "armed_ts_ms", "fired"])
+            return
+        armed = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, trig, cancel in zip(pdf[ts_col], pdf[trigger_col], pdf[cancel_col]):
+                ts_ms = int(ts.value // 1_000_000)
+                if armed is not None and bool(cancel):
+                    rows.append((key[0], armed, False))
+                    armed = None
+                elif armed is None and bool(trig):
+                    armed = ts_ms
+        if armed is None:
+            state.remove()
+        else:
+            state.update((armed,))
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(rows, columns=["key", "armed_ts_ms", "fired"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.ProcessingTimeTimeout))

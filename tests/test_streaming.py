@@ -131,3 +131,34 @@ def test_deadman_stream_times_out(spark):
         assert dead > 0, "deadman never fired after silence"
     finally:
         q.stop()
+
+
+def test_triggered_timeout_fires_and_cancels(spark):
+    """error rows arm the timer; a later purchase cancels; keys whose
+    error is never followed by a purchase time out (fired=true)."""
+    import pyspark.sql.functions as F
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.streaming.stateful import triggered_timeout_stream
+
+    s = (stream_parquet(spark, EVENTS)
+         .withColumn("trig", F.col("event_type") == "error")
+         .withColumn("cancel", F.col("event_type") == "purchase"))
+    out = triggered_timeout_stream(s, key_col="user_id", trigger_col="trig",
+                                   cancel_col="cancel", timeout="2s", ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("tt_stream")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        fired = 0
+        while time.time() < deadline:
+            fired = spark.sql(
+                "SELECT count(*) c FROM tt_stream WHERE fired").collect()[0].c
+            if fired > 0:
+                break
+            time.sleep(1)
+        cancelled = spark.sql(
+            "SELECT count(*) c FROM tt_stream WHERE NOT fired").collect()[0].c
+        assert cancelled > 0, "no cancellations observed"
+        assert fired > 0, "armed timers never fired after silence"
+    finally:
+        q.stop()
