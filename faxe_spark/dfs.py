@@ -1,0 +1,771 @@
+"""DFS text front-end: parse the reference's dataflow script language
+and compile a supported subset onto the operator library.
+
+Grammar (observed from the reference's dfs/ corpus and the golden
+graph-compilation tests, apps/faxe/test/dfs_to_graph.erl):
+
+    script  := stmt*
+    stmt    := 'def' IDENT '=' chain | chain
+    chain   := [IDENT] ('|' node)('.' param)*...
+    node    := IDENT '(' args? ')'
+    param   := IDENT '(' args? ')'
+    args    := arg (',' arg)*
+    arg     := 'string' | <<<heredoc>>> | number | duration | true/false
+               | lambda: <expr> | IDENT (variable/macro reference)
+
+Comments: '%' to end of line. Lambdas: double-quoted = field path,
+single-quoted = string literal, names resolve through the lambda
+library (faxe_spark.functions.lambda_lib).
+
+This is a from-scratch parser (the reference's `dfs` parser is an
+external Erlang dep); the compile target is DataFrames, not an actor
+graph — `def` variables become named DataFrames, fan-in (join/union)
+consumes them, group_by becomes group keys on downstream operators.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from faxe_spark.durations import parse_duration_ms
+from faxe_spark.functions.lambda_lib import LAMBDA_FUNCTIONS, truthy
+from faxe_spark import operators as ops
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<heredoc><<<.*?>>>)
+  | (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<lambda>lambda:|e:)
+  | (?P<duration>-?\d+(?:ms|s|m|h|d|w)\b)
+  | (?P<number>-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)
+  | (?P<ident>@?[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op>\|\||[|.(),=])
+""", re.X | re.S)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _strip_comments(text: str) -> str:
+    out = []
+    in_sq = False
+    in_heredoc = False
+    i = 0
+    while i < len(text):
+        if in_heredoc:
+            if text.startswith(">>>", i):
+                in_heredoc = False
+                out.append(">>>")
+                i += 3
+                continue
+            out.append(text[i]); i += 1
+            continue
+        if in_sq:
+            if text[i] == "'":
+                in_sq = False
+            out.append(text[i]); i += 1
+            continue
+        if text.startswith("<<<", i):
+            in_heredoc = True
+            out.append("<<<"); i += 3
+            continue
+        if text[i] == "'":
+            in_sq = True
+            out.append(text[i]); i += 1
+            continue
+        if text[i] == "%":
+            while i < len(text) and text[i] != "\n":
+                i += 1
+            continue
+        out.append(text[i]); i += 1
+    return "".join(out)
+
+
+def tokenize(text: str) -> list[Tok]:
+    text = _strip_comments(text)
+    toks: list[Tok] = []
+    i = 0
+    while i < len(text):
+        if text[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise ValueError(f"DFS syntax error at: {text[i:i + 40]!r}")
+        kind = m.lastgroup or "?"
+        if kind == "lambda":
+            # capture the lambda body up to the ',' or ')' that closes the
+            # enclosing argument (lambda bodies may contain parens)
+            depth = 0
+            j = m.end()
+            while j < len(text):
+                c = text[j]
+                if c == "'":  # skip string literal
+                    j = text.index("'", j + 1) + 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    break
+                j += 1
+            toks.append(Tok("lambda", text[m.end():j].strip(), i))
+            i = j
+            continue
+        toks.append(Tok(kind, m.group(), i))
+        i = m.end()
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser -> IR (the analog of faxe_dfs IR#1, dfs_to_graph.erl goldens)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NodeCall:
+    name: str
+    args: list
+    params: dict[str, list] = field(default_factory=dict)
+
+
+@dataclass
+class Chain:
+    var: str | None          # 'def <var> =' target
+    source_ref: str | None   # leading variable reference
+    nodes: list[NodeCall] = field(default_factory=list)
+    const: object = None     # 'def var = <literal>' constant definition
+    is_const: bool = False
+
+
+@dataclass
+class Lambda:
+    body: str
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0) -> Tok | None:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"DFS parse error: expected {text!r}, got {t.text!r}")
+        return t
+
+    def parse(self) -> list[Chain]:
+        chains = []
+        while self.peek() is not None:
+            before = self.i
+            chains.append(self.chain())
+            if self.i == before:
+                t = self.peek()
+                raise ValueError(f"DFS parse error: unexpected token {t.text!r} "
+                                 f"at top level (pos {t.pos})")
+        return chains
+
+    def chain(self) -> Chain:
+        var = None
+        src = None
+        t = self.peek()
+        if t.kind == "ident" and t.text in ("def", "var"):
+            self.next()
+            var = self.next().text
+            self.expect("=")
+            t = self.peek()
+            # constant definition: def name = <literal>  (dfs template vars)
+            if t is not None and t.kind in ("string", "heredoc", "number",
+                                            "duration", "lambda"):
+                return Chain(var, None, [], const=self.arg(), is_const=True)
+        if t is not None and t.kind == "ident" and not t.text.startswith("@"):
+            src = self.next().text
+        nodes = []
+        while (p := self.peek()) is not None and (
+                p.text in ("|", "||")
+                or (p.kind == "ident" and p.text.startswith("@"))):
+            if p.text in ("|", "||"):  # '||' = macro invocation edge
+                self.next()
+            nodes.append(self.node_call())
+        return Chain(var, src, nodes)
+
+    def node_call(self) -> NodeCall:
+        name = self.next().text
+        args = self.arglist() if (p := self.peek()) and p.text == "(" else []
+        node = NodeCall(name, args)
+        while (p := self.peek()) is not None and p.text == ".":
+            self.next()
+            pname = self.next().text
+            pargs = self.arglist() if (q := self.peek()) and q.text == "(" else []
+            node.params[pname] = pargs
+        return node
+
+    def arglist(self) -> list:
+        self.expect("(")
+        args = []
+        while (p := self.peek()) is not None and p.text != ")":
+            args.append(self.arg())
+            if (q := self.peek()) is not None and q.text == ",":
+                self.next()
+        self.expect(")")
+        return args
+
+    def arg(self):
+        t = self.next()
+        if t.kind == "string":
+            return t.text[1:-1]
+        if t.kind == "heredoc":
+            return t.text[3:-3]
+        if t.kind == "duration":
+            return ("duration", t.text)
+        if t.kind == "number":
+            return float(t.text) if "." in t.text or "e" in t.text.lower() else int(t.text)
+        if t.kind == "lambda":
+            return Lambda(t.text)
+        if t.kind == "ident":
+            if t.text == "true":
+                return True
+            if t.text == "false":
+                return False
+            if (p := self.peek()) is not None and p.text == "(":
+                # bare function-call expression arg (lambda without prefix,
+                # seen in the corpus e.g. array_explode.dfs eval args)
+                return Lambda(t.text + self._balanced_text())
+            return ("ref", t.text)
+        raise ValueError(f"DFS parse error: unexpected arg {t.text!r}")
+
+    def _balanced_text(self) -> str:
+        """Consume a balanced-paren token run, reconstructing source text
+        (used to re-materialize a bare call expression as a lambda body)."""
+        parts: list[str] = []
+        depth = 0
+        while True:
+            t = self.next()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            if parts and t.text not in "()," and parts[-1] not in "(,":
+                parts.append(" ")
+            parts.append(t.text)
+            if depth == 0:
+                return "".join(parts)
+
+
+def parse_script(text: str) -> list[Chain]:
+    return _Parser(tokenize(text)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Lambda expression compiler
+# ---------------------------------------------------------------------------
+
+_LAMBDA_TOKEN = re.compile(r"""
+    (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<fieldref>"[^"]+")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><=|>=|==|!=|=<|\*|\+|-|/|%|<|>|\(|\),?|,)
+""", re.X)
+
+
+class _LambdaParser:
+    """Recursive-descent for the DFS lambda expression subset:
+    field refs, literals, lambda-lib calls, arithmetic/comparison,
+    AND/OR/NOT (Erlang-style keywords, case-insensitive)."""
+
+    def __init__(self, body: str, consts: dict | None = None):
+        self.consts = consts or {}
+        self.toks = []
+        i = 0
+        while i < len(body):
+            if body[i].isspace():
+                i += 1
+                continue
+            m = _LAMBDA_TOKEN.match(body, i)
+            if not m:
+                raise ValueError(f"lambda syntax error at: {body[i:i+30]!r}")
+            kind = m.lastgroup
+            text = m.group()
+            if kind == "op" and len(text) == 2 and text == "),":  # '),' split
+                self.toks.append(("op", ")"))
+                self.toks.append(("op", ","))
+            else:
+                self.toks.append((kind, text))
+            i = m.end()
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Column:
+        e = self.or_expr()
+        if self.i != len(self.toks):
+            raise ValueError(f"lambda: trailing tokens {self.toks[self.i:]}")
+        return e
+
+    def or_expr(self) -> Column:
+        left = self.and_expr()
+        while self.peek() == ("name", "OR") or self.peek() == ("name", "or"):
+            self.next()
+            left = truthy(left) | truthy(self.and_expr())
+        return left
+
+    def and_expr(self) -> Column:
+        left = self.cmp_expr()
+        while self.peek() == ("name", "AND") or self.peek() == ("name", "and"):
+            self.next()
+            left = truthy(left) & truthy(self.cmp_expr())
+        return left
+
+    def cmp_expr(self) -> Column:
+        left = self.add_expr()
+        kind, text = self.peek()
+        if kind == "op" and text in ("<", ">", "<=", ">=", "==", "!=", "=<"):
+            self.next()
+            right = self.add_expr()
+            return {"<": left < right, ">": left > right, "<=": left <= right,
+                    "=<": left <= right, ">=": left >= right,
+                    "==": left == right, "!=": left != right}[text]
+        return left
+
+    def add_expr(self) -> Column:
+        left = self.mul_expr()
+        while True:
+            kind, text = self.peek()
+            if kind == "op" and text in ("+", "-"):
+                self.next()
+                right = self.mul_expr()
+                left = left + right if text == "+" else left - right
+            else:
+                return left
+
+    def mul_expr(self) -> Column:
+        left = self.unary()
+        while True:
+            kind, text = self.peek()
+            if kind == "op" and text in ("*", "/", "%"):
+                self.next()
+                right = self.unary()
+                left = {"*": left * right, "/": left / right, "%": left % right}[text]
+            else:
+                return left
+
+    def unary(self) -> Column:
+        kind, text = self.peek()
+        if kind == "name" and text in ("NOT", "not"):
+            self.next()
+            return ~truthy(self.unary())
+        return self.atom()
+
+    def atom(self) -> Column:
+        kind, text = self.next()
+        if kind == "string":
+            return F.lit(text[1:-1])
+        if kind == "fieldref":
+            from faxe_spark.paths import get_path
+            return get_path(text[1:-1])
+        if kind == "number":
+            return F.lit(float(text) if "." in text else int(text))
+        if kind == "op" and text == "(":
+            e = self.or_expr()
+            k, t = self.next()
+            if t != ")":
+                raise ValueError("lambda: unbalanced parens")
+            return e
+        if kind == "name":
+            if text == "undefined":
+                return F.lit(None)
+            nk, nt = self.peek()
+            if nk == "op" and nt == "(":
+                self.next()
+                args = []
+                while self.peek() != ("op", ")"):
+                    args.append(self.or_expr())
+                    if self.peek() == ("op", ","):
+                        self.next()
+                self.next()
+                fn = LAMBDA_FUNCTIONS.get(text)
+                if fn is None:
+                    raise ValueError(f"unknown lambda function {text!r} "
+                                     f"(lambda library, SURVEY §2.11)")
+                return fn(*args)
+            if text in self.consts:
+                v = self.consts[text]
+                if isinstance(v, Lambda):
+                    return _LambdaParser(v.body, self.consts).parse()
+                return F.lit(v)
+            # bare name = field reference (unquoted single-segment path)
+            return F.col(text)
+        raise ValueError(f"lambda: unexpected token {text!r}")
+
+
+def compile_lambda(body: str, consts: dict | None = None) -> Column:
+    return _LambdaParser(body, consts).parse()
+
+
+# ---------------------------------------------------------------------------
+# Graph compiler: chains -> DataFrames
+# ---------------------------------------------------------------------------
+
+def _dur_str(v) -> str:
+    if isinstance(v, tuple) and v[0] == "duration":
+        return v[1]
+    raise ValueError(f"expected duration literal, got {v!r}")
+
+
+class DFSCompiler:
+    """Compiles the batch-expressible node subset onto the operator
+    library. Unsupported nodes raise with the reference file they map to
+    (so the gap is explicit, not silent)."""
+
+    def __init__(self, spark: SparkSession, *, tables_dir: str | None = None,
+                 sources: dict[str, DataFrame] | None = None):
+        self.spark = spark
+        self.tables_dir = tables_dir
+        self.env: dict[str, DataFrame] = dict(sources or {})
+        self.consts: dict[str, object] = {}
+        self.group_keys: list[str] = []
+        self.window = None            # pending time/session window Column
+        self.count_window = None      # pending (period, every) count window
+
+    def run(self, script: str) -> DataFrame:
+        chains = parse_script(script)
+        result = None
+        for chain in chains:
+            if chain.is_const:
+                self.consts[chain.var] = chain.const
+                continue
+            df = self.env[chain.source_ref] if chain.source_ref else None
+            for node in chain.nodes:
+                df = self.apply(df, node)
+            if chain.var:
+                self.env[chain.var] = df
+            result = df
+        if result is None:
+            raise ValueError("empty DFS script")
+        return result
+
+    # -- helpers -----------------------------------------------------------
+    def _lam(self, x) -> Column:
+        if isinstance(x, Lambda):
+            return compile_lambda(x.body, self.consts)
+        if isinstance(x, tuple) and x[0] == "ref":
+            v = self.consts[x[1]]
+            return compile_lambda(v.body, self.consts) if isinstance(v, Lambda) else F.lit(v)
+        return F.lit(x)
+
+    def _val(self, x):
+        """Resolve a plain arg: const refs to their value, else as-is."""
+        if isinstance(x, tuple) and x[0] == "ref":
+            return self.consts[x[1]]
+        return x
+
+    def _agg_keys(self) -> list:
+        keys = ([self.window] if self.window is not None else []) + self.group_keys
+        self.window = None
+        return keys
+
+    def _stat(self, df: DataFrame, func: str, node: NodeCall) -> DataFrame:
+        """Single-field stat node (§2.6 stats family): aggregates the
+        pending window/batch group, like the esp_stats dispatcher."""
+        field = node.args[0] if node.args else node.params.get("field", ["value"])[0]
+        alias = node.params.get("as", [f"{field}_{func}"])[0]
+        if self.count_window is not None:
+            period, every = self.count_window
+            self.count_window = None
+            return ops.win_event_agg(df, [(field, func, alias)], period, every,
+                                     by=self.group_keys)
+        return ops.aggregate(df, [(field, func, alias)], by=self._agg_keys())
+
+    # -- node dispatch -----------------------------------------------------
+    STAT_NODES = ("avg", "sum", "count", "count_distinct", "mean", "median",
+                  "min", "max", "stddev", "variance", "skew", "kurtosis",
+                  "geometric_mean", "range", "first", "last")
+
+    def apply(self, df: DataFrame | None, node: NodeCall) -> DataFrame:
+        fn = getattr(self, f"node_{node.name}", None)
+        if fn is None:
+            if node.name in self.STAT_NODES:
+                return self._stat(df, node.name, node)
+            if node.name.startswith("@"):
+                raise NotImplementedError(
+                    f"DFS python node '{node.name}': use the faxe_spark.udf "
+                    f"adapter (mapInPandas) directly — c_python3.erl parity")
+            raise NotImplementedError(
+                f"DFS node '{node.name}' not yet mapped (see SURVEY.md §2)")
+        return fn(df, node)
+
+    def node_json_emitter(self, df, node: NodeCall) -> DataFrame:
+        rows = [json.loads(a) for a in node.args if isinstance(a, str)]
+        rows += [json.loads(a) for a in node.params.get("json", []) if isinstance(a, str)]
+        every_ms = parse_duration_ms(node.params["every"][0][1]) if "every" in node.params else 1000
+        base = 1_700_000_000_000  # deterministic synthetic epoch base
+        out = []
+        for i, r in enumerate(rows):
+            out.append({"ts": base + i * every_ms, **r})
+        pdf = self.spark.createDataFrame(out)
+        return pdf.withColumn("ts", F.timestamp_millis(F.col("ts")))
+
+    def node_parquet(self, df, node: NodeCall) -> DataFrame:
+        from faxe_spark.tables import load_table
+        return load_table(self.spark, self.tables_dir, node.args[0])
+
+    def node_where(self, df, node: NodeCall) -> DataFrame:
+        return ops.where(df, truthy(self._lam(node.args[0])))
+
+    def node_eval(self, df, node: NodeCall) -> DataFrame:
+        aliases = node.params.get("as", [])
+        exprs = {}
+        for lam, alias in zip(node.args, aliases):
+            exprs[alias] = self._lam(lam)
+        return ops.eval_lambdas(df, exprs)
+
+    def node_set(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", [])
+        values = node.params.get("field_values", [])
+        return ops.set_fields(df, dict(zip(fields_, values)))
+
+    def node_default(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", [])
+        values = node.params.get("field_values", [])
+        return ops.default_fields(df, dict(zip(fields_, values)))
+
+    def node_keep(self, df, node: NodeCall) -> DataFrame:
+        fields_ = list(node.args) + list(node.params.get("fields", []))
+        aliases = node.params.get("as", None)
+        return ops.keep(df, fields_, aliases)
+
+    def node_delete(self, df, node: NodeCall) -> DataFrame:
+        return ops.delete(df, list(node.args) + list(node.params.get("fields", [])))
+
+    def node_rename(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", [])
+        as_ = node.params.get("as_fields", node.params.get("as", []))
+        return ops.rename(df, dict(zip(fields_, as_)))
+
+    def node_group_by(self, df, node: NodeCall) -> DataFrame:
+        keys = [a for a in node.args if isinstance(a, str)]
+        self.group_keys = keys
+        return df
+
+    def node_group_union(self, df, node: NodeCall) -> DataFrame:
+        self.group_keys = []
+        return df
+
+    def node_win_time(self, df, node: NodeCall) -> DataFrame:
+        period = _dur_str(node.params["period"][0])
+        every = _dur_str(node.params["every"][0]) if "every" in node.params else None
+        self.window = ops.win_time("ts", period, every).alias("window")
+        return df
+
+    def node_win_session(self, df, node: NodeCall) -> DataFrame:
+        self.window = ops.win_session(
+            "ts", _dur_str(node.params["session_timeout"][0])).alias("session")
+        return df
+
+    def node_aggregate(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", [])
+        funcs = node.params.get("functions", [])
+        aliases = node.params.get("as", [f"{f}_{fn}" for f, fn in zip(fields_, funcs)])
+        specs = list(zip(fields_, funcs, aliases))
+        if self.count_window is not None:
+            period, every = self.count_window
+            self.count_window = None
+            return ops.win_event_agg(df, specs, period, every, by=self.group_keys)
+        return ops.aggregate(df, specs, by=self._agg_keys())
+
+    def node_value_diff(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", [])
+        mode = node.params.get("mode", ["c-p"])[0]
+        return ops.value_diff(df, fields_, mode=mode, by=self.group_keys)
+
+    def node_sample(self, df, node: NodeCall) -> DataFrame:
+        rate = node.args[0] if node.args else node.params.get("rate", [10])[0]
+        if isinstance(rate, tuple):
+            return ops.sample_per(df, rate[1], by=self.group_keys)
+        return ops.sample_nth(df, int(rate), by=self.group_keys)
+
+    def node_union(self, df, node: NodeCall) -> DataFrame:
+        others = [self.env[a[1]] for a in node.args if isinstance(a, tuple) and a[0] == "ref"]
+        return ops.union_streams(df, *others)
+
+    def node_join(self, df, node: NodeCall) -> DataFrame:
+        other = self.env[node.args[0][1]]
+        tol = _dur_str(node.params["tolerance"][0]) if "tolerance" in node.params else None
+        prefix = node.params.get("prefix", ["r_"])[0]
+        keys = self.group_keys or []
+        if not keys:
+            raise NotImplementedError("DFS join without group_by keys: pass "
+                                      "group_by first (keyed as-of join)")
+        return ops.asof_join(df, other, keys, ts_col="ts", direction="nearest",
+                             tolerance=tol, right_prefix=prefix)
+
+    def node_win_event(self, df, node: NodeCall) -> DataFrame:
+        period = int(self._val(node.params["period"][0]))
+        every = int(self._val(node.params.get("every", [1])[0]))
+        self.count_window = (period, every)
+        return df
+
+    def node_win_clock(self, df, node: NodeCall) -> DataFrame:
+        """Batch analog of the processing-time clock window: event-time
+        window of the same size (esp_win_clock.erl:33; exact wall-clock
+        semantics live in faxe_spark.streaming.windows.win_clock)."""
+        every = _dur_str(node.params["every"][0])
+        period = _dur_str(node.params["period"][0]) if "period" in node.params else every
+        self.window = ops.win_time("ts", period, every).alias("window")
+        return df
+
+    def node_batch(self, df, node: NodeCall) -> DataFrame:
+        size = int(self._val(node.args[0] if node.args
+                             else node.params["size"][0]))
+        out = ops.batch_by_count(df, size, by=self.group_keys)
+        self.group_keys = self.group_keys + ["batch_id"]
+        return out
+
+    def node_case(self, df, node: NodeCall) -> DataFrame:
+        conditions = [truthy(self._lam(a)) for a in node.args]
+        values = [self._val(v) for v in node.params.get("values", [])]
+        alias = node.params["as"][0]
+        default = self._val(node.params.get("default", [None])[0])
+        return ops.case_when(df, conditions, values, alias, default=default)
+
+    def node_if(self, df, node: NodeCall) -> DataFrame:
+        test = truthy(self._lam(node.params["test"][0]))
+        then_v = self._val(node.params.get("then", [None])[0])
+        else_v = self._val(node.params.get("else", [None])[0])
+        alias = node.params["as"][0]
+        if isinstance(then_v, Lambda):
+            then_v = self._lam(then_v)
+        if isinstance(else_v, Lambda):
+            else_v = self._lam(else_v)
+        return ops.if_else(df, test, then_v, else_v, alias)
+
+    def node_change_detect(self, df, node: NodeCall) -> DataFrame:
+        fields_ = list(node.args) + list(node.params.get("fields", []))
+        return ops.change_detect(df, fields_, by=self.group_keys)
+
+    def node_count_change(self, df, node: NodeCall) -> DataFrame:
+        field = node.args[0] if node.args else node.params["field"][0]
+        alias = node.params.get("as", [f"{field}_count_change"])[0]
+        return ops.count_change(df, field, by=self.group_keys, alias=alias)
+
+    def node_time_diff(self, df, node: NodeCall) -> DataFrame:
+        alias = node.params.get("as", ["time_diff"])[0]
+        return ops.time_diff(df, by=self.group_keys, alias=alias)
+
+    def node_percentile(self, df, node: NodeCall) -> DataFrame:
+        field = node.args[0] if node.args else node.params["field"][0]
+        at = float(self._val(node.params.get("at", [50])[0]))
+        alias = node.params.get("as", [f"{field}_percentile"])[0]
+        return ops.percentile(df, field, at, alias, by=self._agg_keys())
+
+    def node_top(self, df, node: NodeCall) -> DataFrame:
+        field = node.args[0]
+        num = int(self._val(node.params.get("num", [node.args[1] if len(node.args) > 1 else 3])[0]))
+        return ops.top_k(df, field, num, by=self.group_keys)
+
+    def node_bottom(self, df, node: NodeCall) -> DataFrame:
+        field = node.args[0]
+        num = int(self._val(node.params.get("num", [node.args[1] if len(node.args) > 1 else 3])[0]))
+        return ops.top_k(df, field, num, by=self.group_keys, bottom=True)
+
+    def node_state_change(self, df, node: NodeCall) -> DataFrame:
+        return ops.state_change(df, truthy(self._lam(node.args[0])),
+                                by=self.group_keys)
+
+    def node_state_count(self, df, node: NodeCall) -> DataFrame:
+        alias = node.params.get("as", ["state_count"])[0]
+        return ops.state_count(df, truthy(self._lam(node.args[0])),
+                               by=self.group_keys, alias=alias)
+
+    def node_state_duration(self, df, node: NodeCall) -> DataFrame:
+        alias = node.params.get("as", ["state_duration"])[0]
+        return ops.state_duration(df, truthy(self._lam(node.args[0])),
+                                  by=self.group_keys, alias=alias)
+
+    def node_collect_unique(self, df, node: NodeCall) -> DataFrame:
+        key = node.args[0] if node.args else node.params["fields"][0]
+        return ops.collect_unique(df, key)
+
+    def node_combine(self, df, node: NodeCall) -> DataFrame:
+        other = self.env[node.args[0][1]]
+        prefix = node.params.get("prefix", ["c_"])[0]
+        keys = self.group_keys
+        if not keys:
+            raise NotImplementedError("DFS combine without group_by keys")
+        return ops.combine(df, other, keys, prefix=prefix)
+
+    def node_value_emitter(self, df, node: NodeCall) -> DataFrame:
+        """Deterministic stand-in for the random emitter (esp_value_emitter
+        .erl:26): seeded values so compiled graphs are reproducible."""
+        every_ms = parse_duration_ms(_dur_str(node.params["every"][0])) \
+            if "every" in node.params else 1000
+        n = 100
+        base = 1_700_000_000_000
+        rows = [{"ts": base + i * every_ms, "val": float((i * 37) % 100)}
+                for i in range(n)]
+        pdf = self.spark.createDataFrame(rows)
+        return pdf.withColumn("ts", F.timestamp_millis(F.col("ts")))
+
+    def node_extract_path(self, df, node: NodeCall) -> DataFrame:
+        paths = node.params.get("path", list(node.args))
+        aliases = node.params.get("as", paths)
+        default = self._val(node.params.get("default", [None])[0])
+        defaults = [default] * len(paths) if default is not None else None
+        return ops.extract_path(df, paths, aliases, defaults)
+
+    def node_array_explode(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", list(node.args))
+        aliases = node.params.get("as", None)
+        keep_ = node.params.get("keep", ())
+        return ops.array_explode(df, fields_, aliases, keep_cols=keep_)
+
+    def node_fields_to_array(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", list(node.args))
+        key_name = node.params.get("key_name", ["key"])[0]
+        value_name = node.params.get("value_name", ["value"])[0]
+        alias = node.params.get("as", ["fields"])[0]
+        return ops.fields_to_array(df, fields_, key_name=key_name,
+                                   value_name=value_name, alias=alias)
+
+    def node_path_split(self, df, node: NodeCall) -> DataFrame:
+        fields_ = node.params.get("fields", list(node.args))
+        return ops.path_split(df, fields_)
+
+    def node_jsonsize(self, df, node: NodeCall) -> DataFrame:
+        alias = node.params.get("field", ["json_size"])[0]
+        return ops.jsonsize(df, alias)
+
+    def node_debug(self, df, node: NodeCall) -> DataFrame:
+        return df  # sink pass-through (esp_debug.erl:24)
+
+    def node_log(self, df, node: NodeCall) -> DataFrame:
+        return df

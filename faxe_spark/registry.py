@@ -1435,3 +1435,41 @@ def group_by_lambda_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
                 / F.count(F.lit(1)), 4).alias("avg_value"))
+
+
+@register(
+    "dfs_script_pipeline",
+    f"""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000 AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM {_EV}
+    WHERE value > 10
+    GROUP BY 1, 2
+    """,
+    doc="DFS text front-end end-to-end: the reference's script language "
+        "(dfs parser dep; golden tests apps/faxe/test/dfs_to_graph.erl) "
+        "compiled onto the operator library and oracle-checked",
+)
+def dfs_script_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faxe_spark.dfs import DFSCompiler
+
+    script = """
+    def ev = |parquet('events')
+
+    ev
+    |where(lambda: "value" > 10)
+    |group_by('event_type')
+    |win_time()
+    .period(1h)
+    |aggregate()
+    .fields('value', 'value', 'value')
+    .functions('count', 'min', 'max')
+    .as('n', 'v_min', 'v_max')
+    """
+    out = DFSCompiler(spark, tables_dir=sf_dir).run(script)
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type", "n", "v_min", "v_max")

@@ -1,0 +1,158 @@
+"""DFS front-end tests: parsing the reference's own script corpus and
+compiling the supported subset end-to-end."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+from faxe_spark.dfs import DFSCompiler, compile_lambda, parse_script
+
+
+def test_parse_reference_group_by_script():
+    """The reference's dfs/test/group_by.dfs parses into the expected
+    chain/node structure (the dfs_to_graph.erl golden-test analog)."""
+    text = open("/root/reference/dfs/test/group_by.dfs").read()
+    chains = parse_script(text)
+    by_var = {c.var: c for c in chains if c.var}
+    assert by_var["data"].nodes[0].name == "json_emitter"
+    assert [n.name for n in by_var["group_by"].nodes] == ["group_by"]
+    assert by_var["group_by"].source_ref == "data"
+    window = by_var["window"]
+    assert [n.name for n in window.nodes] == ["eval", "value_diff", "win_clock"]
+    assert window.nodes[1].params["mode"] == ["p-c"]
+    # final unnamed chain: join -> group_union -> debug
+    tail = [c for c in chains if c.var is None][-1]
+    assert [n.name for n in tail.nodes][-1] == "debug"
+
+
+def test_parse_all_reference_scripts():
+    """Every script in the reference corpus tokenizes + parses."""
+    import glob
+
+    ok, fail = 0, []
+    for path in glob.glob("/root/reference/dfs/**/*.dfs", recursive=True):
+        try:
+            parse_script(open(path).read())
+            ok += 1
+        except Exception as e:  # noqa: BLE001
+            fail.append((path, str(e)[:80]))
+    assert not fail, f"parsed {ok}, failures: {fail[:8]}"
+    assert ok >= 100  # the reference ships 114 scripts
+
+
+def test_lambda_compile(spark):
+    df = spark.createDataFrame([(5.0, "abc")], "value double, name string")
+    out = df.select(
+        compile_lambda('"value" * 2 + 1').alias("a"),
+        compile_lambda("str_concat('x', \"name\")").alias("b"),
+        compile_lambda('"value" > 4 AND "value" < 6').alias("c"),
+        compile_lambda("if(\"value\" > 100, 'big', 'small')").alias("d"),
+        compile_lambda("max(str_length(\"name\"), 2)").alias("e"),
+    ).collect()[0]
+    assert (out.a, out.b, out.c, out.d, out.e) == (11.0, "xabc", True, "small", 3)
+
+
+def test_compile_json_emitter_pipeline(spark):
+    script = """
+    def data =
+     |json_emitter()
+     .every(100ms)
+     .json(
+         <<<{"code": 224, "val": 1.5, "mode": 1}>>>,
+         <<<{"code": 334, "val": 2.5, "mode": 1}>>>,
+         <<<{"code": 114, "val": 9.0, "mode": 2}>>>
+     )
+
+    data
+    |where(lambda: "val" > 2)
+    |eval(lambda: "val" * 10).as('val10')
+    |keep('code', 'val10')
+    """
+    out = DFSCompiler(spark).run(script)
+    rows = {r.code: r.val10 for r in out.collect()}
+    assert rows == {334: 25.0, 114: 90.0}
+
+
+def test_compile_window_aggregate_on_testdata(spark):
+    script = """
+    def ev = |parquet('events')
+
+    ev
+    |where(lambda: "value" > 5)
+    |group_by('event_type')
+    |win_time()
+    .period(1h)
+    |aggregate()
+    .fields('value', 'value')
+    .functions('sum', 'count')
+    .as('sum_v', 'n')
+    """
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
+    assert set(out.columns) == {"window", "event_type", "sum_v", "n"}
+    # golden check against the direct operator pipeline
+    from faxe_spark.tables import load_table
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("value") > 5)
+    want = ev.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    assert out.count() == want
+
+
+def test_unsupported_node_is_explicit(spark):
+    with pytest.raises(NotImplementedError, match="mqtt_subscribe"):
+        DFSCompiler(spark).run("|mqtt_subscribe()")
+
+
+def test_const_def_and_case_node(spark):
+    """`def name = literal` constants resolve inside lambdas (the corpus
+    macro1.dfs pattern), and `case` maps to chained F.when."""
+    script = """
+    def threshold = 5
+
+    def ev = |parquet('events')
+
+    ev
+    |case(
+        lambda: "value" > threshold * 10,
+        lambda: "value" > threshold
+    )
+    .values('high', 'mid')
+    .as('bucket')
+    .default('low')
+    |keep('event_id', 'bucket')
+    """
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
+    got = {r.bucket for r in out.limit(500).collect()}
+    assert got <= {"high", "mid", "low"} and len(got) > 1
+
+
+def test_stat_alias_and_count_window(spark):
+    """Single-field stat nodes (avg/sum/...) consume the pending window;
+    win_event maps to rolling row frames."""
+    script = """
+    def ev = |parquet('events')
+
+    ev
+    |group_by('user_id')
+    |win_event()
+    .period(5)
+    .every(5)
+    |aggregate()
+    .fields('value')
+    .functions('avg')
+    .as('v_avg')
+    """
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
+    assert "v_avg" in out.columns
+    assert out.count() > 0
+
+    script2 = """
+    def ev = |parquet('events')
+
+    ev
+    |group_by('event_type')
+    |win_time()
+    .period(6h)
+    |avg('value').as('value_avg')
+    """
+    out2 = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script2)
+    assert set(out2.columns) == {"window", "event_type", "value_avg"}
+    assert out2.count() > 0
