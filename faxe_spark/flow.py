@@ -170,6 +170,27 @@ class Flow:
             return out
         return self._push("batch", "point", "batch", apply)
 
+    def unbatch(self) -> "Flow":
+        """faxe `unbatch` (esp_unbatch.erl:26): flatten a batch back to
+        points. In the row model the rows never left — this just closes
+        the pending window/batch grouping."""
+        def apply(df, f):
+            f._window = None
+            if f._group_keys and f._group_keys[-1] == "batch_id":
+                f._group_keys = f._group_keys[:-1]
+                return df.drop("batch_id")
+            return df
+        return self._push("unbatch", "batch", "point", apply)
+
+    def group_union(self) -> "Flow":
+        """faxe `group_union` (esp_group_union.erl:14): merge grouped
+        sub-streams back — a no-op in Spark (groupBy output is already
+        one DataFrame); clears the group keys."""
+        def apply(df, f):
+            f._group_keys = []
+            return df
+        return self._push("group_union", "any", "same", apply)
+
     # -- aggregation: batch -> point --------------------------------------
     def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
         def apply(df, f):

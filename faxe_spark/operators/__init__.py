@@ -26,7 +26,10 @@ from faxe_spark.operators.window import win_time, win_event, win_event_agg, win_
 from faxe_spark.operators.aggregate import aggregate, AGG_FUNCTIONS, percentile, top_k, dist_count
 from faxe_spark.operators.diff import value_diff, time_diff, count_change
 from faxe_spark.operators.join import asof_join, asof_join_exact, interval_join, combine, union_streams
-from faxe_spark.operators.state import state_runs, state_change, state_count, state_duration, state_sequence
+from faxe_spark.operators.state import (
+    state_runs, state_change, state_count, state_duration, state_sequence,
+    state_change_bulk,
+)
 from faxe_spark.operators.collect import collect_unique, collect_fields, collect_table
 
 __all__ = [
@@ -39,5 +42,6 @@ __all__ = [
     "value_diff", "time_diff", "count_change",
     "asof_join", "asof_join_exact", "interval_join", "combine", "union_streams",
     "state_runs", "state_change", "state_count", "state_duration", "state_sequence",
+    "state_change_bulk",
     "collect_unique", "collect_fields", "collect_table",
 ]

@@ -110,3 +110,25 @@ def state_sequence(df: DataFrame, steps: Sequence[str | Column],
         ok = ok & ((t_n - t_i) <= F.lit(timeouts_ms[i]))
     out = out.withColumn(flag_col, F.coalesce(ok, F.lit(False)))
     return out.drop(*[f"_m{i}" for i in range(len(steps))])
+
+
+def state_change_bulk(df: DataFrame, fields: Sequence[str], condition: Column, *,
+                      by: Iterable[str] = (), ts_col: str = "ts",
+                      tiebreak: str | None = None, key_col: str = "field",
+                      value_col: str = "value") -> DataFrame:
+    """faxe `state_change_bulk` (esp_state_change_bulk.erl:53): the
+    state_change FSM applied to every listed field — the reference's
+    `$field` lambda template, run per field of the object.
+
+    => melt the fields to (field, value) rows with one `stack()` generate
+    (no shuffle), then ordinary per-(key, field) state runs: `field`
+    simply joins the partition key, so Catalyst plans ONE shuffle over
+    (by, field) — same cost class as a single-field state_change at
+    n_fields x rows. `condition` is a Column over `value_col`.
+    """
+    keep = list(dict.fromkeys([*by, ts_col] + ([tiebreak] if tiebreak else [])))
+    stack_args = ", ".join(f"'{f}', CAST({f} AS DOUBLE)" for f in fields)
+    melted = df.selectExpr(
+        *keep, f"stack({len(fields)}, {stack_args}) AS ({key_col}, {value_col})")
+    return state_change(melted, condition, by=[*by, key_col],
+                        ts_col=ts_col, tiebreak=tiebreak)

@@ -1473,3 +1473,40 @@ def dfs_script_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type", "n", "v_min", "v_max")
+
+
+@register(
+    "state_change_bulk",
+    f"""
+    WITH m AS (
+      SELECT user_id, ts, event_id, 'value' AS field, value AS v FROM {_EV}
+      UNION ALL
+      SELECT user_id, ts, event_id, 'k',
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) FROM {_EV}
+    ),
+    c AS (
+      SELECT *, v > 50 AS st,
+             CASE WHEN lag(v > 50) OVER w IS NULL OR (v > 50) <> lag(v > 50) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM m WINDOW w AS (PARTITION BY user_id, field ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id, field ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM c
+    )
+    SELECT event_id, user_id, field, st AS in_state, run_id, epoch_us(ts) AS ts_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, field, run_id
+                                       ORDER BY ts, event_id) AS rn FROM r)
+    WHERE rn = 1
+    """,
+    doc="faxe state_change_bulk (esp_state_change_bulk.erl:53): per-field FSM "
+        "via $field template => stack() melt + per-(key, field) state runs",
+)
+def state_change_bulk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double"))
+    out = ops.state_change_bulk(ev, ["value", "k"], F.col("value") > 50,
+                                by=["user_id"], ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", "field", "in_state", "run_id",
+                      F.unix_micros("ts").alias("ts_us"))

@@ -15,6 +15,8 @@ from faxe_spark.streaming.stateful import (
     state_change_stream,
     collect_stream,
     deadman_stream,
+    triggered_timeout_stream,
+    time_elapsed_stream,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "state_change_stream",
     "collect_stream",
     "deadman_stream",
+    "triggered_timeout_stream",
+    "time_elapsed_stream",
 ]

@@ -206,3 +206,43 @@ def triggered_timeout_stream(df: DataFrame, *, key_col: str, trigger_col: str,
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> DataFrame:
+    """faxe `time_elapsed` (esp_time_elapsed.erl:31): milliseconds of
+    *arrival time* (processing time, not event time) between consecutive
+    items per key.
+
+    Each micro-batch is stamped with the wall clock when the state
+    function processes it; the per-key state carries the previous
+    arrival stamp across batches. Rows arriving in the same micro-batch
+    report the intra-batch elapsed of ~0 — same as the reference when a
+    burst lands in one mailbox drain. elapsed_ms = -1 for a key's first
+    row (no predecessor), mirroring the reference's default.
+    """
+    import time
+
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("elapsed_ms", LongType()),
+    ])
+    state_schema = StructType([StructField("last_arrival_ms", LongType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            now_ms = int(time.time() * 1000)
+            pdf = pdf.sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                elapsed = -1 if last is None else now_ms - last
+                rows.append((key[0], int(ts.value // 1_000_000), elapsed))
+                last = now_ms
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(rows, columns=["key", "ts_ms", "elapsed_ms"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

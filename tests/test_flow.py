@@ -58,3 +58,19 @@ def test_lambda_lib_functions(spark):
     ).collect()[0]
     assert (df.c, df.i, df.r, df.s, df.m, df.u, df.b0, df.b1) == \
         ("a-b", "yes", 3.14, "ell", 7, True, False, True)
+
+
+def test_flow_unbatch_and_group_union(spark):
+    """unbatch closes the batch kind (esp_unbatch.erl:26); group_union
+    clears group keys (esp_group_union.erl:14)."""
+    from faxe_spark.flow import Flow
+
+    f = (Flow.parquet_source("events")
+         .group_by("user_id")
+         .batch(10, tiebreak="event_id")
+         .unbatch()
+         .group_union()
+         .where("value > 0"))
+    df = f.build(spark, SF_SMOKE)
+    assert "batch_id" not in df.columns
+    assert df.count() > 0

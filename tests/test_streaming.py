@@ -162,3 +162,22 @@ def test_triggered_timeout_fires_and_cancels(spark):
         assert fired > 0, "armed timers never fired after silence"
     finally:
         q.stop()
+
+
+def test_time_elapsed_stream_arrival_diffs(spark):
+    """time_elapsed (esp_time_elapsed.erl:31): arrival-time diff per key —
+    first row per key = -1, later rows >= 0, row count preserved."""
+    from faxe_spark.streaming import stream_parquet, time_elapsed_stream
+
+    s = stream_parquet(spark, EVENTS)
+    out = time_elapsed_stream(s, key_col="user_id", ts_col="ts")
+    _run_available_now(out, "te_stream")
+    rows = spark.sql("SELECT * FROM te_stream").collect()
+    n_events = spark.read.parquet(EVENTS).count()
+    assert len(rows) == n_events
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r.elapsed_ms)
+    for elapsed in by_key.values():
+        assert sum(1 for e in elapsed if e == -1) == 1  # exactly one first row
+        assert all(e >= 0 for e in elapsed if e != -1)
