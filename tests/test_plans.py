@@ -54,3 +54,20 @@ def test_aggregate_multi_split_plan(spark):
 def test_win_time_agg_no_extra_shuffles(spark):
     df = QUERIES["win_time_agg"].fn(spark, SF_ORACLE)
     assert plans.count_exchanges(df) <= 1, plans.formatted_plan(df)
+
+
+def test_jsonsize_and_fields_to_array(spark):
+    """jsonsize (esp_jsonsize.erl:22) and fields_to_array
+    (esp_fields_to_array.erl:33) kernels — pure projections, no shuffle."""
+    from faxe_spark import operators as ops
+    from faxe_spark.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").limit(10)
+    sized = ops.jsonsize(ev.select("event_id", "value"), "jsz")
+    rows = sized.collect()
+    assert all(r.jsz > 0 for r in rows)
+
+    arr = ops.fields_to_array(ev, ["value", "user_id"], alias="kv")
+    first = arr.select("kv").first().kv
+    assert [e["key"] for e in first] == ["value", "user_id"]
+    assert plans.count_exchanges(arr) == 0

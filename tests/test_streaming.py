@@ -181,3 +181,18 @@ def test_time_elapsed_stream_arrival_diffs(spark):
     for elapsed in by_key.values():
         assert sum(1 for e in elapsed if e == -1) == 1  # exactly one first row
         assert all(e >= 0 for e in elapsed if e != -1)
+
+
+def test_win_clock_stream_processing_time(spark):
+    """win_clock (esp_win_clock.erl:33): processing-time window — all rows
+    of an availableNow run arrive 'now', so counts land in wall-clock
+    windows and total count is preserved."""
+    from faxe_spark.streaming import stream_parquet, win_clock_stream
+
+    s = stream_parquet(spark, EVENTS)
+    agg = win_clock_stream(s, [("value", "count", "n")], period="1m")
+    q = (agg.writeStream.format("memory").queryName("wc_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(n) s FROM wc_stream").collect()[0].s
+    assert total == spark.read.parquet(EVENTS).count()
