@@ -408,7 +408,20 @@ class _LambdaParser:
                 self.next()
                 args = []
                 while self.peek() != ("op", ")"):
-                    args.append(self.or_expr())
+                    # a bare literal arg passes through as a Python value:
+                    # functions evaluated at compile time (env, mem,
+                    # round_float digits, map keys) need raw literals; the
+                    # library re-wraps Column-taking args via _c()
+                    ak, at = self.peek()
+                    nxt = self.toks[self.i + 1][1] if self.i + 1 < len(self.toks) else None
+                    if ak == "string" and nxt in (",", ")"):
+                        self.next()
+                        args.append(at[1:-1])
+                    elif ak == "number" and nxt in (",", ")"):
+                        self.next()
+                        args.append(float(at) if "." in at else int(at))
+                    else:
+                        args.append(self.or_expr())
                     if self.peek() == ("op", ","):
                         self.next()
                 self.next()

@@ -77,18 +77,78 @@ LAMBDA_FUNCTIONS = {
     "str_contains": lambda s, sub: _c(s).contains(_c(sub)),
     "str_length": lambda s: F.length(_c(s)),
     "str_split": lambda s, sep: F.split(_c(s), sep),
-    # maps / lists (1-based element_at matches faxe's 1-based paths)
-    "map_get": lambda m, k: F.element_at(_c(m), k),
+    # maps / lists (1-based element_at matches faxe's 1-based paths).
+    # map_get takes the KEY first (faxe_lambdalib_tests.erl:28-31), with
+    # an optional default for missing keys (:30 returns <<"undefined">>)
+    "map_get": lambda k, m, default=None: (
+        F.element_at(_c(m), k) if default is None
+        else F.coalesce(F.element_at(_c(m), k), _c(default))),
     "list_get": lambda l, i: F.element_at(_c(l), i),
     "size": lambda x: F.size(_c(x)),
+    "member": lambda x, l: F.array_contains(_c(l), _c(x)),
+    "not_member": lambda x, l: ~F.array_contains(_c(l), _c(x)),
     # control / null handling
     "if": _if,
     "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
     "is_undefined": lambda x: _c(x).isNull(),
     "defined": lambda x: _c(x).isNotNull(),
+    # environment (evaluated driver-side at plan build, like the DFS
+    # macro expansion; dfs/test/env.dfs)
+    "env": lambda name, default=None: F.lit(
+        __import__("os").environ.get(_as_py(name), _as_py(default))),
     # time (faxe_time semantics, SURVEY §2.12)
     "now": F.current_timestamp,
     "time_align": _time_align,
+    "to_iso8601": lambda ts: F.date_format(
+        _c(ts), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
     "to_date_string": lambda ts: F.date_format(_c(ts), "yyyy-MM-dd HH:mm:ss"),
     "dt_parse": lambda s, fmt="yyyy-MM-dd HH:mm:ss": F.to_timestamp(_c(s), fmt),
+    "year": lambda ts: F.year(_c(ts)),
+    "month": lambda ts: F.month(_c(ts)),
+    "day_of_week": lambda ts: F.dayofweek(_c(ts)),
+    "hour": lambda ts: F.hour(_c(ts)),
+    "minute": lambda ts: F.minute(_c(ts)),
+    "second": lambda ts: F.second(_c(ts)),
+    # trig / extra math (mathex surface)
+    "sin": lambda x: F.sin(_c(x)),
+    "cos": lambda x: F.cos(_c(x)),
+    "tan": lambda x: F.tan(_c(x)),
+    "exp": lambda x: F.exp(_c(x)),
+    "nth_root": lambda x, n: F.pow(_c(x), 1.0 / n),
+    # mem reads: flow-wide key/value memory (esp_mem.erl:31). Values are
+    # registered driver-side (set_mem below) and resolve to literals /
+    # array literals — the broadcast-variable analog.
+    "mem": lambda k: _mem_read(k),
+    "ls_mem": lambda k: _mem_read(k),
+    "s_mem": lambda k: _mem_read(k),
 }
+
+
+def _as_py(x):
+    """Literal-only argument (name of an env var etc.)."""
+    if isinstance(x, Column):
+        raise ValueError("this lambda function needs a literal argument")
+    return x
+
+
+# -- flow-wide `mem` (esp_mem.erl:31): driver-registered constants -------
+_MEM: dict[str, object] = {}
+
+
+def set_mem(key: str, value) -> None:
+    """Register a flow-wide memory value readable from any lambda via
+    mem()/ls_mem()/s_mem() — the broadcast-variable analog of esp_mem.
+    Lists become array literals (ls_mem semantics)."""
+    _MEM[key] = value
+
+
+def clear_mem() -> None:
+    _MEM.clear()
+
+
+def _mem_read(k) -> Column:
+    key = _as_py(k)
+    v = _MEM.get(key)
+    if isinstance(v, (list, tuple)):
+        return F.array(*[F.lit(e) for e in v])
+    return F.lit(v)

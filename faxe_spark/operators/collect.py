@@ -35,6 +35,9 @@ def collect_fields(df: DataFrame, fields: Iterable[str], *, by: Iterable[str] = 
     (esp_collect_fields.erl:33) => last(col, ignorenulls) over an
     unbounded-preceding frame."""
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    if not by:
+        from faxe_spark.operators.common import warn_global_order
+        warn_global_order("collect_fields")
     base = (Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy())
     w = base.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     out = df

@@ -13,6 +13,8 @@ def _w(by: Iterable[str], ts_col: str, tiebreak: str | None) -> Window:
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     if by:
         return Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    from faxe_spark.operators.common import warn_global_order
+    warn_global_order("value_diff/time_diff/count_change")
     return Window.orderBy(*order)
 
 

@@ -24,6 +24,8 @@ def _ordered_window(by: Iterable[str], ts_col: str, tiebreak: str | None) -> Win
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     if by:
         return Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    from faxe_spark.operators.common import warn_global_order
+    warn_global_order("sample/change_detect")
     return Window.orderBy(*order)
 
 

@@ -53,6 +53,9 @@ def win_event(df: DataFrame, period: int, every: int = 1, *,
     keyed use is the scalable path, same as the reference's group_by.
     """
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    if not by:
+        from faxe_spark.operators.common import warn_global_order
+        warn_global_order("win_event")
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order) if by else Window.orderBy(*order)
     out = df.withColumn(row_col, F.row_number().over(w))
     return out.withColumn(emit_col, (F.col(row_col) % every == 0) & (F.col(row_col) >= 1))
@@ -67,6 +70,9 @@ def win_event_agg(df: DataFrame, specs, period: int, every: int = 1, *,
     rows per key, emitted on every `every`-th row (fill_period => only once
     `period` rows have been seen, esp_win_event.erl `fill_period`)."""
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    if not by:
+        from faxe_spark.operators.common import warn_global_order
+        warn_global_order("win_event_agg")
     part = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
     w = part.orderBy(*order).rowsBetween(-(period - 1), 0)
     wn = part.orderBy(*order)
@@ -92,5 +98,8 @@ def batch_by_count(df: DataFrame, size: int, *, by: Iterable[str] = (),
     to aggregate per batch. The wall-clock `timeout` flush has no batch
     analog (it's the micro-batch trigger in streaming)."""
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    if not by:
+        from faxe_spark.operators.common import warn_global_order
+        warn_global_order("batch")
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order) if by else Window.orderBy(*order)
     return df.withColumn(batch_col, F.floor((F.row_number().over(w) - 1) / size).cast("long"))

@@ -156,3 +156,50 @@ def test_stat_alias_and_count_window(spark):
     out2 = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script2)
     assert set(out2.columns) == {"window", "event_type", "value_avg"}
     assert out2.count() > 0
+
+
+def test_lambda_lib_extended(spark):
+    """map_get key-first order + default (faxe_lambdalib_tests.erl:28-31),
+    member, mem reads, round_float, iso8601."""
+    from faxe_spark.functions.lambda_lib import LAMBDA_FUNCTIONS as L, set_mem, clear_mem
+
+    set_mem("codes", [224, 334])
+    set_mem("limit", 5.0)
+    try:
+        df = spark.createDataFrame(
+            [({"k2": "yes"}, 224, 125.455679)], "m map<string,string>, code int, x double")
+        out = df.select(
+            L["map_get"]("k2", F.col("m")).alias("a"),
+            L["map_get"]("k8", F.col("m"), "undefined").alias("b"),
+            L["member"](F.col("code"), L["ls_mem"]("codes")).alias("c"),
+            (F.col("x") > L["mem"]("limit")).alias("d"),
+            L["round_float"](F.col("x"), 3).alias("e"),
+        ).collect()[0]
+        assert (out.a, out.b, out.c, out.d, out.e) == ("yes", "undefined", True, True, 125.456)
+    finally:
+        clear_mem()
+
+
+def test_lambda_env_and_mem_in_script(spark, monkeypatch):
+    """env() reads process environment at compile (dfs/test/env.dfs);
+    mem() resolves inside DFS lambdas."""
+    from faxe_spark.functions.lambda_lib import set_mem, clear_mem
+
+    monkeypatch.setenv("FAXE_TEST_MODE", "on")
+    set_mem("vmin", 2.0)
+    try:
+        script = """
+        def data =
+         |json_emitter()
+         .json(
+             <<<{"val": 1.5}>>>,
+             <<<{"val": 9.0}>>>
+         )
+
+        data
+        |where(lambda: "val" > mem('vmin') AND env('FAXE_TEST_MODE', 'off') == 'on')
+        """
+        out = DFSCompiler(spark).run(script)
+        assert [r.val for r in out.collect()] == [9.0]
+    finally:
+        clear_mem()
