@@ -43,6 +43,7 @@ HEADLINE = [
     "value_diff",
     "change_detect",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_topk",
     "text_quality",
     "token_count",
