@@ -1069,18 +1069,30 @@ _SHINGLES_1 = f"""
 """
 
 
+_MH_A = "[" + ", ".join(str(a) for a, _ in dedup_ops.minhash_params(16)) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in dedup_ops.minhash_params(16)) + "]"
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLES_1},
+    base AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                    p -> (strpos('0123456789abcdef', substr(md5(shingle), p, 1)) - 1)
+                         * (16 ** (8 - p)))) AS BIGINT) % 2147483647 AS h
+      FROM shin
+    ),
     mh AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
-      FROM shin, (SELECT unnest(range(0, 16)) AS seed)
+      SELECT doc_id, seed,
+             min((({_MH_A})[seed + 1] * h + ({_MH_B})[seed + 1]) % 2147483647) AS minhash
+      FROM base, (SELECT unnest(range(0, 16)) AS seed)
       GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, seed // 8 AS band,
-             md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_hash
       FROM mh GROUP BY doc_id, band
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
