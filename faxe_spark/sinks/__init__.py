@@ -6,6 +6,8 @@
 | influx_out                 | `jdbc_sink`/custom foreachBatch       |
 | mqtt_publish, amqp_publish | `kafka_sink`                          |
 | http_post                  | `http_post_sink` (foreachBatch+urllib)|
+| tcp_send / udp_send        | `tcp_send_sink` / `udp_send_sink`     |
+| email                      | `email_sink` (smtplib, alert fan-in)  |
 | log / debug                | `file_sink` / `console_sink`          |
 
 The reference's `safe` on-disk queues + flow-ack retry chains
@@ -92,6 +94,116 @@ def jdbc_sink(df: DataFrame, *, url: str, table: str, user: str = "",
             w = w.option("checkpointLocation", checkpoint)
         return w.start()
     write_batch(df, 0)
+    return None
+
+
+def tcp_send_sink(df: DataFrame, *, host: str, port: int,
+                  streaming: bool = False, framing: str = "line",
+                  timeout_s: int = 10):
+    """tcp_send analog (esp_tcp_send.erl:24,47: packet framing
+    1|2|4-byte length prefix or 'line'): newline-delimited or
+    length-prefixed JSON, one persistent connection PER PARTITION opened
+    executor-side (foreachPartition) — never a driver collect, so
+    throughput scales with partitions. framing: "line" | "1" | "2" | "4"."""
+    import json as _json
+
+    def send_partition(rows):
+        import socket
+        import struct as _struct
+
+        sock = socket.create_connection((host, port), timeout=timeout_s)
+        try:
+            for r in rows:
+                payload = _json.dumps(r.asDict(recursive=True), default=str).encode()
+                if framing == "line":
+                    sock.sendall(payload + b"\n")
+                else:
+                    fmt = {"1": ">B", "2": ">H", "4": ">I"}[framing]
+                    sock.sendall(_struct.pack(fmt, len(payload)) + payload)
+        finally:
+            sock.close()
+
+    if streaming:
+        return df.writeStream.foreachBatch(
+            lambda b, _e: b.foreachPartition(send_partition)).start()
+    df.foreachPartition(send_partition)
+    return None
+
+
+def udp_send_sink(df: DataFrame, *, host: str, port: int,
+                  streaming: bool = False):
+    """udp_send analog (esp_udp_send.erl:5: "sends incoming data-items
+    as json over udp"): one datagram per row, socket per partition,
+    executor-side."""
+    import json as _json
+
+    def send_partition(rows):
+        import socket
+
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            for r in rows:
+                sock.sendto(_json.dumps(r.asDict(recursive=True), default=str).encode(),
+                            (host, port))
+        finally:
+            sock.close()
+
+    if streaming:
+        return df.writeStream.foreachBatch(
+            lambda b, _e: b.foreachPartition(send_partition)).start()
+    df.foreachPartition(send_partition)
+    return None
+
+
+def email_sink(df: DataFrame, *, smtp_relay: str, from_address: str,
+               to: list[str], subject: str | None = None,
+               body_field: str | None = None, subject_field: str | None = None,
+               smtp_port: int = 25, smtp_user: str | None = None,
+               smtp_pass: str | None = None, smtp_tls: bool = False,
+               max_rows: int = 100, streaming: bool = False,
+               smtp_factory=None):
+    """email analog (esp_email.erl:37-49: from_address/smtp_relay/to/
+    subject|subject_field/body|body_field). Alert-style sink: one message
+    per batch, body = NDJSON of the (bounded) batch rows or the
+    body_field of each. Driver-side by design — alert fan-in, not a
+    data path. `smtp_factory` injects the transport (tests); default
+    stdlib smtplib."""
+    import json as _json
+    from email.message import EmailMessage
+
+    def send_batch(batch_df: DataFrame, _epoch_id: int):
+        rows = [r.asDict(recursive=True) for r in batch_df.limit(max_rows).collect()]
+        if not rows:
+            return
+        msg = EmailMessage()
+        msg["From"] = from_address
+        msg["To"] = ", ".join(to)
+        first = rows[0]
+        msg["Subject"] = (str(first.get(subject_field)) if subject_field
+                          else (subject or "faxe_spark alert"))
+        if body_field:
+            body = "\n".join(str(r.get(body_field)) for r in rows)
+        else:
+            body = "\n".join(_json.dumps(r, default=str) for r in rows)
+        msg.set_content(body)
+        if smtp_factory is not None:
+            smtp = smtp_factory(smtp_relay, smtp_port)
+        else:
+            import smtplib
+
+            smtp = smtplib.SMTP(smtp_relay, smtp_port, timeout=10)
+        try:
+            if smtp_tls:
+                smtp.starttls()
+            if smtp_user:
+                smtp.login(smtp_user, smtp_pass or "")
+            smtp.send_message(msg)
+        finally:
+            smtp.quit()
+
+    if streaming:
+        return df.writeStream.foreachBatch(send_batch).start()
+    send_batch(df, 0)
     return None
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 
 import pytest
 
@@ -95,3 +96,93 @@ def test_jdbc_source_fails_cleanly_without_driver(spark):
     with pytest.raises(Exception):
         jdbc_source(spark, url="jdbc:postgresql://localhost:5432/x",
                     query="SELECT 1").collect()
+
+
+def test_tcp_send_sink_line_framing(spark):
+    """tcp_send (esp_tcp_send.erl:24,47): newline-delimited JSON over a
+    live localhost TCP server; socket opened executor-side."""
+    import socket
+
+    from faxe_spark.sinks import tcp_send_sink
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        # one accept per partition connection until the test closes us
+        while not done.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                buf = b""
+                while chunk := conn.recv(4096):
+                    buf += chunk
+                received.extend(json.loads(l) for l in buf.splitlines() if l)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   "id int, s string").repartition(2)
+        tcp_send_sink(df, host="127.0.0.1", port=port)
+        deadline = time.time() + 10
+        while len(received) < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert sorted(r["id"] for r in received) == [1, 2, 3]
+    finally:
+        done.set()
+        srv.close()
+
+
+def test_udp_send_sink_datagram_per_row(spark):
+    """udp_send (esp_udp_send.erl:5): one JSON datagram per row."""
+    import socket
+
+    from faxe_spark.sinks import udp_send_sink
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.settimeout(10)
+    port = srv.getsockname()[1]
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    udp_send_sink(df, host="127.0.0.1", port=port)
+    got = sorted(json.loads(srv.recvfrom(65536)[0])["id"] for _ in range(3))
+    srv.close()
+    assert got == [1, 2, 3]
+
+
+def test_email_sink_builds_message(spark):
+    """email (esp_email.erl:37-49): subject_field/body_field templating,
+    one message per batch; transport injected (no SMTP in container)."""
+    from faxe_spark.sinks import email_sink
+
+    sent = []
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            sent.append(("connect", host, port))
+
+        def send_message(self, msg):
+            sent.append(("msg", msg["Subject"], msg["To"], msg.get_content()))
+
+        def quit(self):
+            sent.append(("quit",))
+
+    df = spark.createDataFrame(
+        [("disk full", "host1 disk 99%"), ("disk full", "host2 disk 98%")],
+        "alert string, detail string")
+    email_sink(df, smtp_relay="smtp.example", from_address="faxe@example",
+               to=["ops@example"], subject_field="alert", body_field="detail",
+               smtp_factory=FakeSMTP)
+    kinds = [s[0] for s in sent]
+    assert kinds == ["connect", "msg", "quit"]
+    _, subject, to, body = sent[1]
+    assert subject == "disk full" and to == "ops@example"
+    assert "host1 disk 99%" in body and "host2 disk 98%" in body
