@@ -123,6 +123,69 @@ def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             .filter(F.col("rank") <= k))
 
 
+def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", nlist: int = 64,
+                    nprobe: int = 8, seed: int = 42,
+                    max_iter: int = 20) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the billion-scale ANN
+    architecture (FAISS IVFFlat layout, built from public Spark MLlib):
+
+    1. TRAIN: k-means over L2-normalized vectors (unit sphere ->
+       euclidean ranking == cosine ranking) learns `nlist` coarse
+       centroids. At 100 TB you train on a sample; MLlib k-means is
+       already sample/iteration-bounded.
+    2. INDEX: each corpus vector is assigned to its nearest centroid
+       (JVM-side model.transform) — the inverted lists. At scale this
+       is ALSO the storage layout: repartition/bucket by list id so a
+       probe reads only its lists (partition pruning on cid).
+    3. PROBE: each query scores the tiny centroid table (broadcast),
+       keeps `nprobe` nearest lists, and exact-cosine re-ranks only
+       those lists' members: cost ~ |q| * (nlist + n*nprobe/nlist*dim)
+       vs brute n*dim per query.
+
+    nprobe == nlist degenerates to exhaustive search (the equivalence
+    test); recall/cost is tuned by nprobe like any IVF index.
+    Output: (query_id, vec_id, cosine, rank) — same contract as
+    cosine_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    unit = lambda col: F.transform(col, lambda x: x / _norm(col))  # noqa: E731
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       _as_double(F.col(vec_col)).alias("_qv"))
+
+    feats = c.select(id_col, array_to_vector(unit(F.col("_cv"))).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    assigned = (model.transform(feats)
+                .select(id_col, F.col("prediction").alias("_cid")))
+    lists = c.join(assigned, id_col)  # (id, _cv, _cid): the inverted lists
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "_cid int, _cvec array<double>")
+    # probe: rank centroids per query by distance on the unit sphere
+    probe_d = F.aggregate(
+        F.zip_with(unit(F.col("_qv")), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy(query_id_col).orderBy(probe_d.asc(), F.col("_cid"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("_crank", F.row_number().over(wq))
+              .filter(F.col("_crank") <= nprobe)
+              .select(query_id_col, "_qv", "_cid"))
+
+    joined = lists.join(F.broadcast(probes), "_cid").filter(
+        F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(query_id_col, id_col,
+                           cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def cosine_pairs(corpus: DataFrame, threshold: float, *,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup). Brute

@@ -1196,6 +1196,19 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    None,  # k-means training is not SQL-expressible; rows-only check.
+    doc="similarity search: IVF (k-means coarse quantizer, nprobe lists, exact re-rank)",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_ivf_topk(emb, queries, 5, id_col="vec_id",
+                                   vec_col="embedding", nlist=16, nprobe=4) \
+        .select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
     "embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
