@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure-Python surfaces and
+the lambda expression library — the reference's test strategy
+(flowdata_tests.erl / faxe_time_tests.erl exhaustive cases) generalized
+to generated inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from faxe_spark.durations import parse_duration_ms
+from faxe_spark.paths import parse_path
+
+UNITS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+         "d": 86_400_000, "w": 604_800_000}
+
+duration_terms = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.sampled_from(sorted(UNITS))),
+    min_size=1, max_size=4)
+
+
+@given(duration_terms, st.booleans())
+def test_duration_parse_matches_term_sum(terms, neg):
+    text = "".join(f"{n}{u}" for n, u in terms)
+    expect = sum(n * UNITS[u] for n, u in terms)
+    assert parse_duration_ms(("-" if neg else "") + text) == (-expect if neg else expect)
+
+
+@given(st.text(max_size=10).filter(
+    lambda s: not __import__("re").fullmatch(r"-?(\d+(ms|s|m|h|d|w))+", s.strip())))
+def test_duration_rejects_non_literals(junk):
+    with pytest.raises((ValueError, AttributeError)):
+        parse_duration_ms(junk)
+
+
+path_segment = st.tuples(
+    st.text(alphabet="abcxyz_", min_size=1, max_size=6),
+    st.lists(st.integers(min_value=1, max_value=9), max_size=2))
+
+
+@given(st.lists(path_segment, min_size=1, max_size=5))
+def test_parse_path_round_trip(segments):
+    text = ".".join(name + "".join(f"[{i}]" for i in idxs)
+                    for name, idxs in segments)
+    assert parse_path(text) == [(n, list(i)) for n, i in segments]
+
+
+@given(st.lists(path_segment, min_size=1, max_size=3))
+def test_parse_path_rejects_zero_index(segments):
+    name, idxs = segments[0]
+    text = ".".join([f"{name}[0]"] +
+                    [n + "".join(f"[{i}]" for i in ix) for n, ix in segments[1:]])
+    with pytest.raises(ValueError):
+        parse_path(text)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                          st.integers(-10**6, 10**6).filter(lambda x: x != 0),
+                          st.text(alphabet="aB c-9", max_size=12)),
+                min_size=1, max_size=50))
+def test_lambda_lib_matches_python_reference(spark, rows):
+    """Batched check: one DataFrame per example, every row compared to a
+    pure-Python model of the lambda semantics."""
+    from faxe_spark.dfs import compile_lambda
+
+    df = spark.createDataFrame(rows, "a long, b long, s string")
+    out = df.select(
+        compile_lambda("abs(a)").alias("abs_a"),
+        compile_lambda("max(a, b)").alias("max_ab"),
+        compile_lambda("a + b * 2").alias("arith"),
+        compile_lambda("if(a > b, a - b, b - a)").alias("absdiff"),
+        compile_lambda("str_length(s)").alias("slen"),
+        compile_lambda("str_upcase(str_trim(s))").alias("sup"),
+        compile_lambda("str_starts_with(s, 'a')").alias("pre"),
+    ).collect()
+    for (a, b, s), r in zip(rows, out):
+        assert r.abs_a == abs(a)
+        assert r.max_ab == max(a, b)
+        assert r.arith == a + b * 2
+        assert r.absdiff == abs(a - b)
+        assert r.slen == len(s)
+        assert r.sup == s.strip().upper()
+        assert r.pre == s.startswith("a")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(min_value=0.001, max_value=10**6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_lambda_math_matches_python_reference(spark, xs):
+    from faxe_spark.dfs import compile_lambda
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = df.select(
+        compile_lambda("sqrt(x)").alias("r"),
+        compile_lambda("floor(x)").alias("fl"),
+        compile_lambda("ceiling(x)").alias("ce"),
+        compile_lambda("pow(x, 2)").alias("sq"),
+    ).collect()
+    for x, r in zip(xs, out):
+        assert r.r == pytest.approx(math.sqrt(x), rel=1e-12)
+        assert r.fl == math.floor(x)
+        assert r.ce == math.ceil(x)
+        assert r.sq == pytest.approx(x * x, rel=1e-12)
