@@ -9,6 +9,7 @@ Reference ingest nodes -> Spark sources:
 | http_get, *_query    | `jdbc_source` / `http_poll_source`     |
 | blobstream           | `file_source` (csv/json/parquet, batch |
 |                      | or readStream — native cloud FS URIs)  |
+| tcp_recv(_line)      | `socket_source` (line-framed push edge)|
 | value_emitter        | streaming.rate_source                  |
 | json_emitter         | `json_rows_source` (literal rows)      |
 
@@ -85,6 +86,27 @@ def jdbc_source(spark: SparkSession, *, url: str, query: str, user: str = "",
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def socket_source(spark: SparkSession, *, host: str, port: int,
+                  json_schema: str | None = None,
+                  min_length: int = 0) -> DataFrame:
+    """tcp_recv / tcp_recv_line analog (esp_tcp_recv_line.erl:40
+    `{packet, line}`, :57 min_length filter): line-framed push ingest
+    via Spark's built-in socket stream source. Each line is one item;
+    `json_schema` parses lines into typed columns (the `parser` option),
+    otherwise the raw `value` string column streams through.
+
+    Scale note: the socket source is single-connection by design (like
+    the reference node); production push ingest at 100 TB goes through
+    the broker path (`kafka_source`) — this is the edge-adapter."""
+    df = (spark.readStream.format("socket")
+          .option("host", host).option("port", port).load())
+    if min_length > 0:
+        df = df.filter(F.length("value") >= min_length)
+    if json_schema is not None:
+        df = df.select(F.from_json("value", json_schema).alias("_j")).select("_j.*")
+    return df
 
 
 def json_rows_source(spark: SparkSession, rows: list[dict] | list[str],

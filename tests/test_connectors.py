@@ -186,3 +186,44 @@ def test_email_sink_builds_message(spark):
     _, subject, to, body = sent[1]
     assert subject == "disk full" and to == "ops@example"
     assert "host1 disk 99%" in body and "host2 disk 98%" in body
+
+
+def test_socket_source_line_stream(spark):
+    """tcp_recv_line (esp_tcp_recv_line.erl:40 {packet,line}, :57
+    min_length): live localhost TCP server pushes JSON lines; the
+    socket stream parses and filters them."""
+    import socket
+
+    from faxe_spark.sources import socket_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = [b'{"id": 1, "v": 10.5}\n', b'{"id": 2, "v": 20.5}\n', b'x\n']
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall(ln)
+            time.sleep(8)  # keep the connection open while Spark polls
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    df = socket_source(spark, host="127.0.0.1", port=port,
+                       json_schema="id long, v double", min_length=5)
+    q = (df.writeStream.format("memory").queryName("sock_t").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM sock_t").collect()
+            if len(got) >= 2:
+                break
+            time.sleep(0.3)
+        rows = sorted((r.id, r.v) for r in spark.sql("SELECT * FROM sock_t").collect())
+        assert rows == [(1, 10.5), (2, 20.5)]
+    finally:
+        q.stop()
+        srv.close()
