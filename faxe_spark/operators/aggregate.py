@@ -136,18 +136,33 @@ def percentile(df: DataFrame, field: str, at: float, alias: str | None = None,
 
 
 def top_k(df: DataFrame, field: str, k: int, by: Iterable[str] = (), *,
-          bottom: bool = False, tiebreak: str | None = None) -> DataFrame:
+          bottom: bool = False, tiebreak: str | None = None,
+          salt: int | None = None) -> DataFrame:
     """stats `top`/`bottom(num)` (stats/esp_top.erl:17-25).
 
     Emits the k largest (smallest) rows per group with a `rank` column.
     Deterministic: ties broken by `tiebreak` column when given.
-    """
+
+    `salt=S` enables the EXACT two-phase form for skewed/global top-k:
+    phase 1 takes top-k within (group, hash%S) — a uniform shuffle —
+    phase 2 finishes over at most S*k survivors per group. The global
+    top-k rows each rank <= k inside their salt bucket, so the value
+    multiset is identical to the single-phase plan; without `salt`, an
+    ungrouped top_k is a single-partition sort of the WHOLE input (the
+    classic 100 TB cliff — use salt there)."""
     from pyspark.sql.window import Window
 
     order = [F.col(field).asc() if bottom else F.col(field).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order) if by else Window.orderBy(*order)
+    keys = [F.col(c) for c in by]
+    if salt is not None:
+        bucket = F.pmod(F.xxhash64(F.col(tiebreak) if tiebreak else F.col(field)),
+                        F.lit(salt))
+        wp = Window.partitionBy(*keys, bucket.alias("_salt")).orderBy(*order)
+        df = (df.withColumn("_prank", F.row_number().over(wp))
+              .filter(F.col("_prank") <= k).drop("_prank"))
+    w = Window.partitionBy(*keys).orderBy(*order) if by else Window.orderBy(*order)
     return (
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -263,19 +263,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
     """Per-doc simhash signature: 32-bit md5-derived hash per shingle,
     per-bit majority vote, reassembled to one BIGINT.
 
-    Pipeline: shingle rows -> per-shingle int hash -> explode bit index
-    (literal 0..31 array) -> groupBy(doc, bit) vote -> groupBy(doc)
-    reassemble. Two aggregations, zero joins."""
+    Layout: WIDE aggregation — per-shingle int hash, then one
+    groupBy(doc) with `bits` conditional-sum vote columns (same shape
+    as the minhash signature agg: map-side partial sums mean the
+    shuffle carries docs x bits SMALLINT-sized votes, never the
+    (shingle, bit) cross product a bit-explode layout would emit —
+    one shuffle total, 32x fewer intermediate rows)."""
     sh = shingle_rows(df, id_col, text_col, n=shingle_n)
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     hashed = sh.select(id_col, h.alias("h"))
-    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
-    # column-valued shift counts need the SQL operator form
-    votes = (hashed.select(id_col, "h", bit_idx)
-             .withColumn("vote", F.when(F.expr("(h >> bit) % 2") == 1, F.lit(1))
-                         .otherwise(F.lit(-1))))
-    bit_votes = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    signature = bit_votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-              .otherwise(F.lit(0))).alias("simhash"))
-    return signature
+    votes = [
+        F.sum(F.when(F.expr(f"(h >> {b}) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))

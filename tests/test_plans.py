@@ -71,3 +71,18 @@ def test_jsonsize_and_fields_to_array(spark):
     first = arr.select("kv").first().kv
     assert [e["key"] for e in first] == ["value", "user_id"]
     assert plans.count_exchanges(arr) == 0
+
+
+def test_top_k_salted_two_phase_exact(spark):
+    """salt=S two-phase top_k must equal the single-phase plan exactly
+    (strict order via tiebreak), grouped and global."""
+    from faxe_spark.operators import top_k
+    from faxe_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for kw in ({"by": ["event_type"]}, {}):
+        plain = top_k(ev, "value", 5, tiebreak="event_id", **kw)
+        salted = top_k(ev, "value", 5, tiebreak="event_id", salt=8, **kw)
+        p = sorted(map(tuple, plain.select("event_id", "rank").collect()))
+        s = sorted(map(tuple, salted.select("event_id", "rank").collect()))
+        assert p == s
