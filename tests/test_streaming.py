@@ -196,3 +196,43 @@ def test_win_clock_stream_processing_time(spark):
     q.awaitTermination(120)
     total = spark.sql("SELECT sum(n) s FROM wc_stream").collect()[0].s
     assert total == spark.read.parquet(EVENTS).count()
+
+
+def test_flow_metrics_listener_and_observe(spark, tmp_path):
+    """node_metrics analog (node_metrics.erl:28-60): per-query items_in
+    meter via StreamingQueryListener; batch items_out via df.observe."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from faxe_spark.streaming import metrics as fm
+
+    listener = fm.attach(spark)
+    try:
+        df = spark.createDataFrame([(i, i * 1.0) for i in range(100)], "id long, v double")
+        df.write.mode("overwrite").parquet(str(tmp_path / "in"))
+        stream = (spark.readStream.schema("id long, v double")
+                  .parquet(str(tmp_path / "in")))
+        q = (stream.writeStream.format("memory").queryName("metrics_probe")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        deadline = _time.time() + 15
+        snap = {}
+        while _time.time() < deadline:
+            snap = listener.snapshot()
+            hit = [s for s in snap.values() if s["name"] == "metrics_probe"
+                   and s["items_in"] >= 100]
+            if hit:
+                break
+            _time.sleep(0.2)
+        assert hit, f"listener never saw the rows: {snap}"
+        assert hit[0]["batches"] >= 1
+
+        out, obs = fm.observed(df.filter("v >= 10"), "probe",
+                               F.sum("v").alias("v_sum"))
+        out.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        got = obs.get
+        assert got["items_out"] == 90
+        assert got["v_sum"] == sum(float(i) for i in range(10, 100))
+    finally:
+        spark.streams.removeListener(listener)
