@@ -20,6 +20,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from faxe_spark import operators as ops
+from faxe_spark.durations import duration_to_interval
 from faxe_spark.tables import load_table
 
 
@@ -72,6 +73,19 @@ class Flow:
 
     @staticmethod
     def dataframe_source(df: DataFrame, event_time: str = "ts") -> "Flow":
+        f = Flow()
+        f._source = lambda spark, sf_dir: df
+        f._event_time = event_time
+        return f
+
+    @staticmethod
+    def stream_source(df: DataFrame, event_time: str = "ts") -> "Flow":
+        """Streaming source: any readStream DataFrame (stream_parquet,
+        socket_source, kafka_source). Build with `build_stream()`."""
+        if not df.isStreaming:
+            raise FlowBuildError("stream_source needs a streaming DataFrame "
+                                 "(spark.readStream / sources.socket_source / "
+                                 "streaming.stream_parquet)")
         f = Flow()
         f._source = lambda spark, sf_dir: df
         f._event_time = event_time
@@ -211,6 +225,43 @@ class Flow:
                 "flow ends with an open window/batch — add an aggregate "
                 "node (faxe: win_* emits data_batch; a sink wants points)")
         df = self._source(spark, sf_dir)
+        for step in self._steps:
+            df = step.apply(df, self)
+        return df
+
+    # nodes with an incremental (Structured Streaming) physical plan.
+    # Everything else either needs an unbounded window function
+    # (change_detect/value_diff/top -> use the faxe_spark.streaming
+    # stateful analogs) or a global sort/batch semantics.
+    _STREAM_SAFE = frozenset({
+        "where", "eval", "set", "default", "keep", "delete", "rename",
+        "case", "if", "group_by", "win_time", "win_session", "aggregate",
+        "group_union",
+    })
+
+    def build_stream(self, spark: SparkSession, *, watermark: str = "0s",
+                     sf_dir: str = "") -> DataFrame:
+        """Compile the same flow onto Structured Streaming: the source
+        must be a stream_source; the event-time column gets `watermark`
+        lateness; windows/aggregations run incrementally (append mode
+        emits a window once the watermark closes it — exactly the
+        reference's `win_time` emit-on-expiry, SURVEY §2.5).
+
+        Distinct/median aggregate specs need multi-pass plans that
+        streaming can't run incrementally — Spark rejects them at
+        stream start; keep streaming aggregates algebraic."""
+        if self._source is None:
+            raise FlowBuildError("flow has no source node")
+        for step in self._steps:
+            if step.node not in self._STREAM_SAFE:
+                raise FlowBuildError(
+                    f"node '{step.node}' has no incremental streaming plan; "
+                    f"use its faxe_spark.streaming stateful analog, or "
+                    f"batch build()")
+        df = self._source(spark, sf_dir)
+        if not df.isStreaming:
+            raise FlowBuildError("build_stream needs a stream_source flow")
+        df = df.withWatermark(self._event_time, duration_to_interval(watermark))
         for step in self._steps:
             df = step.apply(df, self)
         return df

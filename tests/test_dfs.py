@@ -203,3 +203,39 @@ def test_lambda_env_and_mem_in_script(spark, monkeypatch):
         assert [r.val for r in out.collect()] == [9.0]
     finally:
         clear_mem()
+
+
+def test_dfs_script_compiles_to_streaming(spark):
+    """The SAME DFS text compiles onto Structured Streaming when the
+    source chain is an injected readStream DataFrame — the reference's
+    deployment model (scripts ARE streaming jobs)."""
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.tables import load_table
+
+    script = """
+    stream
+    |where(lambda: "value" > 10)
+    |group_by('event_type')
+    |win_time()
+    .period(1h)
+    |aggregate()
+    .fields('value', 'value')
+    .functions('sum', 'count')
+    .as('sum_v', 'n')
+    """
+    s = stream_parquet(spark, f"{SF_SMOKE}/events.parquet").withWatermark("ts", "0 seconds")
+    sdf = DFSCompiler(spark, sources={"stream": s}).run(script)
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("dfs_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = DFSCompiler(spark, tables_dir=SF_SMOKE,
+                        sources={"stream": load_table(spark, SF_SMOKE, "events")}).run(script)
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    want = {tuple(r) for r in
+            (batch.filter(F.col("window.end") <= F.lit(max_ts))
+             .select(F.col("window.start"), "event_type", "sum_v", "n").collect())}
+    got = {tuple(r) for r in spark.sql(
+        "SELECT window.start, event_type, sum_v, n FROM dfs_stream_t").collect()}
+    assert got and got == want

@@ -74,3 +74,43 @@ def test_flow_unbatch_and_group_union(spark):
     df = f.build(spark, SF_SMOKE)
     assert "batch_id" not in df.columns
     assert df.count() > 0
+
+
+def test_flow_build_stream_matches_batch(spark):
+    """The SAME Flow object compiles to batch AND to Structured
+    Streaming; windowed aggregation results agree (append mode withholds
+    the final open window — the reference's emit-on-expiry)."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.tables import load_table
+
+    def make(src):
+        return (src.where("value > 10")
+                .group_by("event_type")
+                .win_time(period="1h")
+                .aggregate([("value", "sum", "sum_v"), ("value", "count", "n")]))
+
+    batch_df = make(Flow.parquet_source("events")).build(spark, SF_SMOKE)
+    stream = stream_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    sdf = make(Flow.stream_source(stream)).build_stream(spark, watermark="0s")
+    q = (sdf.writeStream.format("memory").queryName("flow_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    want = {tuple(r) for r in
+            (batch_df.filter(F.col("window.end") <= F.lit(max_ts))
+             .select(F.col("window.start"), "event_type", "sum_v", "n").collect())}
+    got = {tuple(r) for r in spark.sql(
+        "SELECT window.start, event_type, sum_v, n FROM flow_stream_t").collect()}
+    assert got and got == want
+
+
+def test_flow_build_stream_rejects_non_incremental_nodes(spark):
+    from faxe_spark.streaming import stream_parquet
+
+    stream = stream_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    f = Flow.stream_source(stream).change_detect(["value"])
+    with pytest.raises(FlowBuildError, match="streaming"):
+        f.build_stream(spark)
