@@ -258,6 +258,54 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             .select("id_a", "id_b", "inter", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iterations: int = 20) -> DataFrame:
+    """(node, component) labels from a similarity-pair edge list —
+    the step that turns near-dup PAIRS into dedup CLUSTERS.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round every node takes the min label in its neighborhood;
+    converges in O(diameter) rounds (near-dup clusters are dense, so
+    2-4 rounds in practice). Each round is ONE groupBy over the edge
+    list — the standard large-graph formulation (no driver-side graph,
+    no quadratic state). Iteration count is checked by a driver-side
+    equality probe on label sums; localCheckpoint truncates the growing
+    lineage each round (at 100 TB you checkpoint to storage instead)."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct())
+    # self-loops make labels(node) include the node itself each round
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = edges.union(nodes.select(F.col("node").alias("src"),
+                                     F.col("node").alias("dst")))
+    labels = nodes.withColumn("label", F.col("node"))
+    prev_sig = None
+    for _ in range(max_iterations):
+        joined = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        labels = (joined.groupBy(F.col("src").alias("node"))
+                  .agg(F.min("label").alias("label"))).localCheckpoint(eager=True)
+        sig = labels.agg(F.sum(F.col("label")).alias("s"),
+                         F.count(F.lit(1)).alias("n")).collect()[0]
+        if prev_sig == (sig.s, sig.n):
+            break
+        prev_sig = (sig.s, sig.n)
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
+                         id_col: str = "doc_id", pair_a: str = "id_a",
+                         pair_b: str = "id_b") -> DataFrame:
+    """End-to-end dedup: cluster the near-dup pairs, keep the smallest
+    id per component, return the deduplicated corpus (docs never seen
+    in any pair pass through untouched)."""
+    comp = connected_components(pairs, id_a=pair_a, id_b=pair_b)
+    keep = comp.groupBy("component").agg(F.min("node").alias("_keep"))
+    drop = (comp.join(keep, "component")
+            .filter(F.col("node") != F.col("_keep"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
             bits: int = 32, shingle_n: int = 3) -> DataFrame:
     """Per-doc simhash signature: 32-bit md5-derived hash per shingle,

@@ -1196,6 +1196,18 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    None,  # iterative label propagation — not SQL-expressible; rows-only.
+    doc="dedup: near-dup pairs -> connected components -> canonical keeper set",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
+                                          shingle_n=1, threshold=0.9)
+    return dedup_ops.connected_components(pairs.select("id_a", "id_b"))
+
+
+@register(
     "ann_ivf_topk",
     None,  # k-means training is not SQL-expressible; rows-only check.
     doc="similarity search: IVF (k-means coarse quantizer, nprobe lists, exact re-rank)",

@@ -5,6 +5,8 @@ a physical choice, never a semantic one."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from faxe_spark.operators import dedup
 from faxe_spark.tables import load_table
 
@@ -46,3 +48,53 @@ def test_threshold_zero_keeps_sharing_pairs_only(spark):
     # at threshold 0 (inner inverted-index join, never a cross product).
     out = _pairs(spark, shingle_n=1, threshold=0.0)
     assert out.filter("inter < 1").count() == 0
+
+
+def test_connected_components_vs_python_reference(spark):
+    """Label propagation must match a driver-side union-find on the
+    real sf0.001 near-dup pair list."""
+    from faxe_spark.operators.dedup import connected_components
+
+    pairs = _pairs(spark, shingle_n=1, threshold=0.9).select("id_a", "id_b")
+    got = {(r.node, r.component)
+           for r in connected_components(pairs).collect()}
+
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: min node per root
+    members = {}
+    for n in parent:
+        members.setdefault(find(n), set()).add(n)
+    want = {(n, min(ms)) for root, ms in members.items() for n in ms}
+    assert got == want
+
+
+def test_dedup_keep_canonical_removes_cluster_tails(spark):
+    from faxe_spark.operators.dedup import dedup_keep_canonical
+    from faxe_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    pairs = _pairs(spark, shingle_n=1, threshold=0.9).select("id_a", "id_b")
+    kept = dedup_keep_canonical(d, pairs, id_col="doc_id")
+    n_docs = d.count()
+    n_dropped = (pairs.select("id_a").union(pairs.select("id_b")).distinct().count()
+                 - pairs.select(F.least("id_a", "id_b")).distinct().count())
+    assert kept.count() < n_docs
+    # every pair has at most one survivor
+    k = kept.select("doc_id")
+    surviving_pairs = (pairs.join(k.withColumnRenamed("doc_id", "id_a"), "id_a")
+                       .join(k.withColumnRenamed("doc_id", "id_b"), "id_b"))
+    assert surviving_pairs.count() == 0
