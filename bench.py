@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_topk",
     "text_quality",
     "token_count",
+    "training_pipeline",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

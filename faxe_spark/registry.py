@@ -1196,6 +1196,67 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_pipeline",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN greatest(
+                    len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|das)\\b')),
+                    len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')),
+                    len(regexp_extract_all(lower(text), '\\b(el|los|es|una|y)\\b')),
+                    len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b'))) = 0
+                  THEN 'und'
+                  WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|das)\\b')) >= len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b'))
+                   AND len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|das)\\b')) >= len(regexp_extract_all(lower(text), '\\b(el|los|es|una|y)\\b'))
+                   AND len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|das)\\b')) >= len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b'))
+                  THEN 'de'
+                  WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) >= len(regexp_extract_all(lower(text), '\\b(el|los|es|una|y)\\b'))
+                   AND len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) >= len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b'))
+                  THEN 'en'
+                  WHEN len(regexp_extract_all(lower(text), '\\b(el|los|es|una|y)\\b')) >= len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b'))
+                  THEN 'es'
+                  ELSE 'fr' END AS lang_guess,
+             len({_TOKS}) AS ntok,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1) AS punct,
+             md5({_NORM}) AS fp
+      FROM documents
+    ),
+    flt AS (SELECT * FROM f WHERE punct < 0.1 AND ntok >= 5),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY fp),
+    kept AS (SELECT flt.* FROM flt JOIN keep USING (fp, doc_id))
+    SELECT lang_guess,
+           count(*) AS n_docs,
+           sum(ntok) AS total_tokens,
+           avg(ntok) AS avg_tokens
+    FROM kept GROUP BY lang_guess
+    """,
+    doc="flagship LLM-data pipeline: lang-ID + quality filter -> exact dedup "
+        "(keep smallest id) -> per-language token budget",
+)
+def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in ONE declarative plan: Catalyst
+    fuses the feature projection + filter into the scan, the dedup is a
+    single fingerprint shuffle, the summary a broadcast-size agg."""
+    d = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    feats = d.select(
+        "doc_id",
+        text_ops.lang_id(c).alias("lang_guess"),
+        text_ops.token_count(text_ops.normalize_text(c)).alias("ntok"),
+        text_ops.punct_ratio(c).alias("punct"),
+        text_ops.fingerprint(c).alias("fp"),
+    )
+    flt = feats.filter((F.col("punct") < 0.1) & (F.col("ntok") >= 5))
+    keep = flt.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = flt.join(keep, ["fp", "doc_id"])
+    return (kept.groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.avg("ntok").alias("avg_tokens")))
+
+
+@register(
     "dedup_clusters",
     None,  # iterative label propagation — not SQL-expressible; rows-only.
     doc="dedup: near-dup pairs -> connected components -> canonical keeper set",
