@@ -1236,8 +1236,13 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep in ONE declarative plan: Catalyst
-    fuses the feature projection + filter into the scan, the dedup is a
-    single fingerprint shuffle, the summary a broadcast-size agg."""
+    fuses the feature projection + filter into the scan; the dedup is
+    min(doc_id) OVER (PARTITION BY fingerprint) — one shuffle, and the
+    expensive regex features are computed exactly once (a groupBy +
+    self-join formulation re-evaluates the feature subtree on both join
+    sides: measured 2x slower); the summary is a broadcast-size agg."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     feats = d.select(
@@ -1248,8 +1253,8 @@ def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.fingerprint(c).alias("fp"),
     )
     flt = feats.filter((F.col("punct") < 0.1) & (F.col("ntok") >= 5))
-    keep = flt.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = flt.join(keep, ["fp", "doc_id"])
+    kept = (flt.withColumn("_keep", F.min("doc_id").over(Window.partitionBy("fp")))
+            .filter(F.col("doc_id") == F.col("_keep")))
     return (kept.groupBy("lang_guess")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("ntok").alias("total_tokens"),
