@@ -40,3 +40,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def stage_bucketed(spark: SparkSession, df: DataFrame, table: str, *,
+                   bucket_by: str, buckets: int = 32,
+                   sort_by: str | None = None) -> DataFrame:
+    """Persist `df` as a BUCKETED managed table and return it.
+
+    The 100 TB co-location lever: two tables bucketed on the same key
+    with the same bucket count join WITHOUT any shuffle — the exchange
+    disappears from the plan entirely (proven by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange). The same
+    applies to groupBy on the bucket key. This is how a production
+    deployment lays out fact tables that are repeatedly joined or
+    re-aggregated on one key (events by user_id, lineitem by orderkey):
+    pay the shuffle once at ingest, never again per query."""
+    writer = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+    return spark.table(table)

@@ -86,3 +86,31 @@ def test_top_k_salted_two_phase_exact(spark):
         p = sorted(map(tuple, plain.select("event_id", "rank").collect()))
         s = sorted(map(tuple, salted.select("event_id", "rank").collect()))
         assert p == s
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing = the pay-once shuffle: two tables bucketed on the
+    join key co-locate, and the per-query Exchange disappears."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.plans import count_exchanges, formatted_plan
+    from faxe_spark.tables import load_table, stage_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        b_ev = stage_bucketed(spark, ev.select("event_id", "ts", "user_id", "value"),
+                              "b_events", bucket_by="user_id", buckets=8)
+        b_users = stage_bucketed(spark, users, "b_users",
+                                 bucket_by="user_id", buckets=8)
+        joined = b_ev.join(b_users, "user_id")
+        assert count_exchanges(joined) == 0, formatted_plan(joined)
+
+        # the unbucketed plan pays the shuffle every time
+        plain = ev.join(users, "user_id")
+        assert count_exchanges(plain) >= 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")
