@@ -69,3 +69,14 @@ def distinct_values(df: DataFrame, field: str, by: Iterable[str] = ()) -> DataFr
     """stats `distinct` (stats/esp_distinct.erl:11): distinct values of a
     field per group => dropDuplicates on (by, field)."""
     return df.select(*by, field).dropDuplicates([*by, field])
+
+
+def sample_stratified(df: DataFrame, strata_col: str,
+                      fractions: dict, *, seed: int = 42) -> DataFrame:
+    """Stratified sampling for training-data mixes: per-stratum keep
+    fractions (e.g. {"en": 1.0, "und": 0.1} to downweight unknown-
+    language docs). Spark-native `sampleBy` — per-row Bernoulli with a
+    seeded hash, fully distributed, no shuffle; deterministic for a
+    fixed seed + partitioning (pin the layout before sampling when the
+    mix must be reproducible)."""
+    return df.sampleBy(strata_col, fractions, seed)

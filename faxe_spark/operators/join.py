@@ -199,3 +199,27 @@ def union_streams(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def salted_join(skewed: DataFrame, dim: DataFrame, on: str, *,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join resilient to EXTREME key skew: salt the skewed side
+    with hash(row)%salt, replicate the dim side once per salt value,
+    join on (key, salt). The hot key's rows spread over `salt` tasks
+    instead of one straggler.
+
+    Output-identical to `skewed.join(dim, on, how)` for inner/left
+    (tests/test_plans.py::test_salted_join_matches_plain). AQE's
+    skew-join split handles MODERATE skew post-shuffle, but it can only
+    split existing shuffle blocks of one join side; replicate-the-dim
+    salting is the lever when a single key dominates entire partitions
+    (the 100 TB power-law case: one user/device producing >> 1/parallelism
+    of all events). Cost: dim side inflated x salt — keep for small dims."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)))
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = salted.join(replicated, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -114,3 +114,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_salted_join_matches_plain(spark):
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.join import salted_join
+    from faxe_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = (ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("grp", F.upper("event_type")))
+    plain = sorted(tuple(r) for r in
+                   ev.join(dim, "event_type").select("event_id", "grp", "n").collect())
+    salted = sorted(tuple(r) for r in
+                    salted_join(ev, dim, "event_type", salt=8)
+                    .select("event_id", "grp", "n").collect())
+    assert plain and plain == salted
+
+
+def test_sample_stratified_fractions(spark):
+    from faxe_spark.operators.filter import sample_stratified
+    from faxe_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = sample_stratified(d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.0, "es": 0.25})
+    n = {r.lang: r.n for r in
+         out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n.get("en") == full.get("en")          # fraction 1.0 keeps all
+    assert "fr" not in n                           # fraction 0 drops all
+    if "de" in full and full["de"] >= 20:
+        assert 0.2 <= n.get("de", 0) / full["de"] <= 0.8
+    # deterministic for a fixed seed
+    again = sample_stratified(d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.0, "es": 0.25})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
