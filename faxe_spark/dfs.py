@@ -690,6 +690,11 @@ class DFSCompiler:
         alias = node.params.get("as", [f"{field}_count_change"])[0]
         return ops.count_change(df, field, by=self.group_keys, alias=alias)
 
+    def node_shift(self, df, node: NodeCall) -> DataFrame:
+        off = node.params.get("offset", [("duration", "-30s")])[0]
+        off = off[1] if isinstance(off, tuple) else off
+        return ops.shift_time(df, off, ts_col="ts")
+
     def node_time_diff(self, df, node: NodeCall) -> DataFrame:
         alias = node.params.get("as", ["time_diff"])[0]
         return ops.time_diff(df, by=self.group_keys, alias=alias)

@@ -20,6 +20,7 @@ from faxe_spark.operators.project import (
     array_explode,
     path_split,
     jsonsize,
+    shift_time,
 )
 from faxe_spark.operators.filter import where, sample_nth, sample_per, change_detect, distinct_values
 from faxe_spark.operators.window import win_time, win_event, win_event_agg, win_session, batch_by_count

@@ -159,3 +159,13 @@ def array_explode(df: DataFrame, fields: Sequence[str], aliases: Sequence[str] |
 def jsonsize(df: DataFrame, alias: str = "json_size") -> DataFrame:
     """faxe `jsonsize` (esp_jsonsize.erl:22): byte size of the row as JSON."""
     return df.withColumn(alias, F.octet_length(F.to_json(F.struct(*df.columns))))
+
+
+def shift_time(df: DataFrame, offset: str, ts_col: str = "ts") -> DataFrame:
+    """faxe `shift` (esp_shift.erl:22 `{offset, duration, "-30s"}`):
+    move the event timestamp by a (possibly negative) duration.
+    Millisecond-exact interval arithmetic, pure Column op."""
+    from faxe_spark.durations import parse_duration_ms
+
+    ms = parse_duration_ms(offset)
+    return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {ms} MILLISECOND"))

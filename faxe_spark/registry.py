@@ -1196,6 +1196,19 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_shift",
+    f"""
+    SELECT event_id, ts + INTERVAL '-30 seconds' AS ts, event_type, value
+    FROM {_EV}
+    """,
+    doc="shift node: move event timestamps by a signed duration (esp_shift.erl:22)",
+)
+def time_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.shift_time(ev, "-30s").select("event_id", "ts", "event_type", "value")
+
+
+@register(
     "training_pipeline",
     f"""
     WITH f AS (
