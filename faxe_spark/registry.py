@@ -432,7 +432,7 @@ def time_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS chg
       FROM {_EV}
     )
-    SELECT user_id, sum(chg) AS count_change FROM d GROUP BY user_id
+    SELECT user_id, CAST(sum(chg) AS BIGINT) AS count_change FROM d GROUP BY user_id
     """,
     doc="faxe count_change (esp_count_change.erl:26): number of value changes",
 )
@@ -735,8 +735,8 @@ _STATE_RUNS_SQL = f"""
       FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     r AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS run_id
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM c
     )
 """
@@ -861,7 +861,7 @@ def collect_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extract_json",
     f"""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nk
     FROM {_EV}
     GROUP BY event_type
@@ -1153,7 +1153,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
     doc="dedup: 32-bit SimHash signature (per-bit majority vote over shingle hashes)",
@@ -1240,7 +1240,7 @@ def time_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (SELECT flt.* FROM flt JOIN keep USING (fp, doc_id))
     SELECT lang_guess,
            count(*) AS n_docs,
-           sum(ntok) AS total_tokens,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
            avg(ntok) AS avg_tokens
     FROM kept GROUP BY lang_guess
     """,
@@ -1607,8 +1607,8 @@ def dfs_script_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m WINDOW w AS (PARTITION BY user_id, field ORDER BY ts, event_id)
     ),
     r AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id, field ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS run_id
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id, field ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM c
     )
     SELECT event_id, user_id, field, st AS in_state, run_id, epoch_us(ts) AS ts_us

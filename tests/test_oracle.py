@@ -37,11 +37,60 @@ ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.sql is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.sql is None)
 
 
+# DuckDB types that silently widen past what Spark can emit.  The driver's
+# value hash is type-sensitive (arrow: HUGEINT -> decimal128, not int64), so
+# an un-cast integer sum() (HUGEINT) hash-mismatches even though the Python
+# fetchall() values compare equal.  Round-1 lost 5 queries to exactly this;
+# fail locally first.
+# Integer widths hash identically (round-1 evidence: ann_topk's int rank vs
+# oracle BIGINT passed the driver), so any int<->int pairing is fine; what
+# breaks the hash is a non-integer arrow representation (HUGEINT -> decimal128,
+# DECIMAL vs double).
+_INTS = {"tinyint", "smallint", "int", "bigint"}
+_DUCK_SPARK_TYPE_OK = {
+    "BIGINT": _INTS,
+    "INTEGER": _INTS,
+    "SMALLINT": _INTS,
+    "TINYINT": _INTS,
+    "UBIGINT": _INTS,
+    "DOUBLE": {"double"},
+    "FLOAT": {"float", "double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+}
+
+
+def _assert_types_compatible(name, duck, sql, spark_dtypes):
+    desc = duck.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+    duck_types = {r[0]: r[1] for r in desc}
+    sdtypes = dict(spark_dtypes)
+    for col, dt in duck_types.items():
+        base = dt.split("(")[0].upper()
+        if base in ("HUGEINT", "UHUGEINT"):
+            raise AssertionError(
+                f"{name}.{col}: oracle returns {dt} (un-cast integer sum?); "
+                f"CAST to BIGINT — the driver hash is type-sensitive")
+        sp = sdtypes.get(col)
+        if sp is None:
+            continue
+        ok = _DUCK_SPARK_TYPE_OK.get(base)
+        if base == "DECIMAL" and sp in ("double", "bigint"):
+            raise AssertionError(
+                f"{name}.{col}: oracle DECIMAL vs spark {sp}; CAST the oracle "
+                f"column to match")
+        if ok is not None and sp not in ok:
+            raise AssertionError(
+                f"{name}.{col}: oracle {dt} vs spark {sp} — driver hash will "
+                f"mismatch on type")
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
     sdf = q.fn(spark, SF_ORACLE)
     spark_cols = sdf.columns
+    _assert_types_compatible(name, duck, q.sql, sdf.dtypes)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     res = duck.execute(q.sql)
