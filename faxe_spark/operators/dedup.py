@@ -148,15 +148,35 @@ def _shingle_dictionary(sh: DataFrame) -> DataFrame:
     order, which is all prefix-filter correctness needs; rarest-first
     is the performance heuristic on top).
 
-    The dictionary is vocab-sized, orders of magnitude smaller than the
-    corpus; the single-partition row_number is the standard dictionary-
-    build step (at extreme vocab, swap for a range-partitioned sort +
-    per-partition offsets — same contract)."""
+    Ranking is RANGE-PARTITIONED, never a global single-task window:
+    repartitionByRange on the sort key (pid order == key order, keys
+    unique so no boundary ties), localCheckpoint to pin the sampled
+    range boundaries, then one vocab-sized collect of per-partition
+    COUNTS (not rows) -> cumulative offsets, and a per-partition
+    row_number + offset. Identical wid assignment to a global
+    row_number, but every step is parallel — at web-corpus vocab
+    (billions of shingles) there is no single-partition funnel."""
     from pyspark.sql import Window
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
-    w = Window.orderBy("_gf", "shingle")
-    return freq.select("shingle", F.row_number().over(w).alias("wid"))
+    n_parts = int(freq.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = (freq.repartitionByRange(n_parts, "_gf", "shingle")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    counts = {r["_pid"]: r["n"] for r in
+              ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return freq.select("shingle", F.lit(1).alias("wid")).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("_pid"))
+    w = Window.partitionBy("_pid").orderBy("_gf", "shingle")
+    return ranked.select(
+        "shingle", (F.row_number().over(w) + off).cast("int").alias("wid"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
