@@ -103,14 +103,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
                            num_hashes: int = 16, bands: int = 4,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs: band the signature (rows_per_band =
     num_hashes/bands), hash each band, self-join band buckets.
 
     Returns (id_a, id_b, n_shared_bands) with id_a < id_b. At scale the
     band self-join is an equi-join on (band, band_hash) — broadcast-free,
-    AQE-skew-splittable; hot buckets (boilerplate docs) are the known
-    hotspot and get handled by AQE skew-join or a bucket-size cap."""
+    AQE-skew-splittable. `max_bucket_size` is the boilerplate lever: a
+    bucket with more than N members is near-identical boilerplate, not
+    near-dups worth pairing, and contributes O(N^2) join output — capped
+    buckets are dropped whole (pairs within them can still surface via
+    the doc's OTHER bands, so recall degrades gracefully). The count is
+    one window over the band rows — same shuffle key as the join, and
+    under AQE the exchange is reused."""
+    from pyspark.sql.window import Window
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
     band_structs = [
@@ -125,6 +133,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     band_sig = sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_b.band", "_b.band_hash")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_hash")
+        band_sig = (band_sig
+                    .withColumn("_bn", F.count(F.lit(1)).over(wb))
+                    .filter(F.col("_bn") <= max_bucket_size)
+                    .drop("_bn"))
     # bucket self-join on (band, band_hash). The signature subtree feeds
     # both sides of the join; Spark's ReusedExchange computes it once
     # (verified in the physical plan — a measured bucket-grouped
@@ -351,3 +365,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
+                  bits: int = 32, shingle_n: int = 3,
+                  hamming_max: int = 3) -> DataFrame:
+    """Near-dup PAIRS from simhash signatures: (id_a, id_b, hamming)
+    with hamming(simhash_a, simhash_b) <= hamming_max, id_a < id_b.
+
+    EXACT under banding: the signature is cut into hamming_max + 1
+    bit-bands; by pigeonhole any pair within the threshold agrees on at
+    least one whole band, so the (band_id, band_value) equi-self-join
+    generates a candidate superset and the bit_count(xor) filter makes
+    the result exact — the Manku/Jain/Sarma WWW'07 construction. Same
+    scale shape as minhash LSH: candidate cost is bucket collisions,
+    never n^2, and the join is AQE-skew-splittable. Band rows carry the
+    full signature (one BIGINT) so verification needs no join back."""
+    n_bands = hamming_max + 1
+    band_bits = [bits // n_bands + (1 if i < bits % n_bands else 0)
+                 for i in range(n_bands)]
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits,
+                  shingle_n=shingle_n)
+    structs, lo = [], 0
+    for b, width in enumerate(band_bits):
+        structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash >> {lo}) & {(1 << width) - 1}").alias("band_val")))
+        lo += width
+    banded = (sig.select(id_col, "simhash",
+                         F.explode(F.array(*structs)).alias("_b"))
+              .select(id_col, "simhash", "_b.band", "_b.band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("_sa"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_sb"), "band", "band_val")
+    ham = F.expr("bit_count(_sa ^ _sb)")
+    return (a.join(b, ["band", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first(ham).alias("hamming"))
+            .filter(F.col("hamming") <= hamming_max))

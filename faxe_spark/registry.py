@@ -1135,9 +1135,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "inter", "jaccard")
 
 
-@register(
-    "dedup_simhash",
-    f"""
+_SIMHASH_SIGS_SQL = f"""
     WITH {_SHINGLES_1},
     hashed AS (
       SELECT doc_id,
@@ -1151,16 +1149,41 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
       FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
       GROUP BY doc_id, bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_SIGS_SQL + "SELECT doc_id, simhash FROM sigs",
     doc="dedup: 32-bit SimHash signature (per-bit majority vote over shingle hashes)",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup_ops.simhash(d, id_col="doc_id", text_col="text", bits=32, shingle_n=1)
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_SIGS_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="dedup: SimHash near-dup pairs at hamming<=3 via bit-band buckets "
+        "(Manku WWW'07); banding is exact under pigeonhole so the all-pairs "
+        "oracle is the same set",
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(d, id_col="doc_id", text_col="text", bits=32,
+                                   shingle_n=1, hamming_max=3)
 
 
 _QVEC = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
@@ -1192,6 +1215,54 @@ def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.cosine_topk(emb, queries, 5, id_col="vec_id",
                                vec_col="embedding", quantize=True) \
+        .select("query_id", "vec_id", "cosine", "rank")
+
+
+# the ±1 plane matrix is tiny and deterministic (md5-derived); embed it in
+# the oracle SQL as list literals so DuckDB computes the SAME buckets.
+_LSH_PLANES = sim_ops.hyperplane_planes(64, 8)
+
+
+def _lsh_sig_sql(col: str) -> str:
+    terms = []
+    for p, row in enumerate(_LSH_PLANES):
+        lit = "[" + ",".join(str(x) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> ({lit})[i] * {col}[i])) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         qs AS (SELECT query_id, qv, {_lsh_sig_sql('qv')} AS sig FROM q),
+         cs AS (SELECT vec_id, cv, {_lsh_sig_sql('cv')} AS sig FROM c),
+         scored AS (
+           SELECT qs.query_id, cs.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM cs JOIN qs ON cs.sig = qs.sig AND cs.vec_id <> qs.query_id
+         )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="similarity search: hyperplane-LSH bucketed approximate top-k "
+        "(deterministic md5 planes, integer-dot bucket assignment — same "
+        "buckets in Spark and the oracle)",
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_lsh_topk(emb, queries, 5, dim=64, planes=8,
+                                   id_col="vec_id", vec_col="embedding") \
         .select("query_id", "vec_id", "cosine", "rank")
 
 

@@ -98,3 +98,41 @@ def test_dedup_keep_canonical_removes_cluster_tails(spark):
     surviving_pairs = (pairs.join(k.withColumnRenamed("doc_id", "id_a"), "id_a")
                        .join(k.withColumnRenamed("doc_id", "id_b"), "id_b"))
     assert surviving_pairs.count() == 0
+
+
+def test_minhash_bucket_cap_infinite_is_identity(spark):
+    """cap=huge must be pair-for-pair identical to no cap; a small cap
+    must only ever REMOVE pairs (graceful recall degradation)."""
+    d = load_table(spark, SF, "documents")
+    base = sorted((r.id_a, r.id_b, r.n_shared_bands) for r in
+                  dedup.minhash_lsh_candidates(d, "doc_id", "text").collect())
+    capped_inf = sorted((r.id_a, r.id_b, r.n_shared_bands) for r in
+                        dedup.minhash_lsh_candidates(
+                            d, "doc_id", "text", max_bucket_size=10**9).collect())
+    assert base == capped_inf
+    capped = set((r.id_a, r.id_b) for r in
+                 dedup.minhash_lsh_candidates(
+                     d, "doc_id", "text", max_bucket_size=5).collect())
+    assert capped <= set((a, b) for a, b, _ in base)
+    # cap=1 removes every bucket that could produce a pair
+    assert dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", max_bucket_size=1).count() == 0
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Band-bucketed pairing is EXACT at hamming<=h with h+1 bands
+    (pigeonhole) — verify against the all-pairs computation."""
+    d = load_table(spark, SF, "documents")
+    sigs = {r.doc_id: r.simhash for r in
+            dedup.simhash(d, shingle_n=1).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           dedup.simhash_pairs(d, shingle_n=1, hamming_max=3).collect()}
+    assert set(got) == want
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
