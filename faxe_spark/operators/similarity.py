@@ -79,45 +79,113 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             .filter(F.col("rank") <= k))
 
 
-def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
-    """Deterministic random-hyperplane signature: plane p has component
-    signs sign(md5(p ':' d)) — reproducible without shipping matrices.
-    Returns an int bitmap column (plane p sets bit p when dot >= 0)."""
-    plane_bits = []
-    for p in range(planes):
-        # component d weight: +1 if first md5 nibble of "p:d" is >= '8'
-        terms = []
-        for d in range(dim):
-            h = F.md5(F.lit(f"{p}:{d}"))
-            sign = F.when(F.substring(h, 1, 1).isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))
-            terms.append(sign * F.element_at(vec, d + 1))
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
-        plane_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = plane_bits[0]
-    for b in plane_bits[1:]:
-        sig = sig + b
-    return sig
+def hyperplane_planes(dim: int, planes: int = 16, *, table: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff
+    the first hex nibble of md5('p:d') >= '8' (table t > 0 salts the
+    seed to 't{t}:p:d' for independent LSH tables). Computed ONCE
+    driver-side (planes x dim tiny hashes, microseconds at 1024d) and
+    shipped to executors as a literal array / numpy matrix — never as
+    an md5 expression tree (the old formulation built dim x planes
+    Column nodes, unusable past ~64d). Reproducible in any engine that
+    has md5, which is what the DuckDB oracle uses."""
+    import hashlib
+
+    pre = "" if table == 0 else f"t{table}:"
+    return [[1 if hashlib.md5(f"{pre}{p}:{d}".encode()).hexdigest()[0] in "89abcdef"
+             else -1 for d in range(dim)]
+            for p in range(planes)]
+
+
+def hyperplane_signature(vec: Column, plane_matrix: list[list[int]]) -> Column:
+    """Signature bitmap over a QUANTIZED bigint vector: bit p set when
+    dot(vec, plane_p) >= 0. Integer dots are order-independent, so the
+    bucket assignment is bit-identical across engines (a double dot can
+    flip sign on a near-zero projection depending on summation order).
+    JVM-side: one zip_with/aggregate fold per plane over a literal ±1
+    array — planes x dim element ops in codegen'd higher-order funcs,
+    no Python, no driver probe."""
+    sig = None
+    for p, row in enumerate(plane_matrix):
+        lit_row = F.array(*[F.lit(s) for s in row])
+        dot = F.aggregate(F.zip_with(vec, lit_row, lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def _signature_gemm(df: DataFrame, vec_col: str, out_col: str,
+                    plane_matrix: list[list[int]]) -> DataFrame:
+    """Arrow-batched signature for LARGE dim: one numpy GEMM per batch
+    ((batch x dim) @ (dim x planes)), float64 — exact for quantized
+    components (products <= 1e12, dim-bounded sums < 2^53), so it
+    produces the same buckets as the JVM fold. At 1024d x 16 planes the
+    per-row cost is a BLAS row, not 16k interpreted lambda steps."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(plane_matrix, dtype=np.float64).T
+    weights = (np.int64(1) << np.arange(len(plane_matrix), dtype=np.int64))
+
+    # explicit hints resolvable without module globals (the module uses
+    # `from __future__ import annotations`, which stringifies hints)
+    def sig_fn(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pandas.Series(((X @ P >= 0) * weights).sum(axis=1).astype(np.int64))
+
+    sig_fn.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    sig = pandas_udf(sig_fn, "long")
+    return df.withColumn(out_col, sig(F.col(vec_col)))
 
 
 def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id", planes: int = 8) -> DataFrame:
-    """Approximate top-k: candidates = same hyperplane-signature bucket,
-    exact cosine re-rank within candidates. Recall is tuned by `planes`
-    (fewer planes -> bigger buckets -> higher recall, more compute)."""
+                    dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", planes: int = 8,
+                    tables: int = 1, use_arrow: bool | None = None) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane-signature bucket
+    in ANY of `tables` independent tables (standard LSH OR-amplification
+    — per-neighbor hit prob 1-(1-(1-θ/π)^planes)^tables), exact
+    (quantized) cosine re-rank on the candidate union. Recall knobs:
+    fewer planes -> bigger buckets; more tables -> more chances.
+
+    `dim` is a required parameter — no driver-side .first() probe in the
+    plan. use_arrow=None picks the signature kernel by size: the JVM
+    literal-array fold for small dim x planes, the numpy GEMM pandas_udf
+    beyond ~4096 multiply-adds per row; both produce identical buckets
+    (integer dots, order-independent).
+
+    Scale shape: signatures are narrow (id, table, sig) rows; the bucket
+    match is an equi-join on (table, sig) with the query side broadcast;
+    vectors are joined back only for surviving candidates, so the
+    shuffle never carries corpus-vector x tables replicas."""
     from pyspark.sql.window import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    if use_arrow is None:
+        use_arrow = dim * planes * tables > 4096
+    c = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("_cv"))
     q = queries.select(F.col(id_col).alias(query_id_col),
-                       _as_double(F.col(vec_col)).alias("_qv"))
-    c = c.withColumn("_sig", hyperplane_signature(F.col("_cv"), dim, planes))
-    q = q.withColumn("_sig", hyperplane_signature(F.col("_qv"), dim, planes))
-    joined = c.join(F.broadcast(q), "_sig").filter(F.col(query_id_col) != F.col(id_col))
+                       quantize_vec(F.col(vec_col)).alias("_qv"))
+
+    def with_sigs(df, vcol):
+        for t in range(tables):
+            pm = hyperplane_planes(dim, planes, table=t)
+            if use_arrow:
+                df = _signature_gemm(df, vcol, f"_sig{t}", pm)
+            else:
+                df = df.withColumn(f"_sig{t}", hyperplane_signature(F.col(vcol), pm))
+        sigs = F.array(*[F.struct(F.lit(t).alias("_t"), F.col(f"_sig{t}").alias("_sig"))
+                         for t in range(tables)])
+        return df.select(df.columns[0], F.explode(sigs).alias("_e")) \
+                 .select(df.columns[0], "_e._t", "_e._sig")
+
+    cand = (with_sigs(c, "_cv").join(F.broadcast(with_sigs(q, "_qv")), ["_t", "_sig"])
+            .filter(F.col(query_id_col) != F.col(id_col))
+            .select(query_id_col, id_col).distinct())
+    joined = (cand.join(c, id_col)
+              .join(F.broadcast(q.select(query_id_col, "_qv")), query_id_col))
     scored = joined.select(query_id_col, id_col,
-                           cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+                           cosine_quantized(F.col("_qv"), F.col("_cv")).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
