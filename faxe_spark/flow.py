@@ -224,10 +224,17 @@ class Flow:
             raise FlowBuildError(
                 "flow ends with an open window/batch — add an aggregate "
                 "node (faxe: win_* emits data_batch; a sink wants points)")
-        df = self._source(spark, sf_dir)
-        for step in self._steps:
-            df = step.apply(df, self)
-        return df
+        # steps mutate builder state while applying (batch appends
+        # 'batch_id' to _group_keys, win_* set _window); snapshot/restore
+        # so build() is repeatable on the same Flow instance.
+        snap = (self._window, list(self._group_keys))
+        try:
+            df = self._source(spark, sf_dir)
+            for step in self._steps:
+                df = step.apply(df, self)
+            return df
+        finally:
+            self._window, self._group_keys = snap[0], list(snap[1])
 
     # nodes with an incremental (Structured Streaming) physical plan.
     # Everything else either needs an unbounded window function
@@ -258,10 +265,14 @@ class Flow:
                     f"node '{step.node}' has no incremental streaming plan; "
                     f"use its faxe_spark.streaming stateful analog, or "
                     f"batch build()")
-        df = self._source(spark, sf_dir)
-        if not df.isStreaming:
-            raise FlowBuildError("build_stream needs a stream_source flow")
-        df = df.withWatermark(self._event_time, duration_to_interval(watermark))
-        for step in self._steps:
-            df = step.apply(df, self)
-        return df
+        snap = (self._window, list(self._group_keys))
+        try:
+            df = self._source(spark, sf_dir)
+            if not df.isStreaming:
+                raise FlowBuildError("build_stream needs a stream_source flow")
+            df = df.withWatermark(self._event_time, duration_to_interval(watermark))
+            for step in self._steps:
+                df = step.apply(df, self)
+            return df
+        finally:
+            self._window, self._group_keys = snap[0], list(snap[1])

@@ -20,10 +20,17 @@ def _c(x) -> Column:
 
 def truthy(x) -> Column:
     """Erlang/dfs_std_lib:bool truthiness: false/undefined/null/0/'' are
-    falsy, everything else truthy (used by where, esp_where.erl:39-40)."""
+    falsy, everything else truthy (used by where, esp_where.erl:39-40).
+
+    Numeric zero is tested NUMERICALLY (try_cast to double != 0), not by
+    string rendering — a DOUBLE 0.0 renders as '0.0' and would otherwise
+    slip through the isin('0') check; non-numeric strings fall back to
+    the string rules."""
     c = _c(x)
+    num = c.try_cast("double")
     return F.when(c.isNull(), F.lit(False)).otherwise(
-        c.cast("string").isNotNull() & ~c.cast("string").isin("false", "0", ""))
+        F.when(num.isNotNull(), num != 0.0).otherwise(
+            ~c.cast("string").isin("false", "")))
 
 
 def undefined() -> Column:

@@ -114,3 +114,36 @@ def test_flow_build_stream_rejects_non_incremental_nodes(spark):
     f = Flow.stream_source(stream).change_detect(["value"])
     with pytest.raises(FlowBuildError, match="streaming"):
         f.build_stream(spark)
+
+
+def test_flow_build_is_repeatable(spark):
+    """build() mutates builder state while applying (batch appends
+    'batch_id' to the group keys); a second build must see the same
+    declared state, not the residue of the first."""
+    from faxe_spark.flow import Flow
+
+    f = (Flow.parquet_source("events")
+         .group_by("user_id")
+         .batch(100)
+         .aggregate([("value", "avg", "v_avg")]))
+    df1 = f.build(spark, "/root/testdata/sf0.001")
+    df2 = f.build(spark, "/root/testdata/sf0.001")
+    assert df1.columns == df2.columns
+    assert df1.count() == df2.count()
+
+
+def test_truthy_numeric_zero_is_falsy(spark):
+    """Erlang truthiness: numeric 0 falsy regardless of type — a DOUBLE
+    0.0 must not slip through via its '0.0' string rendering."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.functions.lambda_lib import truthy
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.5,), (None,), (-1.0,)], "v double")
+    got = sorted(r.v for r in df.filter(truthy(F.col("v"))).collect())
+    assert got == [-1.0, 0.5]
+    sdf = spark.createDataFrame(
+        [("false",), ("0",), ("",), ("x",), ("0.0",), ("true",)], "s string")
+    got_s = sorted(r.s for r in sdf.filter(truthy(F.col("s"))).collect())
+    assert got_s == ["true", "x"]
