@@ -26,7 +26,10 @@ from faxe_spark.operators.filter import where, sample_nth, sample_per, change_de
 from faxe_spark.operators.window import win_time, win_event, win_event_agg, win_session, batch_by_count
 from faxe_spark.operators.aggregate import aggregate, AGG_FUNCTIONS, percentile, top_k, dist_count
 from faxe_spark.operators.diff import value_diff, time_diff, count_change
-from faxe_spark.operators.join import asof_join, asof_join_exact, interval_join, combine, union_streams
+from faxe_spark.operators.join import (
+    asof_join, asof_join_exact, interval_join, combine, union_streams,
+    merge_join, merge_value, salted_join,
+)
 from faxe_spark.operators.state import (
     state_runs, state_change, state_count, state_duration, state_sequence,
     state_change_bulk,
@@ -42,6 +45,7 @@ __all__ = [
     "aggregate", "AGG_FUNCTIONS", "percentile", "top_k", "dist_count",
     "value_diff", "time_diff", "count_change",
     "asof_join", "asof_join_exact", "interval_join", "combine", "union_streams",
+    "merge_join", "merge_value", "salted_join",
     "state_runs", "state_change", "state_count", "state_duration", "state_sequence",
     "state_change_bulk",
     "collect_unique", "collect_fields", "collect_table",

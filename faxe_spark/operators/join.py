@@ -185,6 +185,83 @@ def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str], *,
     return joined.select(*[left[c] for c in left.columns], f"{right_prefix}_ts", *r_cols)
 
 
+def _merge_deep(a: Column, b: Column, dtype) -> Column:
+    """Nested-merge rules inside a map/struct (esp_join.erl merge_fun
+    :246-251): nested maps recurse, lists merge, scalars -> right wins
+    (null-safe either way)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        inner = dtype.valueType
+        return F.map_zip_with(
+            a, b,
+            lambda k, x, y: F.when(x.isNull(), y).when(y.isNull(), x)
+            .otherwise(_merge_deep(x, y, inner)))
+    if isinstance(dtype, StructType):
+        return F.struct(*[
+            _merge_deep(a[f.name], b[f.name], f.dataType).alias(f.name)
+            for f in dtype.fields])
+    if isinstance(dtype, ArrayType):
+        return F.when(a.isNull(), b).when(b.isNull(), a) \
+                .otherwise(F.array_sort(F.concat(a, b)))
+    return F.coalesce(b, a)
+
+
+def merge_value(a: Column, b: Column, dtype) -> Column:
+    """Top-level merge of two same-typed field values (esp_join.erl
+    merge/2 :228-236): maps deep-merge, lists merge (sorted), numbers
+    ADD, strings concatenate. Type dispatch happens at PLAN time from
+    the column dtype — the whole merge stays in whole-stage codegen
+    (map_zip_with / concat / +), no Python in the row path."""
+    from pyspark.sql.types import ArrayType, MapType, NumericType, StringType, StructType
+
+    if isinstance(dtype, (MapType, StructType)):
+        return _merge_deep(a, b, dtype)
+    if isinstance(dtype, ArrayType):
+        return F.array_sort(F.concat(a, b))
+    if isinstance(dtype, NumericType):
+        return a + b
+    if isinstance(dtype, StringType):
+        return F.concat(a, b)
+    raise TypeError(
+        f"cannot merge fields of type {dtype.simpleString()} "
+        f"(reference merges maps, lists, numbers, strings — esp_join.erl:228-236)")
+
+
+def merge_join(streams: Sequence[DataFrame], on: Sequence[str], *,
+               ts_col: str = "ts", merge_field: str = "value",
+               direction: str = "nearest", tolerance: str | int | None = None,
+               how: str = "left") -> DataFrame:
+    """faxe join with `merge_field` (esp_join.erl:205-216): instead of
+    prefix-joining whole points, align the N streams on (key, ~ts) and
+    MERGE one field across them — maps deep-merge, numbers add, strings
+    concat (merge/2 :228-236). how='inner' mirrors full=true (only
+    complete rows emit); how='left' keeps partial rows with the
+    unmerged value (the missing_timeout emit path :146-156 in batch
+    form, where 'the timeout expired' = 'no partner within tolerance').
+
+    Implemented as a fold of as-of alignments (each one shuffle, window
+    formulation — see asof_join): stream i+1's merge field is aligned
+    to the accumulated left side, then merged at plan time."""
+    if len(streams) < 2:
+        raise ValueError("merge_join needs at least 2 streams")
+    keys = list(on)
+    out = streams[0]
+    dtype = out.schema[merge_field].dataType
+    for i, s in enumerate(streams[1:]):
+        right = s.select(*keys, ts_col, F.col(merge_field).alias("_mf"))
+        pref = f"_mj{i}_"
+        aligned = asof_join(out, right, keys, ts_col=ts_col, direction=direction,
+                            tolerance=tolerance, right_prefix=pref, how=how)
+        matched = F.col(f"{pref}_ts").isNotNull()
+        merged = F.when(matched,
+                        merge_value(F.col(merge_field), F.col(f"{pref}_mf"), dtype)) \
+                  .otherwise(F.col(merge_field))
+        out = (aligned.withColumn(merge_field, merged)
+               .drop(f"{pref}_ts", f"{pref}_mf"))
+    return out
+
+
 def combine(trigger: DataFrame, latest_from: DataFrame, on: Sequence[str], *,
             ts_col: str = "ts", prefix: str = "c_", tolerance: str | int | None = None) -> DataFrame:
     """faxe `combine` (esp_combine.erl:55): every trigger row enriched with

@@ -573,6 +573,47 @@ def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_merge",
+    f"""
+    WITH a AS (SELECT event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'view'),
+         b AS (SELECT user_id, ts, value FROM {_EV} WHERE event_type = 'click'),
+         bk AS (
+           SELECT a.event_id, b.ts AS bts, b.value AS bval
+           FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         ),
+         fw AS (
+           SELECT a.event_id, b.ts AS fts, b.value AS fval
+           FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.ts
+         ),
+         j AS (
+           SELECT a.event_id, a.user_id, a.ts, a.value, bk.bts, bk.bval, fw.fts, fw.fval,
+                  CASE WHEN fw.fts IS NULL OR (bk.bts IS NOT NULL
+                            AND epoch_us(a.ts) - epoch_us(bk.bts)
+                                <= epoch_us(fw.fts) - epoch_us(a.ts))
+                       THEN 'b' ELSE 'f' END AS pick
+           FROM a LEFT JOIN bk USING (event_id) LEFT JOIN fw USING (event_id)
+         )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN m_ts IS NOT NULL AND abs(epoch_us(ts) - epoch_us(m_ts)) <= 300000000
+                THEN value + m_val ELSE value END AS value
+    FROM (SELECT *, CASE WHEN pick = 'b' THEN bts ELSE fts END AS m_ts,
+                    CASE WHEN pick = 'b' THEN bval ELSE fval END AS m_val
+          FROM j)
+    """,
+    doc="faxe join merge_field mode (esp_join.erl:205-216, merge/2 :228-236): "
+        "numbers add across aligned streams; partial rows keep their value "
+        "(missing_timeout emit path :146-156, batch analog)",
+)
+def asof_join_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    b = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = ops.merge_join([a, b], ["user_id"], ts_col="ts", merge_field="value",
+                         direction="nearest", tolerance="5m", how="left")
+    return out.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@register(
     "combine_enrich",
     f"""
     WITH a AS (SELECT event_id, user_id, ts, value FROM {_EV} WHERE event_type = 'purchase'),
@@ -852,6 +893,30 @@ def collect_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = ops.collect_table(ev, ["user_id"], remove_when=F.col("event_type") == "error",
+                            ts_col="ts", tiebreak="event_id")
+    return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_type", "value")
+
+
+@register(
+    "collect_table_aged",
+    f"""
+    WITH latest AS (
+      SELECT user_id, ts, event_type, value
+      FROM {_EV}
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    newest AS (SELECT max(epoch_us(ts)) AS newest_us FROM {_EV})
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM latest, newest
+    WHERE epoch_us(ts) >= newest_us - 43200000000
+    """,
+    doc="faxe collect max_ts_age eviction (esp_collect.erl:300-317): keys whose "
+        "final row is older than newest-ts - age are dropped (12h here)",
+)
+def collect_table_aged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.collect_table(ev, ["user_id"], max_ts_age="12h",
                             ts_col="ts", tiebreak="event_id")
     return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
                       "event_type", "value")

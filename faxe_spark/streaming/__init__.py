@@ -17,6 +17,8 @@ from faxe_spark.streaming.stateful import (
     deadman_stream,
     triggered_timeout_stream,
     time_elapsed_stream,
+    join_stream,
+    collect_full_stream,
 )
 
 __all__ = [
@@ -30,4 +32,6 @@ __all__ = [
     "deadman_stream",
     "triggered_timeout_stream",
     "time_elapsed_stream",
+    "join_stream",
+    "collect_full_stream",
 ]

@@ -157,6 +157,228 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def collect_full_stream(df: DataFrame, *, key_col: str,
+                        payload_cols: list[str],
+                        add_when=None, remove_when=None, update_when=True,
+                        update_mode: str = "replace",
+                        max_age: str | None = None,
+                        max_ts_age: str | None = None,
+                        emit_every: str | None = None,
+                        include_removed: bool = False,
+                        ts_col: str = "ts") -> DataFrame:
+    """faxe `collect` full option surface (esp_collect.erl:63-120):
+    keyed buffer with add/remove/update LAMBDAS, update modes, aging and
+    periodic emit. Emits (key, ts_ms, payload JSON, action).
+
+    - add_when(new, None) -> bool gates inserts (default: always add).
+    - update_when: True = always replace/merge; False = never update;
+      or a callable (new, state) -> bool — `state` is the buffered
+      point's fields, the reference's `__state` root (:253-261).
+    - remove_when(new, state) -> bool deletes the key (:243-251);
+      include_removed keeps emitting it tagged 'remove' (:265-269).
+    - update_mode: 'replace' | 'merge' ({**old, **new}, new wins —
+      flowdata:merge_points) | 'merge_reverse' ({**new, **old}).
+    - max_age: PROCESSING-time since the key was added; enforced by the
+      per-key state timeout (age_cleanup :340-352) — eviction is silent,
+      like the reference's timer sweep.
+    - max_ts_age: EVENT-time age against the newest ts seen on the key;
+      checked on every batch (emit_buffer_cleanup :300-317).
+    - emit_every: re-emit the current state row (action='emit') every
+      interval even when unchanged (emit_timeout :160-162); shares the
+      state-timeout timer with max_age (the shorter wins, both checked).
+
+    State is one buffered point per key in the state store — the
+    reference's whole-node orddict becomes per-key distributed state,
+    so the buffer scales with the shuffle partitioning instead of one
+    process's heap."""
+    import json
+    import time as _time
+
+    from faxe_spark.durations import parse_duration_ms
+
+    max_age_ms = parse_duration_ms(max_age) if max_age else None
+    max_ts_age_ms = parse_duration_ms(max_ts_age) if max_ts_age else None
+    emit_ms = parse_duration_ms(emit_every) if emit_every else None
+    timer_ms = min(x for x in (max_age_ms, emit_ms) if x) \
+        if (max_age_ms or emit_ms) else None
+    if update_mode not in ("replace", "merge", "merge_reverse"):
+        raise ValueError(f"update_mode must be replace/merge/merge_reverse, "
+                         f"got {update_mode!r}")
+
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("payload", StringType()),
+        StructField("action", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("payload", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("added_ms", LongType()),
+        StructField("removed", BooleanType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["key", "ts_ms", "payload", "action"]
+        now_ms = int(_time.time() * 1000)
+        kstr = str(key[0])
+        if state.hasTimedOut:
+            payload, ts_ms, added_ms, removed = state.get
+            rows = []
+            if max_age_ms is not None and now_ms - added_ms > max_age_ms:
+                state.remove()  # silent age sweep, like the reference
+            else:
+                if emit_ms is not None and not removed:
+                    rows.append((kstr, ts_ms, payload, "emit"))
+                state.setTimeoutDuration(timer_ms)
+            yield pd.DataFrame(rows, columns=cols)
+            return
+
+        cur = dict(zip(("payload", "ts_ms", "added_ms", "removed"), state.get)) \
+            if state.exists else None
+        rows = []
+        newest = cur["ts_ms"] if cur else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for rec in pdf.to_dict("records"):
+                ts_ms = int(rec[ts_col].value // 1_000_000)
+                newest = max(newest, ts_ms)
+                # a null column is an ABSENT field on the incoming point
+                # (flowdata maps carry no undefined entries) — critical
+                # for merge modes, where absent must not overwrite.
+                new_fields = {c: rec[c] for c in payload_cols
+                              if rec[c] is not None and rec[c] == rec[c]}
+                st_fields = json.loads(cur["payload"]) if cur and not cur["removed"] else None
+                if st_fields is None:
+                    if cur is not None and cur["removed"]:
+                        cur = None  # tombstone: key can be re-added
+                    if add_when is None or add_when(new_fields, None):
+                        cur = {"payload": json.dumps(new_fields, default=str),
+                               "ts_ms": ts_ms, "added_ms": now_ms, "removed": False}
+                        rows.append((kstr, ts_ms, cur["payload"], "add"))
+                    continue
+                do_update = update_when if isinstance(update_when, bool) \
+                    else update_when(new_fields, st_fields)
+                if do_update:
+                    if update_mode == "merge":
+                        merged = {**st_fields, **new_fields}
+                    elif update_mode == "merge_reverse":
+                        merged = {**new_fields, **st_fields}
+                    else:
+                        merged = new_fields
+                    cur = {"payload": json.dumps(merged, default=str),
+                           "ts_ms": ts_ms, "added_ms": cur["added_ms"],
+                           "removed": False}
+                    rows.append((kstr, ts_ms, cur["payload"], "update"))
+                elif remove_when is not None and remove_when(new_fields, st_fields):
+                    rows.append((kstr, ts_ms, cur["payload"], "remove"))
+                    cur = {**cur, "removed": True} if include_removed else None
+        if cur is not None and max_ts_age_ms is not None \
+                and newest - cur["ts_ms"] > max_ts_age_ms:
+            if include_removed:
+                rows.append((kstr, cur["ts_ms"], cur["payload"], "remove"))
+            cur = None
+        if cur is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((cur["payload"], cur["ts_ms"], cur["added_ms"],
+                          cur["removed"]))
+            if timer_ms is not None:
+                state.setTimeoutDuration(timer_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
+                tolerance: str = "2s", missing_timeout: str = "30s",
+                full: bool = True, ts_col: str = "ts") -> DataFrame:
+    """faxe join's streaming buffer with missing_timeout
+    (esp_join.erl:85-156): rows from two sources (src_col in 'a'/'b')
+    buffered per key; when both sources land within `tolerance` of each
+    other, the pair emits immediately (complete=true, nearest-ts match
+    :197-207). A row whose partner never arrives is flushed when the
+    key's `missing_timeout` of PROCESSING time expires — emitted as a
+    partial row when full=false (the fill path :146-156), silently
+    dropped when full=true (inner semantics, maybe_emit :146-149).
+
+    Emits (key, ts_ms, a_value, b_value, complete). Per-key state is
+    the pending-row buffer — bounded by the timeout flush, stored in
+    Spark's state store (RocksDB at scale)."""
+    from faxe_spark.durations import parse_duration_ms
+
+    tol_ms = parse_duration_ms(tolerance)
+    timeout_ms = parse_duration_ms(missing_timeout)
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("a_value", DoubleType()),
+        StructField("b_value", DoubleType()),
+        StructField("complete", BooleanType()),
+    ])
+    from pyspark.sql.types import ArrayType
+    state_schema = StructType([
+        StructField("ts", ArrayType(LongType())),
+        StructField("src", ArrayType(StringType())),
+        StructField("val", ArrayType(DoubleType())),
+    ])
+
+    def emit_row(key, ts_ms, src, val, partner_val=None, complete=False):
+        a = val if src == "a" else partner_val
+        b = val if src == "b" else partner_val
+        return (key, ts_ms, a, b, complete)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["key", "ts_ms", "a_value", "b_value", "complete"]
+        if state.hasTimedOut:
+            ts_l, src_l, val_l = state.get
+            rows = [] if full else [
+                emit_row(key[0], t, s, v) for t, s, v in zip(ts_l, src_l, val_l)]
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols)
+            return
+        pend = list(zip(*state.get)) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, s, v in zip(pdf[ts_col], pdf[src_col], pdf[value_col]):
+                pend.append((int(ts.value // 1_000_000), str(s), float(v)))
+        pend.sort()
+        rows, remaining = [], []
+        used = [False] * len(pend)
+        for i, (t, s, v) in enumerate(pend):
+            if used[i]:
+                continue
+            # nearest unused opposite-source row within tolerance
+            best, best_d = None, None
+            for j in range(len(pend)):
+                if j == i or used[j] or pend[j][1] == s:
+                    continue
+                d = abs(pend[j][0] - t)
+                if d <= tol_ms and (best_d is None or d < best_d):
+                    best, best_d = j, d
+            if best is not None:
+                used[i] = used[best] = True
+                rows.append(emit_row(key[0], t, s, v,
+                                     partner_val=pend[best][2], complete=True))
+            else:
+                remaining.append((t, s, v))
+        if remaining:
+            state.update((tuple(x[0] for x in remaining),
+                          tuple(x[1] for x in remaining),
+                          tuple(x[2] for x in remaining)))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def triggered_timeout_stream(df: DataFrame, *, key_col: str, trigger_col: str,
                              cancel_col: str, timeout: str,
                              ts_col: str = "ts") -> DataFrame:
