@@ -48,10 +48,17 @@ def collect_fields(df: DataFrame, fields: Iterable[str], *, by: Iterable[str] = 
 
 def collect_table(df: DataFrame, key_fields: Iterable[str], *,
                   remove_when: str | Column | None = None,
+                  max_ts_age: str | None = None,
                   ts_col: str = "ts", tiebreak: str | None = None) -> DataFrame:
     """faxe `collect` batch analog: final state of the keyed upsert table —
     the last row per key, dropped if its final action matches `remove_when`
-    (the `remove` lambda, esp_collect.erl:22-33)."""
+    (the `remove` lambda, esp_collect.erl:22-33). `max_ts_age` is the
+    event-time eviction (emit_buffer_cleanup, esp_collect.erl:300-317):
+    keys whose final row is older than (newest ts seen anywhere) - age
+    are dropped. The newest-ts probe is a 1-row broadcast (scalar agg),
+    not a global window."""
+    from faxe_spark.durations import parse_duration_ms
+
     keys = list(key_fields)
     order = [F.col(ts_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
@@ -59,4 +66,11 @@ def collect_table(df: DataFrame, key_fields: Iterable[str], *,
     if remove_when is not None:
         cond = F.expr(remove_when) if isinstance(remove_when, str) else remove_when
         latest = latest.filter(~cond)
+    if max_ts_age is not None:
+        age_us = parse_duration_ms(max_ts_age) * 1000
+        newest = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_newest_us"))
+        latest = (latest.crossJoin(F.broadcast(newest))
+                  .filter(F.unix_micros(F.col(ts_col))
+                          >= F.col("_newest_us") - F.lit(age_us))
+                  .drop("_newest_us"))
     return latest

@@ -236,3 +236,96 @@ def test_flow_metrics_listener_and_observe(spark, tmp_path):
         assert got["v_sum"] == sum(float(i) for i in range(10, 100))
     finally:
         spark.streams.removeListener(listener)
+
+
+def _write_rows(spark, tmp_path, name, rows, schema):
+    path = str(tmp_path / name)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    return path
+
+
+def test_collect_full_stream_add_update_merge_remove(spark, tmp_path):
+    """esp_collect.erl semantics: add_when gates inserts, update_when
+    lambda picks updates, update_mode=merge keeps absent fields, a
+    remove_when hit deletes the key."""
+    import datetime
+    import json
+
+    from faxe_spark.streaming import stream_parquet, collect_full_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = _write_rows(
+        spark, tmp_path, "cfs1",
+        [(1, t(0), 1.0, "lo"), (1, t(1), 2.0, None), (1, t(2), -1.0, None),
+         (3, t(0), -5.0, "never")],  # add_when rejects negative first rows
+        "key bigint, ts timestamp, v double, q string")
+    s = stream_parquet(spark, path)
+    out = collect_full_stream(
+        s, key_col="key", payload_cols=["v", "q"],
+        add_when=lambda new, _st: new.get("v", 0) >= 0,
+        update_when=lambda new, st: new.get("v", 0) >= 0,
+        remove_when=lambda new, st: new.get("v", 0) < 0,
+        update_mode="merge")
+    _run_available_now(out, "cfs1")
+    rows = [(r.key, json.loads(r.payload), r.action)
+            for r in spark.sql("SELECT * FROM cfs1 ORDER BY ts_ms").collect()]
+    assert rows == [
+        ("1", {"v": 1.0, "q": "lo"}, "add"),
+        ("1", {"v": 2.0, "q": "lo"}, "update"),  # merge kept q
+        ("1", {"v": 2.0, "q": "lo"}, "remove"),
+    ]
+
+
+def test_collect_full_stream_max_ts_age_eviction(spark, tmp_path):
+    """Event-time aging (max_ts_age): a buffered point older than
+    newest-seen-ts - age is evicted; include_removed surfaces it."""
+    import datetime
+
+    from faxe_spark.streaming import stream_parquet, collect_full_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = _write_rows(
+        spark, tmp_path, "cfs2",
+        [(2, t(0), 5.0, None), (2, t(30), 6.0, None)],
+        "key bigint, ts timestamp, v double, q string")
+    s = stream_parquet(spark, path)
+    out = collect_full_stream(
+        s, key_col="key", payload_cols=["v"],
+        update_when=False, max_ts_age="5s", include_removed=True)
+    _run_available_now(out, "cfs2")
+    rows = [(r.action, r.ts_ms) for r in
+            spark.sql("SELECT * FROM cfs2 ORDER BY ts_ms").collect()]
+    # t(0) added, then t(30) arrives (no update) -> stored point is 30s
+    # older than newest -> evicted and surfaced
+    assert rows[0][0] == "add"
+    assert ("remove", rows[0][1]) in rows
+
+
+def test_collect_full_stream_emit_every(spark, tmp_path):
+    """emit_every: the buffer re-emits unchanged contents (action='emit')
+    on a processing-time cadence, like the reference's emit_timeout."""
+    import datetime
+
+    from faxe_spark.streaming import stream_parquet, collect_full_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = _write_rows(
+        spark, tmp_path, "cfs3", [(7, t(0), 1.5, None)],
+        "key bigint, ts timestamp, v double, q string")
+    s = stream_parquet(spark, path)
+    out = collect_full_stream(s, key_col="key", payload_cols=["v"],
+                              emit_every="2s")
+    q = (out.writeStream.format("memory").queryName("cfs3")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        emits = 0
+        while time.time() < deadline:
+            emits = spark.sql(
+                "SELECT count(*) c FROM cfs3 WHERE action = 'emit'").collect()[0].c
+            if emits > 0:
+                break
+            time.sleep(1)
+        assert emits > 0, "emit_every never re-emitted the buffer"
+    finally:
+        q.stop()
