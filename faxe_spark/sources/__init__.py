@@ -109,6 +109,165 @@ def socket_source(spark: SparkSession, *, host: str, port: int,
     return df
 
 
+def http_get_source(spark: SparkSession, url: str, *,
+                    json_schema: str | None = None, headers: dict | None = None,
+                    retries: int = 2, timeout_sec: float = 10.0) -> DataFrame:
+    """http_get one-shot (esp_http_get.erl:38): GET the URL once, return
+    the body as a 1-row batch DataFrame (fetch_ts, payload) — with
+    `json_schema`, parse into typed columns. Driver-side by design (one
+    request, point config fetch); the periodic form is
+    `http_poll_source`."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={
+        "Accept": "application/json,text/plain", **(headers or {})})
+    last = None
+    for _ in range(retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_sec) as r:
+                body = r.read().decode("utf-8")
+            break
+        except Exception as e:  # noqa: BLE001 - retry then surface
+            last = e
+            body = None
+    if body is None:
+        raise ConnectionError(f"http_get_source: GET {url} failed "
+                              f"after {retries + 1} attempts: {last}")
+    df = spark.createDataFrame([(body,)], "payload string") \
+        .withColumn("fetch_ts", F.current_timestamp())
+    if json_schema is not None:
+        df = df.select("fetch_ts",
+                       F.from_json("payload", json_schema).alias("_j")).select(
+            "fetch_ts", "_j.*")
+    return df
+
+
+def http_poll_source(spark: SparkSession, url: str, *, every: str = "10s",
+                     align: bool = False, json_schema: str | None = None,
+                     retries: int = 2, timeout_sec: float = 10.0) -> DataFrame:
+    """http_get periodic polling (esp_http_get.erl:38, `every`/`align`
+    options): a streaming DataFrame that GETs the URL once per interval.
+
+    Spark-first shape: the rate source provides the clock (one tick per
+    second); ticks are filtered to the poll cadence (`align=True` snaps
+    to wall-clock multiples of `every`, the faxe_time:align semantics)
+    and each surviving tick runs ONE executor-side GET in an
+    Arrow-batched mapInPandas — retried like the reference's
+    failed_retries, null payload after final failure (the conn_status
+    'down' analog, filterable downstream)."""
+    import pandas as pd
+
+    from faxe_spark.durations import parse_duration_ms
+
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+    if align:
+        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
+    else:
+        tick = rate.filter(F.col("value") % every_s == 0)
+
+    def fetch(batches):
+        import urllib.request
+
+        for pdf in batches:
+            payloads = []
+            for _ in range(len(pdf)):
+                body = None
+                for _attempt in range(retries + 1):
+                    try:
+                        req = urllib.request.Request(url, headers={
+                            "Accept": "application/json,text/plain"})
+                        with urllib.request.urlopen(req, timeout=timeout_sec) as r:
+                            body = r.read().decode("utf-8")
+                        break
+                    except Exception:  # noqa: BLE001 - retry, then null
+                        body = None
+                payloads.append(body)
+            yield pd.DataFrame({"poll_ts": pdf["timestamp"],
+                                "payload": payloads})
+
+    out = tick.mapInPandas(fetch, "poll_ts timestamp, payload string")
+    if json_schema is not None:
+        out = out.select("poll_ts",
+                         F.from_json("payload", json_schema).alias("_j")) \
+            .select("poll_ts", "_j.*")
+    return out
+
+
+class UdpListener:
+    """udp_recv (esp_udp_recv.erl:45): datagram ingest. Spark has no UDP
+    source, so this is the edge adapter a cluster deployment would run:
+    a listener thread receives datagrams and spools them as atomically-
+    renamed text files; `.df` is a normal file-stream DataFrame over the
+    spool (checkpointable, at-least-once — stronger than raw UDP).
+    `changed=True` drops consecutive duplicate datagrams (the reference's
+    crc32 dedup, :92-99). Single-listener by design, like the reference
+    node; scale ingest goes through the broker path (kafka_source)."""
+
+    def __init__(self, spark: SparkSession, *, port: int = 0,
+                 host: str = "127.0.0.1", spool_dir: str | None = None,
+                 json_schema: str | None = None, changed: bool = False,
+                 flush_every: float = 0.2):
+        import os
+        import socket
+        import tempfile
+        import threading
+        import zlib
+
+        self._spool = spool_dir or tempfile.mkdtemp(prefix="faxe_udp_")
+        os.makedirs(self._spool, exist_ok=True)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.settimeout(flush_every)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._seq = 0
+
+        def loop():
+            buf, prev_crc = [], None
+            while not self._stop.is_set():
+                try:
+                    data, _ = self._sock.recvfrom(65536)
+                    if changed:
+                        crc = zlib.crc32(data)
+                        if crc == prev_crc:
+                            continue
+                        prev_crc = crc
+                    buf.append(data.decode("utf-8", errors="replace"))
+                except OSError:
+                    pass  # timeout -> flush chance
+                if buf:
+                    tmp = os.path.join(self._spool, f"._{self._seq}.txt")
+                    dst = os.path.join(self._spool, f"batch_{self._seq}.txt")
+                    with open(tmp, "w") as f:
+                        f.write("\n".join(buf) + "\n")
+                    os.rename(tmp, dst)  # atomic: stream never sees partials
+                    self._seq += 1
+                    buf = []
+            self._sock.close()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+        df = spark.readStream.format("text").load(self._spool)
+        df = df.withColumnRenamed("value", "data")
+        if json_schema is not None:
+            df = df.select(F.from_json("data", json_schema).alias("_j")).select("_j.*")
+        self.df = df
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+def udp_source(spark: SparkSession, **kwargs) -> UdpListener:
+    """udp_recv analog — see UdpListener. Returns the listener; stream
+    from `listener.df`, and call `listener.stop()` on shutdown."""
+    return UdpListener(spark, **kwargs)
+
+
 def json_rows_source(spark: SparkSession, rows: list[dict] | list[str],
                      ts_field: str = "ts") -> DataFrame:
     """json_emitter analog (esp_json_emitter.erl:37): literal JSON rows

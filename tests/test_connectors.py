@@ -227,3 +227,104 @@ def test_socket_source_line_stream(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_http_get_source_one_shot(spark):
+    """http_get (esp_http_get.erl:38): one GET -> typed 1-row DataFrame."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from faxe_spark.sources import http_get_source
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"code": 7, "val": 3.25}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = http_get_source(
+            spark, f"http://127.0.0.1:{server.server_port}/x",
+            json_schema="code long, val double")
+        row = df.collect()[0]
+        assert (row.code, row.val) == (7, 3.25)
+    finally:
+        server.shutdown()
+
+
+def test_http_poll_source_polls_live_server(spark):
+    """http_get with `every` (esp_http_get.erl poll loop): the streaming
+    poller GETs the localhost server repeatedly; each poll is one row."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from faxe_spark.sources import http_poll_source
+
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(1)
+            body = json.dumps({"n": len(hits)}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    out = http_poll_source(
+        spark, f"http://127.0.0.1:{server.server_port}/poll",
+        every="1s", json_schema="n long")
+    q = (out.writeStream.format("memory").queryName("http_poll").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT n FROM http_poll WHERE n IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2, "poller produced fewer than 2 polls"
+        assert len(hits) >= 2
+    finally:
+        q.stop()
+        server.shutdown()
+
+
+def test_udp_source_live_datagrams(spark):
+    """udp_recv (esp_udp_recv.erl:45): datagrams sent to the listener
+    surface as streaming rows; changed=True drops consecutive dups."""
+    import socket
+
+    from faxe_spark.sources import udp_source
+
+    lis = udp_source(spark, json_schema="id long, v double", changed=True)
+    q = (lis.df.writeStream.format("memory").queryName("udp_t").start())
+    snd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        msgs = [b'{"id": 1, "v": 1.5}', b'{"id": 1, "v": 1.5}',  # dup dropped
+                b'{"id": 2, "v": 2.5}']
+        deadline = time.time() + 45
+        got = []
+        while time.time() < deadline:
+            for m in msgs:
+                snd.sendto(m, ("127.0.0.1", lis.port))
+            time.sleep(1.0)
+            got = sorted({(r.id, r.v) for r in spark.sql("SELECT * FROM udp_t").collect()})
+            if len(got) >= 2:
+                break
+        assert got == [(1, 1.5), (2, 2.5)]
+    finally:
+        q.stop()
+        snd.close()
+        lis.stop()
