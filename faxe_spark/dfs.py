@@ -274,7 +274,40 @@ class _Parser:
                 return "".join(parts)
 
 
-def parse_script(text: str) -> list[Chain]:
+_TEMPLATE_RE = re.compile(r'\{\{\s*"?([A-Za-z_][\w\-.]*)"?\s*\}\}')
+
+
+def substitute_template(text: str, vars: dict | None = None, *,
+                        on_missing: str = "error") -> str:
+    """`{{var}}` template substitution (faxe_dfs.erl:49-57: vars are
+    passed to dfs:parse and spliced before parsing; faxe.hrl template
+    records). Quoted form `{{"name"}}` is accepted. on_missing:
+    'error' raises with the full missing-var list; any other string is
+    used as the fallback value (the parse-only corpus sweep uses '1')."""
+    vars = vars or {}
+    missing = []
+
+    def sub(m):
+        name = m.group(1)
+        if name in vars:
+            return str(vars[name])
+        if on_missing == "error":
+            missing.append(name)
+            return ""
+        return on_missing
+
+    out = _TEMPLATE_RE.sub(sub, text)
+    if missing:
+        raise KeyError(f"dfs template vars not provided: {sorted(set(missing))}")
+    return out
+
+
+def parse_script(text: str, vars: dict | None = None) -> list[Chain]:
+    if vars is not None:
+        text = substitute_template(text, vars)  # strict: missing vars raise
+    elif _TEMPLATE_RE.search(text):
+        # parse-only tolerance: unbound template slots become a literal
+        text = substitute_template(text, {}, on_missing="1")
     return _Parser(tokenize(text)).parse()
 
 
@@ -468,6 +501,8 @@ class DFSCompiler:
         self.group_keys: list[str] = []
         self.window = None            # pending time/session window Column
         self.count_window = None      # pending (period, every) count window
+        self.sinks: list[dict] = []   # deferred sink specs (runner applies)
+        self.listeners: list = []     # live edge listeners (udp) to stop()
 
     def run(self, script: str) -> DataFrame:
         chains = parse_script(script)
@@ -631,15 +666,222 @@ class DFSCompiler:
         return ops.union_streams(df, *others)
 
     def node_join(self, df, node: NodeCall) -> DataFrame:
-        other = self.env[node.args[0][1]]
+        others = [self.env[a[1]] for a in node.args
+                  if isinstance(a, tuple) and a[0] == "ref"]
         tol = _dur_str(node.params["tolerance"][0]) if "tolerance" in node.params else None
-        prefix = node.params.get("prefix", ["r_"])[0]
         keys = self.group_keys or []
         if not keys:
             raise NotImplementedError("DFS join without group_by keys: pass "
                                       "group_by first (keyed as-of join)")
-        return ops.asof_join(df, other, keys, ts_col="ts", direction="nearest",
-                             tolerance=tol, right_prefix=prefix)
+        if "merge_field" in node.params:  # esp_join.erl merge mode :205-216
+            mf = node.params["merge_field"][0]
+            return ops.merge_join([df, *others], keys, ts_col="ts",
+                                  merge_field=mf, direction="nearest",
+                                  tolerance=tol, how="left")
+        prefixes = node.params.get("prefix", [f"r{i}_" for i in range(len(others))])
+        out = df
+        for other, prefix in zip(others, prefixes):
+            out = ops.asof_join(out, other, keys, ts_col="ts", direction="nearest",
+                                tolerance=tol, right_prefix=prefix)
+        return out
+
+    def node_join2(self, df, node: NodeCall) -> DataFrame:
+        """faxe join2 (esp_join2.erl:50): multi-row-per-ts all-pairs
+        within tolerance => interval join, folded over the input refs."""
+        others = [self.env[a[1]] for a in node.args
+                  if isinstance(a, tuple) and a[0] == "ref"]
+        tol = _dur_str(node.params["tolerance"][0]) if "tolerance" in node.params else "1s"
+        prefixes = node.params.get("prefix", [f"r{i}_" for i in range(len(others) + 1)])
+        keys = self.group_keys or []
+        if not keys:
+            raise NotImplementedError("DFS join2 without group_by keys: pass "
+                                      "group_by first (keyed interval join)")
+        out = df
+        for other, prefix in zip(others, prefixes[1:] if len(prefixes) > len(others)
+                                 else prefixes):
+            out = ops.interval_join(out, other, keys, ts_col="ts",
+                                    tolerance=tol, right_prefix=prefix)
+        return out
+
+    def node_collect(self, df, node: NodeCall) -> DataFrame:
+        """faxe collect batch analog (esp_collect.erl:63): final upsert
+        state — .add() compiles to a pre-filter (rows eligible to enter
+        the buffer), .remove() to the final-action drop; streaming
+        lambdas/aging live in streaming.stateful.collect_full_stream."""
+        keys = [k for k in node.params.get("key_fields", [])
+                if isinstance(k, str)] or [a for a in node.args if isinstance(a, str)]
+        if not keys:
+            raise NotImplementedError("DFS collect needs key_fields")
+        if "add" in node.params:
+            df = df.filter(truthy(self._lam(node.params["add"][0])))
+        remove = None
+        if "remove" in node.params:
+            remove = truthy(self._lam(node.params["remove"][0]))
+        max_ts_age = (_dur_str(node.params["max_ts_age"][0])
+                      if "max_ts_age" in node.params else None)
+        return ops.collect_table(df, keys, remove_when=remove,
+                                 max_ts_age=max_ts_age, ts_col="ts")
+
+    def node_mem(self, df, node: NodeCall) -> DataFrame:
+        """faxe mem (esp_mem.erl:31): register a named constant readable
+        from lambdas; the in-flow mutable form has no batch analog."""
+        key = node.params.get("key", node.args or [None])[0]
+        if key is None:
+            raise NotImplementedError("DFS mem needs .key()")
+        default = self._val(node.params.get("default", [None])[0])
+        self.consts[str(key)] = default
+        return df
+
+    def node_statistics(self, df, node: NodeCall) -> DataFrame:
+        """faxe statistics (esp_statistics.erl): the stats-module list as
+        one multi-spec aggregate over the pending window/batch group."""
+        modules = [m for m in node.params.get("modules", []) if isinstance(m, str)]
+        field = node.params.get("field", ["value"])[0]
+        specs = [(field, m, f"{field}_{m}") for m in modules]
+        return ops.aggregate(df, specs, by=self._agg_keys())
+
+    def node_state_sequence(self, df, node: NodeCall) -> DataFrame:
+        """faxe state_sequence (esp_state_sequence.erl:47): the .states()
+        lambdas in order; extra input refs union in first (the reference
+        wires them as inports)."""
+        others = [self.env[a[1]] for a in node.args
+                  if isinstance(a, tuple) and a[0] == "ref" and a[1] in self.env]
+        out = ops.union_streams(df, *others) if others else df
+        steps = [truthy(self._lam(s)) for s in node.params.get("states", [])]
+        wd = node.params.get("within", [])
+        timeouts = [parse_duration_ms(_dur_str(w)) for w in wd] \
+            or [3_600_000] * max(len(steps) - 1, 0)
+        return ops.state_sequence(out, steps, timeouts, by=self.group_keys)
+
+    def node_state_change_bulk(self, df, node: NodeCall) -> DataFrame:
+        """faxe state_change_bulk (esp_state_change_bulk.erl:53): one FSM
+        per listed field; $field condition from .state_value()."""
+        fields_ = [f for f in node.params.get("field", []) if isinstance(f, str)]
+        if not fields_:
+            raise NotImplementedError("DFS state_change_bulk needs .field()")
+        sv = self._val(node.params.get("state_value", [1])[0])
+        cond = F.col(fields_[0]) == F.lit(sv)
+        return ops.state_change_bulk(df, fields_, cond, by=self.group_keys, ts_col="ts")
+
+    # queue-window variants: same window semantics, emit-from-queue is a
+    # runtime detail the row model subsumes (esp_win_time_q / win_event_q)
+    def node_win_time_q(self, df, node: NodeCall) -> DataFrame:
+        return self.node_win_time(df, node)
+
+    def node_win_event_q(self, df, node: NodeCall) -> DataFrame:
+        return self.node_win_event(df, node)
+
+    # -- connector nodes ---------------------------------------------------
+    def _url(self, node: NodeCall, default_port: int = 80) -> str:
+        host = node.params.get("host", ["localhost"])[0]
+        port = int(self._val(node.params.get("port", [default_port])[0]))
+        path = node.params.get("path", ["/"])[0]
+        scheme = "https" if "tls" in node.params else "http"
+        return f"{scheme}://{host}:{port}{path if str(path).startswith('/') else '/' + str(path)}"
+
+    def node_http_get(self, df, node: NodeCall) -> DataFrame:
+        """esp_http_get.erl:38 — .every() makes it the streaming poller,
+        else a one-shot batch GET."""
+        from faxe_spark.sources import http_get_source, http_poll_source
+
+        url = self._url(node)
+        if "every" in node.params:
+            return http_poll_source(self.spark, url,
+                                    every=_dur_str(node.params["every"][0]),
+                                    align="align" in node.params)
+        return http_get_source(self.spark, url)
+
+    def node_tcp_recv_line(self, df, node: NodeCall) -> DataFrame:
+        """esp_tcp_recv_line.erl:40 — line-framed socket stream."""
+        from faxe_spark.sources import socket_source
+
+        return socket_source(
+            self.spark,
+            host=node.params.get("ip", node.params.get("host", ["localhost"]))[0],
+            port=int(self._val(node.params["port"][0])),
+            min_length=int(self._val(node.params.get("min_length", [0])[0])))
+
+    node_tcp_recv = node_tcp_recv_line
+
+    def node_udp_recv(self, df, node: NodeCall) -> DataFrame:
+        """esp_udp_recv.erl:45 — spooled datagram listener stream."""
+        from faxe_spark.sources import udp_source
+
+        lis = udp_source(self.spark,
+                         port=int(self._val(node.params.get("port", [0])[0])),
+                         changed="changed" in node.params)
+        self.listeners.append(lis)
+        return lis.df
+
+    def node_deadman(self, df, node: NodeCall) -> DataFrame:
+        """esp_deadman.erl:43 — streaming watchdog (needs a stream)."""
+        from faxe_spark.streaming.stateful import deadman_stream
+
+        if not df.isStreaming:
+            raise NotImplementedError(
+                "DFS deadman is streaming-only (processing-time watchdog); "
+                "feed a stream source or use streaming.deadman_stream")
+        key = self.group_keys[0] if self.group_keys else node.params["key"][0]
+        return deadman_stream(df, key_col=key,
+                              timeout=_dur_str(node.params["timeout"][0]))
+
+    def node_triggered_timeout(self, df, node: NodeCall) -> DataFrame:
+        """esp_triggered_timeout.erl — arm on trigger rows, fire after
+        timeout unless a cancel row (the extra input ref) arrives."""
+        from faxe_spark.streaming.stateful import triggered_timeout_stream
+
+        others = [self.env[a[1]] for a in node.args
+                  if isinstance(a, tuple) and a[0] == "ref" and a[1] in self.env]
+        out = ops.union_streams(df, *others) if others else df
+        if not out.isStreaming:
+            raise NotImplementedError(
+                "DFS triggered_timeout is streaming-only; feed a stream "
+                "source or use streaming.triggered_timeout_stream")
+        key = self.group_keys[0] if self.group_keys else node.params["key"][0]
+        trig = truthy(self._lam(node.params["timeout_trigger"][0]))
+        cancel = (truthy(self._lam(node.params["cancel"][0]))
+                  if "cancel" in node.params else ~trig)
+        out = out.withColumn("_trig", trig).withColumn("_cancel", cancel)
+        return triggered_timeout_stream(
+            out, key_col=key, trigger_col="_trig", cancel_col="_cancel",
+            timeout=_dur_str(self._val(node.params["timeout"][0])))
+
+    # sinks: recorded as deferred actions (the runner applies them /
+    # foreachBatch at stream start); the flow passes through so a DFS
+    # script ending in a sink still yields its final DataFrame.
+    def _defer_sink(self, df, node: NodeCall, kind: str, **spec) -> DataFrame:
+        self.sinks.append({"kind": kind, "node": node.name, **spec})
+        return df
+
+    def node_http_post(self, df, node: NodeCall) -> DataFrame:
+        return self._defer_sink(df, node, "http_post", url=self._url(node))
+
+    node_http_post_crate = node_http_post
+
+    def node_email(self, df, node: NodeCall) -> DataFrame:
+        return self._defer_sink(
+            df, node, "email",
+            to=[t for t in node.params.get("to", []) if isinstance(t, str)],
+            subject=node.params.get("subject", [""])[0])
+
+    def node_mqtt_publish(self, df, node: NodeCall) -> DataFrame:
+        """esp_mqtt_publish.erl — broker egress via the kafka_sink
+        analog; topic recorded, broker bound at stream start."""
+        return self._defer_sink(
+            df, node, "broker_publish",
+            topic=node.params.get("topic", node.params.get("topic_lambda", [""]))[0],
+            host=node.params.get("host", ["localhost"])[0])
+
+    node_amqp_publish = node_mqtt_publish
+
+    def node_influx_out(self, df, node: NodeCall) -> DataFrame:
+        return self._defer_sink(
+            df, node, "jdbc_write",
+            table=node.params.get("measurement", node.params.get("table", [""]))[0],
+            host=node.params.get("host", ["localhost"])[0])
+
+    node_crate_out = node_influx_out
+    node_postgre_out = node_influx_out
 
     def node_win_event(self, df, node: NodeCall) -> DataFrame:
         period = int(self._val(node.params["period"][0]))

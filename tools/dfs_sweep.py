@@ -1,0 +1,67 @@
+"""Sweep the reference's dfs/**/*.dfs corpus through the DFS parser:
+the honest front-end coverage metric. Parse-only gate (template vars
+substituted with a placeholder), plus a node-name inventory showing
+which nodes the compiler supports vs parse-only.
+
+Run: python tools/dfs_sweep.py  -> prints a report; exit 1 if parse
+coverage < 80%.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from faxe_spark.dfs import DFSCompiler, parse_script, substitute_template  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+
+
+def compiled_node_names() -> set[str]:
+    names = {m[len("node_"):] for m in dir(DFSCompiler) if m.startswith("node_")}
+    names |= set(DFSCompiler.STAT_NODES)
+    return names
+
+
+def sweep(corpus_root: Path = REFERENCE):
+    files = sorted(corpus_root.rglob("*.dfs"))
+    ok, failed = [], []
+    node_names: dict[str, int] = {}
+    for f in files:
+        text = f.read_text(errors="replace")
+        try:
+            text = substitute_template(text, {}, on_missing="1")
+            chains = parse_script(text)
+            for ch in chains:
+                for n in ch.nodes:
+                    node_names[n.name] = node_names.get(n.name, 0) + 1
+            ok.append(f)
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            failed.append((f, f"{type(e).__name__}: {e}"))
+    return files, ok, failed, node_names
+
+
+def main() -> int:
+    files, ok, failed, node_names = sweep()
+    pct = 100.0 * len(ok) / max(len(files), 1)
+    supported = compiled_node_names()
+    used = sorted(node_names)
+    sup = [n for n in used if n.lstrip("@") in supported or n.startswith("@")]
+    unsup = [n for n in used if n.lstrip("@") not in supported and not n.startswith("@")]
+
+    print(f"DFS corpus sweep: {len(ok)}/{len(files)} files parse ({pct:.1f}%)")
+    print(f"node names used: {len(used)}; compiled: {len(sup)}; "
+          f"parse-only: {len(unsup)}")
+    print("\nparse-only nodes (no compiler yet): "
+          + ", ".join(f"{n}({node_names[n]})" for n in unsup))
+    if failed:
+        print("\nfailing files:")
+        for f, err in failed:
+            print(f"  {f.relative_to(REFERENCE)}: {err[:120]}")
+    return 0 if pct >= 80.0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
