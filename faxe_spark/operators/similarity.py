@@ -195,7 +195,7 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", nlist: int = 64,
                     nprobe: int = 8, seed: int = 42,
-                    max_iter: int = 20) -> DataFrame:
+                    max_iter: int = 20, quantize: bool = False) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the billion-scale ANN
     architecture (FAISS IVFFlat layout, built from public Spark MLlib):
 
@@ -221,9 +221,16 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     from pyspark.sql.window import Window
 
     unit = lambda col: F.transform(col, lambda x: x / _norm(col))  # noqa: E731
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"))
+    # quantize=True scores the re-rank over integer-quantized vectors
+    # (engine-exact, the oracle determinism device); the k-means
+    # training/probe stays double — only the OUTPUT cosine must be exact.
+    prep = quantize_vec if quantize else _as_double
+    cos = cosine_quantized if quantize else cosine
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"),
+                      prep(F.col(vec_col)).alias("_cvs"))
     q = queries.select(F.col(id_col).alias(query_id_col),
-                       _as_double(F.col(vec_col)).alias("_qv"))
+                       _as_double(F.col(vec_col)).alias("_qv"),
+                       prep(F.col(vec_col)).alias("_qvs"))
 
     feats = c.select(id_col, array_to_vector(unit(F.col("_cv"))).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
@@ -243,12 +250,12 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     probes = (q.crossJoin(F.broadcast(cent))
               .withColumn("_crank", F.row_number().over(wq))
               .filter(F.col("_crank") <= nprobe)
-              .select(query_id_col, "_qv", "_cid"))
+              .select(query_id_col, "_qvs", "_cid"))
 
     joined = lists.join(F.broadcast(probes), "_cid").filter(
         F.col(query_id_col) != F.col(id_col))
     scored = joined.select(query_id_col, id_col,
-                           cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+                           cos(F.col("_qvs"), F.col("_cvs")).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

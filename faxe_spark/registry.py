@@ -1412,8 +1412,35 @@ def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    None,  # iterative label propagation — not SQL-expressible; rows-only.
-    doc="dedup: near-dup pairs -> connected components -> canonical keeper set",
+    f"""
+    WITH RECURSIVE {_SHINGLES_1},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shin GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shin a JOIN shin b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.n + sb.n - inter) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+    doc="dedup: near-dup pairs -> connected components (hash-min label "
+        "propagation) -> canonical keeper set; oracle = recursive-CTE "
+        "transitive closure with min-reachable labels (identical fixpoint)",
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1424,14 +1451,48 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # k-means training is not SQL-expressible; rows-only check.
-    doc="similarity search: IVF (k-means coarse quantizer, nprobe lists, exact re-rank)",
+    None,  # k-means training + partial probe is not SQL-expressible; rows-only.
+    doc="similarity search: IVF (k-means coarse quantizer, nprobe lists, exact "
+        "re-rank); exactness of the machinery is driver-checked by "
+        "ann_ivf_full_probe (nprobe=nlist ≡ brute force)",
 )
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.cosine_ivf_topk(emb, queries, 5, id_col="vec_id",
                                    vec_col="embedding", nlist=16, nprobe=4) \
+        .select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "ann_ivf_full_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM c, q WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="similarity search: IVF at nprobe=nlist is exhaustive, so it must "
+        "reproduce the brute-force oracle exactly — the driver-checked "
+        "equivalence proof for the IVF machinery",
+)
+def ann_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_ivf_topk(emb, queries, 5, id_col="vec_id",
+                                   vec_col="embedding", nlist=8, nprobe=8,
+                                   quantize=True) \
         .select("query_id", "vec_id", "cosine", "rank")
 
 
