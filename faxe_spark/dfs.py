@@ -723,12 +723,27 @@ class DFSCompiler:
                                  max_ts_age=max_ts_age, ts_col="ts")
 
     def node_mem(self, df, node: NodeCall) -> DataFrame:
-        """faxe mem (esp_mem.erl:31): register a named constant readable
-        from lambdas; the in-flow mutable form has no batch analog."""
+        """faxe mem (esp_mem.erl:31): with .field(), values are gathered
+        FROM the flow into flow-wide memory (single/list/set; batch
+        analog = aggregate at this node, lambda_lib.mem_write); without,
+        it is a pre-populated lookup from .default()."""
+        from faxe_spark.functions.lambda_lib import mem_write, set_mem
+
         key = node.params.get("key", node.args or [None])[0]
-        if key is None:
-            raise NotImplementedError("DFS mem needs .key()")
+        field_ = node.params.get("field", [None])[0]
         default = self._val(node.params.get("default", [None])[0])
+        mtype = node.params.get("type", ["single"])[0]
+        if field_ is not None:
+            if key is None:
+                key = field_
+            df = mem_write(df, field_, key=str(key), type=str(mtype))
+            self.consts[str(key)] = None  # resolved via mem() at eval
+            return df
+        if key is None:
+            raise NotImplementedError("DFS mem needs .key() or .field()")
+        if "default_json" in node.params and isinstance(default, str):
+            default = json.loads(default)
+        set_mem(str(key), default)
         self.consts[str(key)] = default
         return df
 
@@ -802,6 +817,19 @@ class DFSCompiler:
             min_length=int(self._val(node.params.get("min_length", [0])[0])))
 
     node_tcp_recv = node_tcp_recv_line
+
+    def node_http_listen(self, df, node: NodeCall) -> DataFrame:
+        """esp_http_listen.erl:30 — embedded HTTP ingest server stream."""
+        from faxe_spark.sources import http_listen_source
+
+        lis = http_listen_source(
+            self.spark,
+            port=int(self._val(node.params.get("port", [0])[0])),
+            path=node.params.get("path", ["/"])[0],
+            user=node.params.get("user", [None])[0],
+            password=node.params.get("pass", [None])[0])
+        self.listeners.append(lis)
+        return lis.df
 
     def node_udp_recv(self, df, node: NodeCall) -> DataFrame:
         """esp_udp_recv.erl:45 — spooled datagram listener stream."""

@@ -268,6 +268,88 @@ def udp_source(spark: SparkSession, **kwargs) -> UdpListener:
     return UdpListener(spark, **kwargs)
 
 
+class HttpListener:
+    """http_listen (esp_http_listen.erl:30): inbound HTTP push ingest.
+    Same edge-adapter shape as UdpListener: an embedded HTTP server
+    accepts POST/PUT bodies on `path` (one item per request, newline-
+    split for ndjson), optionally basic-auth-gated, and spools them as
+    atomically-renamed text files feeding a checkpointable file-stream
+    DataFrame. Single listener by design; scale ingest goes through the
+    broker path."""
+
+    def __init__(self, spark: SparkSession, *, port: int = 0,
+                 host: str = "127.0.0.1", path: str = "/",
+                 spool_dir: str | None = None, json_schema: str | None = None,
+                 user: str | None = None, password: str | None = None):
+        import base64
+        import os
+        import tempfile
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self._spool = spool_dir or tempfile.mkdtemp(prefix="faxe_httpl_")
+        os.makedirs(self._spool, exist_ok=True)
+        seq_lock = threading.Lock()
+        state = {"seq": 0}
+        want_auth = None
+        if user is not None:
+            creds = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+            want_auth = f"Basic {creds}"
+        spool = self._spool
+        accept_path = path
+
+        class Handler(BaseHTTPRequestHandler):
+            def _ingest(self):
+                if self.path != accept_path:
+                    self.send_response(404); self.end_headers()
+                    return
+                if want_auth is not None and \
+                        self.headers.get("Authorization") != want_auth:
+                    self.send_response(401); self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", errors="replace")
+                lines = [ln for ln in body.splitlines() if ln.strip()]
+                with seq_lock:
+                    seq = state["seq"]
+                    state["seq"] += 1
+                tmp = os.path.join(spool, f"._{seq}.txt")
+                dst = os.path.join(spool, f"req_{seq}.txt")
+                with open(tmp, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                os.rename(tmp, dst)
+                self.send_response(200)
+                self.end_headers()
+
+            do_POST = _ingest
+            do_PUT = _ingest
+
+            def log_message(self, *a):  # noqa: D102 - quiet
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_port
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+        df = spark.readStream.format("text").load(self._spool)
+        df = df.withColumnRenamed("value", "data")
+        if json_schema is not None:
+            df = df.select(F.from_json("data", json_schema).alias("_j")).select("_j.*")
+        self.df = df
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+
+
+def http_listen_source(spark: SparkSession, **kwargs) -> HttpListener:
+    """http_listen analog — see HttpListener."""
+    return HttpListener(spark, **kwargs)
+
+
 def json_rows_source(spark: SparkSession, rows: list[dict] | list[str],
                      ts_field: str = "ts") -> DataFrame:
     """json_emitter analog (esp_json_emitter.erl:37): literal JSON rows

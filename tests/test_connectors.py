@@ -328,3 +328,45 @@ def test_udp_source_live_datagrams(spark):
         q.stop()
         snd.close()
         lis.stop()
+
+
+def test_http_listen_source_receives_posts(spark):
+    """http_listen (esp_http_listen.erl:30): POSTed ndjson bodies become
+    streaming rows; wrong path 404s; basic auth gates when configured."""
+    import urllib.request
+
+    from faxe_spark.sources import http_listen_source
+
+    lis = http_listen_source(spark, path="/ingest",
+                             json_schema="id long, v double",
+                             user="u", password="p")
+    q = (lis.df.writeStream.format("memory").queryName("httpl_t").start())
+    try:
+        base = f"http://127.0.0.1:{lis.port}"
+        auth = {"Authorization": "Basic dTpw"}  # u:p
+
+        def post(path, body, headers=None):
+            req = urllib.request.Request(base + path, data=body.encode(),
+                                         headers=headers or {}, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=5) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("/ingest", '{"id":1,"v":1.5}\n{"id":2,"v":2.5}', auth) == 200
+        assert post("/ingest", '{"id":9,"v":9.9}') == 401  # no auth
+        assert post("/other", '{"id":9,"v":9.9}', auth) == 404
+
+        deadline = time.time() + 45
+        got = []
+        while time.time() < deadline:
+            got = sorted((r.id, r.v) for r in
+                         spark.sql("SELECT * FROM httpl_t").collect())
+            if len(got) >= 2:
+                break
+            time.sleep(0.5)
+        assert got == [(1, 1.5), (2, 2.5)]
+    finally:
+        q.stop()
+        lis.stop()
