@@ -122,6 +122,12 @@ LAMBDA_FUNCTIONS = {
     "tan": lambda x: F.tan(_c(x)),
     "exp": lambda x: F.exp(_c(x)),
     "nth_root": lambda x, n: F.pow(_c(x), 1.0 / n),
+    # JSON select (faxe_lambda_lib:get_jsn, esp_jsn_select.erl): extract
+    # a dot-path from a JSON string column; returns string (cast after)
+    "get_jsn": lambda path, s: F.get_json_object(
+        _c(s), "$." + _as_py(path).replace("[", "[").lstrip("$.")),
+    "from_iso8601": lambda s: F.to_timestamp(
+        _c(s), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
     # mem reads: flow-wide key/value memory (esp_mem.erl:31). Values are
     # registered driver-side (set_mem below) and resolve to literals /
     # array literals — the broadcast-variable analog.
@@ -159,3 +165,53 @@ def _mem_read(k) -> Column:
     if isinstance(v, (list, tuple)):
         return F.array(*[F.lit(e) for e in v])
     return F.lit(v)
+
+
+def mem_write(df, field: str, *, key: str | None = None,
+              type: str = "single", ts_col: str = "ts"):
+    """esp_mem.erl:84-100 write path — values GATHERED FROM THE FLOW:
+    'single' keeps the last value (by event time), 'list' preserves
+    arrival order, 'set' dedups. The batch analog of the per-point ETS
+    write is the aggregate of the flow at this node: a tiny driver-side
+    collect (one scalar / one small array — mem values are lambda-sized
+    by contract), registered via set_mem and readable from any
+    subsequent lambda via mem()/ls_mem()/s_mem(). Returns df unchanged
+    (the reference node passes items through)."""
+    key = key or field
+    if type == "single":
+        row = df.orderBy(F.col(ts_col).desc()).select(field).first()
+        set_mem(key, None if row is None else row[0])
+    elif type == "list":
+        rows = df.orderBy(F.col(ts_col)).select(field).collect()
+        set_mem(key, [r[0] for r in rows])
+    elif type == "set":
+        rows = df.select(field).distinct().collect()
+        set_mem(key, sorted(r[0] for r in rows))
+    else:
+        raise ValueError(f"mem type must be single/list/set, got {type!r}")
+    return df
+
+
+def mem_updater(field: str, *, key: str | None = None, type: str = "single",
+                ts_col: str = "ts"):
+    """Streaming write path: a foreachBatch callable that refreshes the
+    flow-wide memory from each micro-batch (the continuous analog of
+    the per-point ETS write). Usage:
+    `df.writeStream.foreachBatch(mem_updater("temp", key="last_temp"))`."""
+    k = key or field
+
+    def update(batch_df, _batch_id):
+        if type == "list":  # append semantics across batches
+            rows = batch_df.orderBy(F.col(ts_col)).select(field).collect()
+            cur = _MEM.get(k) or []
+            set_mem(k, list(cur) + [r[0] for r in rows])
+        elif type == "set":
+            rows = batch_df.select(field).distinct().collect()
+            cur = set(_MEM.get(k) or [])
+            set_mem(k, sorted(cur | {r[0] for r in rows}))
+        else:
+            row = batch_df.orderBy(F.col(ts_col).desc()).select(field).first()
+            if row is not None:
+                set_mem(k, row[0])
+
+    return update

@@ -103,3 +103,55 @@ def rename_path(df: DataFrame, src: str, dst: str) -> DataFrame:
     value = get_path(src)
     out = set_path(df, dst, value)
     return delete_path(out, src)
+
+
+# ---------------------------------------------------------------------------
+# JSON time-format round-trip (flowdata:to_json / from_json_struct,
+# flowdata_tests.erl:292,425-502)
+# ---------------------------------------------------------------------------
+
+TF_TS_MILLI = "millisecond"     # default: epoch-ms integer (to_json :292)
+TF_TS_FLOAT_MICRO = "float_micro"  # "1568029511.598123" seconds string (:457)
+TF_ISO8601 = "iso8601"          # "2019-10-05T14:48:01.023Z" (:479)
+
+
+def ts_from_json_value(col: Column | str, time_format: str = TF_TS_MILLI) -> Column:
+    """Parse a JSON timestamp field into TimestampType with the
+    reference's three wire formats. float_micro ROUNDS to ms (the grip
+    fixture: '…119.037648' -> …119038, flowdata/faxe_time): exact via
+    decimal arithmetic, never a double round-trip."""
+    c = F.col(col) if isinstance(col, str) else col
+    if time_format == TF_TS_MILLI:
+        return F.timestamp_millis(c.cast("long"))
+    if time_format == TF_TS_FLOAT_MICRO:
+        ms = F.round(c.cast("decimal(26,6)") * 1000, 0).cast("long")
+        return F.timestamp_millis(ms)
+    if time_format == TF_ISO8601:
+        return F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+    raise ValueError(f"unknown time_format {time_format!r}")
+
+
+def ts_to_json_value(ts: Column | str, time_format: str = TF_TS_MILLI) -> Column:
+    """Render a TimestampType column in a JSON wire format (inverse of
+    ts_from_json_value; flowdata:to_json emits epoch-ms by default)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    if time_format == TF_TS_MILLI:
+        return F.unix_millis(c)
+    if time_format == TF_TS_FLOAT_MICRO:
+        return (F.unix_micros(c).cast("decimal(26,6)")
+                / F.lit(1000000)).cast("decimal(20,6)").cast("string")
+    if time_format == TF_ISO8601:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    raise ValueError(f"unknown time_format {time_format!r}")
+
+
+def row_to_json(df: DataFrame, *, ts_col: str = "ts",
+                time_format: str = TF_TS_MILLI,
+                fields: list[str] | None = None) -> DataFrame:
+    """flowdata:to_json analog: one JSON document per row — `ts` rendered
+    per `time_format`, every other column under its own name (nested
+    structs/maps serialize naturally through to_json)."""
+    names = fields or [c for c in df.columns if c != ts_col]
+    doc = F.struct(ts_to_json_value(F.col(ts_col), time_format).alias("ts"),
+                   *[F.col(c) for c in names])
+    return df.withColumn("json", F.to_json(doc))

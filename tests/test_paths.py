@@ -68,3 +68,57 @@ def test_rename_deep_to_deep(nested_df):
 def test_one_based_index_enforced():
     with pytest.raises(ValueError, match="1-based"):
         paths.parse_path("a[0].b")
+
+
+class TestJsonTimeFormats:
+    """flowdata:from_json_struct / to_json time handling
+    (flowdata_tests.erl:292,425-502) — the reference's own fixtures."""
+
+    def test_float_micro_rounds_to_ms(self, spark):
+        from faxe_spark.paths import TF_TS_FLOAT_MICRO, ts_from_json_value
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [("1568029511.598123",), ("1574067119.037648",)], "t string")
+        got = [r.ms for r in df.select(
+            F.unix_millis(ts_from_json_value("t", TF_TS_FLOAT_MICRO)).alias("ms")
+        ).collect()]
+        # :457 truncto-ms; grip fixture rounds .648us up
+        assert got == [1568029511598, 1574067119038]
+
+    def test_iso8601_parse(self, spark):
+        from faxe_spark.paths import TF_ISO8601, ts_from_json_value
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([("2019-10-05T14:48:01.023Z",)], "t string")
+        got = df.select(F.unix_millis(
+            ts_from_json_value("t", TF_ISO8601)).alias("ms")).collect()[0].ms
+        assert got == 1570286881023  # flowdata_tests.erl:479
+
+    def test_round_trip_all_formats(self, spark):
+        from faxe_spark.paths import (TF_ISO8601, TF_TS_FLOAT_MICRO,
+                                      TF_TS_MILLI, ts_from_json_value,
+                                      ts_to_json_value)
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(1568029511598,)], "ms long") \
+            .select(F.timestamp_millis("ms").alias("ts"))
+        for fmt in (TF_TS_MILLI, TF_TS_FLOAT_MICRO, TF_ISO8601):
+            back = df.select(F.unix_millis(ts_from_json_value(
+                ts_to_json_value("ts", fmt), fmt)).alias("ms")).collect()[0].ms
+            assert back == 1568029511598, fmt
+
+    def test_row_to_json_default_ms(self, spark):
+        import json
+
+        import pyspark.sql.functions as F
+
+        from faxe_spark.paths import row_to_json
+
+        df = spark.createDataFrame([(1568029511598, 323424, "somestringvalue")],
+                                   "ms long, value1 long, value2 string") \
+            .select(F.timestamp_millis("ms").alias("ts"), "value1", "value2")
+        doc = json.loads(row_to_json(df).collect()[0].json)
+        # flowdata_tests.erl:292 — ts as epoch ms beside the fields
+        assert doc == {"ts": 1568029511598, "value1": 323424,
+                       "value2": "somestringvalue"}
