@@ -51,6 +51,39 @@ class PythonNode:
             out.extend(r if isinstance(r, list) else [r])
         return out
 
+    # -- persisted state (SDK faxe.py:140-207 persist_state surface) -------
+    STATE_MODE_MANUAL = "manual"   # call persist_state() yourself
+    STATE_MODE_HANDLE = "handle"   # auto-persist after every handle_batch
+    STATE_MODE_NONE = "none"
+
+    _pstate: Any = None
+    _pending_state: Any = None
+
+    def state_mode(self) -> str:
+        """Override to choose when state is persisted (faxe.py:145-156)."""
+        return self.STATE_MODE_MANUAL
+
+    def format_state(self) -> dict:
+        """Picklable subset of instance vars (faxe.py:168-174)."""
+        keep = (str, int, float, dict, list, tuple, set, complex, range,
+                bool, bytes, bytearray)
+        return {k: v for k, v in vars(self).items()
+                if not k.startswith("_") and type(v) in keep}
+
+    def persist_state(self, state=None) -> None:
+        """Stage state for the host to persist (faxe.py:176-188): the
+        streaming host writes it to Spark's state store after the batch;
+        the batch host writes it to the state backend directory."""
+        self._pending_state = state if state is not None else self.format_state()
+
+    def get_state(self):
+        return self._pstate
+
+    def get_state_value(self, key, default=None):
+        if isinstance(self._pstate, dict) and key in self._pstate:
+            return self._pstate[key]
+        return default
+
 
 def _validate_opts(node_class: type[PythonNode], opts: dict) -> None:
     import difflib
@@ -103,6 +136,53 @@ def apply_node_keyed(df: DataFrame, node_class: type[PythonNode],
             {f.name: pd.Series(dtype="object") for f in _as_struct(output_schema).fields})
 
     return df.groupBy(*by).applyInPandas(run, output_schema)
+
+
+def apply_node_stateful(df: DataFrame, node_class: type[PythonNode],
+                        output_schema: StructType | str, *, by: list[str],
+                        ts_col: str = "ts", **opts) -> DataFrame:
+    """Streaming PythonNode with PERSISTED state — the Spark-first home
+    of the SDK's persist_state hook (faxe.py:140-207): one logical node
+    per key whose pickled state round-trips Spark's state store between
+    micro-batches (RocksDB on a cluster), exactly replacing the
+    reference's erlang-side state casts.
+
+    state_mode()='handle' persists format_state() after every batch;
+    'manual' persists only what persist_state() staged; restored state
+    is visible via get_state()/get_state_value() before handling."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField
+
+    _validate_opts(node_class, opts)
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - no timeouts configured
+            state.remove()
+            return
+        node = node_class()
+        # restore BEFORE init: the SDK delivers persisted state with the
+        # construction args, so init() can read get_state_value()
+        if state.exists and state.get[0] is not None:
+            node._pstate = pickle.loads(bytes(state.get[0]))
+        node.init(**opts)
+        for pdf in pdfs:
+            if ts_col in pdf.columns:
+                pdf = pdf.sort_values(ts_col)
+            out = node.handle_batch(pdf.to_dict("records"))
+            if node.state_mode() == PythonNode.STATE_MODE_HANDLE:
+                node.persist_state()
+            if out:
+                yield pd.DataFrame(out)
+        if node._pending_state is not None:
+            state.update((pickle.dumps(node._pending_state,
+                                       protocol=pickle.HIGHEST_PROTOCOL),))
+
+    return (df.groupBy(*by)
+            .applyInPandasWithState(fn, output_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
 
 
 def _as_struct(schema: StructType | str) -> StructType:

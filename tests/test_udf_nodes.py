@@ -82,3 +82,59 @@ def test_apply_node_keyed_ewma_ordered(spark):
     for r in one:
         state = r.value if state is None else 0.5 * r.value + 0.5 * state
         assert got[r.event_id] == pytest.approx(state)
+
+
+def test_apply_node_stateful_persists_across_batches(spark, tmp_path):
+    """persist_state parity (SDK faxe.py:140-207): a counting node's
+    state survives micro-batches through Spark's state store — the
+    second batch resumes from the first batch's persisted count."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.udf import PythonNode, apply_node_stateful
+
+    class Counter(PythonNode):
+        def init(self, **opts):
+            super().init(**opts)
+            self.n = self.get_state_value("n", 0)
+
+        def state_mode(self):
+            return self.STATE_MODE_HANDLE
+
+        def handle_point(self, point):
+            self.n += 1
+            return {"key": point["key"], "running_n": self.n}
+
+    src = str(tmp_path / "stateful_src")
+    import os
+    os.makedirs(src)
+    spark.createDataFrame([(1, 10.0)], "key bigint, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(src + "/*")
+    out = apply_node_stateful(stream, Counter, "key long, running_n long",
+                              by=["key"], ts_col="v")
+    q = (out.writeStream.format("memory").queryName("stateful_node")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        import time as _t
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM stateful_node").collect()[0].c >= 1:
+                break
+            _t.sleep(0.5)
+        # second batch arrives later -> must resume the count at 2
+        spark.createDataFrame([(1, 20.0)], "key bigint, v double") \
+            .coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+        deadline = _t.time() + 45
+        got = []
+        while _t.time() < deadline:
+            got = sorted(r.running_n for r in
+                         spark.sql("SELECT * FROM stateful_node").collect())
+            if len(got) >= 2:
+                break
+            _t.sleep(0.5)
+        assert got == [1, 2], f"state did not persist across batches: {got}"
+    finally:
+        q.stop()
