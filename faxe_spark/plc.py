@@ -1,0 +1,168 @@
+"""PLC bulk-read planning — the S7 address-coalescing optimizer.
+
+The reference's s7read node plans its PLC polling by merging many small
+variable reads into few contiguous bulk reads (esp_s7read.erl:356-455:
+build_addresses -> find_bool_bytes / find_contiguous). The PROTOCOL
+driver (snap7 transport, connection pools) is out of scope in this
+container, but the planning algorithm is the valuable part: it is what
+turns a 200-tag subscription into 3 wire requests, and it is reusable
+for any block-addressed source (Modbus registers, memory-mapped files,
+byte-range object-store reads).
+
+Ports faithfully:
+- address parsing for the standard S7 syntax (DB2.DBX4.1 / DBB / DBW /
+  DBD / DBD..REAL strings), bit starts in BITS like s7addr (byte_num =
+  start div 8, esp_s7read.erl:366-369);
+- dtype partitioning, (db, start) sorting (:428-433, db*10000 trick);
+- bool byte-packing: adjacent bits in the same or next byte (bit 0)
+  join one byte-run read, each alias remembering its bit offset within
+  the run (:395-425 find_bool_bytes);
+- contiguous merging for non-bools with the reference's word_len_size
+  table (:436-469 find_contiguous — note int=1 is the reference's own
+  table, word-length units rather than bytes, kept for parity).
+
+Output: (partitions, aliases) where each partition is one bulk read
+{db_number, start, amount, word_len, dtype} and aliases[i] maps the
+partition's payload back to the requested names.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# esp_s7read.erl:457-469
+WORD_LEN_SIZE = {
+    "bool": 1, "byte": 1, "sint": 1, "usint": 1, "char": 1, "string": 1,
+    "word": 2, "int": 1, "d_word": 4, "d_int": 4, "float": 4,
+    "timer": 4, "counter": 4,
+}
+
+_ADDR = re.compile(
+    r"^DB(?P<db>\d+)\.DB(?P<width>[XBWD])(?P<byte>\d+)"
+    r"(?:\.(?P<bit>\d+))?(?:\.(?P<dtype>[A-Za-z_]+))?$", re.I)
+
+_WIDTH_DTYPE = {"X": "bool", "B": "byte", "W": "word", "D": "d_word"}
+
+
+def parse_address(address: str) -> dict:
+    """Parse one S7 address string into the planner's address map.
+    Bool starts are in bits (byte*8 + bit), everything else in bytes —
+    matching s7addr:parse as consumed by esp_s7read.erl:366-369."""
+    m = _ADDR.match(address.strip())
+    if not m:
+        raise ValueError(f"unparseable S7 address {address!r} "
+                         f"(expected DB<n>.DB[XBWD]<byte>[.bit][.dtype])")
+    db = int(m.group("db"))
+    width = m.group("width").upper()
+    byte = int(m.group("byte"))
+    dtype = (m.group("dtype") or _WIDTH_DTYPE[width]).lower()
+    if width == "X":
+        bit = int(m.group("bit") or 0)
+        return {"db_number": db, "dtype": "bool", "start": byte * 8 + bit,
+                "word_len": "bit"}
+    if dtype not in WORD_LEN_SIZE:
+        raise ValueError(f"unknown S7 dtype {dtype!r} in {address!r}")
+    return {"db_number": db, "dtype": dtype, "start": byte,
+            "word_len": {"B": "byte", "W": "word", "D": "d_word"}[width]}
+
+
+@dataclass
+class BulkRead:
+    """One coalesced wire request."""
+    db_number: int
+    start: int          # byte offset of the run
+    amount: int         # number of word_len units to read
+    word_len: str
+    dtype: str
+    aliases: list = field(default_factory=list)
+    # bool runs: aliases are (name, 'bool_byte', bit_offset_within_run);
+    # non-bool runs: (name, dtype) in payload order
+
+
+def _sort_by_start(items: list[dict]) -> list[dict]:
+    # db*10000 keeps runs from different DBs apart (esp_s7read.erl:431)
+    return sorted(items, key=lambda e: e["db_number"] * 10000 + e["start"])
+
+
+def _find_bool_bytes(bools: list[dict]) -> list[BulkRead]:
+    """esp_s7read.erl:395-425: pack bit addresses into byte-run reads.
+    A bit joins the current run when it lives in the run's last byte, or
+    in the immediately following byte starting at bit 0."""
+    runs: list[BulkRead] = []
+    cur: BulkRead | None = None
+    last_byte = None
+    for e in bools:
+        byte_num, bit_num = e["start"] // 8, e["start"] % 8
+        if cur is not None and e["db_number"] == cur.db_number and (
+                byte_num == last_byte
+                or (byte_num == last_byte + 1 and bit_num == 0)):
+            if byte_num == last_byte + 1:
+                cur.amount += 1
+            cur.aliases.append(
+                (e["as"], "bool_byte", bit_num + (byte_num - cur.start) * 8))
+            last_byte = byte_num
+        else:
+            if cur is not None:
+                runs.append(cur)
+            cur = BulkRead(db_number=e["db_number"], start=byte_num, amount=1,
+                           word_len="byte", dtype="bool",
+                           aliases=[(e["as"], "bool_byte", bit_num)])
+            last_byte = byte_num
+    if cur is not None:
+        runs.append(cur)
+    return runs
+
+
+def _find_contiguous(items: list[dict]) -> list[BulkRead]:
+    """esp_s7read.erl:436-455: merge same-dtype same-DB addresses whose
+    starts are exactly word_len_size(dtype) apart into one run."""
+    runs: list[BulkRead] = []
+    cur: BulkRead | None = None
+    last_start = None
+    for e in items:
+        step = WORD_LEN_SIZE[e["dtype"]]
+        if cur is not None and e["dtype"] == cur.dtype \
+                and e["db_number"] == cur.db_number \
+                and last_start + step == e["start"]:
+            cur.amount += 1
+            cur.aliases.append((e["as"], e["dtype"]))
+        else:
+            if cur is not None:
+                runs.append(cur)
+            cur = BulkRead(db_number=e["db_number"], start=e["start"], amount=1,
+                           word_len=e["word_len"], dtype=e["dtype"],
+                           aliases=[(e["as"], e["dtype"])])
+        last_start = e["start"]
+    if cur is not None:
+        runs.append(cur)
+    return runs
+
+
+def plan_bulk_reads(addresses: list[str], aliases: list[str]) -> list[BulkRead]:
+    """The optimizer entry point (build_addresses, esp_s7read.erl:356-392):
+    parse, partition by dtype, sort by (db, start), coalesce bools into
+    byte runs and non-bools into contiguous runs. len(result) is the
+    wire-request count — the number a 200-tag poll actually pays."""
+    if len(addresses) != len(aliases):
+        raise ValueError("addresses and aliases must have the same length")
+    parsed = []
+    for addr, name in zip(addresses, aliases):
+        p = parse_address(addr)
+        p["as"] = name
+        parsed.append(p)
+    by_dtype: dict[str, list[dict]] = {}
+    for p in parsed:
+        by_dtype.setdefault(p["dtype"], []).append(p)
+    bools = _sort_by_start(by_dtype.pop("bool", []))
+    runs = _find_bool_bytes(bools)
+    for _dtype, items in sorted(by_dtype.items()):
+        runs.extend(_find_contiguous(_sort_by_start(items)))
+    return runs
+
+
+def bit_count(runs: list[BulkRead]) -> int:
+    """Total bits on the wire (esp_s7read.erl:472-486) — the PDU budget
+    a reader uses to split plans across request frames."""
+    per_unit = {"bit": 1, "byte": 8, "word": 16, "d_word": 32, "real": 32}
+    return sum(per_unit[r.word_len] * r.amount for r in runs)
