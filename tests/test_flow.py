@@ -147,3 +147,61 @@ def test_truthy_numeric_zero_is_falsy(spark):
         [("false",), ("0",), ("",), ("x",), ("0.0",), ("true",)], "s string")
     got_s = sorted(r.s for r in sdf.filter(truthy(F.col("s"))).collect())
     assert got_s == ["true", "x"]
+
+
+def test_mem_write_in_flow(spark):
+    """esp_mem.erl:84-100: values gathered from the flow are readable by
+    downstream lambdas — single keeps last-by-ts, list keeps order, set
+    dedups."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from faxe_spark.functions.lambda_lib import (LAMBDA_FUNCTIONS, clear_mem,
+                                                 mem_write)
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [(t(0), 1.0), (t(1), 2.0), (t(2), 2.0), (t(3), 9.0)],
+        "ts timestamp, v double")
+    clear_mem()
+    try:
+        mem_write(df, "v", key="last_v", type="single")
+        mem_write(df, "v", key="all_v", type="list")
+        mem_write(df, "v", key="uniq_v", type="set")
+        probe = spark.range(1).select(
+            LAMBDA_FUNCTIONS["mem"]("last_v").alias("last"),
+            LAMBDA_FUNCTIONS["ls_mem"]("all_v").alias("lst"),
+            LAMBDA_FUNCTIONS["s_mem"]("uniq_v").alias("st"),
+        ).collect()[0]
+        assert probe.last == 9.0
+        assert probe.lst == [1.0, 2.0, 2.0, 9.0]
+        assert probe.st == [1.0, 2.0, 9.0]
+        # downstream filter actually uses the memory value
+        out = df.filter(F.col("v") == LAMBDA_FUNCTIONS["mem"]("last_v"))
+        assert out.count() == 1
+    finally:
+        clear_mem()
+
+
+def test_mem_updater_streaming_foreachbatch(spark, tmp_path):
+    """Streaming mem write: foreachBatch refreshes flow-wide memory per
+    micro-batch (the continuous ETS-write analog)."""
+    import datetime
+
+    from faxe_spark.functions.lambda_lib import _MEM, clear_mem, mem_updater
+    from faxe_spark.streaming import stream_parquet
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = str(tmp_path / "memsrc")
+    spark.createDataFrame([(t(0), 5.0), (t(1), 7.0)], "ts timestamp, v double") \
+        .coalesce(1).write.parquet(path)
+    clear_mem()
+    try:
+        s = stream_parquet(spark, path)
+        q = (s.writeStream.foreachBatch(mem_updater("v", key="live_v"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        assert _MEM.get("live_v") == 7.0
+    finally:
+        clear_mem()
