@@ -42,10 +42,14 @@ HEADLINE = [
     "collect_unique",
     "value_diff",
     "change_detect",
+    "asof_join_merge",
+    "collect_table_aged",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "embedding_neardup",
     "ann_topk",
+    "ann_lsh_topk",
     "text_quality",
     "token_count",
     "training_pipeline",
