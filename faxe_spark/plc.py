@@ -166,3 +166,69 @@ def bit_count(runs: list[BulkRead]) -> int:
     a reader uses to split plans across request frames."""
     per_unit = {"bit": 1, "byte": 8, "word": 16, "d_word": 32, "real": 32}
     return sum(per_unit[r.word_len] * r.amount for r in runs)
+
+
+# ---------------------------------------------------------------------------
+# Modbus request planning (esp_modbus_read.erl:228-290 build_requests /
+# find_contiguous)
+# ---------------------------------------------------------------------------
+
+MODBUS_FUNCTIONS = ("coils", "hregs", "iregs", "inputs", "memory")
+
+
+def plan_modbus_reads(functions: list[str], starts: list[int],
+                      counts: list[int], aliases: list[str], *,
+                      outputs: list[str] | None = None,
+                      signed: list[bool] | None = None,
+                      max_per_request: int = 125) -> list[BulkRead]:
+    """Coalesce Modbus register reads (esp_modbus_read.erl:274-290):
+    requests with the same function code and the same decode options
+    whose address ranges are back-to-back (last_start + amount == start)
+    merge into one wire request. On top of the reference's merge, runs
+    longer than `max_per_request` registers are SPLIT — the Modbus
+    protocol caps one read at 125 holding registers / 2000 coils
+    (public spec), which the reference leaves to the device to reject.
+
+    Returns BulkRead rows: db_number carries the function-code index,
+    dtype the function name, word_len the decode opts repr."""
+    if outputs is None:
+        outputs = [""] * len(functions)
+    if signed is None:
+        signed = [None] * len(functions)
+    if not (len(functions) == len(starts) == len(counts) == len(aliases)
+            == len(outputs) == len(signed)):
+        raise ValueError("functions/starts/counts/aliases/outputs/signed "
+                         "must be the same length")
+    for f in functions:
+        if f not in MODBUS_FUNCTIONS:
+            raise ValueError(f"unknown modbus function {f!r}")
+    reqs = sorted(
+        ({"function": f, "start": s, "amount": c, "as": a,
+          "opts": (o or "", bool(sg) if sg is not None else None)}
+         for f, s, c, a, o, sg in
+         zip(functions, starts, counts, aliases, outputs, signed)),
+        key=lambda e: (e["function"], e["opts"], e["start"]))
+    runs: list[BulkRead] = []
+    cur: BulkRead | None = None
+    cur_opts = None
+    last_start = None
+    for e in reqs:
+        contiguous = (cur is not None and e["function"] == cur.dtype
+                      and e["opts"] == cur_opts
+                      and last_start + e["amount"] == e["start"]
+                      and cur.amount + e["amount"] <= max_per_request)
+        if contiguous:
+            cur.amount += e["amount"]
+            cur.aliases.append(e["as"])
+        else:
+            if cur is not None:
+                runs.append(cur)
+            cur = BulkRead(db_number=MODBUS_FUNCTIONS.index(e["function"]),
+                           start=e["start"], amount=e["amount"],
+                           word_len=repr(e["opts"]), dtype=e["function"],
+                           aliases=[e["as"]])
+            cur_opts = e["opts"]
+        last_start = e["start"]
+    if cur is not None:
+        runs.append(cur)
+    return runs

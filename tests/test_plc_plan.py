@@ -75,3 +75,40 @@ def test_unsorted_input_is_sorted_first():
     runs = plan_bulk_reads(["DB2.DBW4", "DB2.DBW0", "DB2.DBW2"], ["c", "a", "b"])
     assert len(runs) == 1
     assert runs[0].aliases == [("a", "word"), ("b", "word"), ("c", "word")]
+
+
+def test_modbus_contiguous_registers_merge():
+    """esp_modbus_read.erl:274-290: same function + same opts +
+    back-to-back ranges merge into one request."""
+    from faxe_spark.plc import plan_modbus_reads
+
+    runs = plan_modbus_reads(
+        ["hregs", "hregs", "hregs", "coils"],
+        [0, 2, 10, 0], [2, 2, 1, 8], ["a", "b", "c", "k"])
+    assert [(r.dtype, r.start, r.amount, r.aliases) for r in runs] == [
+        ("coils", 0, 8, ["k"]),
+        ("hregs", 0, 4, ["a", "b"]),
+        ("hregs", 10, 1, ["c"])]
+
+
+def test_modbus_differing_opts_do_not_merge():
+    from faxe_spark.plc import plan_modbus_reads
+
+    runs = plan_modbus_reads(
+        ["hregs", "hregs"], [0, 2], [2, 2], ["a", "b"],
+        outputs=["int16", "float32"])
+    assert len(runs) == 2
+
+
+def test_modbus_pdu_cap_splits_long_runs():
+    """125-register protocol cap: a contiguous run larger than one PDU
+    splits instead of producing an over-long request."""
+    from faxe_spark.plc import plan_modbus_reads
+
+    n = 100
+    runs = plan_modbus_reads(
+        ["hregs"] * n, [i * 2 for i in range(n)], [2] * n,
+        [f"r{i}" for i in range(n)])
+    assert all(r.amount <= 125 for r in runs)
+    assert sum(r.amount for r in runs) == 200
+    assert len(runs) == 2  # 200 registers over 125-cap = 2 requests
