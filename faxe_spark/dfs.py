@@ -329,8 +329,10 @@ class _LambdaParser:
     field refs, literals, lambda-lib calls, arithmetic/comparison,
     AND/OR/NOT (Erlang-style keywords, case-insensitive)."""
 
-    def __init__(self, body: str, consts: dict | None = None):
+    def __init__(self, body: str, consts: dict | None = None,
+                 fieldref=None):
         self.consts = consts or {}
+        self.fieldref = fieldref  # schema-aware resolver (undefined -> NULL)
         self.toks = []
         i = 0
         while i < len(body):
@@ -424,6 +426,8 @@ class _LambdaParser:
             return F.lit(text[1:-1])
         if kind == "fieldref":
             from faxe_spark.paths import get_path
+            if self.fieldref is not None:
+                return self.fieldref(text[1:-1])
             return get_path(text[1:-1])
         if kind == "number":
             return F.lit(float(text) if "." in text else int(text))
@@ -466,15 +470,16 @@ class _LambdaParser:
             if text in self.consts:
                 v = self.consts[text]
                 if isinstance(v, Lambda):
-                    return _LambdaParser(v.body, self.consts).parse()
+                    return _LambdaParser(v.body, self.consts, self.fieldref).parse()
                 return F.lit(v)
             # bare name = field reference (unquoted single-segment path)
             return F.col(text)
         raise ValueError(f"lambda: unexpected token {text!r}")
 
 
-def compile_lambda(body: str, consts: dict | None = None) -> Column:
-    return _LambdaParser(body, consts).parse()
+def compile_lambda(body: str, consts: dict | None = None,
+                   fieldref=None) -> Column:
+    return _LambdaParser(body, consts, fieldref).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +508,7 @@ class DFSCompiler:
         self.count_window = None      # pending (period, every) count window
         self.sinks: list[dict] = []   # deferred sink specs (runner applies)
         self.listeners: list = []     # live edge listeners (udp) to stop()
+        self._current_df: DataFrame | None = None
 
     def run(self, script: str) -> DataFrame:
         chains = parse_script(script)
@@ -522,12 +528,23 @@ class DFSCompiler:
         return result
 
     # -- helpers -----------------------------------------------------------
+    def _fieldref(self, path: str) -> Column:
+        """Schema-aware field resolution: a path the current schema
+        can't satisfy reads as NULL — flowdata's `undefined`, not an
+        analyzer error (get_path_safe)."""
+        from faxe_spark.paths import get_path, get_path_safe
+
+        if self._current_df is None:
+            return get_path(path)
+        return get_path_safe(self._current_df, path)
+
     def _lam(self, x) -> Column:
         if isinstance(x, Lambda):
-            return compile_lambda(x.body, self.consts)
+            return compile_lambda(x.body, self.consts, self._fieldref)
         if isinstance(x, tuple) and x[0] == "ref":
             v = self.consts[x[1]]
-            return compile_lambda(v.body, self.consts) if isinstance(v, Lambda) else F.lit(v)
+            return compile_lambda(v.body, self.consts, self._fieldref) \
+                if isinstance(v, Lambda) else F.lit(v)
         return F.lit(x)
 
     def _val(self, x):
@@ -535,6 +552,11 @@ class DFSCompiler:
         if isinstance(x, tuple) and x[0] == "ref":
             return self.consts[x[1]]
         return x
+
+    def _dur(self, x) -> str:
+        """Duration literal, resolving `def`-const references first
+        (dfs scripts routinely write .every(emit_every))."""
+        return _dur_str(self._val(x))
 
     def _agg_keys(self) -> list:
         keys = ([self.window] if self.window is not None else []) + self.group_keys
@@ -569,12 +591,29 @@ class DFSCompiler:
                     f"adapter (mapInPandas) directly — c_python3.erl parity")
             raise NotImplementedError(
                 f"DFS node '{node.name}' not yet mapped (see SURVEY.md §2)")
+        # faxe reads of absent fields yield `undefined` (flowdata:field ->
+        # undefined, dfs_std_lib truthiness treats it falsy). Spark's
+        # analyzer instead rejects the plan — so when a node references a
+        # column the current schema lacks, materialize it as NULL and
+        # retry: same observable semantics, bounded by the reference count.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        for _ in range(8):
+            try:
+                self._current_df = df
+                return fn(df, node)
+            except AnalysisException as e:
+                m = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`", str(e))
+                if m is None or df is None or m.group(1) in df.columns:
+                    raise
+                df = df.withColumn(m.group(1), F.lit(None))
         return fn(df, node)
 
     def node_json_emitter(self, df, node: NodeCall) -> DataFrame:
         rows = [json.loads(a) for a in node.args if isinstance(a, str)]
         rows += [json.loads(a) for a in node.params.get("json", []) if isinstance(a, str)]
-        every_ms = parse_duration_ms(node.params["every"][0][1]) if "every" in node.params else 1000
+        every_ms = parse_duration_ms(self._dur(node.params["every"][0])) \
+            if "every" in node.params else 1000
         base = 1_700_000_000_000  # deterministic synthetic epoch base
         out = []
         for i, r in enumerate(rows):
@@ -587,12 +626,14 @@ class DFSCompiler:
         return load_table(self.spark, self.tables_dir, node.args[0])
 
     def node_where(self, df, node: NodeCall) -> DataFrame:
-        return ops.where(df, truthy(self._lam(node.args[0])))
+        src = node.args[0] if node.args else node.params["lambda"][0]
+        return ops.where(df, truthy(self._lam(src)))
 
     def node_eval(self, df, node: NodeCall) -> DataFrame:
         aliases = node.params.get("as", [])
+        lams = node.args or node.params.get("lambdas", [])
         exprs = {}
-        for lam, alias in zip(node.args, aliases):
+        for lam, alias in zip(lams, aliases):
             exprs[alias] = self._lam(lam)
         return ops.eval_lambdas(df, exprs)
 
@@ -629,14 +670,17 @@ class DFSCompiler:
         return df
 
     def node_win_time(self, df, node: NodeCall) -> DataFrame:
-        period = _dur_str(node.params["period"][0])
-        every = _dur_str(node.params["every"][0]) if "every" in node.params else None
+        every = self._dur(node.params["every"][0]) if "every" in node.params else None
+        period = self._dur(node.params["period"][0]) if "period" in node.params \
+            else every  # reference: period defaults to the emit interval
+        if period is None:
+            raise ValueError("win_time needs .period() or .every()")
         self.window = ops.win_time("ts", period, every).alias("window")
         return df
 
     def node_win_session(self, df, node: NodeCall) -> DataFrame:
         self.window = ops.win_session(
-            "ts", _dur_str(node.params["session_timeout"][0])).alias("session")
+            "ts", self._dur(node.params["session_timeout"][0])).alias("session")
         return df
 
     def node_aggregate(self, df, node: NodeCall) -> DataFrame:
@@ -668,7 +712,7 @@ class DFSCompiler:
     def node_join(self, df, node: NodeCall) -> DataFrame:
         others = [self.env[a[1]] for a in node.args
                   if isinstance(a, tuple) and a[0] == "ref"]
-        tol = _dur_str(node.params["tolerance"][0]) if "tolerance" in node.params else None
+        tol = self._dur(node.params["tolerance"][0]) if "tolerance" in node.params else None
         keys = self.group_keys or []
         if not keys:
             raise NotImplementedError("DFS join without group_by keys: pass "
@@ -690,7 +734,7 @@ class DFSCompiler:
         within tolerance => interval join, folded over the input refs."""
         others = [self.env[a[1]] for a in node.args
                   if isinstance(a, tuple) and a[0] == "ref"]
-        tol = _dur_str(node.params["tolerance"][0]) if "tolerance" in node.params else "1s"
+        tol = self._dur(node.params["tolerance"][0]) if "tolerance" in node.params else "1s"
         prefixes = node.params.get("prefix", [f"r{i}_" for i in range(len(others) + 1)])
         keys = self.group_keys or []
         if not keys:
@@ -717,7 +761,7 @@ class DFSCompiler:
         remove = None
         if "remove" in node.params:
             remove = truthy(self._lam(node.params["remove"][0]))
-        max_ts_age = (_dur_str(node.params["max_ts_age"][0])
+        max_ts_age = (self._dur(node.params["max_ts_age"][0])
                       if "max_ts_age" in node.params else None)
         return ops.collect_table(df, keys, remove_when=remove,
                                  max_ts_age=max_ts_age, ts_col="ts")
@@ -802,7 +846,7 @@ class DFSCompiler:
         url = self._url(node)
         if "every" in node.params:
             return http_poll_source(self.spark, url,
-                                    every=_dur_str(node.params["every"][0]),
+                                    every=self._dur(node.params["every"][0]),
                                     align="align" in node.params)
         return http_get_source(self.spark, url)
 
@@ -851,7 +895,7 @@ class DFSCompiler:
                 "feed a stream source or use streaming.deadman_stream")
         key = self.group_keys[0] if self.group_keys else node.params["key"][0]
         return deadman_stream(df, key_col=key,
-                              timeout=_dur_str(node.params["timeout"][0]))
+                              timeout=self._dur(node.params["timeout"][0]))
 
     def node_triggered_timeout(self, df, node: NodeCall) -> DataFrame:
         """esp_triggered_timeout.erl — arm on trigger rows, fire after
@@ -912,8 +956,9 @@ class DFSCompiler:
     node_postgre_out = node_influx_out
 
     def node_win_event(self, df, node: NodeCall) -> DataFrame:
-        period = int(self._val(node.params["period"][0]))
         every = int(self._val(node.params.get("every", [1])[0]))
+        period = int(self._val(node.params["period"][0])) \
+            if "period" in node.params else every
         self.count_window = (period, every)
         return df
 
@@ -921,8 +966,8 @@ class DFSCompiler:
         """Batch analog of the processing-time clock window: event-time
         window of the same size (esp_win_clock.erl:33; exact wall-clock
         semantics live in faxe_spark.streaming.windows.win_clock)."""
-        every = _dur_str(node.params["every"][0])
-        period = _dur_str(node.params["period"][0]) if "period" in node.params else every
+        every = self._dur(node.params["every"][0])
+        period = self._dur(node.params["period"][0]) if "period" in node.params else every
         self.window = ops.win_time("ts", period, every).alias("window")
         return df
 
@@ -941,7 +986,8 @@ class DFSCompiler:
         return ops.case_when(df, conditions, values, alias, default=default)
 
     def node_if(self, df, node: NodeCall) -> DataFrame:
-        test = truthy(self._lam(node.params["test"][0]))
+        test_src = node.args[0] if node.args else node.params["test"][0]
+        test = truthy(self._lam(test_src))
         then_v = self._val(node.params.get("then", [None])[0])
         else_v = self._val(node.params.get("else", [None])[0])
         alias = node.params["as"][0]
@@ -970,7 +1016,10 @@ class DFSCompiler:
         return ops.time_diff(df, by=self.group_keys, alias=alias)
 
     def node_percentile(self, df, node: NodeCall) -> DataFrame:
-        field = node.args[0] if node.args else node.params["field"][0]
+        field = node.args[0] if node.args else node.params.get(
+            "field", node.params.get("fields", [None]))[0]
+        if field is None:
+            raise ValueError("percentile needs a field")
         at = float(self._val(node.params.get("at", [50])[0]))
         alias = node.params.get("as", [f"{field}_percentile"])[0]
         return ops.percentile(df, field, at, alias, by=self._agg_keys())
@@ -986,17 +1035,21 @@ class DFSCompiler:
         return ops.top_k(df, field, num, by=self.group_keys, bottom=True)
 
     def node_state_change(self, df, node: NodeCall) -> DataFrame:
-        return ops.state_change(df, truthy(self._lam(node.args[0])),
+        return ops.state_change(df, self._state_lambda(node),
                                 by=self.group_keys)
+
+    def _state_lambda(self, node: NodeCall):
+        src = node.args[0] if node.args else node.params["lambda"][0]
+        return truthy(self._lam(src))
 
     def node_state_count(self, df, node: NodeCall) -> DataFrame:
         alias = node.params.get("as", ["state_count"])[0]
-        return ops.state_count(df, truthy(self._lam(node.args[0])),
+        return ops.state_count(df, self._state_lambda(node),
                                by=self.group_keys, alias=alias)
 
     def node_state_duration(self, df, node: NodeCall) -> DataFrame:
         alias = node.params.get("as", ["state_duration"])[0]
-        return ops.state_duration(df, truthy(self._lam(node.args[0])),
+        return ops.state_duration(df, self._state_lambda(node),
                                   by=self.group_keys, alias=alias)
 
     def node_collect_unique(self, df, node: NodeCall) -> DataFrame:
@@ -1008,13 +1061,23 @@ class DFSCompiler:
         prefix = node.params.get("prefix", ["c_"])[0]
         keys = self.group_keys
         if not keys:
-            raise NotImplementedError("DFS combine without group_by keys")
+            # the reference combine is keyless (one stream pairing,
+            # esp_combine.erl:55): emulate with a constant key — correct,
+            # but a single-partition as-of at scale, so warn like the
+            # other global-order fallbacks
+            from faxe_spark.operators.common import warn_global_order
+
+            warn_global_order("combine")
+            out = ops.combine(df.withColumn("_gk", F.lit(1)),
+                              other.withColumn("_gk", F.lit(1)),
+                              ["_gk"], prefix=prefix)
+            return out.drop("_gk")
         return ops.combine(df, other, keys, prefix=prefix)
 
     def node_value_emitter(self, df, node: NodeCall) -> DataFrame:
         """Deterministic stand-in for the random emitter (esp_value_emitter
         .erl:26): seeded values so compiled graphs are reproducible."""
-        every_ms = parse_duration_ms(_dur_str(node.params["every"][0])) \
+        every_ms = parse_duration_ms(self._dur(node.params["every"][0])) \
             if "every" in node.params else 1000
         n = 100
         base = 1_700_000_000_000

@@ -70,6 +70,8 @@ LAMBDA_FUNCTIONS = {
     "min": lambda *xs: F.least(*[_c(x) for x in xs]),
     "random": lambda n: (F.rand() * _c(n)).cast("long"),
     "random_real": lambda n: F.rand() * _c(n),
+    "random_latin_string": lambda n=10: F.substring(
+        F.md5((F.rand() * 1e18).cast("long").cast("string")), 1, n),
     # strings
     "str_concat": lambda *xs: F.concat(*[_c(x) for x in xs]),
     "str_replace": lambda s, a, b: F.replace(_c(s), _c(a), _c(b)),

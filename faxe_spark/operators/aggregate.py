@@ -67,6 +67,21 @@ def agg_expr(func: str, field: str | Column, alias: str, *, ts_col: str = "ts",
         expr = F.min_by(c, F.col(ts_col))
     elif func == "last":
         expr = F.max_by(c, F.col(ts_col))
+    elif func == "count_change":
+        # number of ts-ordered value changes within the group — the
+        # aggregate form of esp_count_change.erl:26 (dfs: aggregate
+        # .functions('count_change')); ordered fold over the collected
+        # (ts, value) pairs, element_at guarded for 1-row groups
+        pairs = F.array_sort(F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), c.alias("v"))))
+        vals = F.transform(pairs, lambda s: s["v"])
+        n = F.size(vals)
+        cnt = F.aggregate(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))), F.lit(0),
+            lambda acc, i: acc + F.when(
+                F.element_at(vals, i.cast("int"))
+                != F.element_at(vals, (i - 1).cast("int")), 1).otherwise(0))
+        expr = F.when(n < 2, F.lit(0)).otherwise(cnt)
     else:
         expr = AGG_FUNCTIONS[func](c)
     if round_to is not None and func not in _EXACT:

@@ -344,3 +344,20 @@ a
     assert rows == {1: 2.0}  # add-filter dropped user 2; last row per key
     assert c.sinks == [{"kind": "http_post", "node": "http_post",
                         "url": "http://h.example:8080/ingest"}]
+
+
+def test_dfs_corpus_compile_sweep(spark):
+    """End-to-end compile gate: of the emitter-driven corpus scripts
+    (the ones runnable without a broker/PLC), at least half must
+    COMPILE to DataFrames, not just parse. Remaining failures are the
+    honest ones: @python callback nodes, streaming-only nodes on a
+    batch emitter, JSON-string payload paths."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from dfs_sweep import compile_sweep
+
+    ok, failed = compile_sweep(spark)
+    total = len(ok) + len(failed)
+    assert total >= 80
+    assert len(ok) / total >= 0.5, \
+        f"compile coverage {len(ok)}/{total}: {failed[:5]}"

@@ -43,6 +43,30 @@ def sweep(corpus_root: Path = REFERENCE):
     return files, ok, failed, node_names
 
 
+def compile_sweep(spark, corpus_root: Path = REFERENCE):
+    """End-to-end COMPILE gate for the emitter-driven subset (scripts
+    whose sources are json_emitter/value_emitter — the ones that can
+    run without a broker/PLC in this container)."""
+    from faxe_spark.dfs import DFSCompiler
+
+    ok, failed = [], []
+    for f in sorted(corpus_root.rglob("*.dfs")):
+        text = substitute_template(f.read_text(errors="replace"), {},
+                                   on_missing="1")
+        try:
+            chains = parse_script(text)
+            heads = [c.nodes[0].name for c in chains if c.nodes]
+            if not any(h in ("json_emitter", "value_emitter") for h in heads):
+                continue
+            c = DFSCompiler(spark)
+            df = c.run(text)
+            _ = df.schema
+            ok.append(f)
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            failed.append((f, f"{type(e).__name__}: {str(e)[:80]}"))
+    return ok, failed
+
+
 def main() -> int:
     files, ok, failed, node_names = sweep()
     pct = 100.0 * len(ok) / max(len(files), 1)
@@ -60,6 +84,14 @@ def main() -> int:
         print("\nfailing files:")
         for f, err in failed:
             print(f"  {f.relative_to(REFERENCE)}: {err[:120]}")
+
+    from faxe_spark.session import get_spark
+
+    cok, cfail = compile_sweep(get_spark("dfs-sweep"))
+    print(f"\ncompile sweep (emitter-driven subset): "
+          f"{len(cok)}/{len(cok) + len(cfail)} compile end-to-end")
+    for f, err in cfail:
+        print(f"  {f.relative_to(REFERENCE)}: {err[:110]}")
     return 0 if pct >= 80.0 else 1
 
 
