@@ -225,3 +225,88 @@ def http_post_sink(df: DataFrame, *, url: str, streaming: bool = False,
         return df.writeStream.foreachBatch(post_batch).start()
     post_batch(df, 0)
     return None
+
+
+class TcpServeSink:
+    """tcp_serve (esp_tcp_serve.erl:50-86): SERVE flow data to clients
+    that connect to us — the inverse of tcp_send. An acceptor thread
+    (driver-side edge adapter, like the reference's ranch listener with
+    max_connections=3) tracks connected clients; `push(df)` (or the
+    foreachBatch callable from `updater()`) broadcasts each row as
+    line-framed JSON to every connected client; rows arriving with no
+    client connected are dropped, keeping only the last item — exactly
+    the reference's `open = false` behavior."""
+
+    def __init__(self, *, port: int = 0, host: str = "127.0.0.1",
+                 max_connections: int = 3):
+        import socket
+        import threading
+
+        self._clients: list = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self.last_item: dict | None = None
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(max_connections)
+        srv.settimeout(0.2)
+        self.port = srv.getsockname()[1]
+        self._srv = srv
+
+        def accept_loop():
+            while not self._stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    continue
+                with self._lock:
+                    if len(self._clients) >= max_connections:
+                        conn.close()
+                        continue
+                    self._clients.append(conn)
+            srv.close()
+
+        self._thread = threading.Thread(target=accept_loop, daemon=True)
+        self._thread.start()
+
+    def push(self, df: DataFrame, *, max_rows: int = 10_000) -> int:
+        """Broadcast a batch to all connected clients. Driver-side,
+        bounded collect — this is an alert/telemetry egress adapter,
+        not a bulk-data path (same stance as http_post_sink)."""
+        import json as _json
+
+        rows = [r.asDict(recursive=True) for r in df.limit(max_rows).collect()]
+        sent = 0
+        for r in rows:
+            self.last_item = r
+            data = _json.dumps(r, default=str).encode() + b"\r\n"
+            with self._lock:
+                alive = []
+                for c in self._clients:
+                    try:
+                        c.sendall(data)
+                        alive.append(c)
+                    except OSError:
+                        c.close()  # client went away: drop it (DOWN msg)
+                self._clients = alive
+                if alive:
+                    sent += 1
+        return sent
+
+    def updater(self):
+        """foreachBatch callable for streaming flows."""
+        return lambda batch_df, _id: self.push(batch_df)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        with self._lock:
+            for c in self._clients:
+                c.close()
+            self._clients = []
+
+
+def tcp_serve_sink(**kwargs) -> TcpServeSink:
+    """tcp_serve analog — see TcpServeSink."""
+    return TcpServeSink(**kwargs)

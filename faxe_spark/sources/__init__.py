@@ -359,3 +359,58 @@ def json_rows_source(spark: SparkSession, rows: list[dict] | list[str],
     if ts_field in df.columns and dict(df.dtypes)[ts_field] == "bigint":
         df = df.withColumn(ts_field, F.timestamp_millis(F.col(ts_field)))
     return df
+
+
+def tcp_poll_source(spark: SparkSession, *, host: str, port: int,
+                    every: str = "1s", request: str = "get1",
+                    prefix: str = "val_",
+                    timeout_sec: float = 5.0) -> DataFrame:
+    """tcppoll (esp_tcppoll.erl:30-90): periodic request/response
+    polling of a TCP device — send a request string every interval,
+    read one line back, split numeric values into prefix-numbered
+    columns (the reference's convert/3 val_1..val_N fields).
+
+    Same streaming shape as http_poll_source: the rate source is the
+    clock, each surviving tick runs one executor-side exchange; a
+    failed poll yields a null payload (conn_status 'down' analog)
+    instead of killing the stream — the reference reconnects, we
+    retry next tick (short-lived connection per poll; the persistent-
+    socket optimization belongs to a custom data source at scale)."""
+    import pandas as pd
+
+    from faxe_spark.durations import parse_duration_ms
+
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    tick = rate.filter(F.col("value") % every_s == 0)
+
+    def poll(batches):
+        import socket
+
+        for pdf in batches:
+            payloads = []
+            for _ in range(len(pdf)):
+                try:
+                    with socket.create_connection((host, port),
+                                                  timeout=timeout_sec) as s:
+                        s.sendall(request.encode() + b"\n")
+                        buf = b""
+                        while not buf.endswith(b"\n"):
+                            chunk = s.recv(4096)
+                            if not chunk:
+                                break
+                            buf += chunk
+                    payloads.append(buf.decode("utf-8", errors="replace").strip())
+                except OSError:
+                    payloads.append(None)
+            yield pd.DataFrame({"poll_ts": pdf["timestamp"],
+                                "payload": payloads})
+
+    out = tick.mapInPandas(poll, "poll_ts timestamp, payload string")
+    # convert/3 analog: CSV payload -> prefix-numbered typed columns
+    parts = F.split(F.col("payload"), ",")
+    out = out.withColumn("_p", parts)
+    n_probe = 4  # fixed width like the reference's count option
+    cols = [F.col("_p").getItem(i).cast("double").alias(f"{prefix}{i + 1}")
+            for i in range(n_probe)]
+    return out.select("poll_ts", "payload", *cols)

@@ -370,3 +370,87 @@ def test_http_listen_source_receives_posts(spark):
     finally:
         q.stop()
         lis.stop()
+
+
+def test_tcp_serve_sink_broadcasts_to_clients(spark):
+    """tcp_serve (esp_tcp_serve.erl:50-86): clients CONNECT TO US and
+    receive each row as line-framed JSON; rows with no client connected
+    are dropped (open=false path)."""
+    import socket
+
+    from faxe_spark.sinks import tcp_serve_sink
+
+    srv = tcp_serve_sink()
+    try:
+        df = spark.createDataFrame([(1, "a")], "id int, s string")
+        # no client yet: pushed rows go nowhere, last_item still records
+        assert srv.push(df) == 0
+        assert srv.last_item == {"id": 1, "s": "a"}
+
+        c1 = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        c2 = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        time.sleep(0.5)  # acceptor picks them up
+        df2 = spark.createDataFrame([(2, "b"), (3, "c")], "id int, s string")
+        assert srv.push(df2) == 2
+        for c in (c1, c2):
+            c.settimeout(5)
+            buf = b""
+            while buf.count(b"\n") < 2:
+                buf += c.recv(4096)
+            ids = sorted(json.loads(l)["id"] for l in buf.strip().splitlines())
+            assert ids == [2, 3]
+        c1.close()
+        c2.close()
+    finally:
+        srv.stop()
+
+
+def test_tcp_poll_source_polls_live_server(spark):
+    """tcppoll (esp_tcppoll.erl:30-90): periodic request/response —
+    the poller sends the request, the device answers a CSV line that
+    lands as prefix-numbered columns."""
+    import socket
+
+    from faxe_spark.sources import tcp_poll_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    served = []
+    done = threading.Event()
+
+    def serve():
+        while not done.is_set():
+            try:
+                srv.settimeout(0.5)
+                conn, _ = srv.accept()
+            except OSError:
+                continue
+            with conn:
+                req = conn.recv(1024)
+                served.append(req)
+                conn.sendall(b"1.5,2.5,3.5,4.5\n")
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    out = tcp_poll_source(spark, host="127.0.0.1", port=port, every="1s")
+    q = (out.writeStream.format("memory").queryName("tcp_poll").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM tcp_poll WHERE payload IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2, "fewer than 2 successful polls"
+        r = rows[0]
+        assert (r.val_1, r.val_2, r.val_3, r.val_4) == (1.5, 2.5, 3.5, 4.5)
+        assert served and served[0].startswith(b"get1")
+    finally:
+        q.stop()
+        done.set()
+        srv.close()
