@@ -509,6 +509,8 @@ class DFSCompiler:
         self.sinks: list[dict] = []   # deferred sink specs (runner applies)
         self.listeners: list = []     # live edge listeners (udp) to stop()
         self._current_df: DataFrame | None = None
+        self._fill_period = False     # pending window's fill_period flag
+        self._window_src: DataFrame | None = None  # df feeding the window
 
     def run(self, script: str) -> DataFrame:
         chains = parse_script(script)
@@ -560,8 +562,19 @@ class DFSCompiler:
 
     def _agg_keys(self) -> list:
         keys = ([self.window] if self.window is not None else []) + self.group_keys
+        self._had_window = self.window is not None
         self.window = None
         return keys
+
+    def _post_agg(self, out: DataFrame) -> DataFrame:
+        """fill_period suppression (esp_win_clock.erl:10): drop partial
+        head windows once the windowed aggregate is formed."""
+        if self._fill_period and getattr(self, "_had_window", False) \
+                and self._window_src is not None and "window" in out.columns:
+            out = ops.fill_period_filter(out, self._window_src)
+        self._fill_period = False
+        self._window_src = None
+        return out
 
     def _stat(self, df: DataFrame, func: str, node: NodeCall) -> DataFrame:
         """Single-field stat node (§2.6 stats family): aggregates the
@@ -570,10 +583,13 @@ class DFSCompiler:
         alias = node.params.get("as", [f"{field}_{func}"])[0]
         if self.count_window is not None:
             period, every = self.count_window
+            fill = self._fill_period
+            self._fill_period = False
             self.count_window = None
             return ops.win_event_agg(df, [(field, func, alias)], period, every,
-                                     by=self.group_keys)
-        return ops.aggregate(df, [(field, func, alias)], by=self._agg_keys())
+                                     by=self.group_keys, fill_period=fill)
+        return self._post_agg(
+            ops.aggregate(df, [(field, func, alias)], by=self._agg_keys()))
 
     # -- node dispatch -----------------------------------------------------
     STAT_NODES = ("avg", "sum", "count", "count_distinct", "mean", "median",
@@ -676,6 +692,8 @@ class DFSCompiler:
         if period is None:
             raise ValueError("win_time needs .period() or .every()")
         self.window = ops.win_time("ts", period, every).alias("window")
+        self._fill_period = "fill_period" in node.params
+        self._window_src = df
         return df
 
     def node_win_session(self, df, node: NodeCall) -> DataFrame:
@@ -690,9 +708,12 @@ class DFSCompiler:
         specs = list(zip(fields_, funcs, aliases))
         if self.count_window is not None:
             period, every = self.count_window
+            fill = self._fill_period
+            self._fill_period = False
             self.count_window = None
-            return ops.win_event_agg(df, specs, period, every, by=self.group_keys)
-        return ops.aggregate(df, specs, by=self._agg_keys())
+            return ops.win_event_agg(df, specs, period, every,
+                                     by=self.group_keys, fill_period=fill)
+        return self._post_agg(ops.aggregate(df, specs, by=self._agg_keys()))
 
     def node_value_diff(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", [])
@@ -960,6 +981,7 @@ class DFSCompiler:
         period = int(self._val(node.params["period"][0])) \
             if "period" in node.params else every
         self.count_window = (period, every)
+        self._fill_period = "fill_period" in node.params
         return df
 
     def node_win_clock(self, df, node: NodeCall) -> DataFrame:
@@ -969,6 +991,8 @@ class DFSCompiler:
         every = self._dur(node.params["every"][0])
         period = self._dur(node.params["period"][0]) if "period" in node.params else every
         self.window = ops.win_time("ts", period, every).alias("window")
+        self._fill_period = "fill_period" in node.params
+        self._window_src = df
         return df
 
     def node_batch(self, df, node: NodeCall) -> DataFrame:

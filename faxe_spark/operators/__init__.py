@@ -23,7 +23,10 @@ from faxe_spark.operators.project import (
     shift_time,
 )
 from faxe_spark.operators.filter import where, sample_nth, sample_per, change_detect, distinct_values
-from faxe_spark.operators.window import win_time, win_event, win_event_agg, win_session, batch_by_count
+from faxe_spark.operators.window import (
+    win_time, win_event, win_event_agg, win_session, batch_by_count,
+    fill_period_filter,
+)
 from faxe_spark.operators.aggregate import aggregate, AGG_FUNCTIONS, percentile, top_k, dist_count
 from faxe_spark.operators.diff import value_diff, time_diff, count_change
 from faxe_spark.operators.join import (
@@ -42,6 +45,7 @@ __all__ = [
     "path_split", "jsonsize",
     "where", "sample_nth", "sample_per", "change_detect", "distinct_values",
     "win_time", "win_event", "win_event_agg", "win_session", "batch_by_count",
+    "fill_period_filter",
     "aggregate", "AGG_FUNCTIONS", "percentile", "top_k", "dist_count",
     "value_diff", "time_diff", "count_change",
     "asof_join", "asof_join_exact", "interval_join", "combine", "union_streams",

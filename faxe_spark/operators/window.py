@@ -90,6 +90,21 @@ def win_event_agg(df: DataFrame, specs, period: int, every: int = 1, *,
     return out.filter(cond).drop("_win_row")
 
 
+def fill_period_filter(agg_df: DataFrame, source_df: DataFrame, *,
+                       window_col: str = "window",
+                       ts_col: str = "ts") -> DataFrame:
+    """esp_win_clock.erl:10 `fill_period`: "the window will not emit
+    before `period` time has elapsed for the first time" — i.e. the
+    partial head window(s) that started before the stream's first event
+    are suppressed. Batch form: keep only windows whose start >= the
+    global min event time (1-row broadcast probe, no extra shuffle on
+    the aggregated side)."""
+    mn = source_df.agg(F.min(F.col(ts_col)).alias("_first_ts"))
+    return (agg_df.crossJoin(F.broadcast(mn))
+            .filter(F.col(f"{window_col}.start") >= F.col("_first_ts"))
+            .drop("_first_ts"))
+
+
 def batch_by_count(df: DataFrame, size: int, *, by: Iterable[str] = (),
                    ts_col: str = "ts", order_tiebreak: str | None = None,
                    batch_col: str = "batch_id") -> DataFrame:

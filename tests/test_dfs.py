@@ -361,3 +361,62 @@ def test_dfs_corpus_compile_sweep(spark):
     assert total >= 80
     assert len(ok) / total >= 0.5, \
         f"compile coverage {len(ok)}/{total}: {failed[:5]}"
+
+
+def test_fill_period_suppresses_partial_head_windows(spark):
+    """esp_win_clock.erl:10 fill_period: windows that started before the
+    first event (partial head) don't emit."""
+    import datetime
+
+    from faxe_spark.dfs import DFSCompiler
+
+    t = lambda s: (datetime.datetime(2024, 1, 1)
+                   + datetime.timedelta(seconds=s))  # noqa: E731
+    # first event at :05 — the epoch-aligned [0:00,1:00) head window is
+    # partial under a 1m period with 30s slide
+    rows = [(t(5), 1.0), (t(35), 2.0), (t(65), 3.0), (t(95), 4.0)]
+    d = spark.createDataFrame(rows, "ts timestamp, val double")
+
+    script = """
+a
+|win_time()
+.period(1m)
+.every(30s)
+{FILL}
+|sum('val')
+.as('s')
+"""
+    plain = DFSCompiler(spark, sources={"a": d}).run(script.format(FILL=""))
+    filled = DFSCompiler(spark, sources={"a": d}).run(
+        script.format(FILL=".fill_period()"))
+    n_plain, n_filled = plain.count(), filled.count()
+    assert n_filled < n_plain
+    # every remaining window starts at/after the first event's slide
+    starts = [r["window"]["start"] for r in filled.collect()]
+    assert all(s >= t(0) for s in starts)
+    assert min(starts) >= t(0)
+
+
+def test_fill_period_count_window(spark):
+    """win_event fill_period: no emission until `period` rows seen."""
+    import datetime
+
+    from faxe_spark.dfs import DFSCompiler
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    d = spark.createDataFrame(
+        [(t(i), 1, float(i)) for i in range(6)], "ts timestamp, k int, val double")
+    script = """
+a
+|group_by('k')
+|win_event()
+.period(3)
+.every(1)
+.fill_period()
+|sum('val')
+.as('s')
+"""
+    out = DFSCompiler(spark, sources={"a": d}).run(script)
+    # rows 1 and 2 are suppressed; rows 3..6 emit full 3-row sums
+    sums = sorted(r.s for r in out.collect())
+    assert sums == [3.0, 6.0, 9.0, 12.0]
