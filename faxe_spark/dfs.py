@@ -663,10 +663,26 @@ class DFSCompiler:
         values = node.params.get("field_values", [])
         return ops.default_fields(df, dict(zip(fields_, values)))
 
+    def _materialize_paths(self, df, fields):
+        """Nested/dotted path args become flat null-safe columns
+        (flowdata undefined semantics) so downstream ops that expect
+        plain column names work over any payload schema."""
+        names = []
+        for pth in fields:
+            if pth in df.columns:
+                names.append(pth)
+                continue
+            flat = pth.replace(".", "_").replace("[", "_").replace("]", "")
+            df = df.withColumn(flat, self._fieldref(pth))
+            names.append(flat)
+        self._current_df = df
+        return df, names
+
     def node_keep(self, df, node: NodeCall) -> DataFrame:
         fields_ = list(node.args) + list(node.params.get("fields", []))
         aliases = node.params.get("as", None)
-        return ops.keep(df, fields_, aliases)
+        df, names = self._materialize_paths(df, fields_)
+        return ops.keep(df, names, aliases)
 
     def node_delete(self, df, node: NodeCall) -> DataFrame:
         return ops.delete(df, list(node.args) + list(node.params.get("fields", [])))
@@ -1023,7 +1039,8 @@ class DFSCompiler:
 
     def node_change_detect(self, df, node: NodeCall) -> DataFrame:
         fields_ = list(node.args) + list(node.params.get("fields", []))
-        return ops.change_detect(df, fields_, by=self.group_keys)
+        df, names = self._materialize_paths(df, fields_)
+        return ops.change_detect(df, names, by=self.group_keys)
 
     def node_count_change(self, df, node: NodeCall) -> DataFrame:
         field = node.args[0] if node.args else node.params["field"][0]
@@ -1133,7 +1150,8 @@ class DFSCompiler:
 
     def node_path_split(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", list(node.args))
-        return ops.path_split(df, fields_)
+        df, names = self._materialize_paths(df, fields_)
+        return ops.path_split(df, names)
 
     def node_jsonsize(self, df, node: NodeCall) -> DataFrame:
         alias = node.params.get("field", ["json_size"])[0]
