@@ -19,6 +19,9 @@ from faxe_spark.streaming.stateful import (
     time_elapsed_stream,
     join_stream,
     collect_full_stream,
+    change_detect_stream,
+    value_diff_stream,
+    sample_stream,
 )
 
 __all__ = [
@@ -34,4 +37,7 @@ __all__ = [
     "time_elapsed_stream",
     "join_stream",
     "collect_full_stream",
+    "change_detect_stream",
+    "value_diff_stream",
+    "sample_stream",
 ]

@@ -157,6 +157,101 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def change_detect_stream(df: DataFrame, *, key_col: str, value_col: str,
+                         ts_col: str = "ts",
+                         emit_first: bool = True) -> DataFrame:
+    """faxe change_detect on a stream (esp_change_detect.erl:41): emit a
+    row only when the monitored value differs from the key's last seen
+    value — per-key last-value state, one string slot per key."""
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", StringType()),
+    ])
+    state_schema = StructType([StructField("last", StringType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        seen_any = state.exists
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = None if v is None else str(v)
+                changed = (v != last) if seen_any else emit_first
+                if changed:
+                    rows.append((key[0], int(ts.value // 1_000_000), v))
+                last, seen_any = v, True
+        state.update((last,))
+        yield pd.DataFrame(rows, columns=["key", "ts_ms", "value"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def value_diff_stream(df: DataFrame, *, key_col: str, value_col: str,
+                      ts_col: str = "ts", mode: str = "c-p") -> DataFrame:
+    """faxe value_diff on a stream (esp_value_diff.erl): per-key delta
+    against the previous row, surviving micro-batch boundaries through
+    one numeric slot of state. mode 'c-p' (current minus previous) or
+    'p-c'."""
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("value_diff", DoubleType()),
+    ])
+    state_schema = StructType([StructField("prev", DoubleType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = None if v is None else float(v)
+                diff = None
+                if prev is not None and v is not None:
+                    diff = (v - prev) if mode == "c-p" else (prev - v)
+                rows.append((key[0], int(ts.value // 1_000_000), v, diff))
+                if v is not None:
+                    prev = v
+        state.update((prev,))
+        yield pd.DataFrame(rows, columns=["key", "ts_ms", "value", "value_diff"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def sample_stream(df: DataFrame, *, key_col: str, n: int,
+                  ts_col: str = "ts") -> DataFrame:
+    """faxe sample every-Nth on a stream (esp_sample.erl): per-key row
+    counter in the state store; every n-th row passes."""
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+    ])
+    state_schema = StructType([StructField("count", LongType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        count = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                count += 1
+                if count % n == 0:
+                    rows.append((key[0], int(ts.value // 1_000_000)))
+        state.update((count,))
+        yield pd.DataFrame(rows, columns=["key", "ts_ms"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def collect_full_stream(df: DataFrame, *, key_col: str,
                         payload_cols: list[str],
                         add_when=None, remove_when=None, update_when=True,

@@ -329,3 +329,77 @@ def test_collect_full_stream_emit_every(spark, tmp_path):
         assert emits > 0, "emit_every never re-emitted the buffer"
     finally:
         q.stop()
+
+
+def test_change_detect_and_value_diff_streams_cross_batch(spark, tmp_path):
+    """change_detect/value_diff streaming analogs: state survives
+    micro-batch boundaries (second file's first row diffs against the
+    first file's last row)."""
+    import datetime
+
+    from faxe_spark.streaming import (change_detect_stream, stream_parquet,
+                                      value_diff_stream)
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    src = str(tmp_path / "cdsrc")
+    import os
+    os.makedirs(src)
+    spark.createDataFrame([(1, t(0), 10.0), (1, t(1), 10.0), (1, t(2), 12.0)],
+                          "key bigint, ts timestamp, v double") \
+        .coalesce(1).write.parquet(src + "/b1")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(src + "/*")
+
+    cd = change_detect_stream(stream, key_col="key", value_col="v")
+    vd = value_diff_stream(stream, key_col="key", value_col="v")
+    q1 = (cd.writeStream.format("memory").queryName("cd_s")
+          .outputMode("append").trigger(processingTime="1 second").start())
+    q2 = (vd.writeStream.format("memory").queryName("vd_s")
+          .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM cd_s").collect()[0].c >= 2:
+                break
+            time.sleep(0.5)
+        # second batch: starts equal to previous last value (12) -> no
+        # change event; then 13 -> change
+        spark.createDataFrame([(1, t(10), 12.0), (1, t(11), 13.0)],
+                              "key bigint, ts timestamp, v double") \
+            .coalesce(1).write.parquet(src + "/b2")
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM cd_s").collect()[0].c >= 3 and \
+               spark.sql("SELECT count(*) c FROM vd_s").collect()[0].c >= 5:
+                break
+            time.sleep(0.5)
+        cd_vals = [r.value for r in
+                   spark.sql("SELECT * FROM cd_s ORDER BY ts_ms").collect()]
+        assert cd_vals == ["10.0", "12.0", "13.0"]  # 12->12 suppressed
+        vd_rows = [(r.value, r.value_diff) for r in
+                   spark.sql("SELECT * FROM vd_s ORDER BY ts_ms").collect()]
+        assert vd_rows == [(10.0, None), (10.0, 0.0), (12.0, 2.0),
+                           (12.0, 0.0), (13.0, 1.0)]
+    finally:
+        q1.stop()
+        q2.stop()
+
+
+def test_sample_stream_every_nth(spark, tmp_path):
+    import datetime
+
+    from faxe_spark.streaming import sample_stream, stream_parquet
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    src = str(tmp_path / "smpsrc")
+    spark.createDataFrame([(1, t(i)) for i in range(7)],
+                          "key bigint, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+    s = stream_parquet(spark, src)
+    out = sample_stream(s, key_col="key", n=3)
+    _run_available_now(out, "smp_s")
+    rows = [r.ts_ms for r in spark.sql("SELECT * FROM smp_s ORDER BY ts_ms").collect()]
+    # rows 3 and 6 of 7 pass
+    base = 1704067200000
+    assert rows == [base + 2000, base + 5000]
