@@ -56,21 +56,57 @@ def memory_sink(df: DataFrame, name: str, *, output_mode: str = "append",
     return w.start()
 
 
-def kafka_sink(df: DataFrame, *, brokers: str, topic: str,
+def kafka_sink(df: DataFrame, *, brokers: str, topic: str | None = None,
+               topic_field: str | None = None,
+               topic_expr=None,
                streaming: bool = True, checkpoint: str | None = None):
     """mqtt_publish/amqp_publish analog (esp_mqtt_publish.erl:46): JSON
-    payload per row; `retained`/`safe` -> Kafka log + checkpoint."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload per row; `retained`/`safe` -> Kafka log + checkpoint.
+
+    Topic routing mirrors the reference's three forms (:55-67,
+    one_of_params): static `topic`, per-row `topic_field` (a column
+    holding the topic), or `topic_expr` (any Column — the topic_lambda
+    analog). Per-row routing uses Kafka's native `topic` column, so one
+    sink fans out to many topics with no extra pass."""
+    if sum(x is not None for x in (topic, topic_field, topic_expr)) != 1:
+        raise ValueError("exactly one of topic / topic_field / topic_expr "
+                         "(esp_mqtt_publish one_of_params)")
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if topic_field is not None:
+        cols.append(F.col(topic_field).cast("string").alias("topic"))
+    elif topic_expr is not None:
+        cols.append(topic_expr.cast("string").alias("topic"))
+    payload = df.select(*cols)
     if streaming:
         w = (payload.writeStream.format("kafka")
-             .option("kafka.bootstrap.servers", brokers)
-             .option("topic", topic))
+             .option("kafka.bootstrap.servers", brokers))
+        if topic is not None:
+            w = w.option("topic", topic)
         if checkpoint:
             w = w.option("checkpointLocation", checkpoint)
         return w.start()
-    return (payload.write.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic).save())
+    w = (payload.write.format("kafka")
+         .option("kafka.bootstrap.servers", brokers))
+    if topic is not None:
+        w = w.option("topic", topic)
+    return w.save()
+
+
+def broker_bridge(spark, *, source_brokers: str, source_topic: str,
+                  sink_brokers: str, topic_field: str = "key",
+                  checkpoint: str | None = None):
+    """mqtt_amqp_bridge analog (esp_mqtt_amqp_bridge.erl: subscribe one
+    broker, publish each message to the other keyed by its topic,
+    order-preserving, content-unaware). Composition of kafka_source ->
+    kafka_sink with per-row topic routing; ordering within a source
+    partition and at-least-once delivery come from the checkpointed
+    stream (exactly-once with idempotent producer config)."""
+    from faxe_spark.sources import kafka_source
+
+    src = kafka_source(spark, brokers=source_brokers, topic=source_topic,
+                       streaming=True)
+    return kafka_sink(src, brokers=sink_brokers, topic_field=topic_field,
+                      checkpoint=checkpoint)
 
 
 def jdbc_sink(df: DataFrame, *, url: str, table: str, user: str = "",

@@ -454,3 +454,35 @@ def test_tcp_poll_source_polls_live_server(spark):
         q.stop()
         done.set()
         srv.close()
+
+
+def test_kafka_sink_topic_routing_forms(spark):
+    """esp_mqtt_publish one_of_params: exactly one of topic/topic_field/
+    topic_expr; per-row routing lands in Kafka's native topic column
+    (plan-level check — no broker in the container)."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.sinks import kafka_sink
+
+    df = spark.createDataFrame([(1, "t/a")], "id int, dest string")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_sink(df, brokers="b:9092")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_sink(df, brokers="b:9092", topic="x", topic_field="dest")
+    # the routed plan puts value+topic columns in front of the sink;
+    # starting the write fails cleanly without the connector jar
+    with pytest.raises(Exception, match="(?i)kafka|data.?source"):
+        kafka_sink(df, brokers="localhost:9092", topic_field="dest",
+                   streaming=False)
+    with pytest.raises(Exception, match="(?i)kafka|data.?source"):
+        kafka_sink(df, brokers="localhost:9092",
+                   topic_expr=F.concat(F.lit("out/"), F.col("id")),
+                   streaming=False)
+
+
+def test_broker_bridge_fails_cleanly_without_broker(spark):
+    from faxe_spark.sinks import broker_bridge
+
+    with pytest.raises(Exception, match="(?i)kafka|data.?source"):
+        broker_bridge(spark, source_brokers="localhost:9092",
+                      source_topic="in", sink_brokers="localhost:9093")
