@@ -1663,6 +1663,34 @@ def sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_time_fill_period",
+    f"""
+    WITH starts AS (
+      SELECT event_id, value,
+             unnest([ (epoch_us(ts) // 300000000) * 300000,
+                      (epoch_us(ts) // 300000000) * 300000 - 300000 ]) AS window_start_ms
+      FROM {_EV}
+    ),
+    first_ts AS (SELECT min(epoch_us(ts)) AS first_us FROM {_EV})
+    SELECT window_start_ms, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM starts, first_ts
+    WHERE window_start_ms * 1000 >= first_us
+    GROUP BY window_start_ms
+    """,
+    doc="faxe win_time/win_clock fill_period (esp_win_clock.erl:10): sliding "
+        "windows that started before the stream's first event do not emit",
+)
+def win_time_fill_period_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(ops.win_time("ts", "10m", "5m").alias("window")).agg(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("value", "sum_value"))
+    g = ops.fill_period_filter(g, ev)
+    return g.select(F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+                    "cnt", "sum_value")
+
+
+@register(
     "lookup_enrich",
     """
     SELECT r.r_name, count(*) AS n_customers,
