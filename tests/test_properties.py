@@ -109,3 +109,99 @@ def test_lambda_math_matches_python_reference(spark, xs):
         assert r.fl == math.floor(x)
         assert r.ce == math.ceil(x)
         assert r.sq == pytest.approx(x * x, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# PLC read planner invariants (faxe_spark/plc.py)
+# ---------------------------------------------------------------------------
+
+s7_bool_addrs = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),   # db
+              st.integers(min_value=0, max_value=40),  # byte
+              st.integers(min_value=0, max_value=7)),  # bit
+    min_size=1, max_size=24, unique=True)
+
+
+@given(s7_bool_addrs)
+def test_plc_bool_plan_covers_every_alias_once(addrs):
+    """Every requested tag appears exactly once across the plan, and its
+    run-relative bit offset reconstructs the absolute address."""
+    from faxe_spark.plc import plan_bulk_reads
+
+    addresses = [f"DB{db}.DBX{byte}.{bit}" for db, byte, bit in addrs]
+    aliases = [f"t{i}" for i in range(len(addrs))]
+    runs = plan_bulk_reads(addresses, aliases)
+    seen = {}
+    for r in runs:
+        assert r.amount >= 1
+        for name, kind, off in r.aliases:
+            assert kind == "bool_byte"
+            assert name not in seen
+            seen[name] = r.start * 8 + off  # absolute bit address
+    assert set(seen) == set(aliases)
+    want = {f"t{i}": db * 0 + byte * 8 + bit
+            for i, (db, byte, bit) in enumerate(addrs)}
+    assert seen == want
+
+
+s7_word_addrs = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=2),
+              st.integers(min_value=0, max_value=60)),
+    min_size=1, max_size=20, unique=True)
+
+
+@given(s7_word_addrs)
+def test_plc_word_plan_amount_equals_alias_count(addrs):
+    from faxe_spark.plc import plan_bulk_reads
+
+    addresses = [f"DB{db}.DBW{2 * off}" for db, off in addrs]
+    aliases = [f"w{i}" for i in range(len(addrs))]
+    runs = plan_bulk_reads(addresses, aliases)
+    assert sum(r.amount for r in runs) == len(addrs)
+    assert sorted(n for r in runs for n, _t in r.aliases) == sorted(aliases)
+    for r in runs:
+        assert r.amount == len(r.aliases)
+
+
+modbus_reqs = st.lists(
+    st.tuples(st.sampled_from(["hregs", "coils"]),
+              st.integers(min_value=0, max_value=200),
+              st.integers(min_value=1, max_value=4)),
+    min_size=1, max_size=20)
+
+
+@given(modbus_reqs)
+def test_modbus_plan_conserves_registers_and_aliases(reqs):
+    from faxe_spark.plc import plan_modbus_reads
+
+    fns = [f for f, _s, _c in reqs]
+    starts = [s for _f, s, _c in reqs]
+    counts = [c for _f, _s, c in reqs]
+    aliases = [f"r{i}" for i in range(len(reqs))]
+    runs = plan_modbus_reads(fns, starts, counts, aliases)
+    assert sum(r.amount for r in runs) == sum(counts)
+    assert sorted(a for r in runs for a in r.aliases) == sorted(aliases)
+    assert all(r.amount <= 125 for r in runs)
+
+
+# ---------------------------------------------------------------------------
+# merge_value laws (esp_join.erl merge/2) — plan-time dispatch, checked
+# through a tiny DataFrame evaluation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(st.sampled_from("abcd"), st.integers(-5, 5), max_size=3),
+       st.dictionaries(st.sampled_from("abcd"), st.integers(-5, 5), max_size=3))
+def test_merge_value_map_right_wins(spark, m1, m2):
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.join import merge_value
+
+    df = spark.createDataFrame(
+        [(m1, m2)], "a map<string,long>, b map<string,long>")
+    dtype = df.schema["a"].dataType
+    got = df.select(merge_value(F.col("a"), F.col("b"), dtype).alias("m")) \
+        .collect()[0]["m"] or {}
+    assert got == {**m1, **m2}
