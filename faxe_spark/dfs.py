@@ -318,9 +318,10 @@ def parse_script(text: str, vars: dict | None = None) -> list[Chain]:
 _LAMBDA_TOKEN = re.compile(r"""
     (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<fieldref>"[^"]+")
+  | (?P<duration>-?\d+(?:ms|s|m|h|d|w)\b)
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|==|!=|=<|\*|\+|-|/|%|<|>|\(|\),?|,)
+  | (?P<op><=|>=|==|!=|=<|\*|\+|-|/|%|<|>|\(|\),?|,|\[|\])
 """, re.X)
 
 
@@ -431,6 +432,17 @@ class _LambdaParser:
             return get_path(text[1:-1])
         if kind == "number":
             return F.lit(float(text) if "." in text else int(text))
+        if kind == "duration":
+            return F.lit(parse_duration_ms(text))  # faxe_time unit literal
+        if kind == "op" and text == "[":
+            # list literal (str_concat(['a', "f", ...]) in the corpus)
+            items = []
+            while self.peek() != ("op", "]"):
+                items.append(self.or_expr())
+                if self.peek() == ("op", ","):
+                    self.next()
+            self.next()
+            return items
         if kind == "op" and text == "(":
             e = self.or_expr()
             k, t = self.next()
@@ -438,7 +450,10 @@ class _LambdaParser:
                 raise ValueError("lambda: unbalanced parens")
             return e
         if kind == "name":
-            if text == "undefined":
+            if text == "undefined" and self.peek() != ("op", "("):
+                # bare `undefined` = null literal; `undefined(x)` is the
+                # is-undefined predicate and falls through to the
+                # function-call path (dfs_std_lib:undefined/1)
                 return F.lit(None)
             nk, nt = self.peek()
             if nk == "op" and nt == "(":
@@ -625,6 +640,43 @@ class DFSCompiler:
                 df = df.withColumn(m.group(1), F.lit(None))
         return fn(df, node)
 
+    @staticmethod
+    def _widen_numbers(rows: list) -> list:
+        """JSON rows mixing ints and floats under one key (jiffy decodes
+        each literally) break schema inference — widen such keys to
+        float, recursively through nested objects."""
+        def scan(objs):
+            keys = {k for o in objs if isinstance(o, dict) for k in o}
+            for k in keys:
+                vals = [o[k] for o in objs
+                        if isinstance(o, dict) and o.get(k) is not None]
+                if not vals:  # all-null key: unrepresentable -> undefined
+                    for o in objs:
+                        if isinstance(o, dict):
+                            o.pop(k, None)
+                    continue
+                if any(isinstance(v, float) for v in vals) and any(
+                        type(v) is int for v in vals):
+                    for o in objs:
+                        if isinstance(o, dict) and type(o.get(k)) is int:
+                            o[k] = float(o[k])
+                    vals = [o[k] for o in objs
+                            if isinstance(o, dict) and o.get(k) is not None]
+                # heterogeneous lists (ints mixed with objects) cannot be
+                # typed: carry them as their JSON text (opaque payload)
+                for v in vals:
+                    if isinstance(v, list) and len({type(e) for e in v}) > 1:
+                        for o in objs:
+                            if isinstance(o, dict) and isinstance(o.get(k), list):
+                                o[k] = json.dumps(o[k])
+                        vals = []
+                        break
+                nested = [v for v in vals if isinstance(v, dict)]
+                if nested:
+                    scan(nested)
+        scan(rows)
+        return rows
+
     def node_json_emitter(self, df, node: NodeCall) -> DataFrame:
         rows = [json.loads(a) for a in node.args if isinstance(a, str)]
         rows += [json.loads(a) for a in node.params.get("json", []) if isinstance(a, str)]
@@ -634,7 +686,9 @@ class DFSCompiler:
         out = []
         for i, r in enumerate(rows):
             out.append({"ts": base + i * every_ms, **r})
-        pdf = self.spark.createDataFrame(out)
+        if not out:  # emitter with no literal rows: one ts-only tick
+            out = [{"ts": base}]
+        pdf = self.spark.createDataFrame(self._widen_numbers(out))
         return pdf.withColumn("ts", F.timestamp_millis(F.col("ts")))
 
     def node_parquet(self, df, node: NodeCall) -> DataFrame:

@@ -73,7 +73,10 @@ LAMBDA_FUNCTIONS = {
     "random_latin_string": lambda n=10: F.substring(
         F.md5((F.rand() * 1e18).cast("long").cast("string")), 1, n),
     # strings
-    "str_concat": lambda *xs: F.concat(*[_c(x) for x in xs]),
+    # accepts both varargs and a single list literal (dfs corpus uses
+    # str_concat(['a', "field", ...]))
+    "str_concat": lambda *xs: F.concat(*[
+        _c(x) for x in (xs[0] if len(xs) == 1 and isinstance(xs[0], list) else xs)]),
     "str_replace": lambda s, a, b: F.replace(_c(s), _c(a), _c(b)),
     "str_slice": lambda s, start, length=None: (
         F.substring(_c(s), start + 1, length) if length is not None
@@ -100,6 +103,7 @@ LAMBDA_FUNCTIONS = {
     "if": _if,
     "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
     "is_undefined": lambda x: _c(x).isNull(),
+    "undefined": lambda x: _c(x).isNull(),  # undefined(field) predicate form
     "defined": lambda x: _c(x).isNotNull(),
     # environment (evaluated driver-side at plan build, like the DFS
     # macro expansion; dfs/test/env.dfs)
