@@ -748,6 +748,8 @@ class DFSCompiler:
 
     def node_group_by(self, df, node: NodeCall) -> DataFrame:
         keys = [a for a in node.args if isinstance(a, str)]
+        if df is not None:
+            df, keys = self._materialize_paths(df, keys)
         self.group_keys = keys
         return df
 
@@ -1149,6 +1151,7 @@ class DFSCompiler:
 
     def node_collect_unique(self, df, node: NodeCall) -> DataFrame:
         key = node.args[0] if node.args else node.params["fields"][0]
+        df, (key,) = self._materialize_paths(df, [key])
         return ops.collect_unique(df, key)
 
     def node_combine(self, df, node: NodeCall) -> DataFrame:

@@ -79,9 +79,15 @@ def set_path(df: DataFrame, path: str, value: Column | object) -> DataFrame:
     names = [n for n, _ in segs]
     if len(names) == 1:
         return df.withColumn(names[0], v)
+    from pyspark.sql.types import StructType
+
     root = names[0]
-    if root not in df.columns:
-        # auto-create the whole intermediate chain as nested structs
+    root_is_struct = root in df.columns and isinstance(
+        df.schema[root].dataType, StructType)
+    if root not in df.columns or not root_is_struct:
+        # auto-create the whole intermediate chain as nested structs;
+        # a non-map root value is REPLACED by the map, like flowdata's
+        # set on a scalar (a deep set always yields nested maps)
         nested = v
         for n in reversed(names[1:]):
             nested = F.struct(nested.alias(n))
