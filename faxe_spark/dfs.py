@@ -513,7 +513,8 @@ class DFSCompiler:
     (so the gap is explicit, not silent)."""
 
     def __init__(self, spark: SparkSession, *, tables_dir: str | None = None,
-                 sources: dict[str, DataFrame] | None = None):
+                 sources: dict[str, DataFrame] | None = None,
+                 python_nodes: dict | None = None):
         self.spark = spark
         self.tables_dir = tables_dir
         self.env: dict[str, DataFrame] = dict(sources or {})
@@ -526,6 +527,9 @@ class DFSCompiler:
         self._current_df: DataFrame | None = None
         self._fill_period = False     # pending window's fill_period flag
         self._window_src: DataFrame | None = None  # df feeding the window
+        from faxe_spark.python_nodes import BUILTIN_PYTHON_NODES
+
+        self.python_nodes = {**BUILTIN_PYTHON_NODES, **(python_nodes or {})}
 
     def run(self, script: str) -> DataFrame:
         chains = parse_script(script)
@@ -617,9 +621,7 @@ class DFSCompiler:
             if node.name in self.STAT_NODES:
                 return self._stat(df, node.name, node)
             if node.name.startswith("@"):
-                raise NotImplementedError(
-                    f"DFS python node '{node.name}': use the faxe_spark.udf "
-                    f"adapter (mapInPandas) directly — c_python3.erl parity")
+                return self._apply_python_node(df, node)
             raise NotImplementedError(
                 f"DFS node '{node.name}' not yet mapped (see SURVEY.md §2)")
         # faxe reads of absent fields yield `undefined` (flowdata:field ->
@@ -676,6 +678,37 @@ class DFSCompiler:
                     scan(nested)
         scan(rows)
         return rows
+
+    def _apply_python_node(self, df, node: NodeCall) -> DataFrame:
+        """`@Class()` user-callback nodes (c_python3.erl) through the
+        mapInPandas adapter; the class comes from the python_nodes
+        registry (built-in examples + user-registered)."""
+        from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                       StructField, StructType)
+
+        from faxe_spark.udf import apply_node
+
+        cls = self.python_nodes.get(node.name[1:])
+        if cls is None:
+            raise NotImplementedError(
+                f"DFS python node '{node.name}': register the class via "
+                f"DFSCompiler(python_nodes=...) — faxe_spark.udf adapter, "
+                f"c_python3.erl parity")
+        opts = {k: self._val(v[0]) for k, v in node.params.items() if v}
+        opts.update({k: True for k, v in node.params.items() if not v})
+        # c_python3 delivers only DECLARED options to init (faxe.py
+        # options contract); undeclared extras in scripts are dropped
+        declared = {name for name, _d in cls.options()}
+        opts = {k: v for k, v in opts.items() if k in declared}
+        if "field" in opts and df is not None:
+            df, (flat,) = self._materialize_paths(df, [str(opts["field"])])
+            opts["field"] = flat
+            self._current_df = df
+        tmap = {"double": DoubleType(), "long": LongType(),
+                "string": StringType()}
+        added = [StructField(n, tmap[t]) for n, t in cls.added_fields(opts)]
+        schema = StructType(list(df.schema.fields) + added)
+        return apply_node(df, cls, schema, **opts)
 
     def node_json_emitter(self, df, node: NodeCall) -> DataFrame:
         rows = [json.loads(a) for a in node.args if isinstance(a, str)]

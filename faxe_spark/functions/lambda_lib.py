@@ -139,6 +139,7 @@ LAMBDA_FUNCTIONS = {
     # array literals — the broadcast-variable analog.
     "mem": lambda k: _mem_read(k),
     "ls_mem": lambda k: _mem_read(k),
+    "ls_mem_list": lambda k: _mem_read(k),
     "s_mem": lambda k: _mem_read(k),
 }
 

@@ -420,3 +420,25 @@ a
     # rows 1 and 2 are suppressed; rows 3..6 emit full 3-row sums
     sums = sorted(r.s for r in out.collect())
     assert sums == [3.0, 6.0, 9.0, 12.0]
+
+
+def test_python_node_compiles_in_dfs(spark):
+    """@Class() user-callback nodes (c_python3.erl) run through the
+    mapInPandas adapter: @double writes field*2 under the .as() name."""
+    import datetime
+
+    from faxe_spark.dfs import DFSCompiler
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    d = spark.createDataFrame([(t(0), 3.0), (t(1), 5.0)],
+                              "ts timestamp, val double")
+    script = """
+a
+@double()
+.field('val')
+.as('val2')
+@callback()
+.stop_on_exit(true)
+"""
+    out = DFSCompiler(spark, sources={"a": d}).run(script)
+    assert sorted(r.val2 for r in out.collect()) == [6.0, 10.0]
