@@ -762,6 +762,50 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
 
 
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (semi join; predicate adapted to the synthetic "
+        "lineitem columns): EXISTS -> left_semi join, aggregate after",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join is the scale-correct EXISTS plan: the probe side never
+    widens (no duplicate o rows to re-distinct), one shuffle pair on
+    the order key, and the filter on lineitem prunes before the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    sj = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return sj.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): fully-pushed "
+        "selective scan + one decimal-exact aggregate, zero joins",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * F.col("l_discount").cast("decimal(18,4)"))
+    return (li.filter(F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
 # ---------------------------------------------------------------------------
 # State machines (M5 batch analogs)
 # ---------------------------------------------------------------------------
