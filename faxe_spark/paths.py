@@ -49,13 +49,30 @@ def get_path(path: str) -> Column:
 
 
 def get_path_safe(df: DataFrame, path: str) -> Column:
-    """Like get_path, but a path absent from the schema reads as NULL
-    (the reference's `undefined` for missing fields, esp_aggregate.erl:
-    134-137 skip-undefined behavior) instead of an analysis error."""
-    from pyspark.sql.types import ArrayType, StructType
+    """Like get_path, but schema-aware:
+    - a path absent from the schema reads as NULL (the reference's
+      `undefined` for missing fields, esp_aggregate.erl:134-137
+      skip-undefined behavior) instead of an analysis error;
+    - a path that descends INTO a string column reads it as a JSON
+      document (get_json_object) — undecoded payloads are JSON text in
+      the reference's world, so 'data.x' over a string `data` is a
+      JSON extract, not an error."""
+    from pyspark.sql.types import ArrayType, StringType, StructType
 
+    segs = parse_path(path)
     dtype: object = df.schema
-    for name, idxs in parse_path(path):
+    for i, (name, idxs) in enumerate(segs):
+        if isinstance(dtype, StringType) and i > 0:
+            prefix = segs[:i]
+            base = None
+            for n, ixs in prefix:
+                base = F.col(n) if base is None else base.getField(n)
+                for ix in ixs:
+                    base = F.element_at(base, ix)
+            rest = "$." + ".".join(
+                n + "".join(f"[{ix - 1}]" for ix in ixs)
+                for n, ixs in segs[i:])
+            return F.get_json_object(base, rest)
         if not isinstance(dtype, StructType) or name not in dtype.fieldNames():
             return F.lit(None)
         dtype = dtype[name].dataType

@@ -122,3 +122,20 @@ class TestJsonTimeFormats:
         # flowdata_tests.erl:292 — ts as epoch ms beside the fields
         assert doc == {"ts": 1568029511598, "value1": 323424,
                        "value2": "somestringvalue"}
+
+
+def test_get_path_safe_json_string_fallback(spark):
+    """A dot-path descending into a STRING column reads it as a JSON
+    document (the reference's undecoded-payload case); missing JSON
+    members read as null."""
+    from faxe_spark.paths import get_path_safe
+
+    df = spark.createDataFrame(
+        [('{"code": {"id": 7}, "vals": [1, 2, 3]}',)], "data string")
+    got = df.select(
+        get_path_safe(df, "data.code.id").cast("long").alias("id"),
+        get_path_safe(df, "data.vals[2]").cast("long").alias("v2"),
+        get_path_safe(df, "data.nope").alias("missing"),
+        get_path_safe(df, "other.path").alias("absent"),
+    ).collect()[0]
+    assert (got.id, got.v2, got.missing, got.absent) == (7, 2, None, None)
