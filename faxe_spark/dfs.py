@@ -600,6 +600,7 @@ class DFSCompiler:
         pending window/batch group, like the esp_stats dispatcher."""
         field = node.args[0] if node.args else node.params.get("field", ["value"])[0]
         alias = node.params.get("as", [f"{field}_{func}"])[0]
+        df, (field,) = self._materialize_paths(df, [field])
         if self.count_window is not None:
             period, every = self.count_window
             fill = self._fill_period
@@ -808,6 +809,7 @@ class DFSCompiler:
 
     def node_aggregate(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", [])
+        df, fields_ = self._materialize_paths(df, fields_)
         funcs = node.params.get("functions", [])
         aliases = node.params.get("as", [f"{f}_{fn}" for f, fn in zip(fields_, funcs)])
         specs = list(zip(fields_, funcs, aliases))
@@ -823,7 +825,8 @@ class DFSCompiler:
     def node_value_diff(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", [])
         mode = node.params.get("mode", ["c-p"])[0]
-        return ops.value_diff(df, fields_, mode=mode, by=self.group_keys)
+        df, names = self._materialize_paths(df, fields_)
+        return ops.value_diff(df, names, mode=mode, by=self.group_keys)
 
     def node_sample(self, df, node: NodeCall) -> DataFrame:
         rate = node.args[0] if node.args else node.params.get("rate", [10])[0]
@@ -922,6 +925,7 @@ class DFSCompiler:
         one multi-spec aggregate over the pending window/batch group."""
         modules = [m for m in node.params.get("modules", []) if isinstance(m, str)]
         field = node.params.get("field", ["value"])[0]
+        df, (field,) = self._materialize_paths(df, [field])
         specs = [(field, m, f"{field}_{m}") for m in modules]
         return ops.aggregate(df, specs, by=self._agg_keys())
 
@@ -1134,6 +1138,7 @@ class DFSCompiler:
     def node_count_change(self, df, node: NodeCall) -> DataFrame:
         field = node.args[0] if node.args else node.params["field"][0]
         alias = node.params.get("as", [f"{field}_count_change"])[0]
+        df, (field,) = self._materialize_paths(df, [field])
         return ops.count_change(df, field, by=self.group_keys, alias=alias)
 
     def node_shift(self, df, node: NodeCall) -> DataFrame:
@@ -1150,6 +1155,7 @@ class DFSCompiler:
             "field", node.params.get("fields", [None]))[0]
         if field is None:
             raise ValueError("percentile needs a field")
+        df, (field,) = self._materialize_paths(df, [field])
         at = float(self._val(node.params.get("at", [50])[0]))
         alias = node.params.get("as", [f"{field}_percentile"])[0]
         return ops.percentile(df, field, at, alias, by=self._agg_keys())
