@@ -33,6 +33,11 @@ def stream_parquet(spark: SparkSession, path: str, *, ts_is_nanos_long: bool | N
     names = {f.name: f.dataType.simpleString() for f in schema.fields}
     if (ts_is_nanos_long if ts_is_nanos_long is not None else names.get("ts") == "bigint"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif names.get("ts") == "timestamp_ntz":
+        # parquet timestamp[us] w/o UTC flag reads NTZ; watermarks/windows
+        # need TIMESTAMP. Session TZ pinned UTC => epoch-identical cast
+        # (same normalization as tables.load_table).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

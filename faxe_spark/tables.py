@@ -31,10 +31,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalizes events.ts to TimestampType."""
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # ns -> us truncation via integer division (double division would
         # lose precision: ns epoch ~1.7e18 exceeds double's 2^53 mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # parquet timestamp[us] without UTC adjustment reads as
+        # TIMESTAMP_NTZ; the engine (and unix_millis/unix_micros) works
+        # on TIMESTAMP. Session TZ is pinned to UTC, so this cast keeps
+        # the epoch value bit-identical to DuckDB's naive-TIMESTAMP read.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
