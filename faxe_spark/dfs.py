@@ -302,12 +302,14 @@ def substitute_template(text: str, vars: dict | None = None, *,
     return out
 
 
-def parse_script(text: str, vars: dict | None = None) -> list[Chain]:
-    if vars is not None:
-        text = substitute_template(text, vars)  # strict: missing vars raise
-    elif _TEMPLATE_RE.search(text):
-        # parse-only tolerance: unbound template slots become a literal
-        text = substitute_template(text, {}, on_missing="1")
+def parse_script(text: str, vars: dict | None = None, *,
+                 on_missing: str = "error") -> list[Chain]:
+    """Parse a DFS script. Template vars are STRICT by default — an
+    unbound {{var}} raises, matching the reference's template handling.
+    The parse-only sweep (tools/dfs_sweep.py) passes on_missing='1' to
+    tolerate unbound slots when it only checks syntax."""
+    if _TEMPLATE_RE.search(text):
+        text = substitute_template(text, vars or {}, on_missing=on_missing)
     return _Parser(tokenize(text)).parse()
 
 
@@ -531,8 +533,11 @@ class DFSCompiler:
 
         self.python_nodes = {**BUILTIN_PYTHON_NODES, **(python_nodes or {})}
 
-    def run(self, script: str) -> DataFrame:
-        chains = parse_script(script)
+    def run(self, script: str, vars: dict | None = None) -> DataFrame:
+        # strict template substitution: a real compile of a
+        # var-parameterized script must raise on unbound {{vars}} like
+        # the reference, never proceed with a placeholder literal.
+        chains = parse_script(script, vars)
         result = None
         for chain in chains:
             if chain.is_const:
@@ -633,10 +638,18 @@ class DFSCompiler:
         from pyspark.errors.exceptions.captured import AnalysisException
 
         for _ in range(8):
+            # node compilers consume builder state (_agg_keys clears the
+            # pending window, _stat resets count_window/_fill_period) —
+            # snapshot it so a failed attempt can retry with identical
+            # state instead of silently compiling un-windowed.
+            snap = (self.window, self.count_window, self._fill_period,
+                    self._window_src, list(self.group_keys))
             try:
                 self._current_df = df
                 return fn(df, node)
             except AnalysisException as e:
+                (self.window, self.count_window, self._fill_period,
+                 self._window_src, self.group_keys) = snap
                 m = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`", str(e))
                 if m is None or df is None or m.group(1) in df.columns:
                     raise
@@ -848,14 +861,24 @@ class DFSCompiler:
                                       "group_by first (keyed as-of join)")
         if "merge_field" in node.params:  # esp_join.erl merge mode :205-216
             mf = node.params["merge_field"][0]
+            # full=true (the reference DEFAULT, esp_join.erl:62) = emit
+            # only complete rows -> inner; full=false = outer-with-fill
+            # -> left join keeping partial rows.
+            full = str(self._val(node.params.get("full", ["true"])[0])).lower()
             return ops.merge_join([df, *others], keys, ts_col="ts",
                                   merge_field=mf, direction="nearest",
-                                  tolerance=tol, how="left")
-        prefixes = node.params.get("prefix", [f"r{i}_" for i in range(len(others))])
+                                  tolerance=tol,
+                                  how="inner" if full == "true" else "left")
+        # pad user-supplied prefixes so a short .prefix() list can't
+        # silently truncate the join fan-in (zip would drop streams)
+        prefixes = list(node.params.get("prefix", []))
+        prefixes += [f"r{i}_" for i in range(len(prefixes), len(others))]
+        full = str(self._val(node.params.get("full", ["true"])[0])).lower()
+        how = "inner" if full == "true" else "left"
         out = df
         for other, prefix in zip(others, prefixes):
             out = ops.asof_join(out, other, keys, ts_col="ts", direction="nearest",
-                                tolerance=tol, right_prefix=prefix)
+                                tolerance=tol, right_prefix=prefix, how=how)
         return out
 
     def node_join2(self, df, node: NodeCall) -> DataFrame:
@@ -949,7 +972,11 @@ class DFSCompiler:
         if not fields_:
             raise NotImplementedError("DFS state_change_bulk needs .field()")
         sv = self._val(node.params.get("state_value", [1])[0])
-        cond = F.col(fields_[0]) == F.lit(sv)
+        # the melt (ops.state_change_bulk) turns the listed fields into
+        # (field, value) rows with value CAST to DOUBLE — the condition
+        # must target that melted column, not the original field name
+        # (which no longer exists post-stack).
+        cond = F.col("value") == F.lit(sv).cast("double")
         return ops.state_change_bulk(df, fields_, cond, by=self.group_keys, ts_col="ts")
 
     # queue-window variants: same window semantics, emit-from-queue is a

@@ -254,7 +254,7 @@ def sample_stream(df: DataFrame, *, key_col: str, n: int,
 
 def collect_full_stream(df: DataFrame, *, key_col: str,
                         payload_cols: list[str],
-                        add_when=None, remove_when=None, update_when=True,
+                        add_when=None, remove_when=None, update_when=False,
                         update_mode: str = "replace",
                         max_age: str | None = None,
                         max_ts_age: str | None = None,
@@ -266,9 +266,12 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
     periodic emit. Emits (key, ts_ms, payload JSON, action).
 
     - add_when(new, None) -> bool gates inserts (default: always add).
-    - update_when: True = always replace/merge; False = never update;
-      or a callable (new, state) -> bool — `state` is the buffered
-      point's fields, the reference's `__state` root (:253-261).
+    - update_when: True = always replace/merge; False = never update
+      (the DEFAULT — esp_collect's init leaves UpdateFun = false when
+      the update option is undefined, so a script with only a remove
+      lambda must still get its remove_when evaluated); or a callable
+      (new, state) -> bool — `state` is the buffered point's fields,
+      the reference's `__state` root (:253-261).
     - remove_when(new, state) -> bool deletes the key (:243-251);
       include_removed keeps emitting it tagged 'remove' (:265-269).
     - update_mode: 'replace' | 'merge' ({**old, **new}, new wins —

@@ -32,7 +32,8 @@ def test_parse_all_reference_scripts():
     ok, fail = 0, []
     for path in glob.glob("/root/reference/dfs/**/*.dfs", recursive=True):
         try:
-            parse_script(open(path).read())
+            # parse-only: unbound {{vars}} become a placeholder literal
+            parse_script(open(path).read(), on_missing="1")
             ok += 1
         except Exception as e:  # noqa: BLE001
             fail.append((path, str(e)[:80]))
@@ -442,3 +443,46 @@ a
 """
     out = DFSCompiler(spark, sources={"a": d}).run(script)
     assert sorted(r.val2 for r in out.collect()) == [6.0, 10.0]
+
+
+def test_dfs_state_change_bulk_compiles_and_runs(spark):
+    """state_change_bulk's condition targets the MELTED value column
+    (the original field names no longer exist after stack()) — ADVICE r2:
+    the old build referenced the first original field and every script
+    using the node died with UNRESOLVED_COLUMN."""
+    import datetime
+
+    from faxe_spark.dfs import DFSCompiler
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    d = spark.createDataFrame(
+        [(1, t(0), 0.0, 1.0), (1, t(1), 1.0, 1.0), (1, t(2), 1.0, 0.0)],
+        "user int, ts timestamp, m1 double, m2 double")
+    script = """
+a
+|group_by('user')
+|state_change_bulk()
+.field('m1', 'm2')
+.state_value(1)
+"""
+    out = DFSCompiler(spark, sources={"a": d}).run(script)
+    rows = {(r.field, int(r.ts.second), r.in_state) for r in out.collect()}
+    # m1: enters state at t1 (0->1); m2: leaves state at t2 (1->0)
+    assert ("m1", 0, False) in rows and ("m1", 1, True) in rows
+    assert ("m2", 0, True) in rows and ("m2", 2, False) in rows
+
+
+def test_dfs_run_strict_template_vars():
+    """DFSCompiler.run raises on unbound {{vars}} (reference-strict);
+    only the parse-only sweep substitutes a placeholder."""
+    import pytest as _pytest
+
+    from faxe_spark.dfs import DFSCompiler, parse_script
+
+    script = "a\n|sample({{rate}})\n"
+    with _pytest.raises(KeyError, match="rate"):
+        parse_script(script)  # strict default
+    with _pytest.raises(KeyError, match="rate"):
+        DFSCompiler(None).run(script)
+    assert parse_script(script, on_missing="1")  # sweep tolerance
+    assert parse_script(script, {"rate": 5})[0].nodes[0].args == [5]
