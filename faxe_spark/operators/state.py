@@ -81,6 +81,33 @@ def state_duration(df: DataFrame, condition: str | Column, *, by: Iterable[str] 
     )
 
 
+def state_count_duration(df: DataFrame, condition: str | Column, *,
+                         by: Iterable[str] = (), ts_col: str = "ts",
+                         tiebreak: str | None = None, unit_ms: int = 1,
+                         count_alias: str = "state_count",
+                         duration_alias: str = "state_duration") -> DataFrame:
+    """Fused `state_count` + `state_duration`: one `state_runs` annotate
+    pass feeds both outputs (esp_state_count.erl:33 + esp_state_duration.erl:39).
+
+    Both outputs are windows over the same (by, run_id) partition and
+    (ts, tiebreak) order, so Catalyst plans a single WindowExec for the
+    pair, and — because hashpartitioning(by) satisfies the clustered
+    distribution on (by, run_id) — the whole chain is ONE shuffle with
+    no second exchange. Computing the two nodes separately re-derives
+    the identical run annotation twice (2x the window work).
+    """
+    runs = state_runs(df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak)
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys, F.col("run_id")).orderBy(*_ord(ts_col, tiebreak))
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    elapsed = (F.unix_millis(F.col(ts_col)) - F.min(F.unix_millis(F.col(ts_col))).over(wf))
+    return runs.withColumns({
+        count_alias: F.when(F.col("in_state"), F.row_number().over(w)).otherwise(F.lit(-1)),
+        duration_alias: F.when(F.col("in_state"),
+                               (elapsed / F.lit(unit_ms)).cast("long")).otherwise(F.lit(-1)),
+    })
+
+
 def state_sequence(df: DataFrame, steps: Sequence[str | Column],
                    timeouts_ms: Sequence[int], *, by: Iterable[str] = (),
                    ts_col: str = "ts", tiebreak: str | None = None,
