@@ -65,6 +65,39 @@ def kafka_source(spark: SparkSession, *, brokers: str, topic: str,
     return out
 
 
+def time_bucket_query(query: str, *, group_by_time: str, time_field: str = "ts",
+                      group_by: list[str] | None = None) -> str:
+    """crate_query's distinctive feature: rewrite a user SELECT into a
+    time-bucketed GROUP BY with time-range bind params
+    (esp_crate_query.erl:170-194, golden shape :218-225).
+
+    `SELECT COUNT(*) FROM t WHERE tag='x'` with group_by_time='5m',
+    time_field='time', group_by=['a'] becomes:
+
+        SELECT floor(EXTRACT(epoch FROM time)/300)*300 AS time_gb,
+               COUNT(*) FROM t WHERE tag='x'
+               AND time >= $1 AND time <= $2
+        GROUP BY time_gb, a ORDER BY time_gb DESC
+
+    The result feeds jdbc_source's `query` option, so the bucketing and
+    filtering execute inside the database (the reference pushes the same
+    SQL to CrateDB) — Spark only receives pre-aggregated rows."""
+    from faxe_spark.durations import parse_duration_ms
+
+    if not query[:6].upper() == "SELECT":
+        raise ValueError("time_bucket_query expects a SELECT statement")
+    body = query[6:].strip()
+    secs = round(parse_duration_ms(group_by_time) / 1000)
+    bucket = (f"floor(EXTRACT(epoch FROM {time_field})/{secs})*{secs} "
+              f"AS {time_field}_gb")
+    conj = "AND" if "WHERE" in body.upper() else "WHERE"
+    range_clause = f" {conj} {time_field} >= $1 AND {time_field} <= $2"
+    group_clause = "".join(f", {g}" for g in (group_by or []))
+    return (f"SELECT {bucket}, {body}{range_clause}"
+            f" GROUP BY {time_field}_gb{group_clause}"
+            f" ORDER BY {time_field}_gb DESC")
+
+
 def jdbc_source(spark: SparkSession, *, url: str, query: str, user: str = "",
                 password: str = "", partition_column: str | None = None,
                 num_partitions: int = 8, lower_bound=None, upper_bound=None,

@@ -486,3 +486,95 @@ def test_broker_bridge_fails_cleanly_without_broker(spark):
     with pytest.raises(Exception, match="(?i)kafka|data.?source"):
         broker_bridge(spark, source_brokers="localhost:9092",
                       source_topic="in", sink_brokers="localhost:9093")
+
+
+def test_time_bucket_query_matches_reference_golden():
+    """esp_crate_query.erl:218-225 golden SQL shape, byte-for-byte."""
+    from faxe_spark.sources import time_bucket_query
+
+    got = time_bucket_query(
+        "SELECT COUNT(*) FROM table WHERE tag1 = 'test'",
+        group_by_time="5m", time_field="time", group_by=["a", "b"])
+    assert got == (
+        "SELECT floor(EXTRACT(epoch FROM time)/300)*300 AS time_gb, "
+        "COUNT(*) FROM table WHERE tag1 = 'test' "
+        "AND time >= $1 AND time <= $2 "
+        "GROUP BY time_gb, a, b ORDER BY time_gb DESC")
+    # time_group_test: 7m -> 420s buckets
+    assert "floor(EXTRACT(epoch FROM ts)/420)*420 AS ts_gb" in \
+        time_bucket_query("SELECT 1 FROM t", group_by_time="7m")
+    # no WHERE in user query -> range becomes the WHERE clause
+    assert " WHERE ts >= $1 AND ts <= $2" in \
+        time_bucket_query("SELECT sum(v) FROM t", group_by_time="1h")
+
+
+def test_time_bucket_query_executes_in_duckdb():
+    """The rewrite isn't just string-shaped — it runs: bucket an events
+    query in DuckDB (CrateDB's EXTRACT(epoch ...) dialect matches)."""
+    import duckdb
+
+    from faxe_spark.sources import time_bucket_query
+    from tests.conftest import SF_ORACLE
+
+    sql = time_bucket_query(
+        "SELECT count(*) AS n FROM events",
+        group_by_time="6h", time_field="ts")
+    runnable = sql.replace("$1", "TIMESTAMP '2020-01-01'") \
+                  .replace("$2", "TIMESTAMP '2030-01-01'")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_ORACLE}/events.parquet')")
+    rows = con.execute(runnable).fetchall()
+    assert len(rows) > 1
+    buckets = [r[0] for r in rows]
+    assert buckets == sorted(buckets, reverse=True)  # ORDER BY _gb DESC
+    assert all(b % 21600 == 0 for b in buckets)      # 6h epoch buckets
+    assert sum(r[1] for r in rows) == con.execute(
+        "SELECT count(*) FROM events").fetchone()[0]
+
+
+def test_embedded_broker_roundtrip_with_time_parsing(spark):
+    """Produce -> consume round-trip through the embedded broker stub:
+    dt_field/dt_format payload-time parsing (esp_mqtt_subscribe.erl:57),
+    dedup_size bounded dedup (esp_amqp_consume.erl:96,162-184), and
+    include_topic injection — the option surface that previously had
+    only clean-failure tests."""
+    from faxe_spark.sources.embedded_broker import (
+        EmbeddedBroker, broker_sink, broker_source)
+
+    broker = EmbeddedBroker()
+    try:
+        # float-micros payload time (flowdata_tests.erl:425-502 format)
+        broker.publish("m1", {"id": 1, "t": 1700000000.000001, "v": 1.5})
+        broker.publish("m1", {"id": 1, "t": 1700000000.000001, "v": 1.5})  # dup
+        broker.publish("m1", {"id": 2, "t": 1700000060.5, "v": 2.5})
+        df = broker_source(
+            spark, broker, "m1", value_schema="id long, t double, v double",
+            dt_field="t", dt_format="float_micro", dedup_size=10)
+        q = df.writeStream.format("memory").queryName("ebk1").start()
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM ebk1").count() >= 2:
+                    break
+                time.sleep(0.3)
+            rows = {(r.id, r.ts.isoformat(), r.topic)
+                    for r in spark.sql("SELECT * FROM ebk1").collect()}
+        finally:
+            q.stop()
+        # dedup dropped the duplicate id=1 payload; float_micro rounds
+        # to ms (flowdata grip-fixture semantics, paths.py:141)
+        assert rows == {
+            (1, "2023-11-14T22:13:20", "m1"),
+            (2, "2023-11-14T22:14:20.500000", "m1"),
+        }
+
+        # sink side: per-row topic routing (esp_mqtt_publish topic_field)
+        out = spark.createDataFrame(
+            [("alpha", 1), ("beta", 2), ("alpha", 3)], "route string, n int")
+        n = broker_sink(out, broker, topic_field="route")
+        assert n == 3
+        assert [json.loads(m)["n"] for m in broker.messages("alpha")] == [1, 3]
+        assert [json.loads(m)["n"] for m in broker.messages("beta")] == [2]
+    finally:
+        broker.stop()
