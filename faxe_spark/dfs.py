@@ -333,9 +333,10 @@ class _LambdaParser:
     AND/OR/NOT (Erlang-style keywords, case-insensitive)."""
 
     def __init__(self, body: str, consts: dict | None = None,
-                 fieldref=None):
+                 fieldref=None, funcs: dict | None = None):
         self.consts = consts or {}
         self.fieldref = fieldref  # schema-aware resolver (undefined -> NULL)
+        self.funcs = funcs if funcs is not None else LAMBDA_FUNCTIONS
         self.toks = []
         i = 0
         while i < len(body):
@@ -474,12 +475,20 @@ class _LambdaParser:
                     elif ak == "number" and nxt in (",", ")"):
                         self.next()
                         args.append(float(at) if "." in at else int(at))
+                    elif (ak == "name" and nxt in (",", ")")
+                          and at in self.consts
+                          and not isinstance(self.consts[at], Lambda)):
+                        # const ref as bare arg: pass the RAW value, so
+                        # literal-taking functions (map_get's JSON-string
+                        # map, mem keys) see the Python literal
+                        self.next()
+                        args.append(self.consts[at])
                     else:
                         args.append(self.or_expr())
                     if self.peek() == ("op", ","):
                         self.next()
                 self.next()
-                fn = LAMBDA_FUNCTIONS.get(text)
+                fn = self.funcs.get(text)
                 if fn is None:
                     raise ValueError(f"unknown lambda function {text!r} "
                                      f"(lambda library, SURVEY §2.11)")
@@ -487,7 +496,8 @@ class _LambdaParser:
             if text in self.consts:
                 v = self.consts[text]
                 if isinstance(v, Lambda):
-                    return _LambdaParser(v.body, self.consts, self.fieldref).parse()
+                    return _LambdaParser(v.body, self.consts, self.fieldref,
+                                         self.funcs).parse()
                 return F.lit(v)
             # bare name = field reference (unquoted single-segment path)
             return F.col(text)
@@ -495,8 +505,8 @@ class _LambdaParser:
 
 
 def compile_lambda(body: str, consts: dict | None = None,
-                   fieldref=None) -> Column:
-    return _LambdaParser(body, consts, fieldref).parse()
+                   fieldref=None, funcs: dict | None = None) -> Column:
+    return _LambdaParser(body, consts, fieldref, funcs).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +539,11 @@ class DFSCompiler:
         self._current_df: DataFrame | None = None
         self._fill_period = False     # pending window's fill_period flag
         self._window_src: DataFrame | None = None  # df feeding the window
+        # window specs keyed by the producing df's id: a windowed stream
+        # fanned out to several aggregate chains (the corpus group_by.dfs
+        # shape) re-applies the same window per consumer instead of only
+        # the first one consuming the single pending slot
+        self._df_windows: dict[int, tuple] = {}
         from faxe_spark.python_nodes import BUILTIN_PYTHON_NODES
 
         self.python_nodes = {**BUILTIN_PYTHON_NODES, **(python_nodes or {})}
@@ -538,6 +553,7 @@ class DFSCompiler:
         # var-parameterized script must raise on unbound {{vars}} like
         # the reference, never proceed with a placeholder literal.
         chains = parse_script(script, vars)
+        self._preregister_mem(chains)
         result = None
         for chain in chains:
             if chain.is_const:
@@ -553,23 +569,68 @@ class DFSCompiler:
             raise ValueError("empty DFS script")
         return result
 
+    def _preregister_mem(self, chains) -> None:
+        """Flow-wide memory (esp_mem.erl:31) is readable from ANY lambda
+        regardless of where the mem node sits in the script — register
+        every mem key (with its default or a typed empty) up front so
+        earlier chains compile against it."""
+        from faxe_spark.functions.lambda_lib import _MEM, set_mem
+
+        # consts first: mem keys are usually `def`-const references
+        for chain in chains:
+            if chain.is_const:
+                self.consts[chain.var] = chain.const
+        for chain in chains:
+            for node in chain.nodes:
+                if node.name != "mem":
+                    continue
+                key = node.params.get("key", node.args or [None])[0]
+                if key is None:
+                    key = node.params.get("field", [None])[0]
+                key = self._val(key)
+                if key is None or str(key) in _MEM:
+                    continue
+                default = self._val(node.params.get("default", [None])[0])
+                mtype = str(node.params.get("type", ["single"])[0])
+                if default is None and mtype in ("list", "set"):
+                    default = []
+                set_mem(str(key), default)
+
     # -- helpers -----------------------------------------------------------
     def _fieldref(self, path: str) -> Column:
         """Schema-aware field resolution: a path the current schema
         can't satisfy reads as NULL — flowdata's `undefined`, not an
-        analyzer error (get_path_safe)."""
+        analyzer error (get_path_safe). TimestampType values resolve to
+        epoch-ms integers: the DFS lambda domain is faxe_time ms (the
+        corpus does `"ts" - 60000`, `string("ts")`)."""
+        from pyspark.sql.types import TimestampType
         from faxe_spark.paths import get_path, get_path_safe
 
         if self._current_df is None:
             return get_path(path)
-        return get_path_safe(self._current_df, path)
+        df = self._current_df
+        col = get_path_safe(df, path)
+        if path in df.columns and isinstance(
+                df.schema[path].dataType, TimestampType):
+            return F.unix_millis(col)
+        return col
+
+    _LAM_FUNCS = None  # cached overlay: LAMBDA_FUNCTIONS + ms-time variants
+
+    def _lam_funcs(self) -> dict:
+        if DFSCompiler._LAM_FUNCS is None:
+            from faxe_spark.functions.lambda_lib import DFS_TIME_MS_OVERRIDES
+            DFSCompiler._LAM_FUNCS = {**LAMBDA_FUNCTIONS, **DFS_TIME_MS_OVERRIDES}
+        return DFSCompiler._LAM_FUNCS
 
     def _lam(self, x) -> Column:
         if isinstance(x, Lambda):
-            return compile_lambda(x.body, self.consts, self._fieldref)
+            return compile_lambda(x.body, self.consts, self._fieldref,
+                                  self._lam_funcs())
         if isinstance(x, tuple) and x[0] == "ref":
             v = self.consts[x[1]]
-            return compile_lambda(v.body, self.consts, self._fieldref) \
+            return compile_lambda(v.body, self.consts, self._fieldref,
+                                  self._lam_funcs()) \
                 if isinstance(v, Lambda) else F.lit(v)
         return F.lit(x)
 
@@ -584,6 +645,14 @@ class DFSCompiler:
         (dfs scripts routinely write .every(emit_every))."""
         return _dur_str(self._val(x))
 
+    def _restore_window(self, df: DataFrame | None) -> None:
+        """Re-arm the pending window from the per-df registry (window
+        fan-out: several aggregates over one windowed stream)."""
+        if self.window is None and df is not None \
+                and id(df) in self._df_windows:
+            self.window, self._fill_period, self._window_src = \
+                self._df_windows[id(df)]
+
     def _agg_keys(self) -> list:
         keys = ([self.window] if self.window is not None else []) + self.group_keys
         self._had_window = self.window is not None
@@ -592,17 +661,23 @@ class DFSCompiler:
 
     def _post_agg(self, out: DataFrame) -> DataFrame:
         """fill_period suppression (esp_win_clock.erl:10): drop partial
-        head windows once the windowed aggregate is formed."""
+        head windows once the windowed aggregate is formed; windowed
+        aggregate points get ts = window start (esp_aggregate.erl:96-100
+        batch.start semantics) so downstream ts-keyed nodes (join) work."""
         if self._fill_period and getattr(self, "_had_window", False) \
                 and self._window_src is not None and "window" in out.columns:
             out = ops.fill_period_filter(out, self._window_src)
         self._fill_period = False
         self._window_src = None
+        for wcol in ("window", "session"):
+            if wcol in out.columns and "ts" not in out.columns:
+                out = out.withColumn("ts", F.col(f"{wcol}.start"))
         return out
 
     def _stat(self, df: DataFrame, func: str, node: NodeCall) -> DataFrame:
         """Single-field stat node (§2.6 stats family): aggregates the
         pending window/batch group, like the esp_stats dispatcher."""
+        self._restore_window(df)
         field = node.args[0] if node.args else node.params.get("field", ["value"])[0]
         alias = node.params.get("as", [f"{field}_{func}"])[0]
         df, (field,) = self._materialize_paths(df, [field])
@@ -621,7 +696,19 @@ class DFSCompiler:
                   "min", "max", "stddev", "variance", "skew", "kurtosis",
                   "geometric_mean", "range", "first", "last")
 
+    _SOURCE_NODES = ("json_emitter", "value_emitter", "parquet", "http_get",
+                     "tcp_recv", "tcp_recv_line", "tcppoll", "udp_recv",
+                     "http_listen", "crate_query", "postgre_statement",
+                     "mongo_query", "oracle_query", "blobstream")
+
     def apply(self, df: DataFrame | None, node: NodeCall) -> DataFrame:
+        if df is None and node.name not in self._SOURCE_NODES \
+                and not node.name.startswith("@"):
+            # a transform chain with no upstream source (corpus scripts
+            # ship dangling `def x = |where(...)` chains): the node sits
+            # idle in the reference; the analog is an empty typed input
+            df = self.spark.range(0).select(
+                F.lit(None).cast("timestamp").alias("ts"))
         fn = getattr(self, f"node_{node.name}", None)
         if fn is None:
             if node.name in self.STAT_NODES:
@@ -735,7 +822,19 @@ class DFSCompiler:
             out.append({"ts": base + i * every_ms, **r})
         if not out:  # emitter with no literal rows: one ts-only tick
             out = [{"ts": base}]
-        pdf = self.spark.createDataFrame(self._widen_numbers(out))
+        # `.as(root)` nests the payload under a root field
+        # (esp_json_emitter.erl:199-201 flowdata:set_root) — scripts then
+        # address fields as "root.x.y".
+        root = node.params.get("as", [None])[0]
+        if root:
+            out = [{"ts": r.pop("ts"), str(root): r} for r in out]
+        # schema via Spark's JSON inference (jiffy-equivalent): object
+        # schemas union into nullable structs, ints/floats widen, and
+        # irreconcilable arrays fall back to strings — createDataFrame's
+        # dict inference can't merge heterogeneous nested shapes.
+        lines = [json.dumps(o) for o in out]
+        pdf = self.spark.read.json(
+            self.spark.sparkContext.parallelize(lines, 1))
         return pdf.withColumn("ts", F.timestamp_millis(F.col("ts")))
 
     def node_parquet(self, df, node: NodeCall) -> DataFrame:
@@ -747,7 +846,7 @@ class DFSCompiler:
         return ops.where(df, truthy(self._lam(src)))
 
     def node_eval(self, df, node: NodeCall) -> DataFrame:
-        aliases = node.params.get("as", [])
+        aliases = [str(self._val(a)) for a in node.params.get("as", [])]
         lams = node.args or node.params.get("lambdas", [])
         exprs = {}
         for lam, alias in zip(lams, aliases):
@@ -756,12 +855,12 @@ class DFSCompiler:
 
     def node_set(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", [])
-        values = node.params.get("field_values", [])
+        values = [self._val(v) for v in node.params.get("field_values", [])]
         return ops.set_fields(df, dict(zip(fields_, values)))
 
     def node_default(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", [])
-        values = node.params.get("field_values", [])
+        values = [self._val(v) for v in node.params.get("field_values", [])]
         return ops.default_fields(df, dict(zip(fields_, values)))
 
     def _materialize_paths(self, df, fields):
@@ -770,9 +869,11 @@ class DFSCompiler:
         plain column names work over any payload schema."""
         names = []
         for pth in fields:
-            if pth in df.columns:
+            if pth in df.columns and "." not in pth and "[" not in pth:
                 names.append(pth)
                 continue
+            # dotted paths — nested OR literally-dotted flat columns —
+            # copy to a flat name (exact-name-first via get_path_safe)
             flat = pth.replace(".", "_").replace("[", "_").replace("]", "")
             df = df.withColumn(flat, self._fieldref(pth))
             names.append(flat)
@@ -783,7 +884,9 @@ class DFSCompiler:
         fields_ = list(node.args) + list(node.params.get("fields", []))
         aliases = node.params.get("as", None)
         df, names = self._materialize_paths(df, fields_)
-        return ops.keep(df, names, aliases)
+        # default output names = the ORIGINAL paths (flat-materialized
+        # columns would otherwise leak their underscore names)
+        return ops.keep(df, names, aliases or fields_)
 
     def node_delete(self, df, node: NodeCall) -> DataFrame:
         return ops.delete(df, list(node.args) + list(node.params.get("fields", [])))
@@ -813,14 +916,17 @@ class DFSCompiler:
         self.window = ops.win_time("ts", period, every).alias("window")
         self._fill_period = "fill_period" in node.params
         self._window_src = df
+        self._df_windows[id(df)] = (self.window, self._fill_period, df)
         return df
 
     def node_win_session(self, df, node: NodeCall) -> DataFrame:
         self.window = ops.win_session(
             "ts", self._dur(node.params["session_timeout"][0])).alias("session")
+        self._df_windows[id(df)] = (self.window, False, df)
         return df
 
     def node_aggregate(self, df, node: NodeCall) -> DataFrame:
+        self._restore_window(df)
         fields_ = node.params.get("fields", [])
         df, fields_ = self._materialize_paths(df, fields_)
         funcs = node.params.get("functions", [])
@@ -855,20 +961,30 @@ class DFSCompiler:
         others = [self.env[a[1]] for a in node.args
                   if isinstance(a, tuple) and a[0] == "ref"]
         tol = self._dur(node.params["tolerance"][0]) if "tolerance" in node.params else None
+        # keyless = the reference's default: streams align purely on
+        # nearest-ts. The ordered window then has no partition key (one
+        # task) — fine for the edge-node data rates this node mirrors;
+        # large-scale keyed alignment passes group_by first.
         keys = self.group_keys or []
-        if not keys:
-            raise NotImplementedError("DFS join without group_by keys: pass "
-                                      "group_by first (keyed as-of join)")
         if "merge_field" in node.params:  # esp_join.erl merge mode :205-216
             mf = node.params["merge_field"][0]
             # full=true (the reference DEFAULT, esp_join.erl:62) = emit
             # only complete rows -> inner; full=false = outer-with-fill
             # -> left join keeping partial rows.
             full = str(self._val(node.params.get("full", ["true"])[0])).lower()
-            return ops.merge_join([df, *others], keys, ts_col="ts",
-                                  merge_field=mf, direction="nearest",
-                                  tolerance=tol,
-                                  how="inner" if full == "true" else "left")
+            how = "inner" if full == "true" else "left"
+            if all(mf in d.columns for d in [df, *others]):
+                return ops.merge_join([df, *others], keys, ts_col="ts",
+                                      merge_field=mf, direction="nearest",
+                                      tolerance=tol, how=how)
+            # merge root absent from a stream (e.g. upstream aggregates
+            # flattened it away): degrade to prefix as-of alignment
+            out = df
+            for i, other in enumerate(others):
+                out = ops.asof_join(out, other, keys, ts_col="ts",
+                                    direction="nearest", tolerance=tol,
+                                    right_prefix=f"r{i}_", how=how)
+            return out
         # pad user-supplied prefixes so a short .prefix() list can't
         # silently truncate the join fan-in (zip would drop streams)
         prefixes = list(node.params.get("prefix", []))
@@ -888,10 +1004,7 @@ class DFSCompiler:
                   if isinstance(a, tuple) and a[0] == "ref"]
         tol = self._dur(node.params["tolerance"][0]) if "tolerance" in node.params else "1s"
         prefixes = node.params.get("prefix", [f"r{i}_" for i in range(len(others) + 1)])
-        keys = self.group_keys or []
-        if not keys:
-            raise NotImplementedError("DFS join2 without group_by keys: pass "
-                                      "group_by first (keyed interval join)")
+        keys = self.group_keys or []  # keyless: pure time-window pairing
         out = df
         for other, prefix in zip(others, prefixes[1:] if len(prefixes) > len(others)
                                  else prefixes):
@@ -946,6 +1059,7 @@ class DFSCompiler:
     def node_statistics(self, df, node: NodeCall) -> DataFrame:
         """faxe statistics (esp_statistics.erl): the stats-module list as
         one multi-spec aggregate over the pending window/batch group."""
+        self._restore_window(df)
         modules = [m for m in node.params.get("modules", []) if isinstance(m, str)]
         field = node.params.get("field", ["value"])[0]
         df, (field,) = self._materialize_paths(df, [field])
@@ -968,9 +1082,35 @@ class DFSCompiler:
     def node_state_change_bulk(self, df, node: NodeCall) -> DataFrame:
         """faxe state_change_bulk (esp_state_change_bulk.erl:53): one FSM
         per listed field; $field condition from .state_value()."""
+        from pyspark.sql.types import StructType
+
         fields_ = [f for f in node.params.get("field", []) if isinstance(f, str)]
         if not fields_:
             raise NotImplementedError("DFS state_change_bulk needs .field()")
+        excl = set(node.params.get("exclude_fields", []))
+        # an OBJECT-valued field means "every member of that object" —
+        # the reference's $field template iterates the map's keys
+        # (esp_state_change_bulk.erl:53)
+        expanded = []
+        for f in fields_:
+            dt = None
+            if f in df.columns:
+                dt = df.schema[f].dataType
+            else:
+                cur, ok = df.schema, True
+                for seg in f.split("."):
+                    if isinstance(cur, StructType) and seg in cur.fieldNames():
+                        cur = cur[seg].dataType
+                    else:
+                        ok = False
+                        break
+                dt = cur if ok else None
+            if isinstance(dt, StructType):
+                expanded += [f"{f}.{c}" for c in dt.fieldNames()
+                             if f"{f}.{c}" not in excl]
+            else:
+                expanded.append(f)
+        df, fields_ = self._materialize_paths(df, expanded)
         sv = self._val(node.params.get("state_value", [1])[0])
         # the melt (ops.state_change_bulk) turns the listed fields into
         # (field, value) rows with value CAST to DOUBLE — the condition
@@ -1043,16 +1183,24 @@ class DFSCompiler:
         return lis.df
 
     def node_deadman(self, df, node: NodeCall) -> DataFrame:
-        """esp_deadman.erl:43 — streaming watchdog (needs a stream)."""
+        """esp_deadman.erl:43 — wall-clock watchdog on a stream; on a
+        batch frame it compiles to the event-time gap analog
+        (ops.deadman_gaps), keeping the node oracle-checkable."""
+        from faxe_spark.durations import parse_duration_ms
         from faxe_spark.streaming.stateful import deadman_stream
 
-        if not df.isStreaming:
-            raise NotImplementedError(
-                "DFS deadman is streaming-only (processing-time watchdog); "
-                "feed a stream source or use streaming.deadman_stream")
-        key = self.group_keys[0] if self.group_keys else node.params["key"][0]
-        return deadman_stream(df, key_col=key,
-                              timeout=self._dur(node.params["timeout"][0]))
+        timeout = (node.args[0] if node.args
+                   else node.params.get("timeout", ["30s"])[0])
+        if df.isStreaming:
+            key = self.group_keys[0] if self.group_keys else node.params["key"][0]
+            return deadman_stream(df, key_col=key, timeout=self._dur(timeout))
+        fields_ = [f for f in node.params.get("fields", []) if isinstance(f, str)]
+        values = [self._val(v) for v in node.params.get("field_values", [])]
+        return ops.deadman_gaps(
+            df, parse_duration_ms(self._dur(timeout)), by=self.group_keys,
+            fields=dict(zip(fields_, values)) or None,
+            repeat_last="repeat_last" in node.params,
+            no_forward="no_forward" in node.params)
 
     def node_triggered_timeout(self, df, node: NodeCall) -> DataFrame:
         """esp_triggered_timeout.erl — arm on trigger rows, fire after
@@ -1063,9 +1211,17 @@ class DFSCompiler:
                   if isinstance(a, tuple) and a[0] == "ref" and a[1] in self.env]
         out = ops.union_streams(df, *others) if others else df
         if not out.isStreaming:
-            raise NotImplementedError(
-                "DFS triggered_timeout is streaming-only; feed a stream "
-                "source or use streaming.triggered_timeout_stream")
+            # batch analog: event-time gap after a trigger row
+            from faxe_spark.durations import parse_duration_ms
+
+            self._current_df = out
+            trig = truthy(self._lam(node.params["timeout_trigger"][0]))
+            fields_ = [f for f in node.params.get("fields", []) if isinstance(f, str)]
+            values = [self._val(v) for v in node.params.get("field_values", [])]
+            return ops.triggered_timeout_gaps(
+                out, trig,
+                parse_duration_ms(self._dur(node.params["timeout"][0])),
+                by=self.group_keys, fields=dict(zip(fields_, values)) or None)
         key = self.group_keys[0] if self.group_keys else node.params["key"][0]
         trig = truthy(self._lam(node.params["timeout_trigger"][0]))
         cancel = (truthy(self._lam(node.params["cancel"][0]))
@@ -1129,6 +1285,7 @@ class DFSCompiler:
         self.window = ops.win_time("ts", period, every).alias("window")
         self._fill_period = "fill_period" in node.params
         self._window_src = df
+        self._df_windows[id(df)] = (self.window, self._fill_period, df)
         return df
 
     def node_batch(self, df, node: NodeCall) -> DataFrame:
@@ -1273,8 +1430,15 @@ class DFSCompiler:
 
     def node_path_split(self, df, node: NodeCall) -> DataFrame:
         fields_ = node.params.get("fields", list(node.args))
+        if not fields_:
+            # reference default: split by EVERY root key of the fields
+            # object (esp_path_split.erl:22)
+            fields_ = [c for c in df.columns if c != "ts"]
+        key_alias = self._val(node.params.get(
+            "include_as", node.params.get("include_name", ["name"]))[0])
         df, names = self._materialize_paths(df, fields_)
-        return ops.path_split(df, names)
+        return ops.path_split(df, names, keep_cols=["ts"],
+                              key_alias=str(key_alias))
 
     def node_jsonsize(self, df, node: NodeCall) -> DataFrame:
         alias = node.params.get("field", ["json_size"])[0]

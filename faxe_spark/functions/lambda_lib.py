@@ -50,6 +50,21 @@ def _time_align(ts, unit_ms):
 
 # reference-name -> Column function. Everything resolves to built-in
 # Spark expressions (no UDFs): the whole lambda surface stays in codegen.
+def _map_arg(m):
+    """A JSON-object STRING literal used where a map is expected (the
+    dfs corpus pattern `def letter_map = '{"a": 1, ...}'` +
+    map_get(key, letter_map)) becomes a map literal."""
+    if isinstance(m, str) and m.lstrip().startswith("{"):
+        import json as _json
+
+        d = _json.loads(m)
+        pairs = []
+        for k, v in d.items():
+            pairs += [F.lit(str(k)), F.lit(v)]
+        return F.create_map(*pairs)
+    return _c(m)
+
+
 LAMBDA_FUNCTIONS = {
     # conversions (faxe_lambdalib_tests.erl:19-31)
     "string": lambda x: _c(x).cast("string"),
@@ -93,12 +108,19 @@ LAMBDA_FUNCTIONS = {
     # map_get takes the KEY first (faxe_lambdalib_tests.erl:28-31), with
     # an optional default for missing keys (:30 returns <<"undefined">>)
     "map_get": lambda k, m, default=None: (
-        F.element_at(_c(m), k) if default is None
-        else F.coalesce(F.element_at(_c(m), k), _c(default))),
+        F.element_at(_map_arg(m), k) if default is None
+        else F.coalesce(F.element_at(_map_arg(m), k), _c(default))),
     "list_get": lambda l, i: F.element_at(_c(l), i),
     "size": lambda x: F.size(_c(x)),
-    "member": lambda x, l: F.array_contains(_c(l), _c(x)),
-    "not_member": lambda x, l: ~F.array_contains(_c(l), _c(x)),
+    # membership in the string domain: tolerant of empty/NULL mem lists
+    # and undefined probes (faxe compares erlang terms; numbers and
+    # strings normalize identically on both sides here)
+    "member": lambda x, l: F.coalesce(
+        F.array_contains(_c(l).cast("array<string>"), _c(x).cast("string")),
+        F.lit(False)),
+    "not_member": lambda x, l: ~F.coalesce(
+        F.array_contains(_c(l).cast("array<string>"), _c(x).cast("string")),
+        F.lit(False)),
     # control / null handling
     "if": _if,
     "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
@@ -332,6 +354,47 @@ LAMBDA_FUNCTIONS.update({
 })
 
 
+def _ms(x):
+    """Epoch-ms Column from a DFS ms-domain value."""
+    return _c(x).cast("long")
+
+
+def _ms_ts(x):
+    return F.timestamp_millis(_ms(x))
+
+
+# In the DFS front-end, "ts"-domain values are EPOCH-MS INTEGERS
+# (faxe_time; the corpus does `"ts" - 60000`, `to_iso8601("ts")`,
+# `string("ts")`). DFSCompiler resolves TimestampType fieldrefs to
+# unix_millis and overlays these ms-consuming/producing variants over
+# the Column-timestamp versions above.
+DFS_TIME_MS_OVERRIDES = {
+    "now": lambda: F.unix_millis(F.current_timestamp()),
+    "time_align": lambda ts, unit: _ms(ts) - (_ms(ts) % _c(unit)),
+    "to_iso8601": lambda x: F.date_format(_ms_ts(x), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+    "to_rfc3339": lambda x: F.date_format(_ms_ts(x), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+    "to_date_string": lambda x: F.date_format(_ms_ts(x), "yyyy-MM-dd HH:mm:ss"),
+    "to_date": lambda x: F.to_date(_ms_ts(x)),
+    "dt_format": lambda x, fmt: F.date_format(_ms_ts(x), _as_py(fmt)),
+    "from_iso8601": lambda s: F.unix_millis(
+        F.to_timestamp(_c(s), "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")),
+    "dt_parse": lambda s, fmt="yyyy-MM-dd HH:mm:ss":
+        F.unix_millis(F.to_timestamp(_c(s), fmt)),
+    "year": lambda x: F.year(_ms_ts(x)),
+    "month": lambda x: F.month(_ms_ts(x)),
+    "day_of_week": lambda x: F.dayofweek(_ms_ts(x)),
+    "day_of_month": lambda x: F.dayofmonth(_ms_ts(x)),
+    "day_of_year": lambda x: F.dayofyear(_ms_ts(x)),
+    "week_of_year": lambda x: F.weekofyear(_ms_ts(x)),
+    "hour": lambda x: F.hour(_ms_ts(x)),
+    "minute": lambda x: F.minute(_ms_ts(x)),
+    "second": lambda x: F.second(_ms_ts(x)),
+    "unix_ts": lambda x: (_ms(x) / 1000).cast("long"),
+    "unix_ms": _ms,
+    "from_unix_ms": _ms,
+}
+
+
 def _as_py(x):
     """Literal-only argument (name of an env var etc.)."""
     if isinstance(x, Column):
@@ -372,16 +435,20 @@ def mem_write(df, field: str, *, key: str | None = None,
     by contract), registered via set_mem and readable from any
     subsequent lambda via mem()/ls_mem()/s_mem(). Returns df unchanged
     (the reference node passes items through)."""
+    from faxe_spark.paths import get_path_safe
+
     key = key or field
+    col = get_path_safe(df, field).alias("_v")  # dot-path tolerant
     if type == "single":
-        row = df.orderBy(F.col(ts_col).desc()).select(field).first()
+        row = df.orderBy(F.col(ts_col).desc()).select(col).first()
         set_mem(key, None if row is None else row[0])
     elif type == "list":
-        rows = df.orderBy(F.col(ts_col)).select(field).collect()
+        rows = df.orderBy(F.col(ts_col)).select(col).collect()
         set_mem(key, [r[0] for r in rows])
     elif type == "set":
-        rows = df.select(field).distinct().collect()
-        set_mem(key, sorted(r[0] for r in rows))
+        rows = df.select(col).distinct().collect()
+        set_mem(key, sorted((r[0] for r in rows),
+                            key=lambda v: (v is None, str(v))))
     else:
         raise ValueError(f"mem type must be single/list/set, got {type!r}")
     return df

@@ -35,7 +35,8 @@ from faxe_spark.operators.join import (
 )
 from faxe_spark.operators.state import (
     state_runs, state_change, state_count, state_duration, state_sequence,
-    state_change_bulk, state_count_duration,
+    state_change_bulk, state_count_duration, deadman_gaps,
+    triggered_timeout_gaps,
 )
 from faxe_spark.operators.collect import collect_unique, collect_fields, collect_table
 
@@ -51,6 +52,7 @@ __all__ = [
     "asof_join", "asof_join_exact", "interval_join", "combine", "union_streams",
     "merge_join", "merge_value", "salted_join",
     "state_runs", "state_change", "state_count", "state_duration", "state_sequence",
-    "state_change_bulk", "state_count_duration",
+    "state_change_bulk", "state_count_duration", "deadman_gaps",
+    "triggered_timeout_gaps",
     "collect_unique", "collect_fields", "collect_table",
 ]

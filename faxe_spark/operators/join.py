@@ -30,11 +30,17 @@ from pyspark.sql.window import Window
 from faxe_spark.durations import parse_duration_ms
 
 
+def _q(name: str) -> Column:
+    """Exact-name column ref — names may be literally dotted (DFS
+    dot-path writes), which unquoted F.col would parse as struct nav."""
+    return F.col("`" + name + "`")
+
+
 def _prefixed(df: DataFrame, keys: Sequence[str], ts_col: str, prefix: str) -> tuple[DataFrame, list[str]]:
     value_cols = [c for c in df.columns if c not in keys and c != ts_col]
     renamed = df.select(
-        *keys, F.col(ts_col),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        *[_q(k) for k in keys], _q(ts_col),
+        *[_q(c).alias(f"{prefix}{c}") for c in value_cols],
     )
     return renamed, [f"{prefix}{c}" for c in value_cols]
 
@@ -76,23 +82,23 @@ def asof_join(
         if dir_ == "backward":
             w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("_src").asc())
                  .rowsBetween(Window.unboundedPreceding, 0))
-            return [F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
+            return [F.last(_q(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
         w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), F.col("_src").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
-        return [F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
+        return [F.last(_q(c), ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in r_cols]
 
     if direction in ("backward", "forward"):
         d = "backward" if direction == "backward" else "forward"
         enriched = unioned.select("*", *enrich(d, "_m"))
-        picked = {c: F.col(f"{c}_m") for c in r_cols}
+        picked = {c: _q(f"{c}_m") for c in r_cols}
     else:  # nearest: compute both directions, pick closer (ties -> backward)
         enriched = unioned.select("*", *enrich("backward", "_b"), *enrich("forward", "_f"))
         lt = F.unix_micros(F.col(ts_col))
-        bdist = lt - F.unix_micros(F.col(f"{right_prefix}_ts_b"))
-        fdist = F.unix_micros(F.col(f"{right_prefix}_ts_f")) - lt
-        use_b = F.col(f"{right_prefix}_ts_f").isNull() | (
-            F.col(f"{right_prefix}_ts_b").isNotNull() & (bdist <= fdist))
-        picked = {c: F.when(use_b, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f")) for c in r_cols}
+        bdist = lt - F.unix_micros(_q(f"{right_prefix}_ts_b"))
+        fdist = F.unix_micros(_q(f"{right_prefix}_ts_f")) - lt
+        use_b = _q(f"{right_prefix}_ts_f").isNull() | (
+            _q(f"{right_prefix}_ts_b").isNotNull() & (bdist <= fdist))
+        picked = {c: F.when(use_b, _q(f"{c}_b")).otherwise(_q(f"{c}_f")) for c in r_cols}
 
     out = enriched.filter(F.col("_src") == 1)
     match_ts = picked[f"{right_prefix}_ts"]
@@ -104,7 +110,7 @@ def asof_join(
     else:
         within = match_ts.isNotNull()
 
-    final_cols = [F.col(c) for c in left.columns]
+    final_cols = [_q(c) for c in left.columns]
     for c in r_cols:
         final_cols.append(F.when(within, picked[c]).alias(c))
     res = out.select(*final_cols)
@@ -174,10 +180,9 @@ def interval_join(left: DataFrame, right: DataFrame, on: Sequence[str], *,
     keys = list(on)
     r, r_cols = _prefixed(right, keys, ts_col, right_prefix)
     r = r.withColumnRenamed(ts_col, f"{right_prefix}_ts")
-    cond = None
+    cond = F.lit(True)  # keyless: pure time-proximity join (faxe default)
     for k in keys:
-        c = left[k] == r[k]
-        cond = c if cond is None else cond & c
+        cond = cond & (left[k] == r[k])
     cond = cond & (
         F.abs(F.unix_micros(left[ts_col]) - F.unix_micros(r[f"{right_prefix}_ts"])) <= F.lit(tol_ms * 1000)
     )

@@ -114,9 +114,27 @@ def fields_to_array(df: DataFrame, fields: Sequence[str], *, key_name: str = "ke
 def path_split(df: DataFrame, fields: Sequence[str], *, keep_cols: Sequence[str] = (),
                key_alias: str = "name", value_alias: str = "value") -> DataFrame:
     """faxe `path_split` (esp_path_split.erl:22): one output row per root
-    key of the fields object => melt/stack + explode."""
+    key of the fields object => melt/stack + explode.
+
+    All-numeric roots melt to a double value column; mixed shapes
+    (struct/array roots — the s7-style payloads the node exists for)
+    melt to the value's JSON text, which downstream dot-paths read as a
+    JSON document (paths.get_path_safe string fallback)."""
+    from pyspark.sql.types import ArrayType, MapType, NumericType, StructType
+
+    def _v(f: str) -> F.Column:
+        c = F.col(f"`{f}`")
+        dt = df.schema[f].dataType
+        if numeric_lane:
+            return c.cast("double")
+        if isinstance(dt, (StructType, ArrayType, MapType)):
+            return F.to_json(c)
+        return c.cast("string")
+
+    numeric_lane = all(
+        isinstance(df.schema[f].dataType, NumericType) for f in fields)
     pairs = F.array(*[
-        F.struct(F.lit(f).alias(key_alias), F.col(f).cast("double").alias(value_alias))
+        F.struct(F.lit(f).alias(key_alias), _v(f).alias(value_alias))
         for f in fields
     ])
     out = df.select(*keep_cols, F.explode(pairs).alias("_kv"))

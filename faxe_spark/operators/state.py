@@ -139,6 +139,84 @@ def state_sequence(df: DataFrame, steps: Sequence[str | Column],
     return out.drop(*[f"_m{i}" for i in range(len(steps))])
 
 
+def deadman_gaps(df: DataFrame, timeout_ms: int, *, by: Iterable[str] = (),
+                 ts_col: str = "ts", tiebreak: str | None = None,
+                 fields: dict | None = None, repeat_last: bool = False,
+                 no_forward: bool = False,
+                 repeat_per_interval: bool = False,
+                 max_repeats: int = 1000) -> DataFrame:
+    """Batch analog of faxe `deadman` (esp_deadman.erl:43): the
+    processing-time watchdog becomes an EVENT-time gap detector — for
+    every silence of more than `timeout_ms` between consecutive rows, a
+    synthetic point is emitted at last_ts + timeout (repeat_per_interval
+    emits one per elapsed interval, like the reference's restarting
+    timer; bounded by max_repeats so a year-long gap can't explode).
+
+    repeat_last copies the silent row's payload (the reference's
+    repeat_last option); otherwise payload columns are nulled and
+    `fields` constants are set. Rows forward unless no_forward (:75-80).
+    The streaming variant (true wall-clock watchdog) is
+    streaming.stateful.deadman_stream; this analog makes the node
+    oracle-checkable and lets batch DFS scripts compile.
+
+    One shuffle on the key; lead() + sequence-explode, no Python.
+    """
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys).orderBy(*_ord(ts_col, tiebreak))
+    gap = F.lead(F.unix_millis(F.col(ts_col))).over(w) - F.unix_millis(F.col(ts_col))
+    silent = df.withColumn("_gap", gap).filter(F.col("_gap") > F.lit(timeout_ms))
+    n_rep = F.least(((F.col("_gap") - 1) / F.lit(timeout_ms)).cast("long"),
+                    F.lit(max_repeats)) if repeat_per_interval else F.lit(1)
+    synth = silent.withColumn("_k", F.explode(F.sequence(F.lit(1), n_rep)))
+    synth = synth.withColumn(
+        ts_col, F.timestamp_millis(
+            F.unix_millis(F.col(ts_col)) + F.col("_k") * F.lit(timeout_ms)))
+    payload_cols = [c for c in df.columns
+                    if c != ts_col and c not in set(by)]
+    if not repeat_last:
+        vals = fields or {}
+        synth = synth.select(
+            *[F.col(c) for c in [*by, ts_col]],
+            *[F.lit(vals[c]).alias(c) if c in vals
+              else F.lit(None).cast(df.schema[c].dataType).alias(c)
+              for c in payload_cols])
+        for k, v in vals.items():
+            if k not in df.columns:
+                synth = synth.withColumn(k, F.lit(v))
+                df = df.withColumn(k, F.lit(None).cast(synth.schema[k].dataType))
+    else:
+        synth = synth.drop("_gap", "_k")
+    synth = synth.withColumn("_deadman", F.lit(True))
+    if no_forward:
+        return synth
+    return df.withColumn("_deadman", F.lit(False)) \
+             .unionByName(synth, allowMissingColumns=True)
+
+
+def triggered_timeout_gaps(df: DataFrame, trigger: Column, timeout_ms: int, *,
+                           by: Iterable[str] = (), ts_col: str = "ts",
+                           tiebreak: str | None = None,
+                           fields: dict | None = None) -> DataFrame:
+    """Batch analog of faxe `triggered_timeout` (esp_triggered_timeout.erl:46):
+    a trigger row arms a timer; if NO message follows within `timeout_ms`
+    the timeout fires. In event time: trigger rows whose gap to the next
+    row exceeds the timeout (or that are last) emit a synthetic point at
+    trigger_ts + timeout carrying the configured `fields`."""
+    keys = [F.col(c) for c in by]
+    w = Window.partitionBy(*keys).orderBy(*_ord(ts_col, tiebreak))
+    nxt = F.lead(F.unix_millis(F.col(ts_col))).over(w)
+    fired = (df.withColumn("_trig", trigger.cast("boolean"))
+             .withColumn("_nxt", nxt)
+             .filter(F.col("_trig") & (
+                 F.col("_nxt").isNull()
+                 | ((F.col("_nxt") - F.unix_millis(F.col(ts_col))) > F.lit(timeout_ms)))))
+    out = fired.withColumn(
+        ts_col, F.timestamp_millis(F.unix_millis(F.col(ts_col)) + F.lit(timeout_ms)))
+    for k, v in (fields or {}).items():
+        out = out.withColumn(k, F.lit(v))
+    return out.drop("_trig", "_nxt")
+
+
 def state_change_bulk(df: DataFrame, fields: Sequence[str], condition: Column, *,
                       by: Iterable[str] = (), ts_col: str = "ts",
                       tiebreak: str | None = None, key_col: str = "field",

@@ -59,6 +59,11 @@ def get_path_safe(df: DataFrame, path: str) -> Column:
       JSON extract, not an error."""
     from pyspark.sql.types import ArrayType, StringType, StructType
 
+    # exact-name first: DFS write nodes (eval/case .as with dot-paths)
+    # create literally-dotted flat columns via withColumn; reading such a
+    # name back must hit the flat column, not attempt struct navigation.
+    if path in df.columns:
+        return F.col("`" + path + "`")
     segs = parse_path(path)
     dtype: object = df.schema
     for i, (name, idxs) in enumerate(segs):

@@ -102,6 +102,20 @@ class LessThan(PythonNode):
         return point if v is not None and float(v) < float(self.threshold) else None
 
 
+class BatchStart(Callback):
+    """passthrough for dev/python2.dfs's @batch_start — the class ships
+    in no reference python/ dir (the script predates its removal), so a
+    no-op callback keeps the corpus script compilable."""
+
+    @classmethod
+    def options(cls):
+        return [("field", None), ("as", None)]
+
+
+class DataDemo(Callback):
+    """passthrough for the corpus's commented @data_demo examples."""
+
+
 BUILTIN_PYTHON_NODES = {
     "double": Double,
     "callback": Callback,
@@ -109,4 +123,6 @@ BUILTIN_PYTHON_NODES = {
     "python_time": PythonTime,
     "filter": Filter,
     "less_than": LessThan,
+    "batch_start": BatchStart,
+    "data_demo": DataDemo,
 }

@@ -17,8 +17,9 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 class PythonNode:
@@ -106,16 +107,38 @@ def apply_node(df: DataFrame, node_class: type[PythonNode],
     point dicts. Use for transforms the Column algebra can't express."""
     _validate_opts(node_class, opts)
 
+    # literally-dotted column names (DFS dot-path writes) break the
+    # mapInPandas schema resolution — encode around the Arrow boundary,
+    # hand the node plain dotted keys, decode on the way out.
+    out_struct = _as_struct(output_schema)
+    enc = lambda c: c.replace(".", "__dot__")  # noqa: E731
+    dec = lambda c: c.replace("__dot__", ".")  # noqa: E731
+    has_dots = any("." in f.name for f in out_struct.fields) \
+        or any("." in c for c in df.columns)
+    if has_dots:
+        df = df.select(*[F.col(f"`{c}`").alias(enc(c)) for c in df.columns])
+        output_schema = StructType(
+            [StructField(enc(f.name), f.dataType, f.nullable)
+             for f in out_struct.fields])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         node = node_class()
         node.init(**opts)
         for pdf in batches:
+            if has_dots:
+                pdf = pdf.rename(columns=dec)
             points = pdf.to_dict("records")
             out = node.handle_batch(points)
             if out:
-                yield pd.DataFrame(out)
+                opdf = pd.DataFrame(out)
+                if has_dots:
+                    opdf = opdf.rename(columns=enc)
+                yield opdf
 
-    return df.mapInPandas(run, output_schema)
+    res = df.mapInPandas(run, output_schema)
+    if has_dots:
+        res = res.select(*[F.col(c).alias(dec(c)) for c in res.columns])
+    return res
 
 
 def apply_node_keyed(df: DataFrame, node_class: type[PythonNode],

@@ -89,7 +89,7 @@ def test_compile_window_aggregate_on_testdata(spark):
     .as('sum_v', 'n')
     """
     out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
-    assert set(out.columns) == {"window", "event_type", "sum_v", "n"}
+    assert set(out.columns) == {"window", "event_type", "sum_v", "n", "ts"}
     # golden check against the direct operator pipeline
     from faxe_spark.tables import load_table
     ev = load_table(spark, SF_SMOKE, "events").filter(F.col("value") > 5)
@@ -155,7 +155,8 @@ def test_stat_alias_and_count_window(spark):
     |avg('value').as('value_avg')
     """
     out2 = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script2)
-    assert set(out2.columns) == {"window", "event_type", "value_avg"}
+    # windowed aggregate points carry ts = window start
+    assert set(out2.columns) == {"window", "event_type", "value_avg", "ts"}
     assert out2.count() > 0
 
 
@@ -348,11 +349,11 @@ a
 
 
 def test_dfs_corpus_compile_sweep(spark):
-    """End-to-end compile gate: of the emitter-driven corpus scripts
-    (the ones runnable without a broker/PLC), at least half must
-    COMPILE to DataFrames, not just parse. Remaining failures are the
-    honest ones: @python callback nodes, streaming-only nodes on a
-    batch emitter, JSON-string payload paths."""
+    """End-to-end compile gate: every emitter-driven corpus script
+    (the ones runnable without a broker/PLC) must COMPILE to a
+    DataFrame — except the corpus's own negative-test fixture
+    (node_not_found_err.dfs, whose unknown `son_emitter` node is
+    SUPPOSED to error; dfs_to_graph.erl asserts the same)."""
     import sys
     sys.path.insert(0, "/root/repo/tools")
     from dfs_sweep import compile_sweep
@@ -360,8 +361,11 @@ def test_dfs_corpus_compile_sweep(spark):
     ok, failed = compile_sweep(spark)
     total = len(ok) + len(failed)
     assert total >= 80
-    assert len(ok) / total >= 0.5, \
-        f"compile coverage {len(ok)}/{total}: {failed[:5]}"
+    real_fails = [(f, e) for f, e in failed
+                  if "node_not_found_err" not in str(f)]
+    assert len(ok) / total >= 0.9, \
+        f"compile coverage {len(ok)}/{total}: {real_fails[:5]}"
+    assert not real_fails, f"corpus scripts failing: {real_fails}"
 
 
 def test_fill_period_suppresses_partial_head_windows(spark):
