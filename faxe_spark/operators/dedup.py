@@ -193,6 +193,74 @@ def _shingle_dictionary(sh: DataFrame) -> DataFrame:
         "shingle", (F.row_number().over(w) + off).cast("int").alias("wid"))
 
 
+# interpreted zip_with fold vs numpy popcount kernel crossover, in PAIR
+# word-ops (n_docs^2 * mask-words — the BNLJ tests n^2/2 pairs, so the
+# decision must scale with pair count, not doc count). Measured on the
+# sf0.01 bigram corpus (916 vocab, 15 words): 500 docs = 3.75M ops ->
+# zip_with 2.2-3.1s vs numpy 2.7-3.5s (fold wins); 2000 docs = 60M ops
+# -> numpy 6.6-9.1s vs fold 9.4-10.0s (kernel wins). Crossover ~20M.
+# Monkeypatchable for lane-equivalence tests.
+_GEMM_CROSSOVER = 20_000_000
+
+
+def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
+                       threshold: float) -> DataFrame:
+    """Dense-universe pair kernel for 64 < vocab <= dense_universe_max:
+    the whole (id, bitmap, n) projection is broadcast (the lane's
+    precondition bounds it), and each partition computes its rows'
+    intersections against ALL docs with a BLOCKED numpy popcount —
+    `bitwise_count(A[:,None,:] & B[None,:,:]).sum(-1)` in B-chunks —
+    replacing the interpreted `aggregate(zip_with(...))` fold that the
+    round-2 audit flagged (crossover ~256 madds/row; same blocked-
+    broadcast shape as the embedding GEMM in similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = masks.sparkSession
+    rows = masks.select(id_col, "_m", "n").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # bigint bitmaps may be negative (bit 63): int64 view -> uint64
+    mat = np.array([r[1] for r in rows], dtype=np.int64) \
+        .view(np.uint64).reshape(len(rows), n_words)
+    counts = np.array([r[2] for r in rows], dtype=np.int64)
+    b = spark.sparkContext.broadcast((ids, mat, counts))
+
+    if hasattr(np, "bitwise_count"):
+        def _pop(x):
+            return np.bitwise_count(x).sum(axis=-1, dtype=np.int64)
+    else:  # numpy < 2: 256-entry LUT over the uint8 view
+        _LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+        def _pop(x):
+            v = x.view(np.uint8)
+            return _LUT[v].sum(axis=-1, dtype=np.int64)
+
+    def gen(batches):
+        b_ids, b_mat, b_n = b.value
+        block = max(1, (64 << 20) // max(1, len(b_ids) * n_words * 8))
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["_m"]), dtype=np.int64) \
+                .view(np.uint64).reshape(len(pdf), n_words)
+            a_n = pdf["n"].to_numpy(dtype=np.int64)
+            for s in range(0, len(a_ids), block):
+                aI, aM, aN = a_ids[s:s + block], a_mat[s:s + block], a_n[s:s + block]
+                inter = _pop(aM[:, None, :] & b_mat[None, :, :])
+                union = aN[:, None] + b_n[None, :] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = inter / union
+                keep = ((aI[:, None] < b_ids[None, :]) & (inter >= 1)
+                        & (jac >= threshold))
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    yield pd.DataFrame({
+                        "id_a": aI[ai], "id_b": b_ids[bi],
+                        "inter": inter[ai, bi], "jaccard": jac[ai, bi]})
+
+    return masks.mapInPandas(
+        gen, "id_a long, id_b long, inter long, jaccard double")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
                         shingle_n: int = 3, threshold: float = 0.2,
                         max_shingle_freq: int | None = None,
@@ -259,6 +327,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                     id_col, "n",
                     F.expr(f"transform(sequence(0, {n_words - 1}),"
                            " w -> coalesce(try_element_at(_mm, w), 0L))").alias("_m"))
+                if n_docs * n_docs * n_words >= _GEMM_CROSSOVER:
+                    # past the measured interpreted-fold crossover:
+                    # blocked numpy popcount kernel
+                    return _dense_pairs_numpy(masks, id_col, n_words,
+                                              threshold)
                 inter = F.expr("aggregate(zip_with(_ma, _mb, (x, y) -> bit_count(x & y)),"
                                " 0, (acc, v) -> acc + v)")
             a = masks.select(F.col(id_col).alias("id_a"),

@@ -136,3 +136,16 @@ def test_simhash_pairs_match_bruteforce(spark):
     assert set(got) == want
     for (a, b), h in got.items():
         assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_dense_numpy_kernel_vs_sparse(spark, monkeypatch):
+    """The blocked numpy popcount kernel (>64-vocab lane past the
+    pair-ops crossover) is output-equivalent to the sparse reference;
+    forced on by zeroing the crossover."""
+    monkeypatch.setattr(dedup, "_GEMM_CROSSOVER", 0)
+    numpy_lane = _rows(_pairs(spark, shingle_n=2, threshold=0.5))
+    monkeypatch.setattr(dedup, "_GEMM_CROSSOVER", 1 << 60)
+    fold_lane = _rows(_pairs(spark, shingle_n=2, threshold=0.5))
+    sparse = _rows(_pairs(spark, shingle_n=2, threshold=0.5,
+                          dense_universe_max=0))
+    assert numpy_lane and numpy_lane == sparse == fold_lane
