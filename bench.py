@@ -82,6 +82,41 @@ def stage_cache(spark, sf_dir: str, n_files: int) -> tuple[str, float]:
     return cache, round(time.perf_counter() - t0, 3)
 
 
+def _plan_hash(df) -> str:
+    """Stable fingerprint of the physical plan: expression ids, codegen
+    ids, and plan ids change run to run — strip them so the hash moves
+    only when the plan SHAPE moves. Makes bench regressions attributable
+    (plan change vs environment noise — VERDICT r2 bench-hygiene item)."""
+    import hashlib
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+[A-Za-z]*", "#", plan)        # exprIds
+    plan = re.sub(r"\[id=#?\d+\]", "", plan)           # plan/stage ids
+    plan = re.sub(r"\(\d+\)", "", plan)                # codegen ids
+    plan = re.sub(r"@[0-9a-f]{6,}", "", plan)          # object addresses
+    plan = re.sub(r"/[^\s,)\]]*\.bench_cache[^\s,)\]]*", "<cache>", plan)
+    return hashlib.md5(plan.encode()).hexdigest()[:16]
+
+
+def _record_plan_hashes(hashes: dict) -> None:
+    """Persist per-query plan hashes; report diffs vs the previous run
+    on stderr (the JSON line on stdout stays the driver contract)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PLAN_HASHES.json")
+    prev = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except Exception:  # noqa: BLE001 - corrupt file: overwrite
+            prev = {}
+    changed = sorted(n for n in hashes if n in prev and prev[n] != hashes[n])
+    if changed:
+        print(f"bench: plan changed since last run: {changed}", file=sys.stderr)
+    with open(path, "w") as fh:
+        json.dump(hashes, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
     from faxe_spark.session import get_spark
     from faxe_spark.registry import QUERIES
@@ -97,8 +132,9 @@ def main() -> None:
     # JVM warm-up on a non-headline query (steady-state measurement)
     QUERIES["where_filter"].fn(spark, cache_dir).write.mode("overwrite").format("noop").save()
 
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     per_query: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
     for name in names:
         best = float("inf")
         for _ in range(iterations):
@@ -107,7 +143,9 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
+        plan_hashes[name] = _plan_hash(df)
 
+    _record_plan_hashes(plan_hashes)
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
