@@ -98,23 +98,26 @@ def _plan_hash(df) -> str:
     return hashlib.md5(plan.encode()).hexdigest()[:16]
 
 
-def _record_plan_hashes(hashes: dict) -> None:
-    """Persist per-query plan hashes; report diffs vs the previous run
-    on stderr (the JSON line on stdout stays the driver contract)."""
+def _record_plan_hashes(hashes: dict, sf) -> None:
+    """Persist per-query plan hashes keyed by scale factor (plans
+    legitimately differ across SF via AQE); report diffs vs the previous
+    run at the SAME sf on stderr (stdout stays the driver contract)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "PLAN_HASHES.json")
-    prev = {}
+    book = {}
     if os.path.exists(path):
         try:
             with open(path) as fh:
-                prev = json.load(fh)
+                book = json.load(fh)
         except Exception:  # noqa: BLE001 - corrupt file: overwrite
-            prev = {}
+            book = {}
+    prev = book.get(str(sf), {})
     changed = sorted(n for n in hashes if n in prev and prev[n] != hashes[n])
     if changed:
         print(f"bench: plan changed since last run: {changed}", file=sys.stderr)
+    book[str(sf)] = hashes
     with open(path, "w") as fh:
-        json.dump(hashes, fh, indent=1, sort_keys=True)
+        json.dump(book, fh, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -145,7 +148,7 @@ def main() -> None:
         per_query[name] = round(best, 3)
         plan_hashes[name] = _plan_hash(df)
 
-    _record_plan_hashes(plan_hashes)
+    _record_plan_hashes(plan_hashes, sf)
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -1950,6 +1950,53 @@ def lambda_showcase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deadman_gaps",
+    f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms,
+             lead(epoch_us(ts) // 1000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM {_EV}
+    )
+    SELECT user_id, ms + 3600000 AS ts_ms
+    FROM g WHERE nxt - ms > 3600000
+    """,
+    doc="faxe deadman batch analog (esp_deadman.erl:43): synthetic point "
+        "at last_ts + timeout for every >1h event-time silence per user",
+)
+def deadman_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.deadman_gaps(ev, 3_600_000, by=["user_id"], ts_col="ts",
+                           tiebreak="event_id", no_forward=True)
+    return out.select("user_id", F.unix_millis("ts").alias("ts_ms"))
+
+
+@register(
+    "triggered_timeout",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts, epoch_us(ts) // 1000 AS ms,
+             lead(epoch_us(ts) // 1000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM {_EV}
+    )
+    SELECT event_id, user_id, ms + 1800000 AS ts_ms
+    FROM e WHERE event_type = 'purchase'
+      AND (nxt IS NULL OR nxt - ms > 1800000)
+    """,
+    doc="faxe triggered_timeout batch analog (esp_triggered_timeout.erl:46): "
+        "purchase rows with no follow-up within 30min fire at trigger+timeout",
+)
+def triggered_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.triggered_timeout_gaps(
+        ev, F.col("event_type") == "purchase", 1_800_000,
+        by=["user_id"], ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id",
+                      F.unix_millis("ts").alias("ts_ms"))
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -1965,7 +2012,8 @@ _DEFERRED_THIS_ROUND = [
     "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
     "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
     "combine_enrich", "interval_join", "union_streams", "top_bottom",
-    "array_explode", "path_split", "dist_count",
+    "array_explode", "path_split", "dist_count", "token_count",
+    "text_quality",
 ]
 
 
