@@ -65,6 +65,21 @@ def _map_arg(m):
     return _c(m)
 
 
+def _map_get(k, m, default=None):
+    """faxe map_get: key-first order, optional default for missing keys
+    (faxe_lambdalib_tests.erl:28-31). A JSON-string literal map is
+    dynamically typed in the reference — when its value type and the
+    default's type differ, both coerce to the string domain (erlang
+    terms don't care; Spark's coalesce needs one type)."""
+    mm = _map_arg(m)
+    if default is None:
+        return F.element_at(mm, k)
+    if isinstance(m, str) and not isinstance(default, Column):
+        return F.coalesce(F.element_at(mm, k).cast("string"),
+                          F.lit(str(default)))
+    return F.coalesce(F.element_at(mm, k), _c(default))
+
+
 LAMBDA_FUNCTIONS = {
     # conversions (faxe_lambdalib_tests.erl:19-31)
     "string": lambda x: _c(x).cast("string"),
@@ -107,9 +122,7 @@ LAMBDA_FUNCTIONS = {
     # maps / lists (1-based element_at matches faxe's 1-based paths).
     # map_get takes the KEY first (faxe_lambdalib_tests.erl:28-31), with
     # an optional default for missing keys (:30 returns <<"undefined">>)
-    "map_get": lambda k, m, default=None: (
-        F.element_at(_map_arg(m), k) if default is None
-        else F.coalesce(F.element_at(_map_arg(m), k), _c(default))),
+    "map_get": lambda k, m, default=None: _map_get(k, m, default),
     "list_get": lambda l, i: F.element_at(_c(l), i),
     "size": lambda x: F.size(_c(x)),
     # membership in the string domain: tolerant of empty/NULL mem lists

@@ -490,3 +490,17 @@ def test_dfs_run_strict_template_vars():
         DFSCompiler(None).run(script)
     assert parse_script(script, on_missing="1")  # sweep tolerance
     assert parse_script(script, {"rate": 5})[0].nodes[0].args == [5]
+
+
+def test_dfs_corpus_exec_sweep(spark):
+    """EXECUTION gate (beyond compile): every runnable emitter-driven
+    corpus script collects rows — runtime-only failures (Arrow, python
+    nodes, cast conflicts) surface here. Sole exception: the corpus's
+    own negative-test fixture."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from dfs_sweep import exec_sweep
+
+    ok, failed = exec_sweep(spark)
+    real = [(str(f), e) for f, e in failed if "node_not_found_err" not in str(f)]
+    assert not real, f"corpus scripts failing at RUNTIME: {real}"

@@ -67,6 +67,34 @@ def compile_sweep(spark, corpus_root: Path = REFERENCE):
     return ok, failed
 
 
+def exec_sweep(spark, corpus_root: Path = REFERENCE, limit: int = 50):
+    """EXECUTION gate: every emitter-driven script that compiles must
+    also RUN (`.limit(n).collect()`), catching runtime-only failures
+    (Arrow transfer, python nodes, cast conflicts) the analyzer can't.
+    Streaming-source scripts (http_get pollers etc.) count as ok at the
+    analysis stage — a batch collect is impossible by design."""
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.functions.lambda_lib import clear_mem
+
+    ok, fail = [], []
+    for f in sorted(corpus_root.rglob("*.dfs")):
+        text = substitute_template(f.read_text(errors="replace"), {},
+                                   on_missing="1")
+        try:
+            chains = parse_script(text)
+            heads = [c.nodes[0].name for c in chains if c.nodes]
+            if not any(h in ("json_emitter", "value_emitter") for h in heads):
+                continue
+            clear_mem()
+            df = DFSCompiler(spark).run(text)
+            if not df.isStreaming:
+                df.limit(limit).collect()
+            ok.append(f)
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            fail.append((f, f"{type(e).__name__}: {str(e)[:100]}"))
+    return ok, fail
+
+
 def main() -> int:
     files, ok, failed, node_names = sweep()
     pct = 100.0 * len(ok) / max(len(files), 1)
