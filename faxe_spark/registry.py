@@ -1997,6 +1997,41 @@ def triggered_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.unix_millis("ts").alias("ts_ms"))
 
 
+@register(
+    "fields_to_array",
+    """
+    WITH src AS (
+      SELECT * FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT l_orderkey, l_linenumber, k, v FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS k,
+             CAST(l_quantity AS DOUBLE) AS v FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount',
+             CAST(l_discount AS DOUBLE) FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax',
+             CAST(l_tax AS DOUBLE) FROM src
+    )
+    """,
+    doc="faxe fields_to_array (esp_fields_to_array.erl:33): listed fields "
+        "pivot into an array of {key,value} structs; verified exploded "
+        "back to rows (array-of-struct hashing is engine-dependent)",
+)
+def fields_to_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0)
+    out = ops.fields_to_array(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        key_name="k", value_name="v")
+    return (out.select("l_orderkey", "l_linenumber",
+                       F.explode("data").alias("_kv"))
+            .select("l_orderkey", "l_linenumber", "_kv.k", "_kv.v"))
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -2013,7 +2048,7 @@ _DEFERRED_THIS_ROUND = [
     "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
     "combine_enrich", "interval_join", "union_streams", "top_bottom",
     "array_explode", "path_split", "dist_count", "token_count",
-    "text_quality",
+    "text_quality", "lang_id",
 ]
 
 
