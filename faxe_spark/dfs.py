@@ -526,9 +526,10 @@ class DFSCompiler:
 
     def __init__(self, spark: SparkSession, *, tables_dir: str | None = None,
                  sources: dict[str, DataFrame] | None = None,
-                 python_nodes: dict | None = None):
+                 python_nodes: dict | None = None, broker=None):
         self.spark = spark
         self.tables_dir = tables_dir
+        self.broker = broker  # EmbeddedBroker for mqtt/amqp-node tests
         self.env: dict[str, DataFrame] = dict(sources or {})
         self.consts: dict[str, object] = {}
         self.group_keys: list[str] = []
@@ -1126,6 +1127,46 @@ class DFSCompiler:
 
     def node_win_event_q(self, df, node: NodeCall) -> DataFrame:
         return self.node_win_event(df, node)
+
+    def _broker_node(self, node: NodeCall, topic_key: str) -> DataFrame:
+        """mqtt_subscribe / amqp_consume (esp_mqtt_subscribe.erl:47,
+        esp_amqp_consume.erl:68) against an injected EmbeddedBroker:
+        topic subscription + dt_field/dt_format payload time + dedup.
+        Production deployments use kafka_source (broker protocol owned
+        by an MQTT/AMQP->Kafka bridge); the embedded broker gives the
+        node's OPTION semantics an executable DFS path in tests."""
+        if self.broker is None:
+            raise NotImplementedError(
+                f"DFS {node.name} needs a live broker: pass "
+                "DFSCompiler(broker=EmbeddedBroker()) for tests, or use "
+                "sources.kafka_source in production (SURVEY §2.1)")
+        from faxe_spark.sources.embedded_broker import broker_source
+
+        topic = str(self._val(node.params.get(topic_key, node.args or ["t"])[0]))
+        # schema from the already-published log (jiffy-style inference);
+        # an empty topic reads as a raw string payload column
+        msgs = self.broker.messages(topic)
+        if msgs:
+            schema = self.spark.read.json(
+                self.spark.sparkContext.parallelize(msgs, 1)).schema
+        else:
+            schema = "payload string"
+        dt_field = self._val(node.params.get("dt_field", [None])[0])
+        dt_format = str(self._val(node.params.get("dt_format", ["millisecond"])[0]))
+        dedup = node.params.get("dedup_size", [None])[0]
+        return broker_source(
+            self.spark, self.broker, topic,
+            value_schema=schema, dt_field=dt_field, dt_format=dt_format,
+            dedup_size=int(self._val(dedup)) if dedup is not None else None,
+            topic_as=str(node.params.get("topic_as", ["topic"])[0]),
+            include_topic="include_topic" not in node.params
+            or str(node.params["include_topic"][0]).lower() != "false")
+
+    def node_mqtt_subscribe(self, df, node: NodeCall) -> DataFrame:
+        return self._broker_node(node, "topic")
+
+    def node_amqp_consume(self, df, node: NodeCall) -> DataFrame:
+        return self._broker_node(node, "queue")
 
     # -- connector nodes ---------------------------------------------------
     def _url(self, node: NodeCall, default_port: int = 80) -> str:

@@ -578,3 +578,39 @@ def test_embedded_broker_roundtrip_with_time_parsing(spark):
         assert [json.loads(m)["n"] for m in broker.messages("beta")] == [2]
     finally:
         broker.stop()
+
+
+def test_dfs_mqtt_subscribe_via_embedded_broker(spark):
+    """A DFS script's mqtt_subscribe node (esp_mqtt_subscribe.erl:47)
+    compiles against the embedded broker and consumes published
+    payloads with dt_field time parsing — the node's option surface
+    executed from the TEXT front-end, not just the Python API."""
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.embedded_broker import EmbeddedBroker
+
+    broker = EmbeddedBroker()
+    try:
+        broker.publish("plant/1", {"code": 224, "t": 1700000000000, "v": 1.5})
+        broker.publish("plant/1", {"code": 334, "t": 1700000060000, "v": 9.0})
+        script = """
+        |mqtt_subscribe()
+        .topic('plant/1')
+        .dt_field('t')
+        |where(lambda: "v" > 2)
+        """
+        df = DFSCompiler(spark, broker=broker).run(script)
+        assert df.isStreaming
+        q = df.writeStream.format("memory").queryName("dfsmq").start()
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM dfsmq").count() >= 1:
+                    break
+                time.sleep(0.3)
+            rows = [(r.code, r.ts.isoformat(), r.topic)
+                    for r in spark.sql("SELECT * FROM dfsmq").collect()]
+        finally:
+            q.stop()
+        assert rows == [(334, "2023-11-14T22:14:20", "plant/1")]
+    finally:
+        broker.stop()
