@@ -1162,6 +1162,23 @@ class DFSCompiler:
             include_topic="include_topic" not in node.params
             or str(node.params["include_topic"][0]).lower() != "false")
 
+    def node_http_listen(self, df, node: NodeCall) -> DataFrame:
+        """http_listen (esp_http_listen.erl:30): embedded HTTP server
+        spooling payloads into a checkpointable file stream. Port 0 =
+        ephemeral (corpus scripts' fixed ports can't be assumed free);
+        the bound port and the listener handle land on self.listeners
+        for the caller to publish to / stop()."""
+        from faxe_spark.sources import http_listen_source
+
+        port = int(self._val(node.params.get("port", [0])[0]))
+        listener = http_listen_source(
+            self.spark, port=port if port < 1024 or port > 65000 else 0,
+            path=str(node.params.get("path", ["/"])[0]),
+            user=node.params.get("user", [None])[0],
+            password=node.params.get("pass", [None])[0])
+        self.listeners.append(listener)
+        return listener.df
+
     def node_mqtt_subscribe(self, df, node: NodeCall) -> DataFrame:
         return self._broker_node(node, "topic")
 

@@ -614,3 +614,33 @@ def test_dfs_mqtt_subscribe_via_embedded_broker(spark):
         assert rows == [(334, "2023-11-14T22:14:20", "plant/1")]
     finally:
         broker.stop()
+
+
+def test_dfs_http_listen_compiles_and_ingests(spark):
+    """A DFS script's http_listen node compiles to the embedded HTTP
+    listener; a live POST lands in the stream (esp_http_listen.erl:30)."""
+    import urllib.request
+
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    df = c.run("|http_listen()\n.payload_type('json')\n")
+    assert df.isStreaming and c.listeners
+    listener = c.listeners[0]
+    q = df.writeStream.format("memory").queryName("dfshttp").start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{listener.port}/",
+            data=b'{"code": 7}', method="POST")
+        urllib.request.urlopen(req, timeout=10)
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = [r.data for r in spark.sql("SELECT * FROM dfshttp").collect()]
+            if rows:
+                break
+            time.sleep(0.3)
+        assert rows == ['{"code": 7}']
+    finally:
+        q.stop()
+        listener.stop()
