@@ -53,6 +53,9 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "training_pipeline",
+    # round-3 additions
+    "lambda_showcase",
+    "deadman_gaps",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -91,7 +94,7 @@ def _plan_hash(df) -> str:
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = re.sub(r"#\d+[A-Za-z]*", "#", plan)        # exprIds
-    plan = re.sub(r"\[id=#?\d+\]", "", plan)           # plan/stage ids
+    plan = re.sub(r"\[(plan_)?id=#?\d+\]", "", plan)   # plan/stage ids
     plan = re.sub(r"\(\d+\)", "", plan)                # codegen ids
     plan = re.sub(r"@[0-9a-f]{6,}", "", plan)          # object addresses
     plan = re.sub(r"/[^\s,)\]]*\.bench_cache[^\s,)\]]*", "<cache>", plan)
