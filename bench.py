@@ -97,6 +97,11 @@ def _plan_hash(df) -> str:
     plan = re.sub(r"\[(plan_)?id=#?\d+\]", "", plan)   # plan/stage ids
     plan = re.sub(r"\(\d+\)", "", plan)                # codegen ids
     plan = re.sub(r"@[0-9a-f]{6,}", "", plan)          # object addresses
+    # higher-order-function lambda variables are named with a
+    # SESSION-GLOBAL counter (lambda x_3 -> lambda x_14 after other
+    # queries ran) — the r3 false "plan changed" flags on the
+    # zip_with/transform queries were exactly this, not UDF identities
+    plan = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_", plan)
     plan = re.sub(r"/[^\s,)\]]*\.bench_cache[^\s,)\]]*", "<cache>", plan)
     return hashlib.md5(plan.encode()).hexdigest()[:16]
 
@@ -141,7 +146,20 @@ def main() -> None:
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     per_query: dict[str, float] = {}
     plan_hashes: dict[str, str] = {}
+    result_rows: dict[str, int] = {}
+    load_max = os.getloadavg()[0]
+    load_start = load_max
+    # load guard (r3 win_event_rolling false +54% was concurrent-load
+    # noise): a min-of-N taken under external load is not a steady-state
+    # number — wait for the 1-min loadavg to drop below cores/4 before
+    # each query, give up after 120 s and annotate instead of blocking
+    # the driver forever.
+    load_ceiling = cpus / 4
     for name in names:
+        deadline = time.monotonic() + 120
+        while os.getloadavg()[0] > load_ceiling and time.monotonic() < deadline:
+            time.sleep(5)
+        load_max = max(load_max, os.getloadavg()[0])
         best = float("inf")
         for _ in range(iterations):
             t0 = time.perf_counter()
@@ -150,6 +168,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
         plan_hashes[name] = _plan_hash(df)
+        # result cardinality for the data-dependent-cost queries (dedup
+        # candidate pairs, ANN match lists): lets a future wall-clock
+        # drift be attributed to corpus change (counts move) vs
+        # environment (counts identical) — the r3 minhash +46% was
+        # unattributable for want of exactly this number.
+        if name.startswith(("dedup_", "ann_", "embedding_")):
+            result_rows[name] = QUERIES[name].fn(spark, cache_dir).count()
 
     _record_plan_hashes(plan_hashes, sf)
     total = round(sum(per_query.values()), 3)
@@ -163,6 +188,9 @@ def main() -> None:
         "cpus": cpus,
         "iterations": iterations,
         "timing": "min_of_iterations (steady state)",
+        "loadavg": {"start": round(load_start, 2), "max": round(load_max, 2),
+                    "ceiling": round(load_ceiling, 2)},
+        "result_rows": result_rows,
     }))
 
 

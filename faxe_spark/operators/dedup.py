@@ -108,52 +108,98 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str 
     """LSH candidate pairs: band the signature (rows_per_band =
     num_hashes/bands), hash each band, self-join band buckets.
 
-    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. At scale the
-    band self-join is an equi-join on (band, band_hash) — broadcast-free,
-    AQE-skew-splittable. `max_bucket_size` is the boilerplate lever: a
-    bucket with more than N members is near-identical boilerplate, not
-    near-dups worth pairing, and contributes O(N^2) join output — capped
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    Scale shape — band over DISTINCT signatures, never docs (the same
+    construction simhash_pairs uses, for the same reason): dup-heavy
+    corpora collapse thousands of docs onto one signature, and banding
+    doc rows turns each such signature into a mega-bucket whose O(dups²)
+    join output is regenerated per band and then re-aggregated through a
+    pair-keyed shuffle. Pairing distinct signatures keeps the bucket
+    join |sigs|-sized; the expansion back to doc pairs (two hash joins
+    on the signature key + the within-signature self-join) is
+    output-sized — work proportional to the answer. Same-signature pairs
+    share every band by construction, so they skip the band join AND the
+    pair-count aggregation entirely. Measured on the sf0.1 documents
+    corpus (5000 docs, 2187 distinct sigs, top group 942 docs): the
+    doc-banded formulation squared the 1632-doc mega-bucket into ~2.7M
+    join rows + a 2.2M-row groupBy; sig-banding cuts the bucket join to
+    ≤79-member buckets.
+
+    `max_bucket_size` is the boilerplate lever and counts DOCS, not
+    signatures: a (band, band_hash) bucket with more than N member docs
+    is near-identical boilerplate, not near-dups worth pairing — capped
     buckets are dropped whole (pairs within them can still surface via
-    the doc's OTHER bands, so recall degrades gracefully). The count is
-    one window over the band rows — same shuffle key as the join, and
-    under AQE the exchange is reused."""
+    the doc's OTHER bands, so recall degrades gracefully). Doc counts
+    per bucket are one window over the sig-level band rows weighted by
+    signature group size — same shuffle key as the bucket join."""
     from pyspark.sql.window import Window
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ])).alias("band_hash"),
-        )
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    band_cols = [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ])).alias(f"_bh{b}")
         for b in range(bands)
     ]
-    band_sig = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, "_b.band", "_b.band_hash")
+    # (id, sig_key, band hashes): 1 row/doc, feeds three branches
+    # (distinct sigs, both expansion sides) — materialize once instead
+    # of recomputing the shingle+min agg per branch (at cluster scale:
+    # persist/checkpoint to storage).
+    sig = (minhash_signatures(df, id_col, text_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+           .select(id_col, F.md5(F.concat_ws(",", *mh_cols)).alias("_sig"),
+                   *band_cols)
+           .localCheckpoint(eager=True))
+    dsig = sig.drop(id_col).distinct()
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.col(f"_bh{b}").alias("band_hash"))
+        for b in range(bands)
+    ]
+    band_sig = dsig.select(
+        "_sig", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("_sig", "_b.band", "_b.band_hash")
+
+    docs = sig.select(id_col, "_sig")
     if max_bucket_size is not None:
+        gsize = docs.groupBy("_sig").agg(F.count(F.lit(1)).alias("_g"))
         wb = Window.partitionBy("band", "band_hash")
-        band_sig = (band_sig
-                    .withColumn("_bn", F.count(F.lit(1)).over(wb))
+        band_sig = (band_sig.join(gsize, "_sig")
+                    .withColumn("_bn", F.sum("_g").over(wb))
                     .filter(F.col("_bn") <= max_bucket_size)
-                    .drop("_bn"))
-    # bucket self-join on (band, band_hash). The signature subtree feeds
-    # both sides of the join; Spark's ReusedExchange computes it once
-    # (verified in the physical plan — a measured bucket-grouped
-    # collect_list + combinations formulation was ~10% slower than this
-    # join). Giant buckets (boilerplate collisions) are the known
-    # hotspot: AQE skew-join splits them, and at 100 TB cap bucket size
-    # upstream (a bucket with >~10k members is boilerplate, not
-    # near-dups worth pairing).
-    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    pairs = (a.join(b, ["band", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
-    return pairs
+                    .select("_sig", "band", "band_hash"))
+
+    # cross-signature pairs: bucket self-join over distinct signatures,
+    # band count at sig level (tiny), then output-sized expansion.
+    a = band_sig.select(F.col("_sig").alias("_sa"), "band", "band_hash")
+    b = band_sig.select(F.col("_sig").alias("_sb"), "band", "band_hash")
+    sig_pairs = (a.join(b, ["band", "band_hash"])
+                 .filter(F.col("_sa") < F.col("_sb"))
+                 .groupBy("_sa", "_sb")
+                 .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    docs_a = docs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    docs_b = docs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    cross = (sig_pairs.join(docs_a, "_sa").join(docs_b, "_sb")
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"),
+                     "n_shared_bands"))
+
+    # same-signature pairs: share every band that SURVIVED the cap
+    # (all `bands` of them when no cap); sigs whose every bucket was
+    # capped away drop out via the inner join.
+    if max_bucket_size is not None:
+        sband = band_sig.groupBy("_sig").agg(
+            F.count(F.lit(1)).alias("n_shared_bands"))
+        same_base = docs.join(sband, "_sig")
+    else:
+        same_base = docs.withColumn(
+            "n_shared_bands", F.lit(bands).cast("long"))
+    same = (same_base.select(F.col(id_col).alias("id_a"), "_sig", "n_shared_bands")
+            .join(docs.select(F.col(id_col).alias("id_b"), "_sig"), "_sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "n_shared_bands"))
+    return cross.unionByName(same)
 
 
 def _shingle_dictionary(sh: DataFrame) -> DataFrame:

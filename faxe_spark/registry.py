@@ -2039,16 +2039,19 @@ def fields_to_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dict each round. With >50 registered queries, we rotate which entries sit
 # in the window so every query accumulates a hard driver-green row on record
 # (round 2 left indexes >=50 unscored — VERDICT r2 "What's wrong #1").
-# Entries named here are pushed to the END of the dict this round (all are
-# long-stable: green in BOTH round-1 and round-2 driver runs, unchanged
-# since). The local oracle gate (tests/test_oracle.py) always runs ALL
-# entries regardless of order.
+# Entries named here are pushed to the END of the dict this round. Round-4
+# rotation: the 19 entries round 3 deferred return to the window (their last
+# hard row is r2); deferred now are 21 entries hash-green in r3 AND r1/r2,
+# untouched this round — every query stays <=1 round from its last hard
+# driver row. dedup_minhash_lsh (rewritten r4) and the two new watchdog
+# batch analogs stay in-window for fresh rows. The local oracle gate
+# (tests/test_oracle.py) always runs ALL entries regardless of order.
 _DEFERRED_THIS_ROUND = [
-    "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
-    "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
-    "combine_enrich", "interval_join", "union_streams", "top_bottom",
-    "array_explode", "path_split", "dist_count", "token_count",
-    "text_quality", "lang_id",
+    "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
+    "win_event_rolling", "count_change", "change_detect", "collect_unique",
+    "asof_join_nearest", "asof_join_merge", "tpch_q3", "tpch_q5", "tpch_q4",
+    "tpch_q6", "state_count_duration", "state_change", "state_sequence",
+    "collect_fields", "collect_table", "collect_table_aged", "extract_json",
 ]
 
 

@@ -119,6 +119,37 @@ def test_minhash_bucket_cap_infinite_is_identity(spark):
         d, "doc_id", "text", max_bucket_size=1).count() == 0
 
 
+def test_minhash_lsh_pairs_match_bruteforce(spark):
+    """The sig-banded formulation (distinct signatures -> bucket join ->
+    output-sized expansion) must be pair-for-pair identical to the
+    direct doc-level banding computed in Python, cap or no cap."""
+    d = load_table(spark, SF, "documents")
+    num_hashes, bands, rpb = 16, 4, 4
+    sigs = {r[0]: tuple(r[1:]) for r in
+            dedup.minhash_signatures(d, "doc_id", "text",
+                                     num_hashes=num_hashes, shingle_n=3)
+            .collect()}
+    for cap in (None, 5):
+        buckets = {}
+        for doc, sig in sigs.items():
+            for b in range(bands):
+                key = (b, sig[b * rpb:(b + 1) * rpb])
+                buckets.setdefault(key, []).append(doc)
+        want = {}
+        for key, members in buckets.items():
+            if cap is not None and len(members) > cap:
+                continue
+            members = sorted(members)
+            for i, x in enumerate(members):
+                for y in members[i + 1:]:
+                    want[(x, y)] = want.get((x, y), 0) + 1
+        got = {(r.id_a, r.id_b): r.n_shared_bands for r in
+               dedup.minhash_lsh_candidates(
+                   d, "doc_id", "text", num_hashes=num_hashes, bands=bands,
+                   shingle_n=3, max_bucket_size=cap).collect()}
+        assert got == want, f"cap={cap}: {len(got)} vs {len(want)} pairs"
+
+
 def test_simhash_pairs_match_bruteforce(spark):
     """Band-bucketed pairing is EXACT at hamming<=h with h+1 bands
     (pigeonhole) — verify against the all-pairs computation."""
