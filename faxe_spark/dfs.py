@@ -574,8 +574,15 @@ class DFSCompiler:
         """Flow-wide memory (esp_mem.erl:31) is readable from ANY lambda
         regardless of where the mem node sits in the script — register
         every mem key (with its default or a typed empty) up front so
-        earlier chains compile against it."""
-        from faxe_spark.functions.lambda_lib import _MEM, set_mem
+        earlier chains compile against it.
+
+        Keys the script DECLARES (via its own mem nodes) are overwritten
+        — a flow's startup default beats stale state a previously
+        compiled script left in the process-global store (the reference
+        mem node initializes its key at flow startup, esp_mem.erl:45).
+        Keys the script only READS (mem()/ls_mem lambdas, no mem node)
+        keep externally provided set_mem values."""
+        from faxe_spark.functions.lambda_lib import set_mem
 
         # consts first: mem keys are usually `def`-const references
         for chain in chains:
@@ -589,7 +596,7 @@ class DFSCompiler:
                 if key is None:
                     key = node.params.get("field", [None])[0]
                 key = self._val(key)
-                if key is None or str(key) in _MEM:
+                if key is None:
                     continue
                 default = self._val(node.params.get("default", [None])[0])
                 mtype = str(node.params.get("type", ["single"])[0])
@@ -1171,8 +1178,10 @@ class DFSCompiler:
         from faxe_spark.sources import http_listen_source
 
         port = int(self._val(node.params.get("port", [0])[0]))
+        # keep the requested port only in the safe unprivileged range;
+        # anything else (privileged, junk, >65535) binds ephemeral
         listener = http_listen_source(
-            self.spark, port=port if port < 1024 or port > 65000 else 0,
+            self.spark, port=port if 1024 <= port <= 65000 else 0,
             path=str(node.params.get("path", ["/"])[0]),
             user=node.params.get("user", [None])[0],
             password=node.params.get("pass", [None])[0])

@@ -58,9 +58,20 @@ def _map_arg(m):
         import json as _json
 
         d = _json.loads(m)
+        vals = list(d.values())
+
+        def _num(v):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+        # a genuinely mixed-type map lives in the string domain (erlang
+        # terms don't care; create_map needs ONE value type — left to
+        # Spark's implicit coercion, lit(1)+lit("x") picks BIGINT and
+        # fails at runtime on the non-numeric value)
+        homogeneous = vals and (all(_num(v) for v in vals)
+                                or all(isinstance(v, str) for v in vals))
         pairs = []
         for k, v in d.items():
-            pairs += [F.lit(str(k)), F.lit(v)]
+            pairs += [F.lit(str(k)), F.lit(v) if homogeneous else F.lit(str(v))]
         return F.create_map(*pairs)
     return _c(m)
 
@@ -68,13 +79,28 @@ def _map_arg(m):
 def _map_get(k, m, default=None):
     """faxe map_get: key-first order, optional default for missing keys
     (faxe_lambdalib_tests.erl:28-31). A JSON-string literal map is
-    dynamically typed in the reference — when its value type and the
-    default's type differ, both coerce to the string domain (erlang
-    terms don't care; Spark's coalesce needs one type)."""
+    dynamically typed in the reference; Spark's coalesce needs ONE type,
+    so when the JSON values are homogeneous (all numeric, or all
+    strings) and the default fits that domain, the lookup keeps the
+    map's value type — map_get('a', '{"a": 1}', 0) returns 1 (int),
+    same as the no-default call, never '1'. Only genuinely mixed-type
+    maps (erlang terms don't care) coerce both sides to string."""
     mm = _map_arg(m)
     if default is None:
         return F.element_at(mm, k)
     if isinstance(m, str) and not isinstance(default, Column):
+        import json as _json
+
+        vals = list(_json.loads(m).values())
+
+        def _num(v):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+        if vals and all(_num(v) for v in vals) and _num(default):
+            return F.coalesce(F.element_at(mm, k), F.lit(default))
+        if vals and all(isinstance(v, str) for v in vals) \
+                and isinstance(default, str):
+            return F.coalesce(F.element_at(mm, k), F.lit(default))
         return F.coalesce(F.element_at(mm, k).cast("string"),
                           F.lit(str(default)))
     return F.coalesce(F.element_at(mm, k), _c(default))
@@ -262,7 +288,10 @@ def _arr_kurtosis(l):
 
 def _arr_percentile(l, p):
     """Exact linear-interpolated percentile over a list value — the same
-    interpolation as esp_percentile.erl:62-71 (and operators.percentile)."""
+    interpolation as esp_percentile.erl:62-71 (and operators.percentile).
+    Empty/NULL input reads as undefined (NULL) per the engine's
+    NULL-tolerant lambda conventions — without the guard the rank math
+    hits element_at(arr, 0), an invalid-array-index runtime error."""
     arr = F.array_sort(_arr_d(l))
     n = F.size(arr)
     rank = (n - 1) * (F.lit(p).cast("double") / 100.0)
@@ -270,7 +299,8 @@ def _arr_percentile(l, p):
     frac = rank - lo
     lo_v = F.element_at(arr, lo + 1)
     hi_v = F.element_at(arr, F.least(lo + 2, n))
-    return lo_v + frac * (hi_v - lo_v)
+    return F.when(n.isNull() | (n == 0), F.lit(None).cast("double")) \
+        .otherwise(lo_v + frac * (hi_v - lo_v))
 
 
 def _empty(x):

@@ -25,10 +25,10 @@ from faxe_spark.operators.project import (
 from faxe_spark.operators.filter import where, sample_nth, sample_per, change_detect, distinct_values
 from faxe_spark.operators.window import (
     win_time, win_event, win_event_agg, win_session, batch_by_count,
-    fill_period_filter,
+    fill_period_filter, win_clock_agg,
 )
 from faxe_spark.operators.aggregate import aggregate, AGG_FUNCTIONS, percentile, top_k, dist_count
-from faxe_spark.operators.diff import value_diff, time_diff, count_change
+from faxe_spark.operators.diff import value_diff, time_diff, count_change, time_elapsed
 from faxe_spark.operators.join import (
     asof_join, asof_join_exact, interval_join, combine, union_streams,
     merge_join, merge_value, salted_join,

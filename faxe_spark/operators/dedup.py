@@ -250,7 +250,8 @@ _GEMM_CROSSOVER = 20_000_000
 
 
 def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
-                       threshold: float) -> DataFrame:
+                       threshold: float,
+                       broadcast_bytes: int = 256 << 20) -> DataFrame:
     """Dense-universe pair kernel for 64 < vocab <= dense_universe_max:
     the whole (id, bitmap, n) projection is broadcast (the lane's
     precondition bounds it), and each partition computes its rows'
@@ -258,11 +259,25 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
     `bitwise_count(A[:,None,:] & B[None,:,:]).sum(-1)` in B-chunks —
     replacing the interpreted `aggregate(zip_with(...))` fold that the
     round-2 audit flagged (crossover ~256 madds/row; same blocked-
-    broadcast shape as the embedding GEMM in similarity.py)."""
+    broadcast shape as the embedding GEMM in similarity.py).
+
+    The driver-side collect is BOUNDED, not a scale hazard: the caller
+    enters this lane only when n_docs * (8*n_words + 32) <=
+    dense_broadcast_bytes (default 256 MB) — the same projection any
+    broadcast join would pull through the driver-side
+    BroadcastExchange. The bound is re-asserted here (cheap count())
+    so a future caller can't reach the collect unbounded; replicating
+    the matrix to Python workers then rides sc.broadcast's torrent
+    path rather than per-task Arrow re-ship."""
     import numpy as np
     import pandas as pd
 
     spark = masks.sparkSession
+    n_docs = masks.count()
+    assert n_docs * (8 * n_words + 32) <= broadcast_bytes, (
+        f"dense lane precondition violated: {n_docs} docs x "
+        f"{n_words} mask words exceeds the {broadcast_bytes >> 20} MB "
+        "broadcast bound — use the sparse prefix-filter lane")
     rows = masks.select(id_col, "_m", "n").collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     # bigint bitmaps may be negative (bit 63): int64 view -> uint64
@@ -377,7 +392,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                     # past the measured interpreted-fold crossover:
                     # blocked numpy popcount kernel
                     return _dense_pairs_numpy(masks, id_col, n_words,
-                                              threshold)
+                                              threshold,
+                                              dense_broadcast_bytes)
                 inter = F.expr("aggregate(zip_with(_ma, _mb, (x, y) -> bit_count(x & y)),"
                                " 0, (acc, v) -> acc + v)")
             a = masks.select(F.col(id_col).alias("id_a"),

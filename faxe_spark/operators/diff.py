@@ -46,6 +46,25 @@ def time_diff(df: DataFrame, *, by: Iterable[str] = (), ts_col: str = "ts",
     return df.withColumn(alias, d)
 
 
+def time_elapsed(df: DataFrame, *, arrival_col: str, by: Iterable[str] = (),
+                 tiebreak: str | None = None, alias: str = "elapsed",
+                 default: object = 0) -> DataFrame:
+    """faxe `time_elapsed` (esp_time_elapsed.erl:31): milliseconds of
+    ARRIVAL time between consecutive items; the first item per key gets
+    `default` (reference options/0 default 0).
+
+    The reference measures real wall clock; the streaming variant
+    (streaming.stateful.time_elapsed_stream) does exactly that. This
+    batch analog reads a deterministic arrival-ts column instead —
+    callers that replay a log with recorded ingest stamps (the common
+    batch case) get the reference semantics oracle-checkably; one lag
+    window, same shape as time_diff but keyed on arrival order."""
+    w = _w(by, arrival_col, tiebreak)
+    a = F.unix_millis(F.col(arrival_col))
+    d = a - F.lag(a).over(w)
+    return df.withColumn(alias, F.coalesce(d, F.lit(default)))
+
+
 def count_change(df: DataFrame, field: str, *, by: Iterable[str] = (), ts_col: str = "ts",
                  tiebreak: str | None = None, alias: str = "count_change",
                  running: bool = False) -> DataFrame:

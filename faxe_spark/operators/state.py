@@ -85,7 +85,8 @@ def state_count_duration(df: DataFrame, condition: str | Column, *,
                          by: Iterable[str] = (), ts_col: str = "ts",
                          tiebreak: str | None = None, unit_ms: int = 1,
                          count_alias: str = "state_count",
-                         duration_alias: str = "state_duration") -> DataFrame:
+                         duration_alias: str = "state_duration",
+                         salt: int | None = None) -> DataFrame:
     """Fused `state_count` + `state_duration`: one `state_runs` annotate
     pass feeds both outputs (esp_state_count.erl:33 + esp_state_duration.erl:39).
 
@@ -95,7 +96,17 @@ def state_count_duration(df: DataFrame, condition: str | Column, *,
     distribution on (by, run_id) — the whole chain is ONE shuffle with
     no second exchange. Computing the two nodes separately re-derives
     the identical run annotation twice (2x the window work).
+
+    `salt=S` switches to the SKEW-PROOF two-phase lane (exact, tested
+    pair-for-pair identical): a key whose rows all hash to one window
+    partition is the 100 TB hazard AQE cannot split — windows require
+    the whole key in one task. See `_state_count_duration_salted`.
     """
+    if salt is not None and salt > 1:
+        return _state_count_duration_salted(
+            df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak,
+            unit_ms=unit_ms, count_alias=count_alias,
+            duration_alias=duration_alias, salt=salt)
     runs = state_runs(df, condition, by=by, ts_col=ts_col, tiebreak=tiebreak)
     keys = [F.col(c) for c in by]
     w = Window.partitionBy(*keys, F.col("run_id")).orderBy(*_ord(ts_col, tiebreak))
@@ -106,6 +117,126 @@ def state_count_duration(df: DataFrame, condition: str | Column, *,
         duration_alias: F.when(F.col("in_state"),
                                (elapsed / F.lit(unit_ms)).cast("long")).otherwise(F.lit(-1)),
     })
+
+
+def _state_count_duration_salted(df: DataFrame, condition: str | Column, *,
+                                 by: Iterable[str], ts_col: str,
+                                 tiebreak: str | None, unit_ms: int,
+                                 count_alias: str, duration_alias: str,
+                                 salt: int) -> DataFrame:
+    """Skew-proof gaps-and-islands: the distributed prefix-scan
+    formulation of the fused state_count/state_duration pair.
+
+    A hot key (one device/user = 10% of a 100 TB stream) defeats the
+    plain formulation: window semantics force every row of the key into
+    ONE task, and neither AQE skew handling nor salting-by-hash applies
+    (order matters). The classic fix is a two-phase scan:
+
+    1. Split each key's timeline into `salt` TIME-RANGE buckets (per-key
+       min/max ts via a small agg, broadcast back — range, not hash, so
+       bucket order == time order). Phase A runs the run annotation
+       inside each (key, bucket) — parallelism is keys x salt.
+    2. A boundary table with ONE row per (key, bucket) — first/last
+       state, local run count, last-run length and start — is stitched
+       with windows over the bucket index (|keys| x salt rows, tiny),
+       producing per-bucket corrections: run-id offset, row-count
+       carry, and run-start carry for runs that cross bucket
+       boundaries (carries chain through consecutive single-run
+       continuing buckets — the segment-sum trick makes the linear
+       recurrence expressible as one windowed sum).
+    3. Broadcast-join corrections back on (key, bucket); only rows of a
+       bucket's FIRST local run are corrected.
+
+    Cost: one big shuffle on (key, bucket) — same bytes as the plain
+    lane's shuffle on (key) — plus a negligible boundary shuffle. Output
+    is pair-for-pair identical to the plain lane
+    (tests/test_plans.py::test_state_salted_lane_equivalence)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    keys = list(by)
+    ordc = F.struct(*_ord(ts_col, tiebreak))
+    ts_ms = F.unix_millis(F.col(ts_col))
+
+    marked = df.withColumn("in_state", cond.cast("boolean"))
+    rng = marked.groupBy(*[F.col(c) for c in keys]).agg(
+        F.min(ts_ms).alias("_tmin"), F.max(ts_ms).alias("_tmax"))
+    if keys:
+        marked = marked.join(F.broadcast(rng), keys)
+    else:
+        marked = marked.crossJoin(F.broadcast(rng))
+    span = F.col("_tmax") - F.col("_tmin") + 1
+    marked = marked.withColumn(
+        "_b", F.least(F.lit(salt - 1),
+                      F.floor((ts_ms - F.col("_tmin")) * salt / span))
+    ).drop("_tmin", "_tmax")
+
+    # phase A: local run annotation within (key, bucket) — all four
+    # windows share the (key, _b) prefix, one exchange
+    kb = [F.col(c) for c in keys] + [F.col("_b")]
+    wb = Window.partitionBy(*kb).orderBy(*_ord(ts_col, tiebreak))
+    changed = (~F.col("in_state").eqNullSafe(F.lag("in_state").over(wb))).cast("int")
+    a = marked.withColumn("_new", F.coalesce(changed, F.lit(1)))
+    a = a.withColumn("_lrun", F.sum("_new").over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+    wr = Window.partitionBy(*kb, F.col("_lrun"))
+    a = a.withColumn("_lcnt", F.row_number().over(
+        wr.orderBy(*_ord(ts_col, tiebreak))))
+    a = a.withColumn("_lstart", F.min(ts_ms).over(wr))
+
+    # boundary table: one row per (key, bucket)
+    bt = a.groupBy(*kb).agg(
+        F.min_by("in_state", ordc).alias("_first_state"),
+        F.max_by("in_state", ordc).alias("_last_state"),
+        F.max("_lrun").alias("_nruns"),
+        F.max_by("_lcnt", ordc).alias("_last_len"),
+        F.max_by("_lstart", ordc).alias("_last_start"),
+    )
+    wk = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("_b")
+    cont = F.col("_first_state").eqNullSafe(F.lag("_last_state").over(wk)) \
+        & F.lag("_last_state").over(wk).isNotNull()
+    # first bucket of a key never continues; eqNullSafe(lag=null) would
+    # claim continuation for a null first state otherwise
+    cont = F.coalesce(
+        F.when(F.lag(F.lit(1)).over(wk).isNull(), F.lit(False)).otherwise(cont),
+        F.lit(False))
+    bt = bt.withColumn("_cont", cont.cast("int"))
+    bt = bt.withColumn("_cum_runs", F.sum(F.col("_nruns") - F.col("_cont")).over(
+        wk.rowsBetween(Window.unboundedPreceding, 0)))
+    bt = bt.withColumn("_offset", F.col("_cum_runs") - F.col("_nruns"))
+    # carry chain: a run crosses bucket b's END into b+1 only through a
+    # stretch of single-run continuing buckets — segment the chain and
+    # the recurrence carry_out(b) = last_len(b) + [pass-through]carry_in
+    # becomes a windowed sum within the segment
+    h = ((F.col("_nruns") == 1) & (F.col("_cont") == 1)).cast("int")
+    bt = bt.withColumn("_g", F.sum(1 - h).over(
+        wk.rowsBetween(Window.unboundedPreceding, 0)))
+    wg = (Window.partitionBy(*[F.col(c) for c in keys], F.col("_g"))
+          .orderBy("_b").rowsBetween(Window.unboundedPreceding, 0))
+    bt = bt.withColumn("_carry_out", F.sum("_last_len").over(wg))
+    bt = bt.withColumn("_start_out", F.first("_last_start").over(wg))
+    bt = bt.withColumn(
+        "_carry_in",
+        F.when(F.col("_cont") == 1,
+               F.coalesce(F.lag("_carry_out").over(wk), F.lit(0)))
+        .otherwise(F.lit(0)))
+    bt = bt.withColumn(
+        "_start_in",
+        F.when(F.col("_cont") == 1, F.lag("_start_out").over(wk)))
+    corrections = bt.select(*keys, "_b", "_offset", "_carry_in", "_start_in")
+
+    out = a.join(F.broadcast(corrections), [*keys, "_b"])
+    first_local = F.col("_lrun") == 1
+    run_start = F.when(first_local & F.col("_start_in").isNotNull(),
+                       F.col("_start_in")).otherwise(F.col("_lstart"))
+    gcount = F.col("_lcnt") + F.when(first_local, F.col("_carry_in")).otherwise(F.lit(0))
+    out = out.withColumns({
+        "run_id": F.col("_lrun") + F.col("_offset"),
+        count_alias: F.when(F.col("in_state"), gcount).otherwise(F.lit(-1)),
+        duration_alias: F.when(
+            F.col("in_state"),
+            ((ts_ms - run_start) / F.lit(unit_ms)).cast("long")).otherwise(F.lit(-1)),
+    })
+    return out.drop("_b", "_new", "_lrun", "_lcnt", "_lstart",
+                    "_offset", "_carry_in", "_start_in")
 
 
 def state_sequence(df: DataFrame, steps: Sequence[str | Column],

@@ -90,6 +90,33 @@ def win_event_agg(df: DataFrame, specs, period: int, every: int = 1, *,
     return out.filter(cond).drop("_win_row")
 
 
+def win_clock_agg(df: DataFrame, specs, *, every: str, period: str | None = None,
+                  arrival_col: str, by: Iterable[str] = (),
+                  fill_period: bool = False) -> DataFrame:
+    """faxe `win_clock` batch analog (esp_win_clock.erl:33): the
+    wall-clock window — period-long contents emitted every `every`,
+    event timestamps IGNORED — becomes a sliding event-time window over
+    a deterministic ARRIVAL-ts column (recorded ingest stamps on
+    replay), the same move the deadman/triggered_timeout batch analogs
+    make. The reference's `align` option is inherent (F.window snaps
+    boundaries to the epoch `every` grid); period defaults to every
+    (esp_win_clock.erl:52-56); fill_period suppresses the partial head
+    windows (:10, fill_period_filter). The streaming variant with true
+    wall-clock stamps is streaming.windows.win_clock_stream.
+
+    One shuffle on (window, by) — the standard sliding-window plan."""
+    from faxe_spark.operators.aggregate import agg_expr
+
+    period = period or every
+    w = win_time(arrival_col, period, every).alias("window")
+    exprs = [agg_expr(fn, f, alias, ts_col=arrival_col)
+             for f, fn, alias in specs]
+    out = df.groupBy(w, *[F.col(c) for c in by]).agg(*exprs)
+    if fill_period:
+        out = fill_period_filter(out, df, ts_col=arrival_col)
+    return out
+
+
 def fill_period_filter(agg_df: DataFrame, source_df: DataFrame, *,
                        window_col: str = "window",
                        ts_col: str = "ts") -> DataFrame:

@@ -2032,6 +2032,70 @@ def fields_to_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey", "l_linenumber", "_kv.k", "_kv.v"))
 
 
+@register(
+    "time_elapsed_batch",
+    f"""
+    WITH a AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 1000 + (event_id % 5) * 777 AS ams
+      FROM {_EV}
+    )
+    SELECT event_id, user_id, ams AS arrival_ms,
+           coalesce(ams - lag(ams) OVER (PARTITION BY user_id
+                                         ORDER BY ams, event_id), 0) AS elapsed_ms
+    FROM a
+    """,
+    doc="faxe time_elapsed batch analog (esp_time_elapsed.erl:31): ms of "
+        "ARRIVAL time between consecutive items per key over a "
+        "deterministic arrival-ts column (event ts + per-event skew, so "
+        "arrival order != event order); first item gets the default 0",
+)
+def time_elapsed_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_arrival", F.timestamp_millis(
+        F.unix_millis("ts") + (F.col("event_id") % 5) * 777))
+    out = ops.time_elapsed(ev, arrival_col="_arrival", by=["user_id"],
+                           tiebreak="event_id", alias="elapsed_ms")
+    return out.select("event_id", "user_id",
+                      F.unix_millis("_arrival").alias("arrival_ms"),
+                      "elapsed_ms")
+
+
+@register(
+    "win_clock_batch",
+    f"""
+    WITH a AS (
+      SELECT value, epoch_us(ts) // 1000 + (event_id % 5) * 777 AS ams
+      FROM {_EV}
+    ),
+    starts AS (
+      SELECT value,
+             unnest([ (ams // 300000) * 300000,
+                      (ams // 300000) * 300000 - 300000 ]) AS window_start_ms
+      FROM a
+    )
+    SELECT window_start_ms, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM starts
+    WHERE window_start_ms >= (SELECT min(ams) FROM a)
+    GROUP BY window_start_ms
+    """,
+    doc="faxe win_clock batch analog (esp_win_clock.erl:33): wall-clock "
+        "sliding window (period=10m every=5m, align inherent, "
+        "fill_period) over the deterministic arrival-ts column",
+)
+def win_clock_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_arrival", F.timestamp_millis(
+        F.unix_millis("ts") + (F.col("event_id") % 5) * 777))
+    g = ops.win_clock_agg(
+        ev, [("value", "count", "cnt"),
+             (F.col("value").cast("decimal(18,4)"), "sum", "sum_value")],
+        every="5m", period="10m", arrival_col="_arrival", fill_period=True)
+    return g.select(F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+                    "cnt", F.col("sum_value").cast("double").alias("sum_value"))
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------

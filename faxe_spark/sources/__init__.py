@@ -82,15 +82,35 @@ def time_bucket_query(query: str, *, group_by_time: str, time_field: str = "ts",
     The result feeds jdbc_source's `query` option, so the bucketing and
     filtering execute inside the database (the reference pushes the same
     SQL to CrateDB) — Spark only receives pre-aggregated rows."""
+    import re as _re
+
     from faxe_spark.durations import parse_duration_ms
 
     if not query[:6].upper() == "SELECT":
         raise ValueError("time_bucket_query expects a SELECT statement")
     body = query[6:].strip()
+    # the textual rewrite appends the range predicate and GROUP BY after
+    # the whole SELECT body — a query that already has GROUP BY / ORDER
+    # BY / LIMIT / subqueries would produce invalid SQL, so reject those
+    # shapes explicitly (the reference constrains its input the same
+    # way: esp_crate_query feeds a plain filtered SELECT)
+    upper = body.upper()
+    for kw in ("GROUP BY", "ORDER BY", "LIMIT", "HAVING"):
+        if _re.search(r"\b" + kw.replace(" ", r"\s+") + r"\b", upper):
+            raise ValueError(
+                f"time_bucket_query cannot rewrite a query containing {kw}; "
+                "pass a plain 'SELECT ... FROM t [WHERE ...]' — the bucket "
+                "GROUP BY and time range are appended by the rewrite")
+    if "(" in body and _re.search(r"\(\s*SELECT\b", upper):
+        raise ValueError(
+            "time_bucket_query cannot rewrite a query containing a "
+            "subquery; pass a plain 'SELECT ... FROM t [WHERE ...]'")
     secs = round(parse_duration_ms(group_by_time) / 1000)
     bucket = (f"floor(EXTRACT(epoch FROM {time_field})/{secs})*{secs} "
               f"AS {time_field}_gb")
-    conj = "AND" if "WHERE" in body.upper() else "WHERE"
+    # WHERE as a word, not a substring (a column named warehouse_where_id
+    # must not flip the conjunction)
+    conj = "AND" if _re.search(r"\bWHERE\b", upper) else "WHERE"
     range_clause = f" {conj} {time_field} >= $1 AND {time_field} <= $2"
     group_clause = "".join(f", {g}" for g in (group_by or []))
     return (f"SELECT {bucket}, {body}{range_clause}"

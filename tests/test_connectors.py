@@ -508,6 +508,27 @@ def test_time_bucket_query_matches_reference_golden():
         time_bucket_query("SELECT sum(v) FROM t", group_by_time="1h")
 
 
+def test_time_bucket_query_rejects_unrewritable_shapes():
+    """Appending the range + GROUP BY after a body that already has
+    GROUP BY/ORDER BY/LIMIT/HAVING or a subquery would be invalid SQL —
+    reject loudly; and WHERE detection is a word match, so a column
+    named warehouse_where_id must not flip the conjunction."""
+    import pytest
+
+    from faxe_spark.sources import time_bucket_query
+
+    for bad in ("SELECT a, count(*) FROM t GROUP BY a",
+                "SELECT a FROM t ORDER BY a",
+                "SELECT a FROM t LIMIT 10",
+                "SELECT a, count(*) FROM t GROUP BY a HAVING count(*) > 1",
+                "SELECT a FROM (SELECT a FROM t) q"):
+        with pytest.raises(ValueError, match="cannot rewrite"):
+            time_bucket_query(bad, group_by_time="5m")
+    got = time_bucket_query(
+        "SELECT warehouse_where_id FROM t", group_by_time="5m")
+    assert " WHERE ts >= $1" in got and " AND ts >= $1" not in got
+
+
 def test_time_bucket_query_executes_in_duckdb():
     """The rewrite isn't just string-shaped — it runs: bucket an events
     query in DuckDB (CrateDB's EXTRACT(epoch ...) dialect matches)."""

@@ -207,6 +207,30 @@ def test_lambda_env_and_mem_in_script(spark, monkeypatch):
         clear_mem()
 
 
+def test_mem_default_does_not_leak_between_scripts(spark):
+    """Two scripts declaring the same mem key in ONE process: the second
+    compile must see its own default, not the first script's stale value
+    (a flow's startup default beats process-global leftovers)."""
+    from faxe_spark.functions.lambda_lib import clear_mem
+
+    tpl = """
+    |mem()
+    .key('thresh')
+    .default({d})
+
+    |json_emitter()
+    .json(<<<{{"val": 5.0}}>>>)
+    |where(lambda: "val" > mem('thresh'))
+    """
+    try:
+        out1 = DFSCompiler(spark).run(tpl.format(d="1.0"))
+        assert out1.count() == 1
+        out2 = DFSCompiler(spark).run(tpl.format(d="9.0"))
+        assert out2.count() == 0, "second script leaked the first default"
+    finally:
+        clear_mem()
+
+
 def test_dfs_script_compiles_to_streaming(spark):
     """The SAME DFS text compiles onto Structured Streaming when the
     source chain is an injected readStream DataFrame — the reference's

@@ -170,3 +170,37 @@ def test_lambda_parser_reaches_new_functions(spark):
         compile_lambda('mod(7, 3)').alias("c"),
     ).collect()[0]
     assert out.a == "Faxe rocks" and out.b == 6 and out.c == 1
+
+
+def test_percentile_empty_list_is_null(spark):
+    """Empty/NULL list input reads as undefined (NULL), never a Spark
+    invalid-array-index runtime error (ADVICE r3)."""
+    from faxe_spark.functions.lambda_lib import LAMBDA_FUNCTIONS as L
+
+    df = spark.createDataFrame(
+        [([],), (None,), ([4.0, 1.0],)], "l array<double>")
+    got = [r.p for r in
+           df.select(L["percentile"](F.col("l"), 50).alias("p")).collect()]
+    assert got[0] is None and got[1] is None
+    assert got[2] == pytest.approx(2.5)
+
+
+def test_map_get_default_keeps_numeric_type(spark):
+    """map_get on a homogeneous-numeric JSON map returns the SAME type
+    with or without a default — no silent string flip (ADVICE r3);
+    mixed-type maps still coerce both sides to string."""
+    from faxe_spark.functions.lambda_lib import LAMBDA_FUNCTIONS as L
+
+    df = spark.createDataFrame([(1,)], "i int")
+    r = df.select(
+        L["map_get"]("a", '{"a": 1, "b": 2}').alias("plain"),
+        L["map_get"]("a", '{"a": 1, "b": 2}', 0).alias("hit"),
+        L["map_get"]("z", '{"a": 1, "b": 2}', 7).alias("miss"),
+        L["map_get"]("z", '{"a": 1.5}', 0.25).alias("fmiss"),
+        L["map_get"]("z", '{"a": "x"}', "d").alias("smiss"),
+        L["map_get"]("a", '{"a": 1, "b": "x"}', 0).alias("mixed"),
+    ).collect()[0]
+    assert r.plain == 1 and r.hit == 1 and r.miss == 7
+    assert r.hit == r.plain and not isinstance(r.hit, str)
+    assert r.fmiss == 0.25 and r.smiss == "d"
+    assert r.mixed == "1"  # genuinely mixed map stays in string domain

@@ -150,3 +150,68 @@ def test_sample_stratified_fractions(spark):
     # deterministic for a fixed seed
     again = sample_stratified(d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.0, "es": 0.25})
     assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_state_salted_lane_equivalence(spark):
+    """The skew-proof two-phase state_count_duration (salt=S) must be
+    row-for-row identical to the plain single-window lane — run ids,
+    counts, and durations all stitch exactly across bucket boundaries."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.state import state_count_duration
+    from faxe_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cond = F.col("value") > 50
+    cols = ["event_id", "run_id", "state_count", "state_duration"]
+    plain = sorted(tuple(r) for r in
+                   state_count_duration(ev, cond, by=["user_id"],
+                                        tiebreak="event_id", unit_ms=1000)
+                   .select(*cols).collect())
+    for s in (2, 7):
+        salted = sorted(tuple(r) for r in
+                        state_count_duration(ev, cond, by=["user_id"],
+                                             tiebreak="event_id",
+                                             unit_ms=1000, salt=s)
+                        .select(*cols).collect())
+        assert plain and salted == plain, f"salt={s} diverges"
+
+
+def test_state_salted_lane_splits_hot_key(spark):
+    """The 100 TB hazard local[32] never shows: ONE key holding 10% of
+    all rows. The plain lane's window forces that key into a single
+    task; the salted lane's phase-A exchange partitions on
+    (key, bucket), so the hot key spreads across `salt` buckets — and
+    stays exact (checked against the plain lane on the same skewed
+    frame)."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.state import state_count_duration
+
+    n, salt = 40_000, 8
+    df = (spark.range(n)
+          .withColumn("user_id", F.when(F.col("id") % 10 == 0, F.lit(0))
+                      .otherwise(F.col("id") % 97 + 1))
+          .withColumn("ts", F.timestamp_millis(1_700_000_000_000 + F.col("id") * 250))
+          .withColumn("value", (F.col("id") * 37 % 100).cast("double")))
+    cond = F.col("value") > 50
+    cols = ["id", "run_id", "state_count", "state_duration"]
+    plain = sorted(tuple(r) for r in
+                   state_count_duration(df, cond, by=["user_id"], ts_col="ts",
+                                        tiebreak="id", unit_ms=1000)
+                   .select(*cols).collect())
+    salted_df = state_count_duration(df, cond, by=["user_id"], ts_col="ts",
+                                     tiebreak="id", unit_ms=1000, salt=salt)
+    salted = sorted(tuple(r) for r in salted_df.select(*cols).collect())
+    assert salted == plain
+
+    # plan assertion: the phase-A exchange over the BIG table hashes on
+    # (user_id, _b) — the hot key spreads over salt buckets instead of
+    # collapsing to one task. Bare-user_id exchanges remain in the plan
+    # but only over the |keys|- and |keys|x salt-sized side tables
+    # (min/max probe + boundary stitching), which is the point of the
+    # two-phase design: the hot key is only ever windowed in slices.
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(("user_id" in p) and ("_b" in p) for p in parts), parts
