@@ -537,6 +537,9 @@ class DFSCompiler:
         self.count_window = None      # pending (period, every) count window
         self.sinks: list[dict] = []   # deferred sink specs (runner applies)
         self.listeners: list = []     # live edge listeners (udp) to stop()
+        self.plc_plans: list = []     # coalesced PLC wire plans (s7/modbus)
+        self.connector_specs: list = []  # DB connector specs (jdbc/mongo)
+        self.macros: dict[str, str] = {}  # ||name() subgraph bodies
         self._current_df: DataFrame | None = None
         self._fill_period = False     # pending window's fill_period flag
         self._window_src: DataFrame | None = None  # df feeding the window
@@ -553,6 +556,7 @@ class DFSCompiler:
         # strict template substitution: a real compile of a
         # var-parameterized script must raise on unbound {{vars}} like
         # the reference, never proceed with a placeholder literal.
+        script = self._extract_macros(script)
         chains = parse_script(script, vars)
         self._preregister_mem(chains)
         result = None
@@ -569,6 +573,58 @@ class DFSCompiler:
         if result is None:
             raise ValueError("empty DFS script")
         return result
+
+    # -- macros ------------------------------------------------------------
+    # The reference stores reusable subgraphs ("macros") under a flow id
+    # and splices them in where `||macro_name()` appears; node params
+    # override the macro body's `def` defaults (dfs/other/macro1.dfs:
+    # "%% macro : flow_id : ctc_module_condition"). The corpus convention
+    # declares the macro body inline between that marker comment and the
+    # "%% use" comment — extract it, register it, and strip it from the
+    # main script so the body doesn't also compile as a free chain.
+
+    _MACRO_DECL = re.compile(r"^\s*%+\s*macro\s*:\s*flow_id\s*:\s*(\S+)")
+    _MACRO_USE = re.compile(r"^\s*%+\s*use\b")
+
+    def _extract_macros(self, script: str) -> str:
+        if "macro" not in script:
+            return script
+        main_lines, body, name = [], [], None
+        for line in script.splitlines():
+            if name is None:
+                m = self._MACRO_DECL.match(line)
+                if m:
+                    name = m.group(1)
+                    continue
+                main_lines.append(line)
+            else:
+                if self._MACRO_USE.match(line):
+                    self.macros[name] = "\n".join(body)
+                    name, body = None, []
+                    continue
+                body.append(line)
+        if name is not None:  # macro runs to EOF
+            self.macros[name] = "\n".join(body)
+        return "\n".join(main_lines)
+
+    def _apply_macro(self, df: DataFrame, node: NodeCall) -> DataFrame:
+        chains = parse_script(self.macros[node.name])
+        saved = dict(self.consts)
+        try:
+            for ch in chains:
+                if ch.is_const:
+                    self.consts[ch.var] = ch.const
+            # invocation params override the body's def defaults
+            for k, vals in node.params.items():
+                self.consts[k] = self._val(vals[0])
+            for ch in chains:
+                if ch.is_const:
+                    continue
+                for n in ch.nodes:
+                    df = self.apply(df, n)
+        finally:
+            self.consts = saved
+        return df
 
     def _preregister_mem(self, chains) -> None:
         """Flow-wide memory (esp_mem.erl:31) is readable from ANY lambda
@@ -707,9 +763,12 @@ class DFSCompiler:
     _SOURCE_NODES = ("json_emitter", "value_emitter", "parquet", "http_get",
                      "tcp_recv", "tcp_recv_line", "tcppoll", "udp_recv",
                      "http_listen", "crate_query", "postgre_statement",
-                     "mongo_query", "oracle_query", "blobstream")
+                     "mongo_query", "oracle_query", "blobstream",
+                     "postgresql_query", "modbus", "modbus_multi", "s7read")
 
     def apply(self, df: DataFrame | None, node: NodeCall) -> DataFrame:
+        if node.name in self.macros:
+            return self._apply_macro(df, node)
         if df is None and node.name not in self._SOURCE_NODES \
                 and not node.name.startswith("@"):
             # a transform chain with no upstream source (corpus scripts
@@ -1226,19 +1285,6 @@ class DFSCompiler:
 
     node_tcp_recv = node_tcp_recv_line
 
-    def node_http_listen(self, df, node: NodeCall) -> DataFrame:
-        """esp_http_listen.erl:30 — embedded HTTP ingest server stream."""
-        from faxe_spark.sources import http_listen_source
-
-        lis = http_listen_source(
-            self.spark,
-            port=int(self._val(node.params.get("port", [0])[0])),
-            path=node.params.get("path", ["/"])[0],
-            user=node.params.get("user", [None])[0],
-            password=node.params.get("pass", [None])[0])
-        self.listeners.append(lis)
-        return lis.df
-
     def node_udp_recv(self, df, node: NodeCall) -> DataFrame:
         """esp_udp_recv.erl:45 — spooled datagram listener stream."""
         from faxe_spark.sources import udp_source
@@ -1248,6 +1294,163 @@ class DFSCompiler:
                          changed="changed" in node.params)
         self.listeners.append(lis)
         return lis.df
+
+    # -- PLC / DB source nodes --------------------------------------------
+    # The wire protocols (snap7, Modbus TCP, Mongo, Oracle/Postgres
+    # drivers) cannot run in this container, but everything the
+    # reference computes BEFORE the wire — option validation, the
+    # register-coalescing read plan, the time-bucket SQL rewrite, the
+    # JDBC URL — is built for real and recorded on self.plc_plans /
+    # self.connector_specs. The node compiles to a typed empty frame
+    # with the exact schema a live reader would emit, so every
+    # downstream node sees the real shape and the whole script
+    # resolves end-to-end.
+
+    def _typed_stub(self, leaf_types: list[tuple[str, str]]) -> DataFrame:
+        """Empty frame: ts + one (possibly dotted → nested-struct)
+        column per alias, typed like the live decode would produce."""
+        from faxe_spark.paths import set_path
+
+        out = self.spark.createDataFrame([], schema="ts timestamp")
+        for name, sql_type in leaf_types:
+            out = set_path(out, name, F.lit(None).cast(sql_type))
+        return out
+
+    def _str_list(self, node: NodeCall, key: str) -> list[str]:
+        return [str(self._val(v)) for v in node.params.get(key, [])]
+
+    def node_s7read(self, df, node: NodeCall) -> DataFrame:
+        """esp_s7read.erl:63 — coalesced S7 bulk-read poller. The
+        build_addresses planner (:356-455, ported at plc.py) turns the
+        .vars() list into the minimal wire-request plan; aliases type
+        from the parsed address dtype."""
+        from faxe_spark.plc import SPARK_TYPE, parse_address, plan_bulk_reads
+
+        addrs = self._str_list(node, "vars")
+        aliases = self._str_list(node, "as")
+        if len(addrs) != len(aliases):
+            raise ValueError(  # esp_s7read.erl:91 option check
+                "s7read: different count for addresses and aliases")
+        plan = plan_bulk_reads(addrs, aliases)
+        self.plc_plans.append({
+            "node": "s7read",
+            "ip": str(self._val(node.params.get("ip", ["localhost"])[0])),
+            "rack": int(self._val(node.params.get("rack", [0])[0])),
+            "slot": int(self._val(node.params.get("slot", [1])[0])),
+            "every": (self._dur(node.params["every"][0])
+                      if "every" in node.params else "1s"),
+            "diff": "diff" in node.params,
+            "requests": plan,
+        })
+        leaf = [(a, SPARK_TYPE[parse_address(ad)["dtype"]])
+                for ad, a in zip(addrs, aliases)]
+        return self._typed_stub(leaf)
+
+    # esp_modbus_read.erl .output() decode classes → Spark column types
+    _MODBUS_OUT = {"int16": "int", "uint16": "int", "int32": "bigint",
+                   "uint32": "bigint", "float32": "double",
+                   "double": "double", "coils": "boolean",
+                   "ascii": "string"}
+
+    def node_modbus(self, df, node: NodeCall) -> DataFrame:
+        """esp_modbus_read.erl:81 — periodic register poller; requests
+        with back-to-back ranges and equal decode opts merge into one
+        wire read (plan_modbus_reads, plc.py:179)."""
+        from faxe_spark.plc import plan_modbus_reads
+
+        functions = self._str_list(node, "function")
+        starts = [int(self._val(v)) for v in node.params.get("from", [])]
+        counts = [int(self._val(v)) for v in node.params.get("count", [])]
+        aliases = self._str_list(node, "as")
+        outputs = self._str_list(node, "output") or None
+        signed = [str(self._val(v)).lower() == "true"
+                  for v in node.params.get("signed", [])] or None
+        plan = plan_modbus_reads(functions, starts, counts, aliases,
+                                 outputs=outputs, signed=signed)
+        self.plc_plans.append({
+            "node": node.name,
+            "ip": str(self._val(node.params.get("ip", ["localhost"])[0])),
+            "port": int(self._val(node.params.get("port", [502])[0])),
+            "device": int(self._val(node.params.get("device", [255])[0])),
+            "every": (self._dur(node.params["every"][0])
+                      if "every" in node.params else "1s"),
+            "align": "align" in node.params,
+            "requests": plan,
+        })
+        outs = outputs or [""] * len(aliases)
+        leaf = [(a, self._MODBUS_OUT.get(
+                    o.lower(), "boolean" if f == "coils" else "int"))
+                for a, o, f in zip(aliases, outs, functions)]
+        return self._typed_stub(leaf)
+
+    node_modbus_multi = node_modbus
+
+    def node_mongo_query(self, df, node: NodeCall) -> DataFrame:
+        """esp_mongo_query.erl:40 — periodic collection query; the
+        filter document is validated as JSON and the doc lands under
+        the .as() path (default 'data') as the reference nests it."""
+        query = str(self._val(node.params.get("query", ["{}"])[0]))
+        try:
+            json.loads(query)
+        except ValueError as e:
+            raise ValueError(f"mongo_query: .query() is not valid "
+                             f"JSON: {e}") from None
+        as_path = str(self._val(node.params.get("as", ["data"])[0]))
+        self.connector_specs.append({
+            "node": "mongo_query",
+            "host": str(self._val(node.params.get("host", ["localhost"])[0])),
+            "port": int(self._val(node.params.get("port", [27017])[0])),
+            "database": str(self._val(node.params.get("database", [""])[0])),
+            "collection": str(
+                self._val(node.params.get("collection", [""])[0])),
+            "query": query,
+            "every": (self._dur(node.params["every"][0])
+                      if "every" in node.params else "5s"),
+            "as": as_path,
+        })
+        # document shape is schema-on-read: the doc column is the raw
+        # JSON string; dotted reads fall through get_path_safe's JSON
+        # extraction like flowdata's map access
+        return self._typed_stub([(as_path, "string")])
+
+    def _jdbc_query_node(self, node: NodeCall, *, kind: str, url: str,
+                         default_port: int) -> DataFrame:
+        query = str(self._val(node.params.get("query", [""])[0])).strip()
+        if not query:
+            raise ValueError(f"{kind}: .query() is required")
+        gbt = node.params.get("group_by_time", [None])[0]
+        if gbt is not None:
+            from faxe_spark.sources import time_bucket_query
+            query = time_bucket_query(query,
+                                      group_by_time=self._dur(gbt))
+        self.connector_specs.append({
+            "node": kind, "url": url, "query": query,
+            "user": str(self._val(node.params.get("user", [""])[0])),
+            "every": (self._dur(node.params["every"][0])
+                      if "every" in node.params else "10s"),
+            "align": "align" in node.params,
+        })
+        return self._typed_stub([])
+
+    def node_postgresql_query(self, df, node: NodeCall) -> DataFrame:
+        """esp_postgre_statement / pg corpus node — jdbc_source pushdown
+        with the crate-style group_by_time rewrite applied up front."""
+        host = str(self._val(node.params.get("host", ["localhost"])[0]))
+        port = int(self._val(node.params.get("port", [5432])[0]))
+        db = str(self._val(node.params.get("database", ["postgres"])[0]))
+        return self._jdbc_query_node(
+            node, kind="postgresql_query", default_port=5432,
+            url=f"jdbc:postgresql://{host}:{port}/{db}")
+
+    def node_oracle_query(self, df, node: NodeCall) -> DataFrame:
+        """esp_oracle_query analog — thin-driver JDBC URL from
+        host/port/service_name, raw-query pushdown."""
+        host = str(self._val(node.params.get("host", ["localhost"])[0]))
+        port = int(self._val(node.params.get("port", [1521])[0]))
+        svc = str(self._val(node.params.get("service_name", [""])[0]))
+        return self._jdbc_query_node(
+            node, kind="oracle_query", default_port=1521,
+            url=f"jdbc:oracle:thin:@//{host}:{port}/{svc}")
 
     def node_deadman(self, df, node: NodeCall) -> DataFrame:
         """esp_deadman.erl:43 — wall-clock watchdog on a stream; on a

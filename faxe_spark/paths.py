@@ -114,7 +114,26 @@ def set_path(df: DataFrame, path: str, value: Column | object) -> DataFrame:
         for n in reversed(names[1:]):
             nested = F.struct(nested.alias(n))
         return df.withColumn(root, nested)
-    return df.withColumn(root, F.col(root).withField(".".join(names[1:]), v))
+
+    def _set_field(parent_type, parent_col, rest):
+        # descend existing struct levels; the first missing (or
+        # non-struct — flowdata replaces scalars with maps) level
+        # switches to fresh nested-struct creation for the remainder
+        name = rest[0]
+        if len(rest) == 1:
+            return parent_col.withField(name, v)
+        if name in parent_type.fieldNames() and isinstance(
+                parent_type[name].dataType, StructType):
+            child = _set_field(parent_type[name].dataType,
+                               parent_col.getField(name), rest[1:])
+            return parent_col.withField(name, child)
+        nested = v
+        for n in reversed(rest[1:]):
+            nested = F.struct(nested.alias(n))
+        return parent_col.withField(name, nested)
+
+    return df.withColumn(root, _set_field(df.schema[root].dataType,
+                                          F.col(root), names[1:]))
 
 
 def delete_path(df: DataFrame, path: str) -> DataFrame:

@@ -44,15 +44,73 @@ _ADDR = re.compile(
 
 _WIDTH_DTYPE = {"X": "bool", "B": "byte", "W": "word", "D": "d_word"}
 
+# snap7/s7addr comma shorthand (esp_s7read.erl:70 — "DB2024,Int16.1224 |
+# DB2024.DBX12.2"; the corpus uses DB4,R1 / DB4,DWORD7 / DB4,DInt22):
+# DB<n>,<TYPE><byte>[.<bit>]
+_ADDR_COMMA = re.compile(
+    r"^DB(?P<db>\d+)\s*,\s*(?P<type>[A-Za-z_]+)(?P<byte>\d+)"
+    r"(?:\.(?P<bit>\d+))?$")
+
+_COMMA_DTYPE = {
+    "x": "bool", "b": "byte", "byte": "byte", "c": "char", "char": "char",
+    "w": "word", "word": "word", "i": "int", "int": "int",
+    "d": "d_word", "dword": "d_word", "di": "d_int", "dint": "d_int",
+    "r": "float", "real": "float", "s": "string", "string": "string",
+    "sint": "sint", "usint": "usint", "timer": "timer", "counter": "counter",
+}
+
+# comma addresses carry no [XBWD] width letter — word_len follows the
+# dtype's wire width (the reference's byte/word/d_word PDU classes)
+_DTYPE_WORD_LEN = {
+    "bool": "bit", "byte": "byte", "sint": "byte", "usint": "byte",
+    "char": "byte", "string": "byte", "word": "word", "int": "word",
+    "d_word": "d_word", "d_int": "d_word", "float": "d_word",
+    "timer": "d_word", "counter": "d_word",
+}
+
+# Spark column type each planned dtype decodes to (for the typed stub
+# frame a wire-less container compiles the node into)
+SPARK_TYPE = {
+    # bool = 0/1 int: the reference emits S7 bits numerically — corpus
+    # macros compare them to integer consts (macro1.dfs: State.Err == 2)
+    "bool": "int", "byte": "int", "sint": "int", "usint": "int",
+    "char": "string", "string": "string", "word": "int", "int": "int",
+    "d_word": "bigint", "d_int": "bigint", "float": "double",
+    "timer": "bigint", "counter": "bigint",
+}
+
+
+def _parse_comma_address(address: str) -> dict | None:
+    m = _ADDR_COMMA.match(address.strip())
+    if not m:
+        return None
+    dtype = _COMMA_DTYPE.get(m.group("type").lower())
+    if dtype is None:
+        raise ValueError(f"unknown S7 dtype {m.group('type')!r} "
+                         f"in {address!r}")
+    db, byte = int(m.group("db")), int(m.group("byte"))
+    if dtype == "bool":
+        bit = int(m.group("bit") or 0)
+        return {"db_number": db, "dtype": "bool", "start": byte * 8 + bit,
+                "word_len": "bit"}
+    return {"db_number": db, "dtype": dtype, "start": byte,
+            "word_len": _DTYPE_WORD_LEN[dtype]}
+
 
 def parse_address(address: str) -> dict:
     """Parse one S7 address string into the planner's address map.
     Bool starts are in bits (byte*8 + bit), everything else in bytes —
-    matching s7addr:parse as consumed by esp_s7read.erl:366-369."""
+    matching s7addr:parse as consumed by esp_s7read.erl:366-369.
+    Accepts both the dotted (DB2.DBX4.1) and the snap7 comma
+    (DB4,R1) syntaxes the corpus scripts mix."""
+    comma = _parse_comma_address(address)
+    if comma is not None:
+        return comma
     m = _ADDR.match(address.strip())
     if not m:
         raise ValueError(f"unparseable S7 address {address!r} "
-                         f"(expected DB<n>.DB[XBWD]<byte>[.bit][.dtype])")
+                         f"(expected DB<n>.DB[XBWD]<byte>[.bit][.dtype] "
+                         f"or DB<n>,<Type><byte>[.<bit>])")
     db = int(m.group("db"))
     width = m.group("width").upper()
     byte = int(m.group("byte"))

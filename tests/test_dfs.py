@@ -528,3 +528,166 @@ def test_dfs_corpus_exec_sweep(spark):
     ok, failed = exec_sweep(spark)
     real = [(str(f), e) for f, e in failed if "node_not_found_err" not in str(f)]
     assert not real, f"corpus scripts failing at RUNTIME: {real}"
+
+
+# -- PLC / DB source nodes + macros (round-4 glue) -------------------------
+
+PLCDB_SCRIPTS = [
+    # (relative corpus path, template vars, expected wire-request count)
+    ("dfs/test/mongo.dfs", {}, None),
+    ("dfs/other/pg_query.dfs", {}, None),
+    ("dfs/other/oracle_query_test.dfs", {}, None),
+    ("dfs/other/s7_test.dfs", {}, 5),
+    ("dfs/other/modbus_multi_test.dfs", {}, None),
+    ("dfs/other/modbus_mqtt_pub.dfs", {}, 3),
+    ("dfs/other/s7_read_test1.dfs",
+     {"db_number": "11113", "db": "DB11113.DB", "pre": "data."}, 3),
+    ("dfs/other/s7_read_test2.dfs",
+     {"db_number": "11113", "db": "DB11113.DB", "pre": "data."}, None),
+]
+
+
+@pytest.mark.parametrize("rel,vars,nreq", PLCDB_SCRIPTS,
+                         ids=[s[0].rsplit("/", 1)[-1] for s in PLCDB_SCRIPTS])
+def test_dfs_plcdb_corpus_compiles(spark, rel, vars, nreq):
+    """The DB/PLC corpus scripts compile end-to-end: options validated,
+    the coalesced wire plan / connector spec built for real, the node
+    lowered to a typed frame every downstream node resolves against
+    (esp_s7read.erl:63, esp_modbus_read.erl:81, esp_mongo_query.erl:40)."""
+    import pathlib
+
+    from faxe_spark.dfs import DFSCompiler
+
+    text = pathlib.Path("/root/reference", rel).read_text(errors="replace")
+    c = DFSCompiler(spark)
+    df = c.run(text, vars=vars)
+    assert df.schema  # analyzes end-to-end
+    assert c.plc_plans or c.connector_specs
+    if nreq is not None:
+        assert len(c.plc_plans[0]["requests"]) == nreq
+
+
+def test_dfs_s7read_wire_plan_coalesces(spark):
+    """16 tags -> few wire requests through the DFS front door, typed
+    stub schema matches the parsed dtypes."""
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    df = c.run("""|s7read()
+.ip('127.0.0.1').rack(0).slot(1).every(100ms)
+.vars('DB4,R1', 'DB4,Int42', 'DB4,Int43', 'DB4,Int44')
+.as('torque', 'pos', 'velo_set', 'velo_act')
+""")
+    [plan] = c.plc_plans
+    # Int42/43/44 are contiguous in the reference's word-length table
+    # (int=1 unit, esp_s7read.erl:457-469) -> ONE wire request; R1 a
+    # second
+    assert len(plan["requests"]) == 2
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    assert types["torque"] == "double"
+    assert types["pos"] == "int"
+    assert df.count() == 0  # wire-less container: typed, empty
+
+
+def test_dfs_modbus_decode_types_and_plan(spark):
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    df = c.run("""|modbus()
+.ip('127.0.0.1').every(5s)
+.function('hregs', 'hregs', 'coils')
+.from(2701, 2703, 10)
+.count(2, 2, 1)
+.as('energy_a', 'energy_b', 'on')
+.output('float32', 'float32', '')
+""")
+    [plan] = c.plc_plans
+    # 2701+2 == 2703 with equal opts -> merged; coils separate
+    assert len(plan["requests"]) == 2
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    assert types == {"ts": "timestamp", "energy_a": "double",
+                     "energy_b": "double", "on": "boolean"}
+
+
+def test_dfs_pg_query_time_bucket_rewrite(spark):
+    """postgresql_query + group_by_time goes through the crate-style
+    time-bucket rewrite before it would hit the wire."""
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    c.run("""|postgresql_query()
+.host('h').port(5432).database('doc').user('u')
+.query(<<< SELECT avg(v) AS avg_v FROM t >>>)
+.group_by_time(3m)
+.every(5s)
+""")
+    [spec] = c.connector_specs
+    assert spec["url"] == "jdbc:postgresql://h:5432/doc"
+    assert "time_bucket" in spec["query"] or "GROUP BY" in spec["query"]
+
+
+def test_dfs_mongo_query_validates_json(spark):
+    from faxe_spark.dfs import DFSCompiler
+
+    with pytest.raises(ValueError, match="not valid JSON"):
+        DFSCompiler(spark).run(
+            "|mongo_query()\n.collection('c')\n.query('{nope')\n")
+
+
+def test_dfs_macro_compiles_and_applies(spark):
+    """||name() macro invocation (dfs/other/macro1.dfs): the body
+    declared under '%% macro : flow_id : <name>' splices in at the
+    invocation, with node params overriding the body's def defaults."""
+    from faxe_spark.dfs import DFSCompiler
+
+    src = """
+%% macro : flow_id : cond
+def val = 1
+|case(
+    lambda: "data.State.Err" == val OR "data.State.Warn" == val,
+    lambda: "data.State.Auto" == val
+    )
+    .values('Err', 'Ok')
+    .as('condition')
+    .default('Warn')
+%% use
+|json_emitter()
+.json('{"data": {"State": {"Err": 2, "Warn": 0, "Auto": 0}}}',
+      '{"data": {"State": {"Err": 0, "Warn": 0, "Auto": 5}}}',
+      '{"data": {"State": {"Err": 0, "Warn": 0, "Auto": 2}}}')
+||cond()
+.val(2)
+"""
+    c = DFSCompiler(spark)
+    out = c.run(src)
+    assert [r["condition"] for r in out.select("condition").collect()] \
+        == ["Err", "Warn", "Ok"]
+    # the macro body must NOT also compile as a free-standing chain
+    assert "cond" in c.macros
+
+
+def test_dfs_macro1_corpus_script_compiles(spark):
+    import pathlib
+
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    df = c.run(pathlib.Path(
+        "/root/reference/dfs/other/macro1.dfs").read_text(errors="replace"))
+    assert "ctc_module_condition" in c.macros
+    assert "data.condition" in df.columns
+
+
+def test_dfs_http_listen_port_clamp(spark):
+    """ADVICE r3: fixed corpus ports outside the safe unprivileged
+    range bind ephemeral instead of privileged/overflowing."""
+    from faxe_spark.dfs import DFSCompiler
+
+    c = DFSCompiler(spark)
+    c.run("|http_listen()\n.port(80)\n")
+    try:
+        [lis] = c.listeners
+        assert lis.port != 80 and lis.port >= 1024
+    finally:
+        for lis in c.listeners:
+            lis.stop()

@@ -139,3 +139,24 @@ def test_get_path_safe_json_string_fallback(spark):
         get_path_safe(df, "other.path").alias("absent"),
     ).collect()[0]
     assert (got.id, got.v2, got.missing, got.absent) == (7, 2, None, None)
+
+
+def test_set_creates_missing_intermediate_under_existing_root(nested_df):
+    """Deep set where the root struct exists but an intermediate level
+    does not (s7_read_test2.dfs aliases like data.Kdr.McNo1 landing in
+    an existing data struct): flowdata auto-creates the chain
+    (flowdata_tests.erl:175-184)."""
+    out = paths.set_path(nested_df, "data.kdr.mc1", 5)
+    out = paths.set_path(out, "data.kdr.mc2", 6)       # sibling merge
+    row = out.select(
+        paths.get_path("data.kdr.mc1").alias("a"),
+        paths.get_path("data.kdr.mc2").alias("b"),
+        paths.get_path("data.code").alias("c")).collect()[0]
+    assert (row.a, row.b, row.c) == (5, 6, 7)
+
+
+def test_set_deep_replaces_scalar_intermediate(nested_df):
+    # a deep set through a scalar replaces it with a map (flowdata set)
+    out = paths.set_path(nested_df, "data.code.sub", 1)
+    assert out.select(
+        paths.get_path("data.code.sub")).collect()[0][0] == 1

@@ -112,3 +112,30 @@ def test_modbus_pdu_cap_splits_long_runs():
     assert all(r.amount <= 125 for r in runs)
     assert sum(r.amount for r in runs) == 200
     assert len(runs) == 2  # 200 registers over 125-cap = 2 requests
+
+
+def test_parse_comma_addresses():
+    """snap7 comma shorthand (esp_s7read.erl:70 'DB2024,Int16.1224 |
+    DB2024.DBX12.2'; the corpus s7_test.dfs uses DB4,R1 / DB4,DWORD7)."""
+    assert parse_address("DB4,R1") == {
+        "db_number": 4, "dtype": "float", "start": 1, "word_len": "d_word"}
+    assert parse_address("DB4,DWORD7") == {
+        "db_number": 4, "dtype": "d_word", "start": 7, "word_len": "d_word"}
+    assert parse_address("DB4,DInt22") == {
+        "db_number": 4, "dtype": "d_int", "start": 22, "word_len": "d_word"}
+    assert parse_address("DB4,Int42") == {
+        "db_number": 4, "dtype": "int", "start": 42, "word_len": "word"}
+    # comma bools carry bit addresses like the dotted form
+    assert parse_address("DB2024,X12.2") == {
+        "db_number": 2024, "dtype": "bool", "start": 12 * 8 + 2,
+        "word_len": "bit"}
+    with pytest.raises(ValueError, match="unknown S7 dtype"):
+        parse_address("DB4,Q12")
+
+
+def test_comma_and_dotted_forms_plan_identically():
+    dotted = plan_bulk_reads(["DB1.DBW0", "DB1.DBW2"], ["a", "b"])
+    comma = plan_bulk_reads(["DB1,W0", "DB1,W2"], ["a", "b"])
+    assert len(dotted) == len(comma) == 1
+    assert dotted[0].start == comma[0].start
+    assert dotted[0].amount == comma[0].amount == 2

@@ -99,6 +99,15 @@ def main() -> int:
     files, ok, failed, node_names = sweep()
     pct = 100.0 * len(ok) / max(len(files), 1)
     supported = compiled_node_names()
+    # corpus-declared macros (||name() subgraphs) compile via
+    # DFSCompiler._apply_macro — count them as supported
+    macro_names = set()
+    for f in files:
+        for line in f.read_text(errors="replace").splitlines():
+            m = DFSCompiler._MACRO_DECL.match(line)
+            if m:
+                macro_names.add(m.group(1))
+    supported |= macro_names
     used = sorted(node_names)
     sup = [n for n in used if n.lstrip("@") in supported or n.startswith("@")]
     unsup = [n for n in used if n.lstrip("@") not in supported and not n.startswith("@")]
