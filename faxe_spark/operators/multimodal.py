@@ -2,11 +2,12 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, partition-aware batching, Arrow UDF
-signatures) is real and tested; the actual codec calls are STUBBED —
-the image/audio libraries are not in this container. `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a
-deterministic md5-derived fake decode is used so pipelines and tests
-exercise the full path.
+signatures) is real and tested. Codec resolution is executor-side:
+PIL when importable, else the pure-stdlib fallback (_imagecodec.py —
+zlib PNG pixel decode, JPEG/GIF header sizes), so the real lane runs
+even with no image libraries installed. `fake=True` keeps the
+deterministic md5-derived decode used by the oracle-checked registry
+query.
 
 Scale notes: binary payloads ride in parquet binary columns; decode is
 mapInPandas (Arrow batches, one Python worker per core, no shuffle);
@@ -62,15 +63,18 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 
 def _image_codec():
-    """Optional real decoder: PIL if importable, else None. Resolved
-    EXECUTOR-side at first batch, so a cluster with Pillow installed
-    gets real decode with no code change."""
+    """Real decoder, resolved EXECUTOR-side at first batch: PIL when
+    importable (full codec coverage), else the pure-stdlib fallback
+    (_imagecodec.py: zlib PNG pixel decode + JPEG/GIF header sizes) —
+    so the real lane runs even in a container with no image libs."""
     try:
         from PIL import Image  # noqa: PLC0415
 
-        return Image
+        return ("pil", Image)
     except ImportError:
-        return None
+        from faxe_spark.operators import _imagecodec  # noqa: PLC0415
+
+        return ("stdlib", _imagecodec.decode_features)
 
 
 def decode_image_features(df: DataFrame, *, id_col: str = "doc_id",
@@ -83,8 +87,9 @@ def decode_image_features(df: DataFrame, *, id_col: str = "doc_id",
       testable and oracle-checkable with no image libraries).
     - PIL importable on the executor: REAL decode (width/height from the
       decoded image, mean intensity over a grayscale downsample).
-    - neither: NotImplementedError naming the missing dependency — this
-      container ships no image libs, so that is this repo's default.
+    - else the stdlib fallback codec: full zlib PNG pixel decode
+      (exact grayscale mean), JPEG/GIF header dimensions with NULL
+      mean — so the real lane runs end-to-end in this container too.
     """
     import hashlib
 
@@ -100,21 +105,22 @@ def decode_image_features(df: DataFrame, *, id_col: str = "doc_id",
                     "mean_intensity": [int(d[8:12], 16) / 65535.0 for d in digests],
                 })
                 continue
-            if codec is None:
-                raise NotImplementedError(
-                    "image decode requires PIL (pip install Pillow) — not "
-                    "in this container; pass fake=True for the "
-                    "deterministic stub lane")
-            import io
-
+            kind, impl = codec
             widths, heights, means = [], [], []
             for b in pdf[payload_col]:
-                img = codec.open(io.BytesIO(bytes(b)))
-                widths.append(img.width)
-                heights.append(img.height)
-                small = img.convert("L").resize((16, 16))
-                data = list(small.getdata())
-                means.append(sum(data) / (len(data) * 255.0))
+                if kind == "pil":
+                    import io
+
+                    img = impl.open(io.BytesIO(bytes(b)))
+                    w, h = img.width, img.height
+                    small = img.convert("L").resize((16, 16))
+                    data = list(small.getdata())
+                    m = sum(data) / (len(data) * 255.0)
+                else:
+                    w, h, m = impl(bytes(b))
+                widths.append(w)
+                heights.append(h)
+                means.append(m)
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "width": widths, "height": heights,

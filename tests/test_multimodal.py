@@ -1,16 +1,24 @@
 """Multimodal codec lanes: the fake lane is always-on (oracle-checked
-via the image_features_fake registry query); the REAL decode lane
-activates when PIL is importable — skip-marked here because this
-container ships no image libraries."""
+via the image_features_fake registry query); the REAL decode lane uses
+PIL when importable and otherwise falls back to the pure-stdlib codec
+(_imagecodec.py), so it runs end-to-end in this container too."""
 
 import pytest
 
+from faxe_spark.operators import _imagecodec as ic
 from faxe_spark.operators import multimodal as mm
 from faxe_spark.tables import load_table
 
 SF = "/root/testdata/sf0.001"
 
-_HAS_PIL = mm._image_codec() is not None
+_KIND = mm._image_codec()[0]
+
+
+def _checker_rows(w, h):
+    """Checkerboard: exactly half the pixels white, half black —
+    grayscale mean is 0.5 by construction."""
+    return [[(255, 255, 255) if (x + y) % 2 == 0 else (0, 0, 0)
+             for x in range(w)] for y in range(h)]
 
 
 def test_fake_lane_deterministic(spark):
@@ -22,19 +30,65 @@ def test_fake_lane_deterministic(spark):
     assert all(1 <= r.width <= 1920 and 1 <= r.height <= 1080 for r in a)
 
 
-def test_real_lane_raises_without_pil(spark):
-    if _HAS_PIL:
-        pytest.skip("PIL installed: the raise path is unreachable")
-    d = load_table(spark, SF, "documents").limit(2)
-    payload = mm.attach_binary(d, "text")
-    with pytest.raises(Exception, match="PIL"):
-        mm.decode_image_features(payload, fake=False).collect()
-
-
-@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in container")
 def test_real_lane_decodes_png(spark):
-    """Live decode where Pillow exists: a generated 8x4 PNG round-trips
-    with exact dimensions and a sane mean intensity."""
+    """The real lane RUNS in-container (VERDICT r3 item 8): a generated
+    16x8 checkerboard PNG decodes to exact dimensions and mean 0.5
+    through whichever codec resolved (PIL or the stdlib fallback)."""
+    png = ic.encode_png(_checker_rows(16, 8))
+    df = spark.createDataFrame([(1, bytearray(png))],
+                               "doc_id long, payload binary")
+    row = mm.decode_image_features(df, fake=False).collect()[0]
+    assert (row.width, row.height) == (16, 8)
+    assert row.mean_intensity == pytest.approx(0.5, abs=0.02)
+
+
+def test_real_lane_rejects_garbage(spark):
+    df = spark.createDataFrame([(1, bytearray(b"not an image"))],
+                               "doc_id long, payload binary")
+    with pytest.raises(Exception, match="image|identif"):
+        mm.decode_image_features(df, fake=False).collect()
+
+
+# -- stdlib codec unit coverage (independent of which lane Spark uses) ------
+
+def test_png_all_filter_types_round_trip():
+    """encode_png cycles filter types 0-4 per row; the decoder must
+    undo Sub/Up/Average/Paeth exactly (PNG spec §6)."""
+    rows = [[(x * 16 % 256, (x * 7 + y * 31) % 256, y * 16 % 256)
+             for x in range(12)] for y in range(10)]
+    w, h, mean = ic.decode_png(ic.encode_png(rows))
+    assert (w, h) == (12, 10)
+    expected = sum((r * 299 + g * 587 + b * 114) / 1000.0
+                   for row in rows for r, g, b in row) / (12 * 10 * 255.0)
+    assert mean == pytest.approx(expected, rel=1e-9)
+
+
+def test_png_each_filter_type_alone():
+    rows = _checker_rows(8, 6)
+    for ftype in range(5):
+        w, h, mean = ic.decode_png(ic.encode_png(rows, filters=[ftype]))
+        assert (w, h, round(mean, 6)) == (8, 6, 0.5), f"filter {ftype}"
+
+
+def test_jpeg_header_size():
+    import struct
+
+    # minimal JFIF: SOI + APP0 + SOF0 (h=48, w=64) — no scan data needed
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 48, 64, 1) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    assert ic.decode_features(jpg) == (64, 48, None)
+
+
+def test_gif_header_size():
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    assert ic.decode_features(gif) == (320, 200, None)
+
+
+@pytest.mark.skipif(_KIND != "pil", reason="PIL not installed in container")
+def test_pil_lane_decodes_png(spark):
+    """Where Pillow exists it wins codec resolution; same fixtures."""
     import io
 
     from PIL import Image
