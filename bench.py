@@ -56,6 +56,10 @@ HEADLINE = [
     # round-3 additions
     "lambda_showcase",
     "deadman_gaps",
+    # round-4 training-prep additions
+    "repetition_quality",
+    "decontaminate",
+    "pack_greedy",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

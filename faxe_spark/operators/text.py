@@ -99,6 +99,59 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+def words(c: Column) -> Column:
+    return F.split(F.trim(normalize_text(c)), r"\s+")
+
+
+def ngram_array(c: Column, n: int) -> Column:
+    """Word n-grams as an array<string> — pure expression, no explode.
+    Indexes a materialized `_w` words column (see repetition_features);
+    index-based slicing needs a named array, which keeps the n-gram
+    build inside codegen instead of an exploded (doc, gram) shuffle."""
+    parts = ", ' ', ".join(f"element_at(_w, i+{j})" for j in range(n))
+    return F.expr(
+        f"transform(sequence(1, greatest(size(_w)-{n - 1}, 0)), "
+        f"i -> concat({parts}))")
+
+
+def dup_word_fraction(c: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word
+    (Gopher-style repetition signal, word granularity)."""
+    w = words(c)
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(w)) / F.size(w)).cast("double")
+
+
+def dup_ngram_fraction(c: Column, n: int) -> Column:
+    """Fraction of word n-grams that are duplicates — the pure-array
+    formulation of Gopher's duplicate n-gram fraction (no per-doc
+    groupBy; stays inside whole-stage codegen)."""
+    total = F.expr("greatest(size(_w)-" + str(n - 1) + ", 0)")
+    g = ngram_array(c, n)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / total).cast("double")
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        *, max_dup_word: float = 0.7,
+                        max_dup_2gram: float = 0.6) -> DataFrame:
+    """Gopher-rule repetition quality (Rae et al. 2021 §A1.1 shape):
+    duplicate word / 2-gram / 3-gram fractions plus a keep/drop flag.
+    All pure Column expressions over one hidden `_w` token array —
+    at 100 TB this runs inside the scan stage, zero shuffles."""
+    c = F.col(text_col)
+    out = df.withColumn("_w", words(c)).withColumns({
+        "dup_word_frac": dup_word_fraction(c),
+        "dup_2gram_frac": dup_ngram_fraction(c, 2),
+        "dup_3gram_frac": dup_ngram_fraction(c, 3),
+    })
+    out = out.withColumn(
+        "repetition_ok",
+        (F.col("dup_word_frac") <= max_dup_word)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram))
+    return out.drop("_w")
+
+
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass annotation with all text-analysis columns."""
     c = F.col(text_col)

@@ -1,0 +1,141 @@
+"""Training-data preparation operators: benchmark decontamination and
+sequence packing.
+
+These are the corpus-to-training-run steps a 100 TB pipeline needs
+after dedup/quality (operators/dedup.py, text.py):
+
+- decontaminate: flag training documents sharing word n-grams with an
+  evaluation/benchmark set (the GPT-3 appendix-C / PaLM 13-gram
+  procedure, public papers). Scale shape: the benchmark side is tiny
+  (evals are MBs) -> its distinct n-gram set BROADCASTS; the 100 TB
+  training side explodes map-side into (doc, gram) rows, hits the
+  broadcast hash join with no shuffle, and only the per-doc hit count
+  aggregates (one shuffle keyed by doc id).
+
+- pack_chunked: concat-then-chunk layout (GPT-style): documents are
+  laid out in a deterministic order and cut into fixed token-budget
+  sequences; documents may span cuts. Pure window arithmetic — one
+  shuffle (the per-shard sort), exactly SQL-expressible.
+
+- pack_greedy: no-split greedy packing: walk each shard in order,
+  open a new pack when the next document would overflow the budget.
+  Inherently sequential per shard -> applyInPandas per shard (Arrow,
+  linear scan); shards are independent so the lane scales with shard
+  count, the normal layout for epoch-sharded training data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from faxe_spark.operators.dedup import shingle_rows
+from faxe_spark.operators.text import token_count
+
+
+def decontaminate(train_df: DataFrame, bench_df: DataFrame, *,
+                  n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Annotate train_df with `n_contaminated_ngrams` (distinct train-doc
+    n-grams that appear anywhere in the benchmark set) and a boolean
+    `contaminated`. Filtering is the caller's policy choice (papers
+    differ: drop vs. split-around the overlap)."""
+    bench_grams = (shingle_rows(bench_df, id_col, text_col, n,
+                                distinct=False)
+                   .select("shingle").distinct())
+    train_grams = shingle_rows(train_df, id_col, text_col, n,
+                               distinct=True)
+    hits = (train_grams.join(F.broadcast(bench_grams), "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated_ngrams")))
+    out = train_df.join(hits, id_col, "left")
+    out = out.withColumn(
+        "n_contaminated_ngrams",
+        F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)))
+    return out.withColumn("contaminated",
+                          F.col("n_contaminated_ngrams") > 0)
+
+
+def pack_chunked(df: DataFrame, *, budget: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 token_col: str | None = None,
+                 by: str | None = None) -> DataFrame:
+    """Chunked packing: tokens concatenate in (by, id) order and are cut
+    every `budget` tokens. Adds n_tokens, pack_first, pack_last and
+    pack_offset (position of the doc's first token within pack_first).
+    Documents may span packs — exact SQL-window arithmetic."""
+    tok = (F.col(token_col) if token_col
+           else token_count(F.col(text_col))).cast("long")
+    keys = [by] if by else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    out = df.withColumn("n_tokens", tok)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return out.withColumns({
+        "pack_first": F.floor(start / budget),
+        "pack_last": F.floor((cum - 1) / budget),
+        "pack_offset": start % budget,
+    })
+
+
+_PACK_SCHEMA_EXTRA = [StructField("n_tokens", LongType()),
+                      StructField("pack_id", LongType()),
+                      StructField("pack_used", LongType())]
+
+
+def pack_greedy(df: DataFrame, *, budget: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                token_col: str | None = None,
+                by: str = "source") -> DataFrame:
+    """Greedy no-split packing per shard: documents in (by, id) order;
+    a doc that would overflow the current pack opens a new one. Docs
+    longer than the budget get a pack of their own (pack_used >
+    budget flags them for truncation downstream). Returns (by, id,
+    n_tokens, pack_id, pack_used) — pack_id is per-shard, pack_used
+    the pack's total AFTER adding the doc."""
+    tok = (F.col(token_col) if token_col
+           else token_count(F.col(text_col))).cast("long")
+    slim = df.select(F.col(by).cast("string").alias(by),
+                     F.col(id_col).alias(id_col),
+                     tok.alias("n_tokens"))
+    schema = StructType(
+        [StructField(by, StringType()),
+         StructField(id_col, slim.schema[id_col].dataType)]
+        + _PACK_SCHEMA_EXTRA)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        packs, used = [], []
+        pid, cur = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cur > 0 and cur + t > budget:
+                pid += 1
+                cur = 0
+            cur += t
+            packs.append(pid)
+            used.append(cur)
+        return pd.DataFrame({
+            by: pdf[by].values, id_col: pdf[id_col].values,
+            "n_tokens": pdf["n_tokens"].values,
+            "pack_id": packs, "pack_used": used,
+        })
+
+    return slim.groupBy(by).applyInPandas(pack, schema)
+
+
+def pack_stats(packed: DataFrame, *, budget: int,
+               by: str = "source") -> DataFrame:
+    """Shard-level packing efficiency: packs, tokens, fill ratio."""
+    per_pack = (packed.groupBy(by, "pack_id")
+                .agg(F.sum("n_tokens").alias("pack_tokens")))
+    return (per_pack.groupBy(by)
+            .agg(F.count("*").alias("n_packs"),
+                 F.sum("pack_tokens").alias("total_tokens"),
+                 (F.sum("pack_tokens")
+                  / (F.count("*") * budget)).alias("fill_ratio")))

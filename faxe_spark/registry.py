@@ -2097,6 +2097,140 @@ def win_clock_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data preparation (round 4): repetition quality,
+# benchmark decontamination, sequence packing
+# ---------------------------------------------------------------------------
+from faxe_spark.operators import trainprep as tp_ops    # noqa: E402
+
+_RAWTOKS = "string_split_regex(trim(text), '\\s+')"
+_G5 = " || ' ' || ".join(f"w[i+{j}]" for j in range(5))
+
+
+@register(
+    "repetition_quality",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS wl FROM documents),
+    g AS (
+      SELECT doc_id, wl,
+             list_transform(generate_series(1, greatest(len(wl)-1, 0)),
+                            i -> wl[i] || ' ' || wl[i+1]) AS g2,
+             list_transform(generate_series(1, greatest(len(wl)-2, 0)),
+                            i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS g3
+      FROM w
+    )
+    SELECT doc_id,
+      CAST(1.0 - len(list_distinct(wl)) / len(wl) AS DOUBLE) AS dup_word_frac,
+      CAST(CASE WHEN len(g2) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(g2)) / len(g2) END AS DOUBLE) AS dup_2gram_frac,
+      CAST(CASE WHEN len(g3) = 0 THEN 0.0
+           ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS DOUBLE) AS dup_3gram_frac,
+      (1.0 - len(list_distinct(wl)) / len(wl)) <= 0.7
+        AND (CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g2)) / len(g2) END) <= 0.6
+        AS repetition_ok
+    FROM g
+    """,
+    doc="Gopher-rule repetition quality (Rae et al. 2021 A1.1): duplicate "
+        "word/2-gram/3-gram fractions + keep flag, pure scan-stage exprs",
+)
+def repetition_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_features(d).select(
+        "doc_id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+        "repetition_ok")
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+                                   i -> {_G5})) AS g
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+    hits AS (SELECT doc_id, count(*) AS n FROM train JOIN bench USING (g)
+             GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="benchmark decontamination (GPT-3 appendix-C shape, 5-gram "
+        "overlap): tiny benchmark n-gram set broadcasts, training side "
+        "explodes map-side, one shuffle for the per-doc hit count",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tp_ops.decontaminate(d.filter(F.col("source") != "src0"),
+                               d.filter(F.col("source") == "src0"), n=5)
+    return out.select("doc_id",
+                      F.col("n_contaminated_ngrams").cast("long"),
+                      "contaminated")
+
+
+@register(
+    "pack_chunked",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_RAWTOKS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (cum - n_tokens) // 512 AS pack_first,
+           (cum - 1) // 512 AS pack_last,
+           (cum - n_tokens) % 512 AS pack_offset
+    FROM c
+    """,
+    doc="concat-then-chunk sequence packing (GPT-style, docs may span "
+        "cuts): per-shard window cumsum, one sort shuffle, exact SQL",
+)
+def pack_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tp_ops.pack_chunked(d, budget=512, by="source").select(
+        "source", "doc_id", "n_tokens", "pack_first", "pack_last",
+        "pack_offset")
+
+
+@register(
+    "pack_greedy",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id, CAST(len({_RAWTOKS}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.pack_used + t.n_tokens > 512
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_used + t.n_tokens > 512
+                  THEN t.n_tokens ELSE p.pack_used + t.n_tokens END
+      FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, pack_id, pack_used FROM p
+    """,
+    doc="greedy no-split sequence packing per shard (budget 512): "
+        "applyInPandas linear scan per independent shard; oracle is the "
+        "same recursion as a recursive CTE",
+)
+def pack_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tp_ops.pack_greedy(d, budget=512, by="source")
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate scores exactly the FIRST 50 entries of this
@@ -2116,6 +2250,11 @@ _DEFERRED_THIS_ROUND = [
     "asof_join_nearest", "asof_join_merge", "tpch_q3", "tpch_q5", "tpch_q4",
     "tpch_q6", "state_count_duration", "state_change", "state_sequence",
     "collect_fields", "collect_table", "collect_table_aged", "extract_json",
+    # 4 more double-green stalwarts deferred so the round-4 trainprep
+    # queries (repetition_quality/decontaminate/pack_*) sit inside the
+    # driver's first-50 scoring window for fresh hard rows
+    "time_shift", "sliding_window", "win_time_fill_period",
+    "default_rename_extract",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Training-prep operators: decontamination, sequence packing,
+repetition quality (operators/trainprep.py, text.py round-4 additions).
+The registry oracles cover value equality vs DuckDB; these tests cover
+semantics (planted fixtures), invariants, and plan shape."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from faxe_spark.operators import text as text_ops
+from faxe_spark.operators import trainprep as tp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+# -- repetition quality -----------------------------------------------------
+
+def test_repetition_fractions_crafted(spark):
+    df = _docs(spark, [
+        (1, "a a a a", "s"),             # 4 words, 1 distinct
+        (2, "w x y z", "s"),             # all unique
+        (3, "solo", "s"),                # too short for 2-grams
+        (4, "p q p q p q", "s"),         # 2-grams: 5 total, 2 distinct
+    ])
+    out = {r.doc_id: r for r in text_ops.repetition_features(df).collect()}
+    assert out[1].dup_word_frac == 0.75
+    assert out[1].dup_2gram_frac == 1.0 - 1.0 / 3.0
+    assert out[2].dup_word_frac == 0.0 and out[2].repetition_ok
+    assert out[3].dup_2gram_frac == 0.0 and out[3].dup_3gram_frac == 0.0
+    assert out[4].dup_2gram_frac == 1.0 - 2.0 / 5.0
+    assert not out[1].repetition_ok  # 0.75 > 0.7 word threshold
+
+
+def test_repetition_is_scan_stage_only(spark):
+    """No shuffle: the whole computation is projections over the scan."""
+    df = _docs(spark, [(1, "a b c", "s")])
+    plan = text_ops.repetition_features(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_decontaminate_flags_planted_overlap(spark):
+    secret = "alpha beta gamma delta epsilon"  # one 5-gram
+    bench = _docs(spark, [(100, f"intro {secret} outro", "bench")])
+    train = _docs(spark, [
+        (1, f"prefix words {secret} suffix words", "train"),  # contaminated
+        (2, "totally different text with no overlap at all", "train"),
+        (3, "alpha beta gamma but not the full gram", "train"),  # 4-gram only
+    ])
+    out = {r.doc_id: r for r in
+           tp.decontaminate(train, bench, n=5).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_ngrams == 1
+    assert not out[2].contaminated and out[2].n_contaminated_ngrams == 0
+    assert not out[3].contaminated
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """100 TB shape: the benchmark n-gram set must reach the training
+    side as a broadcast, never a shuffle of the big side's grams."""
+    bench = _docs(spark, [(100, "a b c d e f", "bench")])
+    train = _docs(spark, [(1, "a b c d e f g", "train")])
+    plan = tp.decontaminate(train, bench, n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- packing ----------------------------------------------------------------
+
+def _rand_docs(n, seed=7):
+    rng = random.Random(seed)
+    return [(i, " ".join("w" for _ in range(rng.randint(1, 700))),
+             f"s{i % 3}") for i in range(n)]
+
+
+def _ref_greedy(rows, budget):
+    """Reference greedy packer (plain python) for equivalence checks."""
+    out = {}
+    by_src = {}
+    for doc_id, text, src in sorted(rows):
+        by_src.setdefault(src, []).append((doc_id, len(text.split())))
+    for src, docs in by_src.items():
+        pid, cur = 0, 0
+        for doc_id, t in docs:
+            if cur > 0 and cur + t > budget:
+                pid, cur = pid + 1, 0
+            cur += t
+            out[doc_id] = (pid, cur)
+    return out
+
+
+def test_pack_greedy_matches_reference(spark):
+    rows = _rand_docs(60)
+    got = {r.doc_id: (r.pack_id, r.pack_used) for r in
+           tp.pack_greedy(_docs(spark, rows), budget=512).collect()}
+    assert got == _ref_greedy(rows, 512)
+
+
+def test_pack_greedy_budget_invariant(spark):
+    rows = _rand_docs(80, seed=13)
+    for r in tp.pack_greedy(_docs(spark, rows), budget=512).collect():
+        # a pack only exceeds the budget when a single doc does
+        assert r.pack_used <= 512 or r.pack_used == r.n_tokens
+
+
+def test_pack_chunked_layout_reconstructs(spark):
+    rows = _rand_docs(50, seed=21)
+    out = tp.pack_chunked(_docs(spark, rows), budget=512,
+                          by="source").collect()
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        start = by_src.get(r.source, 0)
+        # the doc's first token sits exactly at the running total
+        assert r.pack_first * 512 + r.pack_offset == start
+        end = start + r.n_tokens
+        assert r.pack_last == (end - 1) // 512
+        by_src[r.source] = end
+
+
+def test_pack_stats_fill_ratio(spark):
+    rows = _rand_docs(60, seed=3)
+    packed = tp.pack_greedy(_docs(spark, rows), budget=512)
+    stats = {r.source: r for r in
+             tp.pack_stats(packed, budget=512).collect()}
+    for src, r in stats.items():
+        assert 0 < r.fill_ratio <= 1.5  # >1 only via oversized docs
+        assert r.total_tokens == sum(
+            len(t.split()) for _, t, s in rows if s == src)
