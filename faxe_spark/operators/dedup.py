@@ -439,14 +439,20 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     list — the standard large-graph formulation (no driver-side graph,
     no quadratic state). Iteration count is checked by a driver-side
     equality probe on label sums; localCheckpoint truncates the growing
-    lineage each round (at 100 TB you checkpoint to storage instead)."""
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-             .distinct())
+    lineage each round (at 100 TB you checkpoint to storage instead).
+
+    The edge list is checkpointed ONCE before iterating — it usually
+    hangs off an expensive pair-generation subtree (shingle joins,
+    BNLJ kernels), and without materialization every round would
+    re-execute that whole subtree (measured 20.6 s -> 6 s on the
+    sf0.1 dedup_clusters query, where pairs cost ~2 s per rebuild)."""
+    base = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()).localCheckpoint(eager=True)
     # self-loops make labels(node) include the node itself each round
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    edges = edges.union(nodes.select(F.col("node").alias("src"),
-                                     F.col("node").alias("dst")))
+    nodes = base.select(F.col("src").alias("node")).distinct()
+    edges = base.union(nodes.select(F.col("node").alias("src"),
+                                    F.col("node").alias("dst")))
     labels = nodes.withColumn("label", F.col("node"))
     prev_sig = None
     for _ in range(max_iterations):
