@@ -270,9 +270,17 @@ def plan_modbus_reads(functions: list[str], starts: list[int],
     cur: BulkRead | None = None
     cur_opts = None
     last_start = None
+    elem_amount = None
     for e in reqs:
+        # the reference's merge condition (LastStart + Amount == Start,
+        # esp_modbus_read.erl:278) implicitly assumes every request in a
+        # run has the same register width (its total is count*Amount) —
+        # we require that width equality explicitly, so a mixed-width
+        # sequence can never merge misaligned; identical behavior on
+        # uniform-width inputs (every corpus script)
         contiguous = (cur is not None and e["function"] == cur.dtype
                       and e["opts"] == cur_opts
+                      and e["amount"] == elem_amount
                       and last_start + e["amount"] == e["start"]
                       and cur.amount + e["amount"] <= max_per_request)
         if contiguous:
@@ -286,6 +294,7 @@ def plan_modbus_reads(functions: list[str], starts: list[int],
                            word_len=repr(e["opts"]), dtype=e["function"],
                            aliases=[e["as"]])
             cur_opts = e["opts"]
+            elem_amount = e["amount"]
         last_start = e["start"]
     if cur is not None:
         runs.append(cur)

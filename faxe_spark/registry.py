@@ -2180,7 +2180,8 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT source, doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS cum
       FROM t
     )
     SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

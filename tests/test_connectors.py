@@ -665,3 +665,121 @@ def test_dfs_http_listen_compiles_and_ingests(spark):
     finally:
         q.stop()
         listener.stop()
+
+
+# -- Modbus-TCP live lane (round 4) ----------------------------------------
+
+def test_modbus_decode_formats():
+    """Register decoding mirrors esp_modbus_read.erl:77 OUT_TYPES,
+    big-endian register order."""
+    import struct
+
+    from faxe_spark.sources.modbus import decode_registers
+
+    assert decode_registers([0xFFFF], "int16", True) == -1
+    assert decode_registers([0xFFFF], "int16", None) == 65535
+    assert decode_registers([0x0001, 0x86A0], "int32", False) == 100000
+    assert decode_registers([0xFFFF, 0xFFFF], "int32", True) == -1
+    f = decode_registers(list(struct.unpack(">HH", struct.pack(">f", 1.5))),
+                         "float32")
+    assert f == 1.5
+    d = decode_registers(
+        list(struct.unpack(">HHHH", struct.pack(">d", 2.25))), "double")
+    assert d == 2.25
+    assert decode_registers([0x4849, 0x0000], "ascii") == "HI"
+    assert decode_registers([1, 0, 7], "coils") == [True, False, True]
+
+
+def test_modbus_client_server_round_trip():
+    from faxe_spark.sources.modbus import (ModbusClient, ModbusServer,
+                                           set_float32)
+
+    hregs = {}
+    set_float32(hregs, 100, 42.5)
+    srv = ModbusServer(hregs=hregs, iregs={7: 1234},
+                       coils={3: 1}, discrete={0: 1, 2: 1})
+    try:
+        c = ModbusClient("127.0.0.1", srv.port)
+        assert c.read("iregs", 7, 1) == [1234]
+        assert c.read("coils", 2, 3) == [0, 1, 0]
+        assert c.read("inputs", 0, 3) == [1, 0, 1]
+        from faxe_spark.sources.modbus import decode_registers
+
+        assert decode_registers(c.read("hregs", 100, 2), "float32") == 42.5
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_modbus_read_plan_splits_merged_runs():
+    """The corpus modbus_multi shape: back-to-back float32 registers
+    coalesce into few wire requests; read_plan must split the merged
+    payload back per alias exactly."""
+    from faxe_spark.plc import plan_modbus_reads
+    from faxe_spark.sources.modbus import (ModbusClient, ModbusServer,
+                                           set_float32)
+
+    starts = [2701, 2699, 2709, 2707, 2717, 2715, 3009]
+    names = ["aer", "aed", "rer", "red", "apr", "apd", "mcv"]
+    hregs = {}
+    for i, s in enumerate(starts):
+        set_float32(hregs, s, float(10 * (i + 1)))
+    plan = plan_modbus_reads(["hregs"] * 7, starts, [2] * 7, names,
+                             outputs=["float32"] * 7)
+    # 2699+2701, 2707+2709, 2715+2717 merge; 3009 alone -> 4 requests
+    assert len(plan) == 4
+    srv = ModbusServer(hregs=hregs)
+    try:
+        c = ModbusClient("127.0.0.1", srv.port)
+        vals = c.read_plan(plan)
+        assert vals == {n: float(10 * (i + 1))
+                        for i, n in enumerate(names)}
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_modbus_read_df_single_tick(spark):
+    from faxe_spark.sources.modbus import ModbusServer, modbus_read_df
+
+    srv = ModbusServer(hregs={5: 7, 6: 9})
+    try:
+        df = modbus_read_df(
+            spark, host="127.0.0.1", port=srv.port,
+            functions=["hregs", "hregs"], starts=[5, 6], counts=[1, 1],
+            aliases=["a", "b"], outputs=["int16", "int16"])
+        [row] = df.collect()
+        assert (row.a, row.b) == (7, 9) and row.ts is not None
+    finally:
+        srv.stop()
+
+
+def test_modbus_dfs_plan_executes_against_live_server(spark):
+    """Bridge: the wire plan a DFS modbus script compiles to executes
+    against the embedded device (esp_modbus_read.erl:81 tick)."""
+    import pathlib
+
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.modbus import (ModbusClient, ModbusServer,
+                                           set_float32)
+
+    text = pathlib.Path(
+        "/root/reference/dfs/other/modbus_multi_test.dfs").read_text()
+    c = DFSCompiler(spark)
+    c.run(text)
+    [plan] = c.plc_plans
+    hregs = {}
+    expect = {}
+    for run in plan["requests"]:
+        width = run.amount // len(run.aliases)
+        for i, alias in enumerate(run.aliases):
+            v = float(len(expect) + 1)
+            set_float32(hregs, run.start + i * width, v)
+            expect[alias] = v
+    srv = ModbusServer(hregs=hregs)
+    try:
+        cl = ModbusClient("127.0.0.1", srv.port, unit=plan["device"])
+        assert cl.read_plan(plan["requests"]) == expect
+        cl.close()
+    finally:
+        srv.stop()
