@@ -109,6 +109,28 @@ def broker_bridge(spark, *, source_brokers: str, source_topic: str,
                       checkpoint=checkpoint)
 
 
+def embedded_broker_bridge(spark, *, source, source_topic: str, sink,
+                           sink_topic: str | None = None):
+    """mqtt_amqp_bridge LIVE lane (esp_mqtt_amqp_bridge.erl): subscribe
+    the source broker's topic as a stream and republish every raw
+    payload to the sink broker, content-unaware and order-preserving —
+    the embedded-broker analog of broker_bridge, so the bridge
+    semantics are round-trip-testable in-container. Returns the
+    StreamingQuery (caller stops it)."""
+    from faxe_spark.sources import socket_source
+
+    host, port = source.serve_topic(source_topic)
+    raw = socket_source(spark, host=host, port=port)
+    dst = sink_topic or source_topic
+
+    def forward(batch_df: DataFrame, _epoch_id: int):
+        for r in batch_df.collect():   # bounded: one micro-batch
+            sink.publish(dst, r["value"])
+
+    return (raw.writeStream.foreachBatch(forward)
+            .trigger(processingTime="200 milliseconds").start())
+
+
 def jdbc_sink(df: DataFrame, *, url: str, table: str, user: str = "",
               password: str = "", mode: str = "append",
               streaming: bool = False, checkpoint: str | None = None,
@@ -131,6 +153,69 @@ def jdbc_sink(df: DataFrame, *, url: str, table: str, user: str = "",
         return w.start()
     write_batch(df, 0)
     return None
+
+
+def crate_out_statement(table: str, db_fields: list[str], *,
+                        database: str = "doc",
+                        remaining_fields_as: str | None = None) -> str:
+    """The exact INSERT statement esp_crate_out builds
+    (esp_crate_out.erl:434-447 build_query): ts first, then db_fields,
+    then the optional remaining-fields column, positional ? binds."""
+    cols = ["ts", *db_fields]
+    if remaining_fields_as is not None:
+        cols.append(remaining_fields_as)
+    marks = ", ".join(["?"] * len(cols))
+    return (f"INSERT INTO {database}.{table} ({', '.join(cols)}) "
+            f"VALUES ({marks})")
+
+
+def crate_out_args(df: DataFrame, faxe_fields: list[str], *,
+                   remaining_fields_as: str | None = None,
+                   ts_col: str = "ts", dedup: bool = True) -> DataFrame:
+    """Reshape a frame into the bulk_args row layout the statement
+    binds (esp_crate_out.erl:374-380 build_value_stmt2): ts, each
+    faxe_field read null-safe (missing path -> NULL, flowdata:fields/3),
+    then — when remaining_fields_as is set — every OTHER top-level
+    field as one JSON object (flowdata:to_map_except). dedup=True
+    mirrors the batch content-dedup (phash memory queue :384-395):
+    identical value rows collapse before the wire."""
+    from faxe_spark.paths import get_path_safe
+
+    cols = [F.col(ts_col).alias("ts")]
+    cols += [get_path_safe(df, f).alias(f"arg_{i}")
+             for i, f in enumerate(faxe_fields)]
+    if remaining_fields_as is not None:
+        roots = {f.split(".")[0].split("[")[0] for f in faxe_fields}
+        rem = [c for c in df.columns if c != ts_col and c not in roots]
+        cols.append(F.to_json(F.struct(*[F.col(c) for c in sorted(rem)]))
+                    .alias("arg_rem"))
+    out = df.select(*cols)
+    return out.dropDuplicates() if dedup else out
+
+
+def crate_out(df: DataFrame, *, host: str, port: int = 5432,
+              table: str, database: str = "doc",
+              db_fields: list[str] | None = None,
+              faxe_fields: list[str] | None = None,
+              remaining_fields_as: str | None = None,
+              user: str = "crate", password: str = "",
+              streaming: bool = False, checkpoint: str | None = None):
+    """crate_out (esp_crate_out.erl:79): the db_fields/faxe_fields
+    mapping + remaining-fields JSON column reshape feed the JDBC bulk
+    writer (the reference posts the same statement over CrateDB's
+    HTTP _sql bulk_args endpoint; JDBC is the Spark-native transport
+    for the identical statement shape)."""
+    faxe_fields = faxe_fields or db_fields or []
+    db_fields = db_fields or faxe_fields
+    args = crate_out_args(df, faxe_fields,
+                          remaining_fields_as=remaining_fields_as)
+    named = args.toDF("ts", *db_fields,
+                      *([remaining_fields_as] if remaining_fields_as else []))
+    return jdbc_sink(named,
+                     url=f"jdbc:postgresql://{host}:{port}/{database}",
+                     table=f"{database}.{table}", user=user,
+                     password=password, streaming=streaming,
+                     checkpoint=checkpoint)
 
 
 def tcp_send_sink(df: DataFrame, *, host: str, port: int,

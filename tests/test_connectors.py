@@ -783,3 +783,64 @@ def test_modbus_dfs_plan_executes_against_live_server(spark):
         cl.close()
     finally:
         srv.stop()
+
+
+# -- crate_out db_fields mapping parity (round 4) --------------------------
+
+def test_crate_out_statement_golden():
+    """Statement matches esp_crate_out.erl:434-447 byte shape: ts
+    first, db_fields, optional remaining column, positional binds."""
+    from faxe_spark.sinks import crate_out_statement
+
+    assert crate_out_statement("tbl", ["id", "df", "vs"]) == \
+        "INSERT INTO doc.tbl (ts, id, df, vs) VALUES (?, ?, ?, ?)"
+    assert crate_out_statement(
+        "oracle_test", ["id", "df", "vs", "topic"],
+        remaining_fields_as="data_obj") == \
+        ("INSERT INTO doc.oracle_test (ts, id, df, vs, topic, data_obj) "
+         "VALUES (?, ?, ?, ?, ?, ?)")
+
+
+def test_crate_out_args_reshape(spark):
+    """bulk_args layout (esp_crate_out.erl:374-380): null-safe field
+    reads, remaining fields as one JSON object, content dedup."""
+    import json
+
+    from faxe_spark.sinks import crate_out_args
+
+    df = spark.createDataFrame(
+        [(1000, 7, "a", 2.5), (1000, 7, "a", 2.5), (2000, 8, "b", 0.5)],
+        "ts long, id int, tag string, val double")
+    out = crate_out_args(df, ["id", "missing.path"],
+                         remaining_fields_as="data_obj")
+    rows = sorted(out.collect(), key=lambda r: r.ts)
+    assert len(rows) == 2  # identical content row deduped (:384-395)
+    assert rows[0].arg_0 == 7 and rows[0].arg_1 is None
+    assert json.loads(rows[0].arg_rem) == {"tag": "a", "val": 2.5}
+    assert json.loads(rows[1].arg_rem) == {"tag": "b", "val": 0.5}
+
+
+def test_embedded_broker_bridge_round_trip(spark):
+    """mqtt_amqp_bridge live lane (esp_mqtt_amqp_bridge.erl): messages
+    published on broker A's topic stream through the bridge and arrive
+    on broker B, content-unaware, order preserved."""
+    from faxe_spark.sinks import embedded_broker_bridge
+    from faxe_spark.sources.embedded_broker import EmbeddedBroker
+
+    a, b = EmbeddedBroker(), EmbeddedBroker()
+    payloads = ['{"n": 1}', '{"n": 2}', '{"n": 3}']
+    for p in payloads:
+        a.publish("plant/line1", p)
+    q = None
+    try:
+        q = embedded_broker_bridge(spark, source=a, source_topic="plant/line1",
+                                   sink=b, sink_topic="mirror")
+        deadline = time.time() + 30
+        while time.time() < deadline and len(b.messages("mirror")) < 3:
+            time.sleep(0.3)
+        assert b.messages("mirror") == payloads
+    finally:
+        if q:
+            q.stop()
+        a.stop()
+        b.stop()
