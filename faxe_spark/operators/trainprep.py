@@ -48,9 +48,14 @@ def decontaminate(train_df: DataFrame, bench_df: DataFrame, *,
     bench_grams = (shingle_rows(bench_df, id_col, text_col, n,
                                 distinct=False)
                    .select("shingle").distinct())
+    # training side stays shuffle-free until AFTER the broadcast join:
+    # distinct-ing the full (doc, gram) explode would shuffle the whole
+    # corpus; distinct-ing only the join SURVIVORS shuffles just the
+    # contaminated grams (tiny — benchmark-sized at worst)
     train_grams = shingle_rows(train_df, id_col, text_col, n,
-                               distinct=True)
+                               distinct=False)
     hits = (train_grams.join(F.broadcast(bench_grams), "shingle")
+            .dropDuplicates([id_col, "shingle"])
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contaminated_ngrams")))
     out = train_df.join(hits, id_col, "left")
@@ -72,6 +77,13 @@ def pack_chunked(df: DataFrame, *, budget: int,
     tok = (F.col(token_col) if token_col
            else token_count(F.col(text_col))).cast("long")
     keys = [by] if by else []
+    if not keys:
+        import warnings
+
+        warnings.warn("pack_chunked: global ordering without a shard key "
+                      "runs the cumsum window on a single task; pass "
+                      "by=<shard column> for parallel packing",
+                      stacklevel=2)
     w = Window.partitionBy(*keys).orderBy(id_col)
     out = df.withColumn("n_tokens", tok)
     cum = F.sum("n_tokens").over(w)
