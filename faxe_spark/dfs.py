@@ -584,20 +584,26 @@ class DFSCompiler:
     # main script so the body doesn't also compile as a free chain.
 
     _MACRO_DECL = re.compile(r"^\s*%+\s*macro\s*:\s*flow_id\s*:\s*(\S+)")
-    _MACRO_USE = re.compile(r"^\s*%+\s*use\b")
+    # terminator must be the whole comment ('%% use'), so an ordinary
+    # body comment like '% use upstream default' can't truncate a macro
+    _MACRO_USE = re.compile(r"^\s*%+\s*use\s*$")
 
     def _extract_macros(self, script: str) -> str:
         if "macro" not in script:
             return script
         main_lines, body, name = [], [], None
         for line in script.splitlines():
+            decl = self._MACRO_DECL.match(line)
             if name is None:
-                m = self._MACRO_DECL.match(line)
-                if m:
-                    name = m.group(1)
+                if decl:
+                    name = decl.group(1)
                     continue
                 main_lines.append(line)
             else:
+                if decl:  # back-to-back declarations, no '%% use'
+                    self.macros[name] = "\n".join(body)
+                    name, body = decl.group(1), []
+                    continue
                 if self._MACRO_USE.match(line):
                     self.macros[name] = "\n".join(body)
                     name, body = None, []
@@ -1378,8 +1384,10 @@ class DFSCompiler:
             "requests": plan,
         })
         outs = outputs or [""] * len(aliases)
-        leaf = [(a, self._MODBUS_OUT.get(
-                    o.lower(), "boolean" if f == "coils" else "int"))
+        # no-output reads decode as raw 16-bit words (and bit reads as
+        # 0/1 ints) in the live lane (sources/modbus.py decode fmt "")
+        # — the stub schema must agree, so no-output coils are int
+        leaf = [(a, self._MODBUS_OUT.get(o.lower(), "int"))
                 for a, o, f in zip(aliases, outs, functions)]
         return self._typed_stub(leaf)
 
@@ -1413,8 +1421,8 @@ class DFSCompiler:
         # extraction like flowdata's map access
         return self._typed_stub([(as_path, "string")])
 
-    def _jdbc_query_node(self, node: NodeCall, *, kind: str, url: str,
-                         default_port: int) -> DataFrame:
+    def _jdbc_query_node(self, node: NodeCall, *, kind: str,
+                         url: str) -> DataFrame:
         query = str(self._val(node.params.get("query", [""])[0])).strip()
         if not query:
             raise ValueError(f"{kind}: .query() is required")
@@ -1439,7 +1447,7 @@ class DFSCompiler:
         port = int(self._val(node.params.get("port", [5432])[0]))
         db = str(self._val(node.params.get("database", ["postgres"])[0]))
         return self._jdbc_query_node(
-            node, kind="postgresql_query", default_port=5432,
+            node, kind="postgresql_query",
             url=f"jdbc:postgresql://{host}:{port}/{db}")
 
     def node_oracle_query(self, df, node: NodeCall) -> DataFrame:
@@ -1449,7 +1457,7 @@ class DFSCompiler:
         port = int(self._val(node.params.get("port", [1521])[0]))
         svc = str(self._val(node.params.get("service_name", [""])[0]))
         return self._jdbc_query_node(
-            node, kind="oracle_query", default_port=1521,
+            node, kind="oracle_query",
             url=f"jdbc:oracle:thin:@//{host}:{port}/{svc}")
 
     def node_deadman(self, df, node: NodeCall) -> DataFrame:

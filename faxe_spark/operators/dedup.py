@@ -265,20 +265,23 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
     enters this lane only when n_docs * (8*n_words + 32) <=
     dense_broadcast_bytes (default 256 MB) — the same projection any
     broadcast join would pull through the driver-side
-    BroadcastExchange. The bound is re-asserted here (cheap count())
-    so a future caller can't reach the collect unbounded; replicating
-    the matrix to Python workers then rides sc.broadcast's torrent
-    path rather than per-task Arrow re-ship."""
+    BroadcastExchange. The bound is enforced on the COLLECTED row
+    count (a pre-count() would re-execute the whole mask-building
+    subtree just to check it, doubling the most expensive stage; and
+    a bare assert disappears under python -O); replicating the matrix
+    to Python workers then rides sc.broadcast's torrent path rather
+    than per-task Arrow re-ship."""
     import numpy as np
     import pandas as pd
 
     spark = masks.sparkSession
-    n_docs = masks.count()
-    assert n_docs * (8 * n_words + 32) <= broadcast_bytes, (
-        f"dense lane precondition violated: {n_docs} docs x "
-        f"{n_words} mask words exceeds the {broadcast_bytes >> 20} MB "
-        "broadcast bound — use the sparse prefix-filter lane")
     rows = masks.select(id_col, "_m", "n").collect()
+    n_docs = len(rows)
+    if n_docs * (8 * n_words + 32) > broadcast_bytes:
+        raise ValueError(
+            f"dense lane precondition violated: {n_docs} docs x "
+            f"{n_words} mask words exceeds the {broadcast_bytes >> 20} MB "
+            "broadcast bound — use the sparse prefix-filter lane")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     # bigint bitmaps may be negative (bit 63): int64 view -> uint64
     mat = np.array([r[1] for r in rows], dtype=np.int64) \

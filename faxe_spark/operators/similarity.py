@@ -273,6 +273,9 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
             .limit(train_sample).collect())
     samp.sort(key=lambda r: r[0])
+    if not samp:
+        raise ValueError("cosine_ivf_topk: empty corpus — nothing to "
+                         "train the coarse quantizer on")
     X = np.array([r[1] for r in samp], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
@@ -291,8 +294,9 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             cid = np.argmax(V @ C.T - half[None, :], axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
     assigned = (c.select(id_col, "_cv")
-                .mapInPandas(assign, f"{id_col} long, _cid int"))
+                .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
     lists = c.join(assigned, id_col)  # (id, _cv, _cid): the inverted lists
 
     cent = spark.createDataFrame(

@@ -164,9 +164,14 @@ def _state_count_duration_salted(df: DataFrame, condition: str | Column, *,
     else:
         marked = marked.crossJoin(F.broadcast(rng))
     span = F.col("_tmax") - F.col("_tmin") + 1
+    # NULL ts rows go to bucket 0: the plain lane's orderBy sorts nulls
+    # FIRST. Coalesce INSIDE the least — Spark's least() skips nulls,
+    # so a null floor would otherwise come out as salt-1 (last bucket).
     marked = marked.withColumn(
         "_b", F.least(F.lit(salt - 1),
-                      F.floor((ts_ms - F.col("_tmin")) * salt / span))
+                      F.coalesce(
+                          F.floor((ts_ms - F.col("_tmin")) * salt / span),
+                          F.lit(0)))
     ).drop("_tmin", "_tmax")
 
     # phase A: local run annotation within (key, bucket) — all four
@@ -174,7 +179,11 @@ def _state_count_duration_salted(df: DataFrame, condition: str | Column, *,
     kb = [F.col(c) for c in keys] + [F.col("_b")]
     wb = Window.partitionBy(*kb).orderBy(*_ord(ts_col, tiebreak))
     changed = (~F.col("in_state").eqNullSafe(F.lag("in_state").over(wb))).cast("int")
-    a = marked.withColumn("_new", F.coalesce(changed, F.lit(1)))
+    # the bucket head always opens run 1 — eqNullSafe(NULL state,
+    # NULL lag-at-head) is true, so `changed` alone would give the
+    # head row _new=0 whenever its state is NULL
+    head = F.lag(F.lit(1)).over(wb).isNull()
+    a = marked.withColumn("_new", F.when(head, F.lit(1)).otherwise(changed))
     a = a.withColumn("_lrun", F.sum("_new").over(
         wb.rowsBetween(Window.unboundedPreceding, 0)))
     wr = Window.partitionBy(*kb, F.col("_lrun"))
@@ -182,19 +191,27 @@ def _state_count_duration_salted(df: DataFrame, condition: str | Column, *,
         wr.orderBy(*_ord(ts_col, tiebreak))))
     a = a.withColumn("_lstart", F.min(ts_ms).over(wr))
 
-    # boundary table: one row per (key, bucket)
-    bt = a.groupBy(*kb).agg(
-        F.min_by("in_state", ordc).alias("_first_state"),
-        F.max_by("in_state", ordc).alias("_last_state"),
+    # boundary table: one row per (key, bucket). States are encoded
+    # null-safely to ints (NULL -> -1) BEFORE min_by/max_by — Spark's
+    # min_by/max_by skip rows whose value is NULL, which would corrupt
+    # the boundary state whenever a bucket starts/ends on a NULL
+    # condition row
+    bt = a.withColumn(
+        "_enc_state", F.coalesce(F.col("in_state").cast("int"), F.lit(-1))
+    ).groupBy(*kb).agg(
+        F.min_by("_enc_state", ordc).alias("_first_state"),
+        F.max_by("_enc_state", ordc).alias("_last_state"),
         F.max("_lrun").alias("_nruns"),
         F.max_by("_lcnt", ordc).alias("_last_len"),
         F.max_by("_lstart", ordc).alias("_last_start"),
     )
     wk = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("_b")
-    cont = F.col("_first_state").eqNullSafe(F.lag("_last_state").over(wk)) \
-        & F.lag("_last_state").over(wk).isNotNull()
-    # first bucket of a key never continues; eqNullSafe(lag=null) would
-    # claim continuation for a null first state otherwise
+    # NULL->NULL boundaries DO continue (the plain lane's run detector
+    # is eqNullSafe; encoded -1 == -1 here); only a missing previous
+    # bucket breaks the chain — the lag(lit(1)) probe below
+    # distinguishes "no previous bucket" from "previous bucket ended
+    # in a NULL state"
+    cont = F.col("_first_state") == F.lag("_last_state").over(wk)
     cont = F.coalesce(
         F.when(F.lag(F.lit(1)).over(wk).isNull(), F.lit(False)).otherwise(cont),
         F.lit(False))

@@ -112,9 +112,11 @@ def pack_greedy(df: DataFrame, *, budget: int,
     the pack's total AFTER adding the doc."""
     tok = (F.col(token_col) if token_col
            else token_count(F.col(text_col))).cast("long")
+    # NULL text -> 0 tokens (a NULL n_tokens would arrive in the Arrow
+    # batch as NaN and crash the int conversion)
     slim = df.select(F.col(by).cast("string").alias(by),
                      F.col(id_col).alias(id_col),
-                     tok.alias("n_tokens"))
+                     F.coalesce(tok, F.lit(0)).alias("n_tokens"))
     schema = StructType(
         [StructField(by, StringType()),
          StructField(id_col, slim.schema[id_col].dataType)]

@@ -80,15 +80,40 @@ SPARK_TYPE = {
 }
 
 
+# width-suffixed comma form: DB2024,Int16.1224 = 16-bit int at byte
+# 1224 (the esp_s7read.erl:70 example shape) — the digits after the
+# type are a BIT WIDTH, the offset follows the dot
+_WIDTH_SUFFIX = {
+    ("int", 16): "int", ("int", 32): "d_int", ("dint", 32): "d_int",
+    ("word", 16): "word", ("dword", 32): "d_word",
+    ("real", 32): "float", ("r", 32): "float", ("uint", 16): "word",
+}
+
+
 def _parse_comma_address(address: str) -> dict | None:
     m = _ADDR_COMMA.match(address.strip())
     if not m:
         return None
-    dtype = _COMMA_DTYPE.get(m.group("type").lower())
+    type_tok = m.group("type").lower()
+    db = int(m.group("db"))
+    if m.group("bit") is not None:
+        wide = _WIDTH_SUFFIX.get((type_tok, int(m.group("byte"))))
+        if wide is not None:
+            # DB4,Int16.1224: byte group held the bit width, the
+            # dot group holds the actual byte offset
+            return {"db_number": db, "dtype": wide,
+                    "start": int(m.group("bit")),
+                    "word_len": _DTYPE_WORD_LEN[wide]}
+        if _COMMA_DTYPE.get(type_tok) != "bool":
+            raise ValueError(
+                f"ambiguous S7 comma address {address!r}: a .suffix is "
+                f"only valid for bools (bit) or width-suffixed types "
+                f"(Int16/Int32/DWord32/Real32)")
+    dtype = _COMMA_DTYPE.get(type_tok)
     if dtype is None:
         raise ValueError(f"unknown S7 dtype {m.group('type')!r} "
                          f"in {address!r}")
-    db, byte = int(m.group("db")), int(m.group("byte"))
+    byte = int(m.group("byte"))
     if dtype == "bool":
         bit = int(m.group("bit") or 0)
         return {"db_number": db, "dtype": "bool", "start": byte * 8 + bit,

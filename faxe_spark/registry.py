@@ -2204,7 +2204,8 @@ def pack_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_greedy",
     f"""
     WITH RECURSIVE t AS (
-      SELECT source, doc_id, CAST(len({_RAWTOKS}) AS BIGINT) AS n_tokens,
+      SELECT source, doc_id,
+             CAST(coalesce(len({_RAWTOKS}), 0) AS BIGINT) AS n_tokens,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents
     ),
@@ -2213,10 +2214,12 @@ def pack_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
       FROM t WHERE rn = 1
       UNION ALL
+      -- pack_used > 0 mirrors the operator's cur > 0 guard: an empty
+      -- current pack (only 0-token docs so far) never opens a new one
       SELECT t.source, t.doc_id, t.n_tokens, t.rn,
-             CASE WHEN p.pack_used + t.n_tokens > 512
+             CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > 512
                   THEN p.pack_id + 1 ELSE p.pack_id END,
-             CASE WHEN p.pack_used + t.n_tokens > 512
+             CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > 512
                   THEN t.n_tokens ELSE p.pack_used + t.n_tokens END
       FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
     )

@@ -89,16 +89,18 @@ class ModbusClient:
         fc, is_bits = FUNCTION_CODES[function]
         with self._lock:
             self._tid = (self._tid + 1) & 0xFFFF
+            sent_tid = self._tid  # compare against a local copy: another
+            # thread may bump self._tid the moment the lock releases
             pdu = struct.pack(">BHH", fc, start, count)
-            mbap = struct.pack(">HHHB", self._tid, 0, len(pdu) + 1,
+            mbap = struct.pack(">HHHB", sent_tid, 0, len(pdu) + 1,
                                self.unit)
             self._sock.sendall(mbap + pdu)
             hdr = self._recv_exact(7)
             tid, _proto, length, _unit = struct.unpack(">HHHB", hdr)
             body = self._recv_exact(length - 1)
-        if tid != self._tid:
+        if tid != sent_tid:
             raise ConnectionError(
-                f"modbus: transaction id mismatch ({tid} != {self._tid})")
+                f"modbus: transaction id mismatch ({tid} != {sent_tid})")
         if body[0] & 0x80:
             raise ConnectionError(f"modbus exception code {body[1]}")
         if body[0] != fc:

@@ -691,3 +691,29 @@ def test_dfs_http_listen_port_clamp(spark):
     finally:
         for lis in c.listeners:
             lis.stop()
+
+
+def test_dfs_macro_edge_cases(spark):
+    """Review r4: back-to-back macro declarations register BOTH; an
+    ordinary body comment beginning with 'use ...' does not truncate
+    the body (only a bare '%% use' terminates)."""
+    from faxe_spark.dfs import DFSCompiler
+
+    src = """
+%% macro : flow_id : m_one
+def v = 1
+|set().fields('a').field_values(1)
+%% macro : flow_id : m_two
+%% use upstream default behavior here
+|set().fields('b').field_values(2)
+%% use
+|json_emitter()
+.json('{"x": 0}')
+||m_one()
+||m_two()
+"""
+    c = DFSCompiler(spark)
+    out = c.run(src)
+    assert set(c.macros) == {"m_one", "m_two"}
+    [row] = out.select("a", "b").collect()
+    assert (row.a, row.b) == (1, 2)

@@ -215,3 +215,36 @@ def test_state_salted_lane_splits_hot_key(spark):
     import re
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any(("user_id" in p) and ("_b" in p) for p in parts), parts
+
+
+def test_state_salted_lane_null_states_and_ts(spark):
+    """Round-4 review fixes: NULL condition runs crossing a bucket
+    boundary continue (eqNullSafe, like the plain lane's detector),
+    and NULL-ts rows land in bucket 0 (plain orderBy sorts nulls
+    first) — equivalence must hold on a frame full of both."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.state import state_count_duration
+
+    rows = []
+    for uid in range(4):
+        for i in range(40):
+            # value NULL every 3rd row -> condition NULL runs; a NULL
+            # ts sprinkled per user
+            ts = None if i == 7 else 1_700_000_000_000 + i * 1000
+            val = None if i % 3 == 0 else float((i * 13) % 100)
+            rows.append((uid * 1000 + i, uid, ts, val))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    ).withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+    cond = F.col("value") > 50
+    cols = ["event_id", "run_id", "state_count", "state_duration"]
+
+    def run(salt):
+        return sorted(tuple(r) for r in state_count_duration(
+            df, cond, by=["user_id"], tiebreak="event_id",
+            unit_ms=1000, salt=salt).select(*cols).collect())
+
+    plain = run(None)
+    for s in (2, 5, 16):
+        assert run(s) == plain, f"salt={s} diverges on NULL states/ts"

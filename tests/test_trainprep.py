@@ -130,3 +130,16 @@ def test_pack_stats_fill_ratio(spark):
         assert 0 < r.fill_ratio <= 1.5  # >1 only via oversized docs
         assert r.total_tokens == sum(
             len(t.split()) for _, t, s in rows if s == src)
+
+
+def test_pack_greedy_null_text_rows(spark):
+    """Review r4: NULL text = 0 tokens (was a NaN crash in the Arrow
+    batch); 0-token docs never open a new pack on their own."""
+    df = _docs(spark, [(1, None, "s"), (2, "w " * 600, "s"),
+                       (3, "w w w", "s")])
+    rows = {r.doc_id: r for r in tp.pack_greedy(df, budget=512).collect()}
+    assert rows[1].n_tokens == 0 and rows[1].pack_id == 0
+    # doc 2 is over budget but the current pack is still empty -> it
+    # stays in pack 0 (cur > 0 guard)
+    assert rows[2].pack_id == 0
+    assert rows[3].pack_id == 1
