@@ -321,7 +321,13 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
                         "id_a": aI[ai], "id_b": b_ids[bi],
                         "inter": inter[ai, bi], "jaccard": jac[ai, bi]})
 
-    return masks.mapInPandas(
+    # the probe side must spread across the executor cores: masks often
+    # hangs off a one-file scan + groupBy whose AQE-coalesced output is
+    # 1-2 partitions, which would serialize the O(n^2/cores) kernel
+    # (measured: the 10x scale probe ran the whole kernel on 2 tasks)
+    par = spark.sparkContext.defaultParallelism
+    probe = masks.repartition(par)
+    return probe.mapInPandas(
         gen, "id_a long, id_b long, inter long, jaccard double")
 
 
@@ -399,8 +405,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                                               dense_broadcast_bytes)
                 inter = F.expr("aggregate(zip_with(_ma, _mb, (x, y) -> bit_count(x & y)),"
                                " 0, (acc, v) -> acc + v)")
-            a = masks.select(F.col(id_col).alias("id_a"),
-                             F.col("_m").alias("_ma"), F.col("n").alias("na"))
+            # probe side spread across cores: a one-file scan plus an
+            # AQE-coalesced groupBy can leave 1-2 partitions, which
+            # would serialize the O(n^2) BNLJ on a single task
+            par = df.sparkSession.sparkContext.defaultParallelism
+            a = masks.repartition(par).select(
+                F.col(id_col).alias("id_a"),
+                F.col("_m").alias("_ma"), F.col("n").alias("na"))
             b = masks.select(F.col(id_col).alias("id_b"),
                              F.col("_m").alias("_mb"), F.col("n").alias("nb"))
             pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
