@@ -605,8 +605,10 @@ def test_dfs_modbus_decode_types_and_plan(spark):
     # 2701+2 == 2703 with equal opts -> merged; coils separate
     assert len(plan["requests"]) == 2
     types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    # no-output reads (incl. coils) are raw ints in the live decode
+    # lane (sources/modbus.py fmt "") — the stub schema must agree
     assert types == {"ts": "timestamp", "energy_a": "double",
-                     "energy_b": "double", "on": "boolean"}
+                     "energy_b": "double", "on": "int"}
 
 
 def test_dfs_pg_query_time_bucket_rewrite(spark):
