@@ -770,7 +770,8 @@ class DFSCompiler:
                      "tcp_recv", "tcp_recv_line", "tcppoll", "udp_recv",
                      "http_listen", "crate_query", "postgre_statement",
                      "mongo_query", "oracle_query", "blobstream",
-                     "postgresql_query", "modbus", "modbus_multi", "s7read")
+                     "postgresql_query", "modbus", "modbus_multi", "s7read",
+                     "conn_status")
 
     def apply(self, df: DataFrame | None, node: NodeCall) -> DataFrame:
         if node.name in self.macros:
@@ -1459,6 +1460,19 @@ class DFSCompiler:
         return self._jdbc_query_node(
             node, kind="oracle_query",
             url=f"jdbc:oracle:thin:@//{host}:{port}/{svc}")
+
+    def node_conn_status(self, df, node: NodeCall) -> DataFrame:
+        """esp_conn_status.erl:35-50 — subscribe the connection-status
+        event bus with flow/node/type filters and re-emit the status
+        points. Compiles against the process-global registry that
+        connector sources/sinks report into."""
+        from faxe_spark.streaming.metrics import CONN_STATUS
+
+        return CONN_STATUS.frame(
+            self.spark,
+            flow_id=node.params.get("flow", [None])[0],
+            node_id=node.params.get("node", [None])[0],
+            conn_type=node.params.get("type", [None])[0])
 
     def node_deadman(self, df, node: NodeCall) -> DataFrame:
         """esp_deadman.erl:43 — wall-clock watchdog on a stream; on a

@@ -77,9 +77,23 @@ class ModbusClient:
     reference's reader is sequential per connection too)."""
 
     def __init__(self, host: str, port: int = 502, *, unit: int = 255,
-                 timeout: float = 5.0):
+                 timeout: float = 5.0, flow_id: str = "default",
+                 node_id: str = "modbus"):
+        from faxe_spark.streaming.metrics import CONN_STATUS
+
         self.unit = unit
-        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._ctx = {"flow_id": flow_id, "node_id": node_id,
+                     "conn_type": "modbus_tcp", "peer": f"{host}:{port}"}
+        # connection_registry:reg + connecting/connected transitions
+        # (esp_modbus_read.erl:113-115)
+        CONN_STATUS.report(status="connecting", **self._ctx)
+        try:
+            self._sock = socket.create_connection((host, port),
+                                                  timeout=timeout)
+        except OSError:
+            CONN_STATUS.report(status="disconnected", **self._ctx)
+            raise
+        CONN_STATUS.report(status="connected", **self._ctx)
         self._tid = 0
         self._lock = threading.Lock()
 
@@ -134,7 +148,10 @@ class ModbusClient:
         return values
 
     def close(self):
+        from faxe_spark.streaming.metrics import CONN_STATUS
+
         self._sock.close()
+        CONN_STATUS.report(status="disconnected", **self._ctx)
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""

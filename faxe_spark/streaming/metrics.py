@@ -103,3 +103,93 @@ def observed(df: DataFrame, name: str = "flow",
     """
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("items_out"), *extra), obs
+
+
+# ---------------------------------------------------------------------------
+# conn_status event bus (esp_conn_status.erl:35-50)
+# ---------------------------------------------------------------------------
+
+class ConnStatusRegistry:
+    """The `conn_status` gen_event bus analog: connectors report
+    status transitions (connection_registry:connecting/connected/
+    disconnected in the reference); esp_conn_status subscribes with
+    flow/node/conn_type filters and re-emits the status points.
+
+    Here: connectors call `report(...)`; `frame(spark, ...)` is the
+    batch view and `stream(spark, ...)` the file-spool stream (same
+    checkpointable-spool pattern as the udp/http listeners)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._events: list[tuple] = []
+        self._spool = None
+        self._seq = 0
+
+    def report(self, *, flow_id: str, node_id: str, conn_type: str,
+               status: str, peer: str = "") -> None:
+        """status: 'connecting' | 'connected' | 'disconnected'
+        (connection_registry.erl states)."""
+        import json as _json
+        import os
+        import time as _time
+
+        ev = (int(_time.time() * 1000), flow_id, node_id, conn_type,
+              status, peer)
+        with self._lock:
+            self._events.append(ev)
+            if self._spool:
+                self._seq += 1
+                tmp = os.path.join(self._spool, f"._{self._seq}.json")
+                dst = os.path.join(self._spool, f"ev_{self._seq}.json")
+                with open(tmp, "w") as f:
+                    f.write(_json.dumps(dict(zip(
+                        ("ts_ms", "flow_id", "node_id", "conn_type",
+                         "status", "peer"), ev))))
+                os.replace(tmp, dst)
+
+    _SCHEMA = ("ts_ms long, flow_id string, node_id string, "
+               "conn_type string, status string, peer string")
+
+    @staticmethod
+    def _filter(df, flow_id, node_id, conn_type):
+        if flow_id is not None:
+            df = df.filter(F.col("flow_id") == flow_id)
+        if node_id is not None:  # undefined node = all nodes (:44)
+            df = df.filter(F.col("node_id") == node_id)
+        if conn_type is not None:
+            df = df.filter(F.col("conn_type") == conn_type)
+        return df.withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+
+    def frame(self, spark, *, flow_id=None, node_id=None,
+              conn_type=None) -> DataFrame:
+        with self._lock:
+            rows = list(self._events)
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        return self._filter(df, flow_id, node_id, conn_type)
+
+    def stream(self, spark, *, flow_id=None, node_id=None,
+               conn_type=None) -> DataFrame:
+        import json as _json
+        import os
+        import tempfile
+
+        with self._lock:
+            if self._spool is None:
+                self._spool = tempfile.mkdtemp(prefix="faxe_connstatus_")
+                # replay history into the spool so late subscribers see
+                # transitions that already happened (stronger than the
+                # reference's gen_event subscription, which only
+                # delivers from add_sup_handler onward)
+                for ev in self._events:
+                    self._seq += 1
+                    dst = os.path.join(self._spool, f"ev_{self._seq}.json")
+                    with open(dst, "w") as f:
+                        f.write(_json.dumps(dict(zip(
+                            ("ts_ms", "flow_id", "node_id", "conn_type",
+                             "status", "peer"), ev))))
+        df = (spark.readStream.schema(self._SCHEMA)
+              .option("maxFilesPerTrigger", 64).json(self._spool))
+        return self._filter(df, flow_id, node_id, conn_type)
+
+
+CONN_STATUS = ConnStatusRegistry()

@@ -403,3 +403,48 @@ def test_sample_stream_every_nth(spark, tmp_path):
     # rows 3 and 6 of 7 pass
     base = 1704067200000
     assert rows == [base + 2000, base + 5000]
+
+
+def test_conn_status_registry_and_dfs_node(spark):
+    """conn_status (esp_conn_status.erl:35-50): connectors report
+    transitions into the event bus; the node view filters by
+    flow/node/type. The Modbus client reports the reference's
+    connecting/connected/disconnected lifecycle."""
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.modbus import ModbusClient, ModbusServer
+    from faxe_spark.streaming.metrics import CONN_STATUS
+
+    srv = ModbusServer(hregs={1: 5})
+    try:
+        c = ModbusClient("127.0.0.1", srv.port, flow_id="f1",
+                         node_id="plc_a")
+        c.read("hregs", 1, 1)
+        c.close()
+    finally:
+        srv.stop()
+    CONN_STATUS.report(flow_id="f2", node_id="mq", conn_type="mqtt",
+                       status="connected", peer="broker:1883")
+
+    frame = CONN_STATUS.frame(spark, flow_id="f1", conn_type="modbus_tcp")
+    got = [r.status for r in frame.orderBy("ts").collect()]
+    assert got == ["connecting", "connected", "disconnected"]
+
+    out = DFSCompiler(spark).run("|conn_status()\n.flow('f2')\n.type('mqtt')\n")
+    [row] = out.collect()
+    assert (row.node_id, row.status) == ("mq", "connected")
+
+    # stream view: spool replays history, live reports append
+    sdf = CONN_STATUS.stream(spark, flow_id="f2")
+    q = sdf.writeStream.format("memory").queryName("connst").start()
+    try:
+        CONN_STATUS.report(flow_id="f2", node_id="mq", conn_type="mqtt",
+                           status="disconnected", peer="broker:1883")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM connst").count() >= 2:
+                break
+            time.sleep(0.3)
+        states = {r.status for r in spark.sql("SELECT * FROM connst").collect()}
+        assert {"connected", "disconnected"} <= states
+    finally:
+        q.stop()
