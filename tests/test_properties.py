@@ -205,3 +205,66 @@ def test_merge_value_map_right_wins(spark, m1, m2):
     got = df.select(merge_value(F.col("a"), F.col("b"), dtype).alias("m")) \
         .collect()[0]["m"] or {}
     assert got == {**m1, **m2}
+
+
+# -- round 4: modbus decode, greedy packing, comma addresses ----------------
+
+@given(st.lists(st.integers(0, 0xFFFF), min_size=2, max_size=8)
+       .filter(lambda r: len(r) % 2 == 0))
+def test_modbus_float32_decode_round_trip(regs):
+    """Registers -> float32 -> registers is the identity on the wire
+    bytes (big-endian word order, esp_modbus_read OUT_TYPES)."""
+    import struct
+
+    from faxe_spark.sources.modbus import decode_registers
+
+    vals = decode_registers(regs, "float32")
+    if not isinstance(vals, list):
+        vals = [vals]
+    back = []
+    for v in vals:
+        hi, lo = struct.unpack(">HH", struct.pack(">f", v))
+        back += [hi, lo]
+    # NaN payloads aren't bit-stable through pack/unpack; compare
+    # non-NaN words only
+    import math
+
+    if not any(isinstance(v, float) and math.isnan(v) for v in vals):
+        assert back == regs
+
+
+@given(st.integers(1, 9999), st.integers(0, 4095))
+def test_s7_comma_width_suffix_addresses(db, byte):
+    """DB<db>,Int16.<byte> == 16-bit int at byte <byte>; the plain
+    comma form DB<db>,Int<byte> must agree on dtype and offset."""
+    from faxe_spark.plc import parse_address
+
+    a = parse_address(f"DB{db},Int16.{byte}")
+    b = parse_address(f"DB{db},Int{byte}")
+    assert a == b
+
+
+@given(st.lists(st.integers(0, 900), min_size=1, max_size=60),
+       st.integers(64, 600))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_greedy_property(spark, tokens, budget):
+    """Greedy invariants under arbitrary token counts incl. zeros and
+    over-budget docs: ids keep order, pack ids are non-decreasing,
+    pack totals respect the budget unless a single doc exceeds it."""
+    from faxe_spark.operators import trainprep as tp
+
+    rows = [(i, "w " * t if t else None, "s") for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(tp.pack_greedy(df, budget=budget).collect(),
+                 key=lambda r: r.doc_id)
+    per_pack: dict[int, int] = {}
+    last_pack = 0
+    for r in out:
+        assert r.pack_id >= last_pack
+        last_pack = r.pack_id
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.n_tokens
+    for pid, total in per_pack.items():
+        members = [r for r in out if r.pack_id == pid]
+        assert total <= budget or any(
+            m.n_tokens > budget for m in members)
