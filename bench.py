@@ -60,6 +60,11 @@ HEADLINE = [
     "repetition_quality",
     "decontaminate",
     "pack_greedy",
+    # round-4 second wave: PII / boilerplate / mixture / semantic dedup
+    "pii_scrub",
+    "boilerplate_chunks",
+    "domain_mix_sample",
+    "semantic_dedup",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

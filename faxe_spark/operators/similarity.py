@@ -323,7 +323,8 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
 def cosine_pairs(corpus: DataFrame, threshold: float, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 block_size: int | None = 1024) -> DataFrame:
+                 block_size: int | None = 1024,
+                 block_col: str | None = None) -> DataFrame:
     """Exact all-pairs cosine >= threshold (embedding near-dup), over
     integer-quantized vectors (engine-reproducible, see quantize_vec).
 
@@ -343,11 +344,22 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     Scale notes: exact all-pairs is O(n^2) by definition — the blocked
     layout distributes the tiles evenly (C^2/2 independent GEMM tasks,
     replication factor C); beyond ~1e5 vectors switch to hyperplane-LSH
-    candidates + this verifier, or cosine_ivf_topk."""
+    candidates + this verifier, or cosine_ivf_topk.
+
+    block_col: optional partition column — pairs are only generated
+    WITHIN equal block_col values (the SemDeDup within-cluster lane).
+    The tile grid simply gains the partition as a third grouping key;
+    with k balanced partitions pair cost drops n^2 -> k*(n/k)^2."""
+    part = [block_col] if block_col else []
     if block_size is None:
-        a = corpus.select(F.col(id_col).alias("id_a"), quantize_vec(F.col(vec_col)).alias("_va"))
-        b = corpus.select(F.col(id_col).alias("id_b"), quantize_vec(F.col(vec_col)).alias("_vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cols = [F.col(id_col), quantize_vec(F.col(vec_col)).alias("_vq"), *part]
+        a = corpus.select(*cols).withColumnRenamed(id_col, "id_a") \
+            .withColumnRenamed("_vq", "_va")
+        b = corpus.select(*cols).withColumnRenamed(id_col, "id_b") \
+            .withColumnRenamed("_vq", "_vb")
+        cond = F.col("id_a") < F.col("id_b")
+        pairs = (a.join(b, [*part], "inner").filter(cond) if part
+                 else a.join(b, cond))
         return (pairs.select("id_a", "id_b",
                              cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
@@ -357,12 +369,13 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     n = corpus.count()  # adaptive probe: picks the tile grid
     n_blocks = max(1, math.ceil(n / block_size))
     q = corpus.select(F.col(id_col).cast("long").alias("_id"),
-                      quantize_vec(F.col(vec_col)).alias("_v"))
+                      quantize_vec(F.col(vec_col)).alias("_v"), *part)
     q = q.withColumn("_c", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int"))
     partners = F.array(*[F.lit(t) for t in range(n_blocks)])
     # one row per (vector, partner block): group (i,j) receives exactly
     # the vectors of blocks i and j, each once.
-    tagged = (q.select("_id", "_v", "_c", F.explode(partners).alias("_t"))
+    tagged = (q.select("_id", "_v", "_c", *part,
+                       F.explode(partners).alias("_t"))
               .withColumn("_gi", F.least("_c", "_t"))
               .withColumn("_gj", F.greatest("_c", "_t")))
 
@@ -370,7 +383,7 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         import numpy as np
         import pandas as pd
 
-        i, j = key
+        i, j = key[-2:]
         thr = threshold
 
         def score(X, Y):
@@ -403,5 +416,71 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         hi = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
 
-    return (tagged.groupBy("_gi", "_gj")
+    return (tagged.groupBy(*part, "_gi", "_gj")
             .applyInPandas(tile, "id_a long, id_b long, cosine double"))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float, *,
+                   nlist: int = 1, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   max_iter: int = 20,
+                   block_size: int | None = 1024) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023):
+    k-means partition -> exact cosine pairs WITHIN each cluster ->
+    connected components -> one canonical keeper (min id) per group.
+    Returns every corpus row as (id, component, keep).
+
+    nlist=1 is EXACT (single cluster == exhaustive all-pairs) — the
+    oracle-checkable lane. nlist>1 is the scale path: pair cost drops
+    from n^2 to sum(n_c^2); recall loss is only pairs straddling a
+    centroid boundary (measured in tests/test_trainprep.py). At 100 TB:
+    the quantizer trains on a bounded hash sample driver-side (the
+    FAISS coarse-quantizer strategy, see cosine_ivf_topk), assignment
+    is one broadcast-GEMM scan, and the within-cluster tiles are
+    independent applyInPandas tasks keyed by (cluster, tile)."""
+    from faxe_spark.operators.dedup import connected_components
+
+    import numpy as np
+
+    if nlist > 1:
+        samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_cv"))
+                .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+                .limit(25_000).collect())
+        samp.sort(key=lambda r: r[0])
+        if not samp:
+            raise ValueError("semantic_dedup: empty corpus")
+        X = np.array([r[1] for r in samp], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
+        bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            import pandas as pd
+
+            C = bc.value
+            half = 0.5 * (C * C).sum(axis=1)
+            for pdf in batches:
+                V = np.array(list(pdf["_cv"]), dtype=np.float64)
+                V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+                cid = np.argmax(V @ C.T - half[None, :], axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
+
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        assigned = (corpus
+                    .select(id_col, _as_double(F.col(vec_col)).alias("_cv"))
+                    .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
+        clustered = corpus.join(assigned, id_col)
+        pairs = cosine_pairs(clustered, threshold, id_col=id_col,
+                             vec_col=vec_col, block_size=block_size,
+                             block_col="_cid")
+    else:
+        pairs = cosine_pairs(corpus, threshold, id_col=id_col,
+                             vec_col=vec_col, block_size=block_size)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    out = (corpus.select(F.col(id_col))
+           .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+           .withColumn("component",
+                       F.coalesce("component", F.col(id_col).cast("long")))
+           .withColumn("keep", F.col("component") == F.col(id_col)))
+    return out

@@ -152,6 +152,43 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     return out.drop("_w")
 
 
+# PII patterns, deliberately regex-portable (Java regex == RE2 == DuckDB
+# for this subset: character classes, bounded repeats, \b anchors — no
+# lookaround, no backrefs). Scrub order matters: emails first (an email
+# never survives to be half-matched as a phone/IP), then phones, then
+# bare IPv4s.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(c: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (email/phone/ipv4)."""
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def scrub_pii(c: Column) -> Column:
+    """Replace every PII match with a typed placeholder (<EMAIL>,
+    <PHONE>, <IPV4>) — the standard pre-training redaction pass.
+    Pure JVM regexp_replace chain: at 100 TB this is a scan-stage
+    expression, zero shuffles, no Python."""
+    out = c
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate with per-kind PII match counts + the scrubbed text."""
+    c = F.col(text_col)
+    return df.withColumns({
+        **{f"n_{kind}": pii_count(c, kind) for kind in PII_PATTERNS},
+        "scrubbed": scrub_pii(c),
+    })
+
+
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass annotation with all text-analysis columns."""
     c = F.col(text_col)

@@ -143,6 +143,86 @@ def pack_greedy(df: DataFrame, *, budget: int,
     return slim.groupBy(by).applyInPandas(pack, schema)
 
 
+def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", chunk_words: int = 8,
+                       min_df: int = 2) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal: segment every
+    document into fixed `chunk_words`-word chunks, count how many
+    DISTINCT documents each chunk appears in, and drop chunks whose
+    document frequency >= min_df (headers, footers, nav bars — text
+    repeated across pages). Returns (id, n_chunks, n_removed,
+    clean_text) with surviving chunks rejoined in document order.
+
+    Scale shape: the chunking is a scan-stage array expression (no
+    explode until the count); the frequency count groups on md5(chunk)
+    (fixed 32-byte shuffle key instead of arbitrary-length text); only
+    chunks that clear min_df come back (boilerplate is a tiny fraction
+    of a 100 TB corpus — AQE turns the mark-join into a broadcast when
+    it fits); the rebuild groups by doc id. Two shuffles + one
+    boilerplate-sized join, the canonical CCNet layout."""
+    W = chunk_words
+    d = df.withColumn("_w", F.split(F.trim(F.col(text_col)), r"\s+"))
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(_w)/{W}.0))-1), "
+        f"i -> array_join(slice(_w, i*{W}+1, {W}), ' '))")
+    ex = (d.withColumn("_chunks", chunks)
+          .select(id_col, F.posexplode("_chunks").alias("_idx", "_chunk"))
+          .withColumn("_ck", F.md5("_chunk")))
+    boiler = (ex.groupBy("_ck")
+              .agg(F.countDistinct(id_col).alias("_df"))
+              .filter(F.col("_df") >= min_df)
+              .select("_ck", F.lit(True).alias("_boiler")))
+    marked = ex.join(boiler, "_ck", "left").withColumn(
+        "_boiler", F.coalesce("_boiler", F.lit(False)))
+    # array_sort on struct(idx, ...) orders by idx (unique per doc), so
+    # the rebuild is a pure array pipeline after one collect_list
+    rebuilt = (marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(
+                        F.struct("_idx", "_boiler", "_chunk"))),
+                    lambda x: ~x["_boiler"]),
+                lambda x: x["_chunk"]),
+            " ").alias("clean_text")))
+    return rebuilt.withColumn("n_chunks", F.col("n_chunks").cast("int"))
+
+
+def _rate_threshold(rate: float) -> str:
+    """8-hex-digit md5-prefix threshold for a [0,1] keep rate. A rate
+    >= 1.0 returns 'g' (lexicographically above every hex digit), so
+    full domains keep everything without a 9-digit edge case."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 16 ** 8), 0), "08x")
+
+
+def mix_sample(df: DataFrame, weights: dict[str, float], *,
+               domain_col: str = "source", key_col: str = "doc_id",
+               default_rate: float = 1.0) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    domain's target rate, decided by comparing the first 8 hex chars of
+    md5(key || domain) against the rate's threshold. The standard way
+    to hit a target source mixture (web 40% / code 30% / ...) on a
+    100 TB corpus: reproducible (a pure function of the key — re-runs
+    and backfills agree), requires no count pass, no shuffle, and no
+    coordination — it is a scan-stage filter that composes with
+    predicate pushdown. Domains absent from `weights` use default_rate.
+
+    Engine-portable by construction: md5 is md5 everywhere, and the
+    fixed-width hex compare is the same as the numeric one."""
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.col(domain_col).cast("string"))), 1, 8)
+    thr = F.lit(_rate_threshold(default_rate))
+    for dom, rate in sorted(weights.items()):
+        thr = F.when(F.col(domain_col) == dom,
+                     F.lit(_rate_threshold(rate))).otherwise(thr)
+    return df.filter(h < thr)
+
+
 def pack_stats(packed: DataFrame, *, budget: int,
                by: str = "source") -> DataFrame:
     """Shard-level packing efficiency: packs, tokens, fill ratio."""

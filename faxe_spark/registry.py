@@ -2235,6 +2235,169 @@ def pack_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data preparation (round 4, second wave): PII scrubbing,
+# corpus-level boilerplate removal, domain-mixture sampling,
+# SemDeDup-style embedding dedup
+# ---------------------------------------------------------------------------
+
+# documents carry no natural PII, so the query derives a deterministic
+# PII-bearing suffix from (doc_id, source) — identically on both sides —
+# then exercises the real scrub operator on it
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source"
+    " || '.com call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS n_email,
+      len(regexp_extract_all(aug, '{_PHONE_RE}')) AS n_phone,
+      len(regexp_extract_all(aug, '{_IPV4_RE}')) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(aug,
+            '{_EMAIL_RE}', '<EMAIL>', 'g'),
+            '{_PHONE_RE}', '<PHONE>', 'g'),
+            '{_IPV4_RE}', '<IPV4>', 'g')) AS clean_md5
+    FROM a
+    """,
+    doc="PII detection + redaction (emails/phones/IPv4 -> typed "
+        "placeholders): pure JVM regexp chain, scan-stage at 100 TB; "
+        "regex subset chosen to evaluate identically under Java regex "
+        "and RE2/DuckDB",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail-"), F.col("source"),
+        F.lit(".com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"))
+    out = text_ops.pii_features(d.withColumn("_aug", aug), text_col="_aug")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("scrubbed").alias("clean_md5"))
+
+
+@register(
+    "boilerplate_chunks",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl
+               FROM documents),
+    c AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(wl[i*8+1 : i*8+8], ' ') AS chunk
+      FROM w, LATERAL (SELECT unnest(generate_series(
+               0, CAST(ceil(len(wl)/8.0) AS INT)-1)) AS i) t
+    ),
+    f AS (SELECT chunk, count(DISTINCT doc_id) AS dfreq FROM c GROUP BY chunk),
+    m AS (SELECT c.doc_id, c.idx, c.chunk, f.dfreq >= 2 AS boiler
+          FROM c JOIN f USING (chunk))
+    SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                          FILTER (WHERE NOT boiler), '')) AS clean_md5
+    FROM m GROUP BY doc_id
+    """,
+    doc="CCNet-style corpus boilerplate removal: 8-word chunks, drop "
+        "chunks appearing in >=2 distinct docs, rebuild in order; "
+        "verified through the rebuilt text's md5",
+)
+def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tp_ops.boilerplate_remove(d, chunk_words=8, min_df=2)
+    return out.select("doc_id", "n_chunks", "n_removed",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+@register(
+    "domain_mix_sample",
+    """
+    WITH k AS (
+      SELECT source, count(*) AS n_total,
+        count(*) FILTER (WHERE
+          substr(md5(CAST(doc_id AS VARCHAR) || source), 1, 8) <
+          CASE (CAST(substr(source, 4, 6) AS INT) % 4)
+            WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+            WHEN 2 THEN 'c0000000' ELSE 'g' END) AS n_kept
+      FROM documents GROUP BY source)
+    SELECT source, n_total, CAST(n_kept AS BIGINT) AS n_kept,
+      CAST(((CAST(substr(source, 4, 6) AS INT) % 4) + 1) * 0.25 AS DOUBLE)
+        AS target_rate
+    FROM k
+    """,
+    doc="deterministic domain-mixture sampling (md5-threshold keep per "
+        "source, the reproducible no-shuffle way to hit a target source "
+        "mix on 100 TB); verified through per-source kept counts",
+)
+def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(100)}
+    kept = tp_ops.mix_sample(d, weights).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"))
+    target = ((F.substring("source", 4, 6).cast("int") % 4) + 1) * 0.25
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .join(kept, "source", "left")
+            .select("source", "n_total",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    target.cast("double").alias("target_rate")))
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))
+             / (sqrt(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(range(1, len(b.qv) + 1), i -> b.qv[i] * b.qv[i])) AS DOUBLE)))
+             AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.35),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id, CAST(coalesce(c.component, e.vec_id) AS BIGINT)
+             AS component,
+           coalesce(c.component, e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): embedding cosine pairs -> "
+        "connected components -> min-id canonical keeper, nlist=1 exact "
+        "lane (the clustered scale lane is recall-tested in "
+        "tests/test_trainprep.py)",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim_ops.semantic_dedup(emb, 0.35, nlist=1, id_col="vec_id",
+                                 vec_col="embedding")
+    return out.select("vec_id", F.col("component").cast("long"), "keep")
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate scores exactly the FIRST 50 entries of this
@@ -2259,6 +2422,10 @@ _DEFERRED_THIS_ROUND = [
     # driver's first-50 scoring window for fresh hard rows
     "time_shift", "sliding_window", "win_time_fill_period",
     "default_rename_extract",
+    # and 4 more (r1+r3 hard-green, untouched) so the second-wave
+    # round-4 queries (pii_scrub/boilerplate_chunks/domain_mix_sample/
+    # semantic_dedup) also land inside the first-50 window
+    "dedup_exact", "dedup_simhash", "statistics_node", "stats_extra",
 ]
 
 

@@ -143,3 +143,124 @@ def test_pack_greedy_null_text_rows(spark):
     # stays in pack 0 (cur > 0 guard)
     assert rows[2].pack_id == 0
     assert rows[3].pack_id == 1
+
+
+# -- PII scrubbing (round 4, second wave) -----------------------------------
+
+def test_pii_scrub_crafted(spark):
+    df = _docs(spark, [
+        (1, "mail a.b+c@ex-1.org or +49-123-4567 at 10.0.0.1 end", "s"),
+        (2, "no pii here 1234", "s"),
+    ])
+    out = {r.doc_id: r for r in text_ops.pii_features(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 1)
+    assert out[1].scrubbed == "mail <EMAIL> or <PHONE> at <IPV4> end"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+    assert out[2].scrubbed == "no pii here 1234"
+
+
+def test_pii_scrub_is_scan_stage_only(spark):
+    df = _docs(spark, [(1, "x@y.zz", "s")])
+    plan = text_ops.pii_features(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- boilerplate removal ----------------------------------------------------
+
+_HDR = "one two three four five six seven eight"  # exactly one 8-word chunk
+
+
+def test_boilerplate_removes_shared_chunks(spark):
+    df = _docs(spark, [
+        (1, f"{_HDR} unique tail words", "s"),
+        (2, f"{_HDR} other body", "s"),
+        (3, "entirely different text with nothing shared at all ok", "s"),
+    ])
+    out = {r.doc_id: r for r in tp.boilerplate_remove(df).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[1].clean_text == "unique tail words"
+    assert out[2].clean_text == "other body"
+    # 9 words -> 2 chunks (8 + 1), nothing shared
+    assert out[3].n_chunks == 2 and out[3].n_removed == 0
+    assert out[3].clean_text == out[3].clean_text  # rebuilt in order
+    assert out[3].clean_text.startswith("entirely different")
+
+
+def test_boilerplate_rebuild_preserves_order(spark):
+    body = " ".join(f"w{i}" for i in range(24))  # 3 chunks, all unique
+    df = _docs(spark, [(1, body, "s"), (2, "unrelated words here", "s")])
+    out = {r.doc_id: r for r in tp.boilerplate_remove(df).collect()}
+    assert out[1].clean_text == body and out[1].n_removed == 0
+
+
+def test_boilerplate_fully_removed_doc(spark):
+    df = _docs(spark, [(1, _HDR, "s"), (2, _HDR, "s"),
+                       (3, "normal body text", "s")])
+    out = {r.doc_id: r for r in tp.boilerplate_remove(df).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+
+
+# -- domain-mixture sampling ------------------------------------------------
+
+def test_mix_sample_rates_and_determinism(spark):
+    rows = [(i, "t", ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = _docs(spark, rows)
+    weights = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept = tp.mix_sample(df, weights).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["a"] == 1000           # rate 1.0 keeps everything
+    assert "c" not in by_src             # rate 0.0 keeps nothing
+    # md5 uniformity: 1000 Bernoulli(0.5) within 6 sigma (~95)
+    assert abs(by_src["b"] - 500) < 95
+    again = {r.doc_id for r in tp.mix_sample(df, weights).collect()}
+    assert again == {r.doc_id for r in kept}
+
+
+def test_mix_sample_default_rate_and_plan(spark):
+    df = _docs(spark, [(i, "t", "unknown") for i in range(100)])
+    assert tp.mix_sample(df, {"a": 0.5}).count() == 100  # default 1.0
+    assert tp.mix_sample(df, {"a": 0.5}, default_rate=0.0).count() == 0
+    plan = tp.mix_sample(df, {"a": 0.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # scan-stage filter, no shuffle
+
+
+def test_mix_sample_rate_monotone(spark):
+    """A doc kept at rate r is kept at every rate >= r (thresholds are
+    nested), so mixtures can be re-weighted without resampling churn."""
+    df = _docs(spark, [(i, "t", "a") for i in range(500)])
+    kept_25 = {r.doc_id for r in tp.mix_sample(df, {"a": 0.25}).collect()}
+    kept_50 = {r.doc_id for r in tp.mix_sample(df, {"a": 0.5}).collect()}
+    assert kept_25 <= kept_50
+
+
+# -- semantic dedup ---------------------------------------------------------
+
+def test_semantic_dedup_clustered_refines_exact(spark):
+    from faxe_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id: r for r in
+             sim.semantic_dedup(emb, 0.35, nlist=1).collect()}
+    approx = {r.vec_id: r for r in
+              sim.semantic_dedup(emb, 0.35, nlist=4).collect()}
+    assert set(exact) == set(approx)
+    # every clustered component maps into exactly one exact component
+    # (within-cluster pairs are a subset of all pairs)
+    mapping = {}
+    for vid, r in approx.items():
+        prev = mapping.setdefault(r.component, exact[vid].component)
+        assert prev == exact[vid].component
+    # missing cross-cluster pairs can only SPLIT components -> the
+    # clustered lane never keeps fewer docs than exact
+    n_exact = sum(1 for r in exact.values() if r.keep)
+    n_approx = sum(1 for r in approx.values() if r.keep)
+    assert n_approx >= n_exact
+    # recall floor on this corpus: dup mass found by 4 clusters
+    dropped_exact = len(exact) - n_exact
+    dropped_approx = len(approx) - n_approx
+    if dropped_exact:
+        assert dropped_approx / dropped_exact >= 0.5
