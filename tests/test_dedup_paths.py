@@ -82,6 +82,21 @@ def test_connected_components_vs_python_reference(spark):
     assert got == want
 
 
+def test_connected_components_lane_equivalence(spark):
+    """The driver union-find lane (default for bounded edge lists) and
+    the distributed hash-min lane (driver_threshold=0 forces it) must
+    label identically — same node set, same min-id components."""
+    from faxe_spark.operators.dedup import connected_components
+
+    pairs = _pairs(spark, shingle_n=1, threshold=0.9).select("id_a", "id_b")
+    small = {(r.node, r.component)
+             for r in connected_components(pairs).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(
+                pairs, driver_threshold=0).collect()}
+    assert small and small == dist
+
+
 def test_dedup_keep_canonical_removes_cluster_tails(spark):
     from faxe_spark.operators.dedup import dedup_keep_canonical
     from faxe_spark.tables import load_table

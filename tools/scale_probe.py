@@ -46,6 +46,9 @@ PROBE_QUERIES = [
     "repetition_quality", "pack_greedy", "decontaminate",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_neardup",
     "ann_topk", "training_pipeline",
+    # round-4 second wave
+    "pii_scrub", "boilerplate_chunks", "domain_mix_sample",
+    "semantic_dedup",
 ]
 
 
