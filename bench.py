@@ -65,6 +65,7 @@ HEADLINE = [
     "boilerplate_chunks",
     "domain_mix_sample",
     "semantic_dedup",
+    "lm_novelty",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -483,9 +483,14 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     if n_edges <= driver_threshold:
         import numpy as np
 
-        pdf = base.toPandas()                  # Arrow batch, 2 columns
-        src = pdf["src"].to_numpy()
-        dst = pdf["dst"].to_numpy()
+        try:
+            tbl = base.toArrow()               # no pandas detour
+            src = tbl["src"].to_numpy()
+            dst = tbl["dst"].to_numpy()
+        except AttributeError:                 # pyspark < 4
+            pdf = base.toPandas()
+            src = pdf["src"].to_numpy()
+            dst = pdf["dst"].to_numpy()
         if src.dtype == object:                # non-numeric ids: dense-rank
             order = np.unique(np.concatenate([src, dst]))
             src = np.searchsorted(order, src)

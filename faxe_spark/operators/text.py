@@ -109,9 +109,12 @@ def ngram_array(c: Column, n: int) -> Column:
     index-based slicing needs a named array, which keeps the n-gram
     build inside codegen instead of an exploded (doc, gram) shuffle."""
     parts = ", ' ', ".join(f"element_at(_w, i+{j})" for j in range(n))
+    # NB: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of being empty,
+    # so a doc shorter than n words needs the explicit empty branch
     return F.expr(
-        f"transform(sequence(1, greatest(size(_w)-{n - 1}, 0)), "
-        f"i -> concat({parts}))")
+        f"if(size(_w) >= {n}, "
+        f"transform(sequence(1, size(_w)-{n - 1}), i -> concat({parts})), "
+        f"array())")
 
 
 def dup_word_fraction(c: Column) -> Column:
@@ -187,6 +190,43 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         **{f"n_{kind}": pii_count(c, kind) for kind in PII_PATTERNS},
         "scrubbed": scrub_pii(c),
     })
+
+
+def lm_novelty(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", rare_max_count: int = 2) -> DataFrame:
+    """Corpus bigram-LM document scoring (the CCNet quality-signal
+    shape: a language model trained on the corpus itself scores each
+    document's transitions). Per document: n_bigrams, n_rare (bigram
+    occurrences whose corpus count <= rare_max_count — the novelty /
+    gibberish signal), min_p / max_p (extreme transition probabilities
+    p(w2|w1) = C(w1 w2) / C(w1 ·)), and mean_neglogp (average -log2 p,
+    the perplexity proxy — order-dependent float, for ranking only; the
+    other four columns are engine-exact and oracle-checked).
+
+    Scale shape: one bigram explode; two corpus count aggregations
+    (bigram and first-word totals — the 'model'); counts join back to
+    the exploded stream (count tables are vocab-bounded, far smaller
+    than the corpus — AQE broadcasts when they fit); one per-doc
+    aggregation. No Python anywhere."""
+    d = df.withColumn("_w", words(F.col(text_col)))
+    ex = (d.select(id_col, F.explode(ngram_array(F.col(text_col), 2))
+                   .alias("_g"))
+          .withColumn("_w1", F.substring_index("_g", " ", 1)))
+    bg = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cb"))
+    ug = ex.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cu"))
+    scored = (ex.join(bg, "_g").join(ug, "_w1")
+              .withColumn("_p", F.col("_cb") / F.col("_cu")))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("_cb") <= rare_max_count).cast("long")).alias("n_rare"),
+        F.min("_p").alias("min_p"),
+        F.max("_p").alias("max_p"),
+        (F.sum(-F.log2("_p")) / F.count(F.lit(1))).alias("mean_neglogp"))
+    out = (df.select(id_col).join(agg, id_col, "left")
+           .withColumn("n_bigrams",
+                       F.coalesce("n_bigrams", F.lit(0)).cast("long"))
+           .withColumn("n_rare", F.coalesce("n_rare", F.lit(0))))
+    return out
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2358,6 +2358,47 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_novelty",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS wl FROM documents),
+    ex AS (
+      SELECT doc_id, g, split_part(g, ' ', 1) AS w1
+      FROM (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(wl)-1, 0)),
+                                    i -> wl[i] || ' ' || wl[i+1])) AS g
+            FROM w)
+    ),
+    bg AS (SELECT g, count(*) AS cb FROM ex GROUP BY g),
+    ug AS (SELECT w1, count(*) AS cu FROM ex GROUP BY w1),
+    scored AS (
+      SELECT ex.doc_id, bg.cb, CAST(bg.cb AS DOUBLE) / ug.cu AS p
+      FROM ex JOIN bg USING (g) JOIN ug USING (w1)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(CASE WHEN cb <= 2 THEN 1 ELSE 0 END) AS n_rare,
+             min(p) AS min_p, max(p) AS max_p
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(a.n_rare, 0) AS BIGINT) AS n_rare,
+           a.min_p, a.max_p
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="corpus bigram-LM novelty scoring (CCNet quality-signal shape): "
+        "the corpus's own bigram model scores each doc; rare-transition "
+        "count + extreme transition probabilities are engine-exact "
+        "(counts and single divisions, no transcendentals in the "
+        "oracle-compared columns)",
+)
+def lm_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.lm_novelty(d, rare_max_count=2)
+    return out.select("doc_id", "n_bigrams", F.col("n_rare").cast("long"),
+                      "min_p", "max_p")
+
+
+@register(
     "semantic_dedup",
     f"""
     WITH RECURSIVE v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
@@ -2422,10 +2463,11 @@ _DEFERRED_THIS_ROUND = [
     # driver's first-50 scoring window for fresh hard rows
     "time_shift", "sliding_window", "win_time_fill_period",
     "default_rename_extract",
-    # and 4 more (r1+r3 hard-green, untouched) so the second-wave
+    # and 5 more (r1+r3 hard-green, untouched) so the second-wave
     # round-4 queries (pii_scrub/boilerplate_chunks/domain_mix_sample/
-    # semantic_dedup) also land inside the first-50 window
+    # semantic_dedup/lm_novelty) also land inside the first-50 window
     "dedup_exact", "dedup_simhash", "statistics_node", "stats_extra",
+    "multimodal_meta",
 ]
 
 

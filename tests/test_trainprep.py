@@ -264,3 +264,31 @@ def test_semantic_dedup_clustered_refines_exact(spark):
     dropped_approx = len(approx) - n_approx
     if dropped_exact:
         assert dropped_approx / dropped_exact >= 0.5
+
+
+# -- corpus bigram-LM novelty ----------------------------------------------
+
+def test_lm_novelty_crafted(spark):
+    """3-doc corpus with hand-countable bigram stats: 'a b' occurs in
+    docs 1+2 (corpus count 2 <= rare_max 2 -> rare), 'a c' only in
+    doc 3 (count 1 -> rare). p('b'|'a') = 2/3, p('c'|'a') = 1/3."""
+    df = _docs(spark, [
+        (1, "a b", "s"), (2, "a b", "s"), (3, "a c", "s"), (4, "solo", "s"),
+    ])
+    out = {r.doc_id: r for r in text_ops.lm_novelty(df).collect()}
+    assert out[1].n_bigrams == 1 and out[1].n_rare == 1
+    assert out[1].min_p == out[1].max_p == 2.0 / 3.0
+    assert out[3].min_p == out[3].max_p == 1.0 / 3.0
+    # a single-word doc has no bigrams -> zero counts, NULL extremes
+    assert out[4].n_bigrams == 0 and out[4].n_rare == 0
+    assert out[4].min_p is None and out[4].max_p is None
+    # perplexity proxy: doc 3's only transition is less probable
+    assert out[3].mean_neglogp > out[1].mean_neglogp
+
+
+def test_lm_novelty_rare_threshold(spark):
+    df = _docs(spark, [(i, "x y", "s") for i in range(5)])  # count 5
+    out = text_ops.lm_novelty(df, rare_max_count=2).collect()
+    assert all(r.n_rare == 0 for r in out)          # 5 > 2: not rare
+    out = text_ops.lm_novelty(df, rare_max_count=5).collect()
+    assert all(r.n_rare == 1 for r in out)
