@@ -511,9 +511,14 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                 break
         if order is not None:
             nodes, lab = order[nodes], order[lab]
-        labels = list(zip(nodes.tolist(), lab.tolist()))
+        # return through Arrow (pandas frame), not a pickled tuple list —
+        # at the 20M-edge threshold the labels are ~15M rows and the
+        # pickle path costs minutes + GBs of driver heap
+        import pandas as pd
+
+        labels_pdf = pd.DataFrame({"node": nodes, "component": lab})
         return pairs.sparkSession.createDataFrame(
-            labels or [], f"node {node_t}, component {node_t}")
+            labels_pdf, f"node {node_t}, component {node_t}")
     # self-loops make labels(node) include the node itself each round
     nodes = base.select(F.col("src").alias("node")).distinct()
     edges = base.union(nodes.select(F.col("node").alias("src"),

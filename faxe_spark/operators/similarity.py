@@ -366,16 +366,28 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
 
     import math
 
-    n = corpus.count()  # adaptive probe: picks the tile grid
-    n_blocks = max(1, math.ceil(n / block_size))
     q = corpus.select(F.col(id_col).cast("long").alias("_id"),
                       quantize_vec(F.col(vec_col)).alias("_v"), *part)
-    q = q.withColumn("_c", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int"))
-    partners = F.array(*[F.lit(t) for t in range(n_blocks)])
+    if part:
+        # tile grid sized PER PARTITION — a global grid would replicate
+        # every vector ceil(n_total/block_size) times and emit mostly
+        # empty tiles, defeating the sum(n_c^2) scale path. The count
+        # table is one row per partition value (cluster ids: bounded),
+        # so it broadcasts.
+        counts = corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n"))
+        q = q.join(F.broadcast(counts), list(part))
+        nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
+            .cast("int")
+    else:
+        n = corpus.count()  # adaptive probe: picks the tile grid
+        nb = F.lit(max(1, math.ceil(n / block_size)))
+    q = (q.withColumn("_nb", nb)
+         .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_nb")).cast("int")))
     # one row per (vector, partner block): group (i,j) receives exactly
     # the vectors of blocks i and j, each once.
     tagged = (q.select("_id", "_v", "_c", *part,
-                       F.explode(partners).alias("_t"))
+                       F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+                       .alias("_t"))
               .withColumn("_gi", F.least("_c", "_t"))
               .withColumn("_gj", F.greatest("_c", "_t")))
 
@@ -478,9 +490,14 @@ def semantic_dedup(corpus: DataFrame, threshold: float, *,
         pairs = cosine_pairs(corpus, threshold, id_col=id_col,
                              vec_col=vec_col, block_size=block_size)
     comp = connected_components(pairs.select("id_a", "id_b"))
+    # singleton fallback: cast the id to the COMPONENT's type (long for
+    # the blocked GEMM lane, the id's own type for block_size=None) so
+    # non-numeric ids don't null out isolated docs
+    comp_t = comp.schema["component"].dataType
     out = (corpus.select(F.col(id_col))
            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
            .withColumn("component",
-                       F.coalesce("component", F.col(id_col).cast("long")))
-           .withColumn("keep", F.col("component") == F.col(id_col)))
+                       F.coalesce("component", F.col(id_col).cast(comp_t)))
+           .withColumn("keep",
+                       F.col("component") == F.col(id_col).cast(comp_t)))
     return out

@@ -103,17 +103,19 @@ def words(c: Column) -> Column:
     return F.split(F.trim(normalize_text(c)), r"\s+")
 
 
-def ngram_array(c: Column, n: int) -> Column:
+def ngram_array(n: int, *, words_col: str = "_w") -> Column:
     """Word n-grams as an array<string> — pure expression, no explode.
-    Indexes a materialized `_w` words column (see repetition_features);
+    Indexes a MATERIALIZED words column (callers add it with
+    `.withColumn("_w", words(...))` first — see repetition_features);
     index-based slicing needs a named array, which keeps the n-gram
     build inside codegen instead of an exploded (doc, gram) shuffle."""
-    parts = ", ' ', ".join(f"element_at(_w, i+{j})" for j in range(n))
+    w = words_col
+    parts = ", ' ', ".join(f"element_at({w}, i+{j})" for j in range(n))
     # NB: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of being empty,
     # so a doc shorter than n words needs the explicit empty branch
     return F.expr(
-        f"if(size(_w) >= {n}, "
-        f"transform(sequence(1, size(_w)-{n - 1}), i -> concat({parts})), "
+        f"if(size({w}) >= {n}, "
+        f"transform(sequence(1, size({w})-{n - 1}), i -> concat({parts})), "
         f"array())")
 
 
@@ -125,12 +127,13 @@ def dup_word_fraction(c: Column) -> Column:
             - F.size(F.array_distinct(w)) / F.size(w)).cast("double")
 
 
-def dup_ngram_fraction(c: Column, n: int) -> Column:
+def dup_ngram_fraction(n: int) -> Column:
     """Fraction of word n-grams that are duplicates — the pure-array
     formulation of Gopher's duplicate n-gram fraction (no per-doc
-    groupBy; stays inside whole-stage codegen)."""
+    groupBy; stays inside whole-stage codegen). Reads the materialized
+    `_w` words column, like ngram_array."""
     total = F.expr("greatest(size(_w)-" + str(n - 1) + ", 0)")
-    g = ngram_array(c, n)
+    g = ngram_array(n)
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(g)) / total).cast("double")
 
@@ -145,8 +148,8 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     c = F.col(text_col)
     out = df.withColumn("_w", words(c)).withColumns({
         "dup_word_frac": dup_word_fraction(c),
-        "dup_2gram_frac": dup_ngram_fraction(c, 2),
-        "dup_3gram_frac": dup_ngram_fraction(c, 3),
+        "dup_2gram_frac": dup_ngram_fraction(2),
+        "dup_3gram_frac": dup_ngram_fraction(3),
     })
     out = out.withColumn(
         "repetition_ok",
@@ -209,8 +212,7 @@ def lm_novelty(df: DataFrame, *, text_col: str = "text",
     than the corpus — AQE broadcasts when they fit); one per-doc
     aggregation. No Python anywhere."""
     d = df.withColumn("_w", words(F.col(text_col)))
-    ex = (d.select(id_col, F.explode(ngram_array(F.col(text_col), 2))
-                   .alias("_g"))
+    ex = (d.select(id_col, F.explode(ngram_array(2)).alias("_g"))
           .withColumn("_w1", F.substring_index("_g", " ", 1)))
     bg = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cb"))
     ug = ex.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cu"))

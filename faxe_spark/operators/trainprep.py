@@ -161,7 +161,11 @@ def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
     it fits); the rebuild groups by doc id. Two shuffles + one
     boilerplate-sized join, the canonical CCNet layout."""
     W = chunk_words
-    d = df.withColumn("_w", F.split(F.trim(F.col(text_col)), r"\s+"))
+    # NULL text reads as empty (one '' chunk) — a plain posexplode of a
+    # NULL array would silently drop the document from the output
+    d = df.withColumn("_w", F.split(
+        F.trim(F.coalesce(F.col(text_col).cast("string"), F.lit(""))),
+        r"\s+"))
     chunks = F.expr(
         f"transform(sequence(0, int(ceil(size(_w)/{W}.0))-1), "
         f"i -> array_join(slice(_w, i*{W}+1, {W}), ' '))")
@@ -213,9 +217,13 @@ def mix_sample(df: DataFrame, weights: dict[str, float], *,
 
     Engine-portable by construction: md5 is md5 everywhere, and the
     fixed-width hex compare is the same as the numeric one."""
+    # NULL key/domain hash as '' (concat would null-propagate and the
+    # NULL comparison would DROP the row even at rate 1.0); a NULL
+    # domain never matches any weights entry, so it takes default_rate
     h = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"),
-                       F.col(domain_col).cast("string"))), 1, 8)
+        F.md5(F.concat(F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+                       F.coalesce(F.col(domain_col).cast("string"),
+                                  F.lit("")))), 1, 8)
     thr = F.lit(_rate_threshold(default_rate))
     for dom, rate in sorted(weights.items()):
         thr = F.when(F.col(domain_col) == dom,

@@ -181,10 +181,10 @@ def test_boilerplate_removes_shared_chunks(spark):
     assert out[1].n_chunks == 2 and out[1].n_removed == 1
     assert out[1].clean_text == "unique tail words"
     assert out[2].clean_text == "other body"
-    # 9 words -> 2 chunks (8 + 1), nothing shared
+    # 9 words -> 2 chunks (8 + 1), nothing shared: rebuilt verbatim
     assert out[3].n_chunks == 2 and out[3].n_removed == 0
-    assert out[3].clean_text == out[3].clean_text  # rebuilt in order
-    assert out[3].clean_text.startswith("entirely different")
+    assert out[3].clean_text == \
+        "entirely different text with nothing shared at all ok"
 
 
 def test_boilerplate_rebuild_preserves_order(spark):
@@ -242,7 +242,9 @@ def test_mix_sample_rate_monotone(spark):
 def test_semantic_dedup_clustered_refines_exact(spark):
     from faxe_spark.operators import similarity as sim
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = {r.vec_id: r for r in
              sim.semantic_dedup(emb, 0.35, nlist=1).collect()}
     approx = {r.vec_id: r for r in
@@ -292,3 +294,21 @@ def test_lm_novelty_rare_threshold(spark):
     assert all(r.n_rare == 0 for r in out)          # 5 > 2: not rare
     out = text_ops.lm_novelty(df, rare_max_count=5).collect()
     assert all(r.n_rare == 1 for r in out)
+
+
+def test_boilerplate_null_text_kept(spark):
+    """Review: NULL text must not vanish from the output — it reads as
+    an empty doc (one '' chunk)."""
+    df = _docs(spark, [(1, None, "s"), (2, "some normal words", "s")])
+    out = {r.doc_id: r for r in tp.boilerplate_remove(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_chunks == 1 and out[1].clean_text == ""
+
+
+def test_mix_sample_null_domain_uses_default(spark):
+    """Review: NULL domain/key must take default_rate, not be dropped
+    by NULL comparison propagation."""
+    df = _docs(spark, [(1, "t", None), (None, "t", "a"), (3, "t", "b")])
+    assert tp.mix_sample(df, {"b": 1.0}).count() == 3   # default 1.0
+    kept = tp.mix_sample(df, {"b": 1.0}, default_rate=0.0).collect()
+    assert {r.doc_id for r in kept} == {3}              # only weighted dom
