@@ -66,6 +66,7 @@ HEADLINE = [
     "domain_mix_sample",
     "semantic_dedup",
     "lm_novelty",
+    "url_normalize",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -195,6 +195,63 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+# URL handling — regex-only (no java.net parsing), so the formulas are
+# engine-portable: no lookaround (RE2 has none), replacements use $1 in
+# Spark / \1 in the DuckDB oracles but identical match semantics.
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def url_scheme(c: Column) -> Column:
+    return F.lower(F.regexp_extract(c, _URL_SCHEME_RE, 1))
+
+
+def url_host(c: Column) -> Column:
+    """Normalized host: lowercased, leading www. and default :80/:443
+    port stripped — the key for host-level dedup/stats."""
+    h = F.lower(F.regexp_extract(c, _URL_HOST_RE, 1))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":(443|80)$", "")
+
+
+def url_path(c: Column) -> Column:
+    return F.regexp_extract(c, _URL_PATH_RE, 1)
+
+
+def normalize_url(c: Column) -> Column:
+    """Canonical URL for dedup: drop the fragment, strip utm_* tracking
+    params (fixing separators), strip default ports. Pure JVM regexp
+    chain — scan-stage at 100 TB, like scrub_pii."""
+    u = F.regexp_replace(c, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"([?&])utm_[A-Za-z]+=[^&#]*&?", r"$1")
+    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling sep
+    # default ports, no lookahead (RE2-portable): the three contexts
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)/", r"$1/")
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)\?", r"$1?")
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)$", r"$1")
+    return u
+
+
+def url_n_params(c: Column) -> Column:
+    """Query-parameter count of the NORMALIZED url."""
+    return F.size(F.regexp_extract_all(normalize_url(c),
+                                       F.lit(r"[?&][^=&#]+="), F.lit(0)))
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Annotate with scheme/host/path/param-count + the normalized URL
+    (the dedup key a web-corpus pipeline joins on)."""
+    c = F.col(url_col)
+    return df.withColumns({
+        "scheme": url_scheme(c),
+        "host": url_host(c),
+        "path": url_path(c),
+        "n_params": url_n_params(c),
+        "clean_url": normalize_url(c),
+    })
+
+
 def lm_novelty(df: DataFrame, *, text_col: str = "text",
                id_col: str = "doc_id", rare_max_count: int = 2) -> DataFrame:
     """Corpus bigram-LM document scoring (the CCNet quality-signal

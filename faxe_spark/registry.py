@@ -2357,6 +2357,64 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     target.cast("double").alias("target_rate")))
 
 
+# deterministic derived URL (documents carry none): mixed-case host +
+# default port + utm params + fragment, so every normalization rule fires
+_URL_AUG_SQL = (
+    "'https://WWW.' || source || '-Site.Example.com:443/docs/' ||"
+    " CAST(doc_id AS VARCHAR) || '?utm_source=x&id=' ||"
+    " CAST(doc_id AS VARCHAR) || '&utm_campaign=y#sec' ||"
+    " CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+@register(
+    "url_normalize",
+    f"""
+    WITH a AS (SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents),
+    n AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(url,
+            '#.*$', '', 'g'),
+            '([?&])utm_[A-Za-z]+=[^&#]*&?', '\\1', 'g'),
+            '[?&]$', '', 'g'),
+            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)/', '\\1/', 'g'),
+            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)\\?', '\\1?', 'g'),
+            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)$', '\\1', 'g')
+          AS clean
+      FROM a
+    )
+    SELECT doc_id,
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        '^www\\.', '', 'g'), ':(443|80)$', '', 'g') AS host,
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+        AS path,
+      len(regexp_extract_all(clean, '[?&][^=&#]+=')) AS n_params,
+      md5(clean) AS clean_md5
+    FROM n
+    """,
+    doc="URL normalization for web-corpus dedup: scheme/host/path "
+        "extraction (host lowercased, www. + default-port stripped), "
+        "utm_* tracking-param scrub, fragment drop — regex-only so the "
+        "formulas evaluate identically under Java regex and RE2; "
+        "scan-stage at 100 TB",
+)
+def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("https://WWW."), F.col("source"),
+        F.lit("-Site.Example.com:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=y#sec"), (F.col("doc_id") % 7).cast("string"))
+    out = text_ops.url_features(d.withColumn("url", aug))
+    return out.select("doc_id", "scheme", "host", "path",
+                      F.col("n_params").cast("long").alias("n_params"),
+                      F.md5("clean_url").alias("clean_md5"))
+
+
 @register(
     "lm_novelty",
     f"""
@@ -2467,7 +2525,7 @@ _DEFERRED_THIS_ROUND = [
     # round-4 queries (pii_scrub/boilerplate_chunks/domain_mix_sample/
     # semantic_dedup/lm_novelty) also land inside the first-50 window
     "dedup_exact", "dedup_simhash", "statistics_node", "stats_extra",
-    "multimodal_meta",
+    "multimodal_meta", "image_features_fake",
 ]
 
 

@@ -566,3 +566,28 @@ def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> D
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def dedup_exact_stream(df: DataFrame, *, text_col: str = "text",
+                       ts_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content
+    fingerprint, drop replays that arrive within the watermark horizon.
+
+    The streaming analog of operators.dedup.dedup_exact (and of the
+    reference sources' bounded `dedup_size` replay rings —
+    mqtt/amqp options in SURVEY §2.1): Spark's
+    dropDuplicatesWithinWatermark keys the state store by the md5
+    fingerprint and expires entries once the watermark passes, so
+    state stays bounded by the duplicate horizon instead of growing
+    with the corpus — the only tenable shape for an unbounded stream.
+    Exactly-once-per-fingerprint WITHIN the horizon; a duplicate
+    arriving later than the horizon is a fresh document by design."""
+    import pyspark.sql.functions as F
+
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                       r"\s+", " ")))
+    return (df.withColumn("_fp", fp)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))

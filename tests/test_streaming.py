@@ -448,3 +448,34 @@ def test_conn_status_registry_and_dfs_node(spark):
         assert {"connected", "disconnected"} <= states
     finally:
         q.stop()
+
+
+def test_dedup_exact_stream_drops_replays(spark, tmp_path):
+    """Replayed content within the watermark horizon is dropped across
+    micro-batches; distinct content passes."""
+    from faxe_spark.streaming.stateful import dedup_exact_stream
+
+    import datetime
+
+    t = lambda m, s: datetime.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    schema = "doc_id long, text string, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        (1, "alpha beta", t(0, 0)),
+        (2, "ALPHA   beta", t(0, 10)),   # normalized dup of doc 1
+        (3, "gamma delta", t(0, 20)),
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        (4, "alpha beta", t(5, 0)),      # replay, inside horizon
+        (5, "epsilon zeta", t(5, 10)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = dedup_exact_stream(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_s").collect()}
+    # one of {1,2} survives (first arrival per fingerprint), 4 is dropped
+    assert 3 in got and 5 in got
+    assert len(got & {1, 2}) == 1 and 4 not in got

@@ -312,3 +312,30 @@ def test_mix_sample_null_domain_uses_default(spark):
     assert tp.mix_sample(df, {"b": 1.0}).count() == 3   # default 1.0
     kept = tp.mix_sample(df, {"b": 1.0}, default_rate=0.0).collect()
     assert {r.doc_id for r in kept} == {3}              # only weighted dom
+
+
+# -- URL normalization ------------------------------------------------------
+
+def test_url_features_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "https://WWW.Ex.COM:443/A/b?utm_source=x&id=7&utm_x=y#frag"),
+         (2, "http://ex.com:80?utm_a=1"),
+         (3, "ftp://files.ex.com/pub/data.bin"),
+         (4, "not a url at all")],
+        "doc_id long, url string")
+    out = {r.doc_id: r for r in text_ops.url_features(df).collect()}
+    assert out[1].scheme == "https" and out[1].host == "ex.com"
+    assert out[1].path == "/A/b"                  # path case preserved
+    assert out[1].clean_url == "https://WWW.Ex.COM/A/b?id=7"
+    assert out[1].n_params == 1
+    assert out[2].clean_url == "http://ex.com"
+    assert out[2].n_params == 0
+    assert out[3].host == "files.ex.com" and out[3].scheme == "ftp"
+    assert out[4].host == "" and out[4].clean_url == "not a url at all"
+
+
+def test_url_normalize_is_scan_stage_only(spark):
+    df = spark.createDataFrame([(1, "https://a.b/c")], "doc_id long, url string")
+    plan = text_ops.url_features(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

@@ -48,7 +48,7 @@ PROBE_QUERIES = [
     "ann_topk", "training_pipeline",
     # round-4 second wave
     "pii_scrub", "boilerplate_chunks", "domain_mix_sample",
-    "semantic_dedup", "lm_novelty",
+    "semantic_dedup", "lm_novelty", "url_normalize",
 ]
 
 
