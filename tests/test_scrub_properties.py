@@ -1,0 +1,57 @@
+"""Idempotence / fixpoint properties of the scrubbing operators.
+
+A redaction or normalization pass that is NOT idempotent re-damages
+text on pipeline re-runs (backfills apply the same pass twice) — so
+scrub(scrub(x)) == scrub(x) is a real production contract, not a
+formality. Hypothesis drives adversarial inputs through the actual
+Spark expressions.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from faxe_spark.operators import text as text_ops
+
+
+def _one(spark, expr_fn, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr_fn(F.col("v")).alias("out")).collect()[0].out
+
+
+# printable-ish corpus with the PII/URL alphabet over-represented
+_CHUNK = st.text(
+    alphabet="abcXY012.@+-:/?&#=_% ", min_size=0, max_size=40)
+_PII_BITS = st.sampled_from([
+    "a.b@c.de", "+1-555-0000", "10.0.0.1", "999.1.1.1", "x@y", "@", "+1-",
+    "https://www.Ex.com:443/p?utm_a=1&b=2#f", "http://h:80", "?utm_x=",
+])
+_TEXTS = st.lists(st.one_of(_CHUNK, _PII_BITS), min_size=1, max_size=6) \
+    .map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_TEXTS)
+def test_scrub_pii_idempotent(spark, s):
+    once = _one(spark, text_ops.scrub_pii, s)
+    twice = _one(spark, text_ops.scrub_pii, once)
+    assert twice == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(_TEXTS)
+def test_normalize_url_idempotent(spark, s):
+    once = _one(spark, text_ops.normalize_url, s)
+    twice = _one(spark, text_ops.normalize_url, once)
+    assert twice == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(_TEXTS)
+def test_scrubbed_text_has_no_remaining_pii(spark, s):
+    scrubbed = _one(spark, text_ops.scrub_pii, s)
+    df = spark.createDataFrame([(scrubbed,)], "v string")
+    counts = df.select(*[
+        text_ops.pii_count(F.col("v"), k).alias(k)
+        for k in text_ops.PII_PATTERNS]).collect()[0]
+    assert counts.email == 0 and counts.phone == 0 and counts.ipv4 == 0
