@@ -67,6 +67,7 @@ HEADLINE = [
     "semantic_dedup",
     "lm_novelty",
     "url_normalize",
+    "trainprep_pipeline",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -2357,6 +2357,100 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     target.cast("double").alias("target_rate")))
 
 
+@register(
+    "trainprep_pipeline",
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, source, text, {_TOKS} AS wl FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, text, wl,
+             list_transform(generate_series(1, greatest(len(wl)-1, 0)),
+                            i -> wl[i] || ' ' || wl[i+1]) AS g2
+      FROM w
+    ),
+    rep AS (
+      SELECT doc_id, source, text FROM g
+      WHERE (1.0 - len(list_distinct(wl)) / len(wl)) <= 0.7
+        AND (CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g2)) / len(g2) END) <= 0.6
+    ),
+    rw AS (SELECT doc_id, source,
+                  string_split_regex(trim(text), '\\s+') AS rwl FROM rep),
+    c AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(rwl[i*8+1 : i*8+8], ' ') AS chunk
+      FROM rw, LATERAL (SELECT unnest(generate_series(
+               0, CAST(ceil(len(rwl)/8.0) AS INT)-1)) AS i) t
+    ),
+    f AS (SELECT chunk, count(DISTINCT doc_id) AS dfreq FROM c GROUP BY chunk),
+    rebuilt AS (
+      SELECT doc_id,
+             coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE dfreq < 2), '') AS clean
+      FROM c JOIN f USING (chunk) GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT r.doc_id, rw.source, r.clean
+      FROM rebuilt r JOIN rw USING (doc_id) WHERE r.clean <> ''
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM surv
+      GROUP BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
+    ),
+    mix AS (
+      SELECT s.source, s.doc_id,
+             CAST(len(string_split_regex(trim(s.clean), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM surv s JOIN keep USING (doc_id)
+      WHERE substr(md5(CAST(s.doc_id AS VARCHAR) || s.source), 1, 8) <
+        CASE (CAST(substr(s.source, 4, 6) AS INT) % 4)
+          WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+          WHEN 2 THEN 'c0000000' ELSE 'g' END
+    ),
+    t AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM mix
+    ),
+    p AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > 512
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_used > 0 AND p.pack_used + t.n_tokens > 512
+                  THEN t.n_tokens ELSE p.pack_used + t.n_tokens END
+      FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, pack_id, pack_used FROM p
+    """,
+    doc="flagship trainprep composition, one declarative chain: "
+        "Gopher repetition filter -> corpus boilerplate removal -> "
+        "exact dedup on the CLEANED text -> deterministic domain-mixture "
+        "sampling -> greedy sequence packing. Every stage is the real "
+        "operator; the oracle is the same chain as composed CTEs "
+        "(recursion only for the packing tail)",
+)
+def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rep = (text_ops.repetition_features(d)
+           .filter("repetition_ok").select("doc_id", "source", "text"))
+    bp = tp_ops.boilerplate_remove(rep, chunk_words=8, min_df=2)
+    surv = (bp.filter(F.col("clean_text") != "")
+            .join(rep.select("doc_id", "source"), "doc_id"))
+    fp = F.md5(text_ops.normalize_text(F.col("clean_text")))
+    keep = (surv.select("doc_id", fp.alias("_fp"))
+            .groupBy("_fp").agg(F.min("doc_id").alias("doc_id")))
+    ded = surv.join(keep.select("doc_id"), "doc_id")
+    weights = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(100)}
+    mix = tp_ops.mix_sample(ded, weights)
+    return tp_ops.pack_greedy(mix, budget=512, text_col="clean_text",
+                              by="source")
+
+
 # deterministic derived URL (documents carry none): mixed-case host +
 # default port + utm params + fragment, so every normalization rule fires
 _URL_AUG_SQL = (
@@ -2526,6 +2620,10 @@ _DEFERRED_THIS_ROUND = [
     # semantic_dedup/lm_novelty) also land inside the first-50 window
     "dedup_exact", "dedup_simhash", "statistics_node", "stats_extra",
     "multimodal_meta", "image_features_fake",
+    # ann_ivf_topk's driver row is rows-only by nature (its exactness
+    # proof is ann_ivf_full_probe, which stays in-window) — defer it so
+    # trainprep_pipeline gets a hard hash row instead
+    "ann_ivf_topk",
 ]
 
 
