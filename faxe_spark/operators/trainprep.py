@@ -145,7 +145,8 @@ def pack_greedy(df: DataFrame, *, budget: int,
 
 def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", chunk_words: int = 8,
-                       min_df: int = 2) -> DataFrame:
+                       min_df: int = 2,
+                       carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """CCNet-style corpus-level boilerplate removal: segment every
     document into fixed `chunk_words`-word chunks, count how many
     DISTINCT documents each chunk appears in, and drop chunks whose
@@ -159,7 +160,12 @@ def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
     chunks that clear min_df come back (boilerplate is a tiny fraction
     of a 100 TB corpus — AQE turns the mark-join into a broadcast when
     it fits); the rebuild groups by doc id. Two shuffles + one
-    boilerplate-sized join, the canonical CCNet layout."""
+    boilerplate-sized join, the canonical CCNet layout.
+
+    carry_cols: extra per-document columns to pass through to the
+    output (first value per doc). Carrying them through beats joining
+    the result back to the input when the input is itself an expensive
+    subtree — a self-join would recompute it."""
     W = chunk_words
     # NULL text reads as empty (one '' chunk) — a plain posexplode of a
     # NULL array would silently drop the document from the output
@@ -170,7 +176,8 @@ def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
         f"transform(sequence(0, int(ceil(size(_w)/{W}.0))-1), "
         f"i -> array_join(slice(_w, i*{W}+1, {W}), ' '))")
     ex = (d.withColumn("_chunks", chunks)
-          .select(id_col, F.posexplode("_chunks").alias("_idx", "_chunk"))
+          .select(id_col, *carry_cols,
+                  F.posexplode("_chunks").alias("_idx", "_chunk"))
           .withColumn("_ck", F.md5("_chunk")))
     boiler = (ex.groupBy("_ck")
               .agg(F.countDistinct(id_col).alias("_df"))
@@ -181,6 +188,7 @@ def boilerplate_remove(df: DataFrame, *, text_col: str = "text",
     # array_sort on struct(idx, ...) orders by idx (unique per doc), so
     # the rebuild is a pure array pipeline after one collect_list
     rebuilt = (marked.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry_cols],
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
         F.array_join(

