@@ -263,17 +263,21 @@ def lm_novelty(df: DataFrame, *, text_col: str = "text",
     the perplexity proxy — order-dependent float, for ranking only; the
     other four columns are engine-exact and oracle-checked).
 
-    Scale shape: one bigram explode; two corpus count aggregations
-    (bigram and first-word totals — the 'model'); counts join back to
-    the exploded stream (count tables are vocab-bounded, far smaller
-    than the corpus — AQE broadcasts when they fit); one per-doc
-    aggregation. No Python anywhere."""
+    Scale shape: one bigram explode, then the corpus counts as WINDOW
+    aggregates over the exploded stream (count over partitionBy(gram) /
+    partitionBy(first word)) — one lineage, two shuffles, one per-doc
+    aggregation. The first version built separate count tables and
+    joined them back, which re-executed the explode subtree three
+    times (the count side and each join probe; no ReusedExchange
+    materializes across them). No Python anywhere."""
+    from pyspark.sql.window import Window
+
     d = df.withColumn("_w", words(F.col(text_col)))
     ex = (d.select(id_col, F.explode(ngram_array(2)).alias("_g"))
           .withColumn("_w1", F.substring_index("_g", " ", 1)))
-    bg = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cb"))
-    ug = ex.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cu"))
-    scored = (ex.join(bg, "_g").join(ug, "_w1")
+    cb = F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    cu = F.count(F.lit(1)).over(Window.partitionBy("_w1"))
+    scored = (ex.withColumn("_cb", cb).withColumn("_cu", cu)
               .withColumn("_p", F.col("_cb") / F.col("_cu")))
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

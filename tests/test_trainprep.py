@@ -339,3 +339,14 @@ def test_url_normalize_is_scan_stage_only(spark):
     plan = text_ops.url_features(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_boilerplate_carry_cols(spark):
+    """carry_cols threads per-doc columns through the rebuild (the
+    self-join-free way to keep metadata with the cleaned text)."""
+    df = _docs(spark, [(1, f"{_HDR} tail words", "sA"),
+                       (2, f"{_HDR} other", "sB")])
+    out = {r.doc_id: r for r in
+           tp.boilerplate_remove(df, carry_cols=("source",)).collect()}
+    assert out[1].source == "sA" and out[2].source == "sB"
+    assert out[1].clean_text == "tail words"
