@@ -68,6 +68,7 @@ HEADLINE = [
     "lm_novelty",
     "url_normalize",
     "trainprep_pipeline",
+    "quality_classifier",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

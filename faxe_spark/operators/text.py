@@ -195,6 +195,52 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def hashed_token_weight(tok: Column, *, seed: str = "q",
+                        scale: int = 1000) -> Column:
+    """Deterministic integer weight in [-scale, scale] for a token —
+    the md5-derived stand-in for a trained weight table (engines with a
+    real fasttext/logistic model swap this for a weights-map lookup;
+    the SHAPE of the scorer is what matters for the pipeline). Engine-
+    portable: md5 prefix parsed as hex on both sides."""
+    h = F.conv(F.substring(F.md5(F.concat(tok, F.lit(seed))), 1, 8),
+               16, 10).cast("bigint")
+    return (h % (2 * scale + 1)) - scale
+
+
+def hashed_linear_score(df: DataFrame, *, text_col: str = "text",
+                        seed: str = "q", scale: int = 1000) -> DataFrame:
+    """fasttext-shape quality classifier scoring: hash every word (and
+    word bigram) to a weight, mean-pool, decide keep = score > 0 — the
+    CCNet / GPT-3 quality-filter architecture with the weight lookup
+    replaced by a deterministic hash (see hashed_token_weight).
+
+    Exactness device: weights are INTEGERS summed inside the array
+    fold (order-free), divided once at the end — so the double `score`
+    is a single division, reproducible across engines. Everything is a
+    scan-stage array expression: zero shuffles, no Python, no explode.
+    At 100 TB this annotates during the scan like the other text ops."""
+    d = df.withColumn("_w", words(F.col(text_col)))
+    uni = F.aggregate(
+        F.transform(F.col("_w"),
+                    lambda w: hashed_token_weight(w, seed=seed,
+                                                  scale=scale).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    big = F.aggregate(
+        F.transform(ngram_array(2),
+                    lambda g: hashed_token_weight(g, seed=seed,
+                                                  scale=scale).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_feat = F.size("_w") + F.greatest(F.size("_w") - 1, F.lit(0))
+    out = (d.withColumn("score_sum", uni + big)
+           .withColumn("n_features", n_feat.cast("long"))
+           .withColumn("score",
+                       (F.col("score_sum")
+                        / (F.lit(float(scale)) * F.greatest("n_features", F.lit(1))))
+                       .cast("double"))
+           .withColumn("keep", F.col("score") > 0))
+    return out.drop("_w")
+
+
 # URL handling — regex-only (no java.net parsing), so the formulas are
 # engine-portable: no lookaround (RE2 has none), replacements use $1 in
 # Spark / \1 in the DuckDB oracles but identical match semantics.

@@ -239,6 +239,34 @@ def mix_sample(df: DataFrame, weights: dict[str, float], *,
     return df.filter(h < thr)
 
 
+def plan_mixture(df: DataFrame, targets: dict[str, float], *,
+                 domain_col: str = "source", text_col: str = "text",
+                 token_col: str | None = None,
+                 total_budget: int | None = None) -> dict[str, float]:
+    """Turn a TARGET mixture (domain -> share of the training budget)
+    into per-domain keep RATES for mix_sample, from a one-pass token
+    census of the corpus. rate_d = min(1, share_d * budget /
+    tokens_d); budget defaults to the largest value every share can
+    actually fill without upsampling (min over domains of
+    tokens_d / share_d — the standard no-replacement mixture fit).
+
+    Driver-side math is one row per domain (bounded — this is a
+    config-sized dict, not data); the census itself is a single
+    aggregation. Compose: mix_sample(df, plan_mixture(df, targets))."""
+    tok = (F.col(token_col) if token_col
+           else token_count(F.col(text_col))).cast("long")
+    census = {r[0]: r[1] for r in
+              (df.groupBy(domain_col)
+               .agg(F.sum(tok).alias("_t")).collect())}
+    shares = {d: s for d, s in targets.items() if d in census and s > 0}
+    if not shares:
+        return {}
+    if total_budget is None:
+        total_budget = int(min(census[d] / s for d, s in shares.items()))
+    return {d: min(1.0, (s * total_budget) / max(census[d], 1))
+            for d, s in shares.items()}
+
+
 def pack_stats(packed: DataFrame, *, budget: int,
                by: str = "source") -> DataFrame:
     """Shard-level packing efficiency: packs, tokens, fill ratio."""

@@ -2357,6 +2357,47 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     target.cast("double").alias("target_rate")))
 
 
+_HTW = ("((('0x' || substr(md5({tok} || 'q'), 1, 8))::BIGINT % 2001)"
+        " - 1000)")
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS wl FROM documents),
+    g AS (
+      SELECT doc_id, wl,
+             list_transform(generate_series(1, greatest(len(wl)-1, 0)),
+                            i -> wl[i] || ' ' || wl[i+1]) AS g2
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(wl, t -> {_HTW.format(tok='t')}))
+             + coalesce(list_sum(list_transform(g2, t -> {_HTW.format(tok='t')})), 0)
+             AS BIGINT) AS score_sum,
+        CAST(len(wl) + greatest(len(wl) - 1, 0) AS BIGINT) AS n_features
+      FROM g
+    )
+    SELECT doc_id, score_sum, n_features,
+           CAST(score_sum AS DOUBLE) / (1000.0 * greatest(n_features, 1))
+             AS score,
+           CAST(score_sum AS DOUBLE) / (1000.0 * greatest(n_features, 1)) > 0
+             AS keep
+    FROM s
+    """,
+    doc="fasttext-shape quality classifier scoring (hashed word + "
+        "word-bigram weights, mean pooling, linear keep decision — the "
+        "CCNet/GPT-3 quality-filter architecture; md5-derived integer "
+        "weights stand in for the trained table). Integer sums inside "
+        "the array fold, one final division: engine-exact, zero shuffles",
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.hashed_linear_score(d)
+    return out.select("doc_id", "score_sum", "n_features", "score", "keep")
+
+
 @register(
     "trainprep_pipeline",
     f"""
@@ -2641,8 +2682,9 @@ _DEFERRED_THIS_ROUND = [
     "multimodal_meta", "image_features_fake",
     # ann_ivf_topk's driver row is rows-only by nature (its exactness
     # proof is ann_ivf_full_probe, which stays in-window) — defer it so
-    # trainprep_pipeline gets a hard hash row instead
-    "ann_ivf_topk",
+    # trainprep_pipeline gets a hard hash row instead; ann_topk
+    # (r1+r3 hard-green, untouched) makes room for quality_classifier
+    "ann_ivf_topk", "ann_topk",
 ]
 
 

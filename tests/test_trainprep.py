@@ -350,3 +350,57 @@ def test_boilerplate_carry_cols(spark):
            tp.boilerplate_remove(df, carry_cols=("source",)).collect()}
     assert out[1].source == "sA" and out[2].source == "sB"
     assert out[1].clean_text == "tail words"
+
+
+# -- hashed linear quality classifier ---------------------------------------
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    df = _docs(spark, [(1, "alpha beta gamma", "s"), (2, "alpha", "s"),
+                       (3, "x " * 200, "s")])
+    out = {r.doc_id: r for r in text_ops.hashed_linear_score(df).collect()}
+    again = {r.doc_id: r for r in text_ops.hashed_linear_score(df).collect()}
+    for i in out:
+        assert out[i].score == again[i].score          # pure function
+        assert abs(out[i].score) <= 1.0                # mean of [-1,1]
+        assert out[i].keep == (out[i].score > 0)
+    # 3 words -> 3 unigram + 2 bigram features
+    assert out[1].n_features == 5 and out[2].n_features == 1
+    # seed changes the model
+    other = {r.doc_id: r for r in
+             text_ops.hashed_linear_score(df, seed="z").collect()}
+    assert any(out[i].score != other[i].score for i in out)
+
+
+def test_hashed_linear_score_is_scan_stage_only(spark):
+    df = _docs(spark, [(1, "a b", "s")])
+    plan = text_ops.hashed_linear_score(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- mixture planning -------------------------------------------------------
+
+def test_plan_mixture_fits_no_replacement(spark):
+    """Default budget = the largest total every share can fill without
+    upsampling: the scarcest-relative domain lands at rate 1.0, the
+    others scale down proportionally."""
+    rows = ([(i, "w " * 100, "web") for i in range(90)]      # 9000 tok
+            + [(100 + i, "w " * 100, "code") for i in range(10)])  # 1000 tok
+    df = _docs(spark, rows)
+    rates = tp.plan_mixture(df, {"web": 0.5, "code": 0.5})
+    # budget = min(9000/.5, 1000/.5) = 2000 -> code: 1.0, web: 1000/9000
+    assert rates["code"] == 1.0
+    assert abs(rates["web"] - 1000.0 / 9000.0) < 1e-12
+    # achieved mixture: equal expected token mass from both domains
+    assert abs(rates["web"] * 9000 - rates["code"] * 1000) < 1e-6
+
+
+def test_plan_mixture_composes_with_mix_sample(spark):
+    rows = [(i, "w " * 10, ["a", "b"][i % 2]) for i in range(400)]
+    df = _docs(spark, rows)
+    rates = tp.plan_mixture(df, {"a": 0.9, "b": 0.1}, total_budget=1000)
+    kept = tp.mix_sample(df, rates, default_rate=0.0)
+    by = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    # a: rate 900/2000=0.45 of 200 docs ~ 90; b: 100/2000=0.05 ~ 10
+    assert 60 <= by.get("a", 0) <= 120
+    assert 2 <= by.get("b", 0) <= 25
