@@ -69,6 +69,7 @@ HEADLINE = [
     "url_normalize",
     "trainprep_pipeline",
     "quality_classifier",
+    "dup_spans",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

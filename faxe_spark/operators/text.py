@@ -195,6 +195,41 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def duplicate_span_features(df: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            span_words: int = 10) -> DataFrame:
+    """Cross-document duplicate-SPAN detection (the Lee et al. 2022
+    'Deduplicating Training Data' signal, word-granular): overlapping
+    `span_words`-word n-grams, counted across the whole corpus; a
+    doc's dup_span_frac is the fraction of its spans that occur more
+    than once corpus-wide. Unlike the disjoint chunks of
+    boilerplate_remove, OVERLAPPING spans catch shifted duplication
+    (copy-paste with different surroundings).
+
+    Shape: one explode, corpus count as a window aggregate over the
+    exploded stream partitioned by the span hash (single lineage — see
+    lm_novelty), one per-doc aggregation. dup_span_frac is one
+    division of two longs: engine-exact."""
+    from pyspark.sql.window import Window
+
+    d = df.withColumn("_w", words(F.col(text_col)))
+    ex = d.select(id_col,
+                  F.explode(ngram_array(span_words)).alias("_g"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(F.md5("_g")))
+    agg = (ex.withColumn("_c", cnt)
+           .groupBy(id_col).agg(
+               F.count(F.lit(1)).alias("n_spans"),
+               F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_spans")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .withColumn("n_spans",
+                        F.coalesce("n_spans", F.lit(0)).cast("long"))
+            .withColumn("n_dup_spans",
+                        F.coalesce("n_dup_spans", F.lit(0)))
+            .withColumn("dup_span_frac",
+                        (F.col("n_dup_spans")
+                         / F.greatest("n_spans", F.lit(1))).cast("double")))
+
+
 def hashed_token_weight(tok: Column, *, seed: str = "q",
                         scale: int = 1000) -> Column:
     """Deterministic integer weight in [-scale, scale] for a token —

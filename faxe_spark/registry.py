@@ -2357,6 +2357,41 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     target.cast("double").alias("target_rate")))
 
 
+@register(
+    "dup_spans",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS wl FROM documents),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(wl)-9, 0)),
+                    i -> array_to_string(wl[i : i+9], ' '))) AS g
+      FROM w
+    ),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(g)) AS cnt FROM ex),
+    agg AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(a.n_dup_spans, 0) AS DOUBLE)
+             / greatest(coalesce(a.n_spans, 0), 1) AS dup_span_frac
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="cross-document duplicate-span detection (Lee et al. 2022 "
+        "signal, word-granular): overlapping 10-word spans counted "
+        "corpus-wide via a window over the exploded stream; "
+        "dup_span_frac = one division of two longs, engine-exact",
+)
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.duplicate_span_features(d, span_words=10)
+    return out.select("doc_id", "n_spans",
+                      F.col("n_dup_spans").cast("long"), "dup_span_frac")
+
+
 _HTW = ("((('0x' || substr(md5({tok} || 'q'), 1, 8))::BIGINT % 2001)"
         " - 1000)")
 
@@ -2685,6 +2720,9 @@ _DEFERRED_THIS_ROUND = [
     # trainprep_pipeline gets a hard hash row instead; ann_topk
     # (r1+r3 hard-green, untouched) makes room for quality_classifier
     "ann_ivf_topk", "ann_topk",
+    # training_pipeline (hard-green r1+r2+r3, untouched) makes room
+    # for dup_spans
+    "training_pipeline",
 ]
 
 

@@ -404,3 +404,21 @@ def test_plan_mixture_composes_with_mix_sample(spark):
     # a: rate 900/2000=0.45 of 200 docs ~ 90; b: 100/2000=0.05 ~ 10
     assert 60 <= by.get("a", 0) <= 120
     assert 2 <= by.get("b", 0) <= 25
+
+
+def test_duplicate_span_features_crafted(spark):
+    """Two docs sharing a shifted 10-word run are caught by OVERLAPPING
+    spans; a doc with unique text scores zero."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = _docs(spark, [
+        (1, f"pre1 {shared} tail1", "s"),            # 12 words, 3 spans
+        (2, f"other lead-in {shared}", "s"),         # shifted position
+        (3, " ".join(f"u{i}" for i in range(12)), "s"),
+        (4, "short text", "s"),                      # < 10 words: 0 spans
+    ])
+    out = {r.doc_id: r for r in
+           text_ops.duplicate_span_features(df, span_words=10).collect()}
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[2].n_dup_spans == 1                   # the shared run
+    assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+    assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0

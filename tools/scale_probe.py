@@ -49,7 +49,7 @@ PROBE_QUERIES = [
     # round-4 second wave
     "pii_scrub", "boilerplate_chunks", "domain_mix_sample",
     "semantic_dedup", "lm_novelty", "url_normalize",
-    "trainprep_pipeline", "quality_classifier",
+    "trainprep_pipeline", "quality_classifier", "dup_spans",
 ]
 
 
