@@ -70,6 +70,7 @@ HEADLINE = [
     "trainprep_pipeline",
     "quality_classifier",
     "dup_spans",
+    "html_extract",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -195,6 +195,25 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def html_to_text(c: Column) -> Column:
+    """Markup -> text extraction (the step BEFORE every other text op
+    in a web-corpus pipeline): drop comments and script/style blocks,
+    strip tags, decode the common entities, collapse whitespace.
+    Regex-only — (?is) inline flags and non-greedy quantifiers behave
+    identically under Java regex and RE2 — and a pure scan-stage
+    expression chain like scrub_pii. A full HTML5 parser this is not
+    (malformed nesting degrades gracefully to tag-stripping), which is
+    exactly the trade every large-scale extraction pass makes."""
+    out = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def duplicate_span_features(df: DataFrame, *, text_col: str = "text",
                             id_col: str = "doc_id",
                             span_words: int = 10) -> DataFrame:

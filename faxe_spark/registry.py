@@ -2357,6 +2357,64 @@ def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     target.cast("double").alias("target_rate")))
 
 
+# deterministic derived HTML page per doc: comments, script/style
+# blocks, tags, entities — every extraction rule fires
+_HTML_AUG_SQL = (
+    "'<html><head><title>' || source || '</title>"
+    "<style>p { color: red; }</style></head><body><h1>Doc ' ||"
+    " CAST(doc_id AS VARCHAR) || '</h1><!-- hidden ' ||"
+    " CAST(doc_id % 3 AS VARCHAR) || ' --><p class=\"x\">' || text ||"
+    " ' &amp; more &lt;tags&gt; &#39;q&#39;</p>"
+    "<script>var x = 1 < 2;</script></body></html>'"
+)
+
+
+# the oracle's regexp_replace chain, generated to guarantee balance
+# (same rule order as text_ops.html_to_text)
+_HTML_RULES = [
+    ("'(?is)<!--.*?-->'", "' '"),
+    ("'(?is)<script\\b[^>]*>.*?</script>'", "' '"),
+    ("'(?is)<style\\b[^>]*>.*?</style>'", "' '"),
+    ("'(?s)<[^>]+>'", "' '"),
+    ("'&nbsp;'", "' '"), ("'&lt;'", "'<'"), ("'&gt;'", "'>'"),
+    ("'&quot;'", "'\"'"), ("'&#39;'", "CHR(39)"), ("'&amp;'", "'&'"),
+    ("'\\s+'", "' '"),
+]
+_HTML_EXPR = "html"
+for _pat, _rep in _HTML_RULES:
+    _HTML_EXPR = f"regexp_replace({_HTML_EXPR}, {_pat}, {_rep}, 'g')"
+_HTML_EXPR = f"trim({_HTML_EXPR})"
+
+
+@register(
+    "html_extract",
+    f"""
+    WITH a AS (SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents),
+    x AS (SELECT doc_id, {_HTML_EXPR} AS extracted FROM a)
+    SELECT doc_id, length(extracted) AS n_chars_x, md5(extracted) AS text_md5
+    FROM x
+    """,
+    doc="HTML -> text extraction (the web-corpus ingestion step before "
+        "every other text op): comment/script/style drop, tag strip, "
+        "entity decode, whitespace collapse — regex-only, (?is) flags "
+        "and non-greedy quantifiers identical under Java regex and RE2",
+)
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"
+              "<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden "), (F.col("doc_id") % 3).cast("string"),
+        F.lit(' --><p class="x">'), F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt; &#39;q&#39;</p>"
+              "<script>var x = 1 < 2;</script></body></html>"))
+    out = d.withColumn("_extracted", text_ops.html_to_text(html))
+    return out.select("doc_id",
+                      F.length("_extracted").cast("int").alias("n_chars_x"),
+                      F.md5("_extracted").alias("text_md5"))
+
+
 @register(
     "dup_spans",
     f"""
@@ -2721,8 +2779,10 @@ _DEFERRED_THIS_ROUND = [
     # (r1+r3 hard-green, untouched) makes room for quality_classifier
     "ann_ivf_topk", "ann_topk",
     # training_pipeline (hard-green r1+r2+r3, untouched) makes room
-    # for dup_spans
-    "training_pipeline",
+    # for dup_spans; dedup_ngram_jaccard (hard-green r1+r3, value
+    # semantics untouched this round — the r4 repartition is
+    # lane-equivalence-tested) makes room for html_extract
+    "training_pipeline", "dedup_ngram_jaccard",
 ]
 
 

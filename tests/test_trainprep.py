@@ -422,3 +422,28 @@ def test_duplicate_span_features_crafted(spark):
     assert out[2].n_dup_spans == 1                   # the shared run
     assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
     assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
+
+
+# -- HTML extraction --------------------------------------------------------
+
+def test_html_to_text_crafted(spark):
+    df = spark.createDataFrame([
+        (1, '<html><head><style>p{x}</style><script a="b">var x = "<p>";'
+            '</script></head><body> <h1>Title</h1><!-- no --> '
+            '<p class="c">Hello &amp; &lt;world&gt; &#39;q&#39;</p></body>'),
+        (2, "plain text, no markup &amp;lt; stays escaped-once"),
+        (3, "<SCRIPT>upper case</SCRIPT><P>Kept</P>"),
+    ], "doc_id long, html string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", text_ops.html_to_text(F.col("html")).alias("t")).collect()}
+    assert out[1].t == "Title Hello & <world> 'q'"
+    # &amp;lt; decodes ONE level (amp last): -> &lt; literal
+    assert out[2].t == "plain text, no markup &lt; stays escaped-once"
+    assert out[3].t == "Kept"  # (?i) catches uppercase SCRIPT
+
+
+def test_html_to_text_is_scan_stage_only(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = df.select(text_ops.html_to_text(F.col("html")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

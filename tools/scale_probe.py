@@ -50,6 +50,7 @@ PROBE_QUERIES = [
     "pii_scrub", "boilerplate_chunks", "domain_mix_sample",
     "semantic_dedup", "lm_novelty", "url_normalize",
     "trainprep_pipeline", "quality_classifier", "dup_spans",
+    "html_extract",
 ]
 
 
