@@ -308,48 +308,70 @@ def url_scheme(c: Column) -> Column:
 
 
 def url_host(c: Column) -> Column:
-    """Normalized host: lowercased, leading www. and default :80/:443
-    port stripped — the key for host-level dedup/stats."""
+    """Normalized host: lowercased, leading www. stripped, and the
+    scheme's OWN default port stripped (https:443 / http:80 — a
+    non-default port is a different origin and stays)."""
     h = F.lower(F.regexp_extract(c, _URL_HOST_RE, 1))
     h = F.regexp_replace(h, r"^www\.", "")
-    return F.regexp_replace(h, r":(443|80)$", "")
+    scheme = url_scheme(c)
+    h = F.when(scheme == "https", F.regexp_replace(h, r":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(h, r":80$", "")) \
+        .otherwise(h)
+    return h
 
 
 def url_path(c: Column) -> Column:
     return F.regexp_extract(c, _URL_PATH_RE, 1)
 
 
+# normalize_url's rule chain, shared with the DuckDB oracle (which
+# rebuilds it with \1-style replacements). Order matters; see each rule.
+# Review r4: (a) the utm rule must swallow RUNS of adjacent params in
+# one match (scanning resumes after a replacement, so a one-param rule
+# leaks every second adjacent tracker and breaks idempotence); (b) the
+# default-port strip must pair the port with ITS scheme — :443 is not
+# a default for http, collapsing distinct origins.
+URL_NORMALIZE_RULES: list[tuple[str, str, str]] = [
+    (r"#.*$", "", "fragment"),
+    (r"([?&])(utm_[A-Za-z]+=[^&#]*&)+", "$1", "utm runs followed by &"),
+    (r"[?&]utm_[A-Za-z]+=[^&#]*$", "", "trailing utm param"),
+    (r"[?&]$", "", "dangling separator"),
+    *[(rf"^({scheme}://[^/?#:]+):{port}{tail}", f"$1{keep}", "default port")
+      for scheme, port in (("https", "443"), ("http", "80"))
+      for tail, keep in ((r"/", "/"), (r"\?", "?"), (r"$", ""))],
+]
+
+
 def normalize_url(c: Column) -> Column:
     """Canonical URL for dedup: drop the fragment, strip utm_* tracking
-    params (fixing separators), strip default ports. Pure JVM regexp
-    chain — scan-stage at 100 TB, like scrub_pii."""
-    u = F.regexp_replace(c, r"#.*$", "")                       # fragment
-    u = F.regexp_replace(u, r"([?&])utm_[A-Za-z]+=[^&#]*&?", r"$1")
-    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling sep
-    # default ports, no lookahead (RE2-portable): the three contexts
-    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)/", r"$1/")
-    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)\?", r"$1?")
-    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)$", r"$1")
+    params (fixing separators, idempotent across runs), strip the
+    scheme's OWN default port (https:443 / http:80 only). Pure JVM
+    regexp chain — scan-stage at 100 TB, like scrub_pii."""
+    u = c
+    for pat, rep, _why in URL_NORMALIZE_RULES:
+        u = F.regexp_replace(u, pat, rep)
     return u
 
 
-def url_n_params(c: Column) -> Column:
-    """Query-parameter count of the NORMALIZED url."""
-    return F.size(F.regexp_extract_all(normalize_url(c),
-                                       F.lit(r"[?&][^=&#]+="), F.lit(0)))
+def url_n_params(clean: Column) -> Column:
+    """Query-parameter count of an ALREADY-normalized url (pass the
+    clean_url column — counting from the raw url would double the
+    normalize chain in the plan and invite drift between the two)."""
+    return F.size(F.regexp_extract_all(clean, F.lit(r"[?&][^=&#]+="),
+                                       F.lit(0)))
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Annotate with scheme/host/path/param-count + the normalized URL
     (the dedup key a web-corpus pipeline joins on)."""
     c = F.col(url_col)
-    return df.withColumns({
+    out = df.withColumns({
         "scheme": url_scheme(c),
         "host": url_host(c),
         "path": url_path(c),
-        "n_params": url_n_params(c),
         "clean_url": normalize_url(c),
     })
+    return out.withColumn("n_params", url_n_params(F.col("clean_url")))
 
 
 def lm_novelty(df: DataFrame, *, text_col: str = "text",

@@ -255,10 +255,15 @@ def plan_mixture(df: DataFrame, targets: dict[str, float], *,
     aggregation. Compose: mix_sample(df, plan_mixture(df, targets))."""
     tok = (F.col(token_col) if token_col
            else token_count(F.col(text_col))).cast("long")
+    # coalesce: an all-NULL-token domain sums to NULL and would crash
+    # the budget arithmetic below (pack_greedy guards the same case)
     census = {r[0]: r[1] for r in
               (df.groupBy(domain_col)
-               .agg(F.sum(tok).alias("_t")).collect())}
-    shares = {d: s for d, s in targets.items() if d in census and s > 0}
+               .agg(F.coalesce(F.sum(tok), F.lit(0)).alias("_t"))
+               .collect())}
+    shares_nonempty = {d for d, t in census.items() if t > 0}
+    shares = {d: s for d, s in targets.items()
+              if d in shares_nonempty and s > 0}
     if not shares:
         return {}
     if total_budget is None:

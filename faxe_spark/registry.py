@@ -2614,28 +2614,35 @@ _URL_AUG_SQL = (
 )
 
 
+# the oracle's normalize chain, generated from the SAME rule list as
+# the Spark operator ($1-style replacements become \1)
+from faxe_spark.operators.text import URL_NORMALIZE_RULES as _URL_RULES  # noqa: E402
+
+_URL_CLEAN_EXPR = "url"
+for _pat, _rep, _why in _URL_RULES:
+    _p = _pat.replace("'", "''")
+    _r = _rep.replace("$1", "\\1")
+    _URL_CLEAN_EXPR = f"regexp_replace({_URL_CLEAN_EXPR}, '{_p}', '{_r}', 'g')"
+
+
 @register(
     "url_normalize",
     f"""
     WITH a AS (SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents),
-    n AS (
-      SELECT doc_id, url,
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(url,
-            '#.*$', '', 'g'),
-            '([?&])utm_[A-Za-z]+=[^&#]*&?', '\\1', 'g'),
-            '[?&]$', '', 'g'),
-            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)/', '\\1/', 'g'),
-            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)\\?', '\\1?', 'g'),
-            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+):(443|80)$', '\\1', 'g')
-          AS clean
-      FROM a
-    )
+    n AS (SELECT doc_id, url, {_URL_CLEAN_EXPR} AS clean FROM a)
     SELECT doc_id,
       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      regexp_replace(regexp_replace(
-        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-        '^www\\.', '', 'g'), ':(443|80)$', '', 'g') AS host,
+      CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        WHEN 'https' THEN regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\\.', '', 'g'), ':443$', '', 'g')
+        WHEN 'http' THEN regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\\.', '', 'g'), ':80$', '', 'g')
+        ELSE regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\\.', '', 'g')
+      END AS host,
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
         AS path,
       len(regexp_extract_all(clean, '[?&][^=&#]+=')) AS n_params,

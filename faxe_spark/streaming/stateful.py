@@ -585,9 +585,12 @@ def dedup_exact_stream(df: DataFrame, *, text_col: str = "text",
     arriving later than the horizon is a fresh document by design."""
     import pyspark.sql.functions as F
 
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                       r"\s+", " ")))
-    return (df.withColumn("_fp", fp)
+    # the SAME fingerprint as the batch dedup_exact (normalize + md5) —
+    # a normalization change there must carry over here or the
+    # streaming lane silently diverges from its batch analog
+    from faxe_spark.operators.text import fingerprint
+
+    return (df.withColumn("_fp", fingerprint(F.col(text_col)))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["_fp"])
             .drop("_fp"))

@@ -25,6 +25,7 @@ _CHUNK = st.text(
 _PII_BITS = st.sampled_from([
     "a.b@c.de", "+1-555-0000", "10.0.0.1", "999.1.1.1", "x@y", "@", "+1-",
     "https://www.Ex.com:443/p?utm_a=1&b=2#f", "http://h:80", "?utm_x=",
+    "https://e.com/p?utm_a=1&utm_b=2&utm_c=3", "?utm_a=1&utm_b=2",
 ])
 _TEXTS = st.lists(st.one_of(_CHUNK, _PII_BITS), min_size=1, max_size=6) \
     .map(" ".join)

@@ -447,3 +447,39 @@ def test_html_to_text_is_scan_stage_only(spark):
     plan = df.select(text_ops.html_to_text(F.col("html")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_normalize_utm_runs_and_scheme_ports(spark):
+    """Review r4: adjacent utm params are stripped in one pass
+    (idempotent), and only the scheme's OWN default port drops."""
+    df = spark.createDataFrame([
+        (1, "https://e.com/p?utm_source=a&utm_medium=b"),
+        (2, "https://e.com/p?utm_a=1&utm_b=2&utm_c=3&id=9"),
+        (3, "http://ex.com:443/x"),     # NOT http's default: stays
+        (4, "https://h.com:80/y"),      # NOT https's default: stays
+        (5, "ftp://f.com:80/z"),        # unknown scheme: stays
+    ], "doc_id long, url string")
+    out = {r.doc_id: r for r in text_ops.url_features(df).collect()}
+    assert out[1].clean_url == "https://e.com/p"
+    assert out[2].clean_url == "https://e.com/p?id=9"
+    assert out[2].n_params == 1
+    assert out[3].clean_url == "http://ex.com:443/x"
+    assert out[3].host == "ex.com:443"
+    assert out[4].clean_url == "https://h.com:80/y"
+    assert out[5].host == "f.com:80"
+    # idempotence on the adversarial adjacency case
+    clean_df = spark.createDataFrame([(1, out[1].clean_url),
+                                      (2, out[2].clean_url)],
+                                     "doc_id long, url string")
+    again = {r.doc_id: r for r in text_ops.url_features(clean_df).collect()}
+    assert again[1].clean_url == out[1].clean_url
+    assert again[2].clean_url == out[2].clean_url
+
+
+def test_plan_mixture_null_token_domain(spark):
+    """Review r4: an all-NULL-text domain must not crash the planner —
+    it censuses as 0 tokens and is skipped."""
+    df = _docs(spark, [(1, None, "nulls"), (2, None, "nulls"),
+                       (3, "w " * 50, "real")])
+    rates = tp.plan_mixture(df, {"nulls": 0.5, "real": 0.5})
+    assert "nulls" not in rates and rates["real"] == 1.0
