@@ -225,17 +225,20 @@ def duplicate_span_features(df: DataFrame, *, text_col: str = "text",
     boilerplate_remove, OVERLAPPING spans catch shifted duplication
     (copy-paste with different surroundings).
 
-    Shape: one explode, corpus count as a window aggregate over the
-    exploded stream partitioned by the span hash (single lineage — see
-    lm_novelty), one per-doc aggregation. dup_span_frac is one
-    division of two longs: engine-exact."""
-    from pyspark.sql.window import Window
+    Shape: the span stream explodes twice (per-doc rows + the count
+    side — scan-stage, cheap to repeat); counts aggregate on md5(span)
+    with map-side partial combine and join back under AQE. Skew-safe
+    like lm_novelty: a viral boilerplate span repeated in millions of
+    docs partial-aggregates instead of sorting onto one window task.
+    dup_span_frac is one division of two longs: engine-exact."""
+    def spans():
+        d = df.withColumn("_w", words(F.col(text_col)))
+        return (d.select(id_col,
+                         F.explode(ngram_array(span_words)).alias("_g"))
+                .withColumn("_ck", F.md5("_g")).drop("_g"))
 
-    d = df.withColumn("_w", words(F.col(text_col)))
-    ex = d.select(id_col,
-                  F.explode(ngram_array(span_words)).alias("_g"))
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(F.md5("_g")))
-    agg = (ex.withColumn("_c", cnt)
+    cnt = spans().groupBy("_ck").agg(F.count(F.lit(1)).alias("_c"))
+    agg = (spans().join(cnt, "_ck")
            .groupBy(id_col).agg(
                F.count(F.lit(1)).alias("n_spans"),
                F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_spans")))
@@ -385,21 +388,27 @@ def lm_novelty(df: DataFrame, *, text_col: str = "text",
     the perplexity proxy — order-dependent float, for ranking only; the
     other four columns are engine-exact and oracle-checked).
 
-    Scale shape: one bigram explode, then the corpus counts as WINDOW
-    aggregates over the exploded stream (count over partitionBy(gram) /
-    partitionBy(first word)) — one lineage, two shuffles, one per-doc
-    aggregation. The first version built separate count tables and
-    joined them back, which re-executed the explode subtree three
-    times (the count side and each join probe; no ReusedExchange
-    materializes across them). No Python anywhere."""
-    from pyspark.sql.window import Window
+    Scale shape — the SKEW-SAFE count formulation: the bigram stream
+    explodes three times (per-doc rows + each count side; a scan-stage
+    explode is cheap to repeat and deliberately NOT checkpointed), the
+    counts aggregate with map-side partial combine, and the counts
+    join back under AQE (broadcast when the vocab fits, skew-join
+    otherwise). A window count() over partitionBy(gram) looks tidier
+    (one lineage, measured a touch faster locally) but has NO partial
+    aggregation: at open-vocab scale a stopword bigram like 'of the'
+    sends a double-digit percent of the corpus to one sort task — a
+    scale-killer this formulation avoids. No Python anywhere."""
+    def bigrams(cols):
+        d = df.withColumn("_w", words(F.col(text_col)))
+        return (d.select(id_col, F.explode(ngram_array(2)).alias("_g"))
+                .withColumn("_w1", F.substring_index("_g", " ", 1))
+                .select(*cols))
 
-    d = df.withColumn("_w", words(F.col(text_col)))
-    ex = (d.select(id_col, F.explode(ngram_array(2)).alias("_g"))
-          .withColumn("_w1", F.substring_index("_g", " ", 1)))
-    cb = F.count(F.lit(1)).over(Window.partitionBy("_g"))
-    cu = F.count(F.lit(1)).over(Window.partitionBy("_w1"))
-    scored = (ex.withColumn("_cb", cb).withColumn("_cu", cu)
+    ex = bigrams([id_col, "_g", "_w1"])
+    bg = bigrams(["_g"]).groupBy("_g").agg(F.count(F.lit(1)).alias("_cb"))
+    ug = bigrams(["_w1"]).groupBy("_w1").agg(
+        F.count(F.lit(1)).alias("_cu"))
+    scored = (ex.join(bg, "_g").join(ug, "_w1")
               .withColumn("_p", F.col("_cb") / F.col("_cu")))
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

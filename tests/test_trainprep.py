@@ -483,3 +483,18 @@ def test_plan_mixture_null_token_domain(spark):
                        (3, "w " * 50, "real")])
     rates = tp.plan_mixture(df, {"nulls": 0.5, "real": 0.5})
     assert "nulls" not in rates and rates["real"] == 1.0
+
+
+def test_corpus_count_ops_use_partial_aggregation(spark):
+    """100 TB skew guard: the corpus gram counts in lm_novelty and
+    duplicate_span_features must go through groupBy (map-side partial
+    combine; a hot stopword gram partial-aggregates) — NEVER a window
+    count over partitionBy(gram), which sorts every instance of the
+    hottest gram onto one task."""
+    df = _docs(spark, [(i, "of the " * 20, "s") for i in range(50)])
+    for out in (text_ops.lm_novelty(df),
+                text_ops.duplicate_span_features(df, span_words=10)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+        out.count()  # completes under a 100%-hot-gram corpus
