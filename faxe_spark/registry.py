@@ -2569,15 +2569,14 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(recursion only for the packing tail)",
 )
 def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     # the lineage is kept LINEAR on purpose: carry_cols threads `source`
     # through the boilerplate rebuild (a join back to `rep` would
     # re-execute the repetition subtree), and the dedup keeper is a
-    # window row_number (a groupBy-min + self-join would re-execute
-    # everything above it). First version measured 25 s at raw sf0.1
-    # from exactly those re-executions; this shape is 2.6 s.
+    # single min_by AGGREGATION (a groupBy-min + self-join would
+    # re-execute everything above it; a row_number window would sort
+    # every copy of a viral duplicate onto one task). First version
+    # measured 25 s at raw sf0.1 from the re-executions alone.
     # spread the scan and BARRIER it (the driver corpus is a one-file
     # parquet; without the checkpoint Catalyst pushes the repetition
     # filter below the repartition exchange and the whole feature stage
@@ -2595,9 +2594,14 @@ def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    carry_cols=("source",))
     surv = bp.filter(F.col("clean_text") != "")
     fp = F.md5(text_ops.normalize_text(F.col("clean_text")))
-    wdedup = Window.partitionBy(fp).orderBy("doc_id")
-    ded = (surv.withColumn("_rn", F.row_number().over(wdedup))
-           .filter(F.col("_rn") == 1).drop("_rn"))
+    # keeper = min_by aggregation, not a row_number window: min_by has
+    # map-side partial combine, so a viral exact-duplicate (millions of
+    # copies of one fingerprint) partial-aggregates instead of sorting
+    # onto one window task — and it stays single-pass over surv
+    ded = (surv.groupBy(fp.alias("_fp"))
+           .agg(F.min_by(F.struct("doc_id", "source", "clean_text"),
+                         F.col("doc_id")).alias("_r"))
+           .select("_r.*"))
     weights = {f"src{i}": ((i % 4) + 1) * 0.25 for i in range(100)}
     mix = tp_ops.mix_sample(ded, weights)
     return tp_ops.pack_greedy(mix, budget=512, text_col="clean_text",
