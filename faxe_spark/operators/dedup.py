@@ -57,6 +57,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")))
 
 
+def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl exact dedup: drop new documents whose
+    fingerprint was already seen in ANY previous batch, and return the
+    updated fingerprint set for the next round.
+
+    Returns (fresh_docs, updated_seen) where updated_seen =
+    seen ∪ fresh fingerprints. seen_fps is a 1-column DataFrame
+    ('fingerprint'); pass None for the first batch. At 100 TB the seen
+    set lives as a bucketed table on the fingerprint (pay-once
+    shuffle, see tables.stage_bucketed) so the anti-join is
+    co-located; within the new batch itself the min-id rule of
+    dedup_exact applies first (batch-internal dups)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    tagged = new_df.withColumn("fingerprint", fp)
+    # batch-internal: keep the min id per fingerprint (skew-safe min_by)
+    firsts = (tagged.groupBy("fingerprint")
+              .agg(F.min(id_col).alias("_keep")))
+    batch_unique = (tagged.join(firsts, "fingerprint")
+                    .filter(F.col(id_col) == F.col("_keep")).drop("_keep"))
+    if seen_fps is None:
+        fresh = batch_unique
+    else:
+        fresh = batch_unique.join(seen_fps, "fingerprint", "left_anti")
+    updated = (fresh.select("fingerprint")
+               if seen_fps is None
+               else seen_fps.union(fresh.select("fingerprint")))
+    return fresh.drop("fingerprint"), updated
+
+
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

@@ -195,3 +195,32 @@ def test_dense_numpy_kernel_vs_sparse(spark, monkeypatch):
     sparse = _rows(_pairs(spark, shingle_n=2, threshold=0.5,
                           dense_universe_max=0))
     assert numpy_lane and numpy_lane == sparse == fold_lane
+
+
+def test_dedup_incremental_across_batches(spark):
+    """Continuous-crawl shape: batch-internal dups keep the min id,
+    cross-batch replays are dropped via the seen-fingerprint set, and
+    the set accumulates."""
+    from faxe_spark.operators.dedup import dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma")],
+        "doc_id long, text string")
+    fresh1, seen1 = dedup_incremental(b1, None)
+    ids1 = {r.doc_id for r in fresh1.collect()}
+    assert ids1 == {1, 3}                     # 2 is a normalized dup of 1
+    assert seen1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "delta"), (6, "delta again"),
+         (7, "delta")],
+        "doc_id long, text string")
+    fresh2, seen2 = dedup_incremental(b2, seen1)
+    ids2 = {r.doc_id for r in fresh2.collect()}
+    assert ids2 == {5, 6}                     # 4 replays b1; 7 dups 5
+    assert seen2.count() == 4
+    # a third batch against the accumulated set
+    b3 = spark.createDataFrame([(8, "delta again"), (9, "new")],
+                               "doc_id long, text string")
+    fresh3, _ = dedup_incremental(b3, seen2)
+    assert {r.doc_id for r in fresh3.collect()} == {9}

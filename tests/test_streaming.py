@@ -479,3 +479,31 @@ def test_dedup_exact_stream_drops_replays(spark, tmp_path):
     # one of {1,2} survives (first arrival per fingerprint), 4 is dropped
     assert 3 in got and 5 in got
     assert len(got & {1, 2}) == 1 and 4 not in got
+
+
+def test_scan_stage_text_ops_run_on_streams(spark, tmp_path):
+    """The scan-stage text operators (pii/quality/repetition/url) are
+    stateless Column expressions, so the SAME functions run unchanged
+    on a readStream — no streaming variants needed."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import text as text_ops
+
+    schema = "doc_id long, text string, ts timestamp"
+    import datetime
+    _write_rows(spark, tmp_path, "b1", [
+        (1, "mail a@b.cc from 10.0.0.1", datetime.datetime(2024, 1, 1)),
+        (2, "plain words only here", datetime.datetime(2024, 1, 1)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = spark.readStream.schema(read_schema).parquet(str(tmp_path) + "/*")
+    out = text_ops.hashed_linear_score(
+        text_ops.repetition_features(text_ops.pii_features(stream)))
+    out = out.withColumn("clean", text_ops.scrub_pii(F.col("text")))
+    q = (out.writeStream.format("memory").queryName("textops_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM textops_s").collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1
+    assert rows[1].clean == "mail <EMAIL> from <IPV4>"
+    assert rows[2].repetition_ok and isinstance(rows[2].score, float)
