@@ -71,21 +71,27 @@ def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
     shuffle, see tables.stage_bucketed) so the anti-join is
     co-located; within the new batch itself the min-id rule of
     dedup_exact applies first (batch-internal dups)."""
-    fp = F.md5(normalize_text(F.col(text_col)))
-    tagged = new_df.withColumn("fingerprint", fp)
-    # batch-internal: keep the min id per fingerprint (skew-safe min_by)
-    firsts = (tagged.groupBy("fingerprint")
-              .agg(F.min(id_col).alias("_keep")))
-    batch_unique = (tagged.join(firsts, "fingerprint")
-                    .filter(F.col(id_col) == F.col("_keep")).drop("_keep"))
-    if seen_fps is None:
-        fresh = batch_unique
-    else:
-        fresh = batch_unique.join(seen_fps, "fingerprint", "left_anti")
-    updated = (fresh.select("fingerprint")
-               if seen_fps is None
-               else seen_fps.union(fresh.select("fingerprint")))
-    return fresh.drop("fingerprint"), updated
+    # NULL text fingerprints as the empty doc (a NULL key would fall
+    # out of every equi-join = silent data loss); the internal column
+    # is _fp so a caller's own 'fingerprint' column (text_features
+    # emits one) passes through untouched
+    fp = F.md5(normalize_text(
+        F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
+    # batch-internal keeper = single min_by aggregation: one pass, map-
+    # side partial combine (no groupBy-min + self-join re-execution,
+    # no per-fingerprint window sort)
+    batch_unique = (new_df.withColumn("_fp", fp)
+                    .groupBy("_fp")
+                    .agg(F.min_by(F.struct(*new_df.columns),
+                                  F.col(id_col)).alias("_r")))
+    if seen_fps is not None:
+        batch_unique = batch_unique.join(
+            seen_fps.withColumnRenamed("fingerprint", "_fp"),
+            "_fp", "left_anti")
+    fresh = batch_unique.select("_r.*")
+    new_fps = batch_unique.select(F.col("_fp").alias("fingerprint"))
+    updated = new_fps if seen_fps is None else seen_fps.union(new_fps)
+    return fresh, updated
 
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)

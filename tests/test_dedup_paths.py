@@ -224,3 +224,19 @@ def test_dedup_incremental_across_batches(spark):
                                "doc_id long, text string")
     fresh3, _ = dedup_incremental(b3, seen2)
     assert {r.doc_id for r in fresh3.collect()} == {9}
+
+
+def test_dedup_incremental_null_text_and_column_preservation(spark):
+    """Review r4: NULL-text docs fingerprint as the empty doc (kept,
+    deduped together) instead of vanishing through a NULL equi-join;
+    a caller's own 'fingerprint' column passes through untouched."""
+    from faxe_spark.operators.dedup import dedup_incremental
+
+    b = spark.createDataFrame(
+        [(1, None, "keepme1"), (2, "alpha", "keepme2"), (3, None, "k3")],
+        "doc_id long, text string, fingerprint string")
+    fresh, seen = dedup_incremental(b, None)
+    rows = {r.doc_id: r for r in fresh.collect()}
+    assert set(rows) == {1, 2}                 # 3 dedups against 1 (NULL==NULL)
+    assert rows[1].fingerprint == "keepme1"    # caller column preserved
+    assert seen.count() == 2

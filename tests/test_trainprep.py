@@ -492,9 +492,15 @@ def test_corpus_count_ops_use_partial_aggregation(spark):
     count over partitionBy(gram), which sorts every instance of the
     hottest gram onto one task."""
     df = _docs(spark, [(i, "of the " * 20, "s") for i in range(50)])
-    for out in (text_ops.lm_novelty(df),
-                text_ops.duplicate_span_features(df, span_words=10)):
+    for out, n_count_aggs in ((text_ops.lm_novelty(df), 3),
+                              (text_ops.duplicate_span_features(
+                                  df, span_words=10), 2)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
-        assert "partial_count" in plan or "HashAggregate" in plan
+        # the per-doc agg alone contributes one partial_count, so the
+        # corpus count subtrees must add their own (>= n_count_aggs
+        # total) — a single occurrence would mean the corpus counts
+        # bypassed partial aggregation
+        assert plan.count("partial_count") >= n_count_aggs, \
+            plan.count("partial_count")
         out.count()  # completes under a 100%-hot-gram corpus
