@@ -501,3 +501,124 @@ def semantic_dedup(corpus: DataFrame, threshold: float, *,
            .withColumn("keep",
                        F.col("component") == F.col(id_col).cast(comp_t)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory side of billion-scale ANN.
+# IVF (above) prunes WHICH vectors to score; PQ compresses HOW they are
+# stored — m uint8 codes instead of dim floats (e.g. 64x for 64-dim
+# float32 at m=8), scored against a per-query lookup table (ADC).
+# FAISS IVFPQ layout, rebuilt from the public papers (Jegou et al. 2011).
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 8, ksub: int = 16,
+             seed: int = 42, max_iter: int = 20):
+    """Train per-subspace codebooks driver-side over a deterministic
+    hash sample (the coarse-trainer strategy of cosine_ivf_topk: PQ
+    codebooks train on ~100k vectors regardless of corpus size).
+    Vectors are unit-normalized first, so inner products against the
+    codes approximate cosine. Returns numpy (m, ksub, dim//m)."""
+    import numpy as np
+
+    samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+            .limit(25_000).collect())
+    samp.sort(key=lambda r: r[0])
+    if not samp:
+        raise ValueError("pq_train: empty corpus")
+    X = np.array([r[1] for r in samp], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([
+        _lloyds(X[:, j * dsub:(j + 1) * dsub], k=ksub, iters=max_iter,
+                seed=seed + j)
+        for j in range(m)
+    ])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks, *, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector its m nearest-subcentroid codes — one
+    broadcast-GEMM scan per batch (mapInPandas), output (id, codes:
+    array<int>). At 100 TB the codes ARE the stored index."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def enc(batches):
+        import pandas as pd
+
+        B = bc.value                      # (m, ksub, dsub)
+        m_, _, dsub = B.shape
+        for pdf in batches:
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m_), dtype=np.int64)
+            for j in range(m_):
+                sub = V[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
+                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+            .mapInPandas(enc, f"{id_col} {id_type}, codes array<bigint>"))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Asymmetric-distance top-k: per query, an (m, ksub) lookup table
+    of subspace inner products; each candidate scores as m table
+    gathers + a sum — never touching the original vectors. Queries
+    broadcast with their LUTs; candidates stream through one Arrow
+    pass; the per-query top-k is the same window as cosine_topk.
+    Output: (query_id, vec_id, adc_score, rank)."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    B = codebooks
+    m_, ksub, dsub = B.shape
+    qrows = (queries.select(F.col(id_col).alias(query_id_col),
+                            _as_double(F.col(vec_col)).alias("_qv"))
+             .collect())
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    luts = np.stack([
+        np.stack([B[j] @ Q[i, j * dsub:(j + 1) * dsub] for j in range(m_)])
+        for i in range(len(qrows))
+    ])                                   # (nq, m, ksub)
+    qids = [r[0] for r in qrows]
+    bc = codes.sparkSession.sparkContext.broadcast((qids, luts))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, luts_ = bc.value
+        for pdf in batches:
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            out_id, out_q, out_s = [], [], []
+            for qi, qid in enumerate(qids_):
+                s = luts_[qi][np.arange(C.shape[1])[None, :], C].sum(axis=1)
+                out_id.extend(pdf[pdf.columns[0]])
+                out_q.extend([qid] * len(C))
+                out_s.extend(s)
+            yield pd.DataFrame({query_id_col: out_q,
+                                pdf.columns[0]: out_id,
+                                "adc_score": out_s})
+
+    id_type = codes.schema[codes.columns[0]].dataType.simpleString()
+    scored = codes.mapInPandas(
+        score, f"{query_id_col} {id_type}, {codes.columns[0]} {id_type}, "
+               "adc_score double")
+    scored = scored.filter(F.col(query_id_col) != F.col(codes.columns[0]))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(codes.columns[0]))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -84,3 +84,58 @@ def test_lsh_topk_arrow_path_matches_jvm_path(spark):
     ra = sorted((r.query_id, r.rank, r.vec_id) for r in a.collect())
     rb = sorted((r.query_id, r.rank, r.vec_id) for r in b.collect())
     assert ra == rb
+
+
+# -- product quantization ---------------------------------------------------
+
+def test_pq_exact_when_codebook_covers_corpus(spark):
+    """Exactness proof (the full-probe analog): with ksub >= corpus
+    size the per-subspace codebooks converge onto the data points, the
+    quantization error is ~0, and ADC top-k must equal the exact
+    brute-force top-k."""
+    from faxe_spark.operators import similarity as sim
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 40"))
+    books = sim.pq_train(emb, m=8, ksub=64, max_iter=60)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.filter("vec_id < 5")
+    got = {(r.query_id, r.rank): r.vec_id for r in
+           sim.pq_adc_topk(codes, queries, books, 5).collect()}
+    want = {(r.query_id, r.rank): r.vec_id for r in
+            sim.cosine_topk(emb, queries, 5).collect()}
+    assert got == want
+
+
+def test_pq_encode_deterministic_and_compact(spark):
+    from faxe_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_train(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)          # 64-dim / m=8
+    a = {r.vec_id: tuple(r.codes) for r in sim.pq_encode(emb, books).collect()}
+    b = {r.vec_id: tuple(r.codes) for r in sim.pq_encode(emb, books).collect()}
+    assert a == b and all(len(c) == 8 for c in a.values())
+    assert all(0 <= x < 16 for c in a.values() for x in c)
+
+
+def test_pq_adc_recall_floor(spark):
+    """Real compression (m=16 x 6-bit codes = 32x smaller than
+    float64): ADC ranking must clear a recall floor. NB: the synthetic
+    near-uniform corpus is PQ's adversarial case — measured ~0.59
+    here vs the much higher recalls PQ reaches on structured learned
+    embeddings; the floor is set for THIS corpus."""
+    from faxe_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_train(emb, m=16, ksub=64)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.filter("vec_id < 10")
+    approx = {}
+    for r in sim.pq_adc_topk(codes, queries, books, 10).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    exact = {}
+    for r in sim.cosine_topk(emb, queries, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
