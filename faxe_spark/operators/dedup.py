@@ -38,10 +38,16 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     toks = F.split(F.trim(normalize_text(F.col(text_col))), r"\s+")
     parts = ", ' ', ".join(f"element_at(_toks, i+{j})" for j in range(n))
     out = df.select(id_col, toks.alias("_toks"))
+    # guard short docs: sequence(1, 0) DESCENDS to [1, 0] in Spark (step
+    # defaults to -1 when start > stop), so a doc with < n tokens would
+    # hit element_at(_, 0) = INVALID_ARRAY_INDEX. Same fix as
+    # text.ngram_array: explicit empty array below n tokens.
     out = out.select(
         id_col,
         F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(_toks)-{n - 1}, 0)), i -> concat({parts}))"
+            f"if(size(_toks) >= {n}, "
+            f"transform(sequence(1, size(_toks)-{n - 1}), i -> concat({parts})), "
+            f"array())"
         )).alias("shingle"),
     )
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
@@ -478,9 +484,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             .select("id_a", "id_b", "inter", "jaccard"))
 
 
+def _np_components(src, dst):
+    """Driver/worker-side min-label components over an edge-list pair
+    of numpy arrays (any orientation — symmetrized internally). Returns
+    (nodes, labels) with labels = min node id of each component.
+
+    Vectorized hash-min with pointer jumping (O(log n) rounds; a
+    per-edge python loop measured 9.4 s at 1M edges, this ~0.1 s).
+    Non-numeric ids are dense-ranked so the kernel always runs on
+    integers (object-dtype minimum.at is Python-speed)."""
+    import numpy as np
+
+    if src.dtype == object or dst.dtype == object:
+        order = np.unique(np.concatenate([src, dst]))
+        src = np.searchsorted(order, src)
+        dst = np.searchsorted(order, dst)
+    else:
+        order = None
+    s = np.concatenate([src, dst])             # symmetrize
+    d = np.concatenate([dst, src])
+    nodes = np.unique(s)
+    idx = np.searchsorted(nodes, s)
+    jdx = np.searchsorted(nodes, d)
+    lab = nodes.copy()
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, idx, lab[jdx])              # relax edges
+        lab = np.minimum(lab, lab[np.searchsorted(nodes, lab)])  # jump
+        if np.array_equal(lab, prev):
+            break
+    if order is not None:
+        nodes, lab = order[nodes], order[lab]
+    return nodes, lab
+
+
+def _partition_stars(batches):
+    """mapInPandas kernel: local union-find over ONE partition's edges,
+    emitting the spanning star (node, root=min local member) for every
+    node — a connectivity-equivalent contraction of the partition's
+    edge set (each local component's edges collapse to <= |nodes|
+    star edges; cross-partition gluing happens because shared nodes
+    carry their per-partition roots)."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = [b for b in batches if len(b)]
+    if not chunks:
+        return
+    src = np.concatenate([c["src"].to_numpy() for c in chunks])
+    dst = np.concatenate([c["dst"].to_numpy() for c in chunks])
+    nodes, lab = _np_components(src, dst)
+    yield pd.DataFrame({"node": nodes, "root": lab})
+
+
 def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                          id_b: str = "id_b", max_iterations: int = 20,
-                         driver_threshold: int = 20_000_000) -> DataFrame:
+                         driver_threshold: int = 20_000_000,
+                         direct_collect_max: int = 100_000) -> DataFrame:
     """(node, component) labels from a similarity-pair edge list —
     the step that turns near-dup PAIRS into dedup CLUSTERS.
 
@@ -499,63 +559,88 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     re-execute that whole subtree (measured 20.6 s -> 6 s on the
     sf0.1 dedup_clusters query, where pairs cost ~2 s per rebuild).
 
-    ADAPTIVE small-graph lane: each propagation round costs a join, a
-    groupBy, an eager checkpoint and a convergence-probe job — ~1 s of
-    fixed overhead per round on an idle local cluster, which dwarfs the
-    actual work whenever the edge list is small (semantic_dedup at
-    sf0.1: 4k edges, 3 rounds, ~3 s of pure scheduling). Edge lists
-    <= driver_threshold (default 20M ~ 600 MB driver memory) therefore
-    collect once and run union-find in Python — O(E α(E)), tens of ns
-    per edge — and only the (node, component) labels go back to the
-    cluster. This mirrors the dense-lane strategy in ngram_jaccard:
-    the near-dup GRAPH is orders of magnitude smaller than the corpus
-    that produced it, so the common case is the small lane even at
-    100 TB; genuinely huge graphs (> threshold) keep the distributed
-    hash-min path."""
+    ADAPTIVE lanes (each propagation round of the distributed path
+    costs a join, a groupBy, an eager checkpoint and a convergence
+    probe — ~1 s of fixed overhead per round on an idle local cluster,
+    which dwarfs the actual work on small graphs):
+
+    1. direct-collect (<= direct_collect_max edges): collect the edge
+       list once, union-find in numpy, ship labels back through Arrow.
+       Zero shuffles; right for the common case where the near-dup
+       GRAPH is orders of magnitude smaller than the corpus.
+    2. pre-contracted (<= driver_threshold edges): mapInPandas runs a
+       LOCAL union-find per partition and emits only the spanning star
+       (node, local_root); the driver then solves the root-graph
+       (pairs of roots that share a node across partitions — smaller
+       than the edge list by the local clustering factor) and the
+       labels come back via a BROADCAST join against the distributed
+       stars. The driver never holds the full edge list or the full
+       node set — the 12-14 s toArrow stall at ~10M edges becomes a
+       sub-second root-graph collect (r4 advice + brief item 5).
+    3. distributed hash-min (> driver_threshold): unchanged.
+
+    Gating is dtype-aware (r4 advice): the thresholds assume ~8-byte
+    numeric ids; object-dtype (string) ids cost an order of magnitude
+    more per row on the driver, so both cutoffs are divided by 10 for
+    non-numeric node types. Pass driver_threshold=0 to force the fully
+    distributed lane regardless of size."""
     base = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
             .distinct()).localCheckpoint(eager=True)
     n_edges = base.count()  # free: the checkpoint is already materialized
     node_t = base.schema["src"].dataType.simpleString()
-    if n_edges <= driver_threshold:
-        import numpy as np
+    numeric_ids = node_t in ("tinyint", "smallint", "int", "bigint",
+                             "float", "double", "date", "timestamp",
+                             "timestamp_ntz") or node_t.startswith("decimal")
+    dtype_div = 1 if numeric_ids else 10
+    eff_direct = direct_collect_max // dtype_div
+    eff_driver = driver_threshold // dtype_div
 
-        try:
-            tbl = base.toArrow()               # no pandas detour
-            src = tbl["src"].to_numpy()
-            dst = tbl["dst"].to_numpy()
-        except AttributeError:                 # pyspark < 4
-            pdf = base.toPandas()
-            src = pdf["src"].to_numpy()
-            dst = pdf["dst"].to_numpy()
-        if src.dtype == object:                # non-numeric ids: dense-rank
-            order = np.unique(np.concatenate([src, dst]))
-            src = np.searchsorted(order, src)
-            dst = np.searchsorted(order, dst)
-        else:
-            order = None
-        # vectorized hash-min with pointer jumping (O(log n) rounds;
-        # a per-edge python loop measured 9.4 s at 1M edges, this ~0.1 s)
-        nodes = np.unique(src)                 # base is symmetric
-        idx = np.searchsorted(nodes, src)
-        jdx = np.searchsorted(nodes, dst)
-        lab = nodes.copy()
-        while True:
-            prev = lab.copy()
-            np.minimum.at(lab, idx, lab[jdx])              # relax edges
-            lab = np.minimum(lab, lab[np.searchsorted(nodes, lab)])  # jump
-            if np.array_equal(lab, prev):
-                break
-        if order is not None:
-            nodes, lab = order[nodes], order[lab]
-        # return through Arrow (pandas frame), not a pickled tuple list —
-        # at the 20M-edge threshold the labels are ~15M rows and the
-        # pickle path costs minutes + GBs of driver heap
+    def _labels_df(nodes, lab):
+        # return through Arrow (pandas frame), not a pickled tuple
+        # list — pickle costs minutes + GBs of driver heap at scale
         import pandas as pd
 
-        labels_pdf = pd.DataFrame({"node": nodes, "component": lab})
         return pairs.sparkSession.createDataFrame(
-            labels_pdf, f"node {node_t}, component {node_t}")
+            pd.DataFrame({"node": nodes, "component": lab}),
+            f"node {node_t}, component {node_t}")
+
+    def _collect_np(df, a, b):
+        try:
+            tbl = df.toArrow()                 # no pandas detour
+            return tbl[a].to_numpy(), tbl[b].to_numpy()
+        except AttributeError:                 # pyspark < 4
+            pdf = df.toPandas()
+            return pdf[a].to_numpy(), pdf[b].to_numpy()
+
+    if n_edges <= eff_direct:
+        src, dst = _collect_np(base, "src", "dst")
+        return _labels_df(*_np_components(src, dst))
+    if n_edges <= eff_driver:
+        stars = base.mapInPandas(
+            _partition_stars, schema=f"node {node_t}, root {node_t}"
+        ).localCheckpoint(eager=True)          # reused: root-graph + label join
+        # root-graph: nodes seen under several per-partition roots glue
+        # those roots together; everything else is already contracted
+        g = stars.groupBy("node").agg(F.min("root").alias("_r0"),
+                                      F.collect_set("root").alias("_rs"))
+        ced = (g.select(F.col("_r0").alias("ra"),
+                        F.explode("_rs").alias("rb"))
+               .filter(F.col("ra") != F.col("rb"))
+               .localCheckpoint(eager=True))
+        if ced.count() <= eff_driver:          # worst case (no local
+            ra, rb = _collect_np(ced, "ra", "rb")   # clustering) ~ |stars|
+            if len(ra):
+                r_nodes, r_lab = _np_components(ra, rb)
+                root_labels = _labels_df(r_nodes, r_lab) \
+                    .withColumnsRenamed({"node": "root", "component": "_c"})
+                out = stars.join(F.broadcast(root_labels), "root", "left")
+            else:                              # every component is local
+                out = stars.withColumn("_c", F.lit(None).cast(node_t))
+            return (out.select("node",
+                               F.coalesce("_c", "root").alias("component"))
+                    .groupBy("node").agg(F.min("component").alias("component")))
+        # contraction didn't shrink it — fall through to distributed
     # self-loops make labels(node) include the node itself each round
     nodes = base.select(F.col("src").alias("node")).distinct()
     edges = base.union(nodes.select(F.col("node").alias("src"),
@@ -566,7 +651,12 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
         joined = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
         labels = (joined.groupBy(F.col("src").alias("node"))
                   .agg(F.min("label").alias("label"))).localCheckpoint(eager=True)
-        sig = labels.agg(F.sum(F.col("label")).alias("s"),
+        # bit_xor(xxhash64) makes the convergence probe type-agnostic
+        # (a raw sum(label) throws CAST_INVALID_INPUT on string node
+        # ids) and overflow-free under ANSI (sum of 64-bit hashes is
+        # not); xor is order-independent, so it is a stable multiset
+        # signature like the sum was
+        sig = labels.agg(F.expr("bit_xor(xxhash64(label))").alias("s"),
                          F.count(F.lit(1)).alias("n")).collect()[0]
         if prev_sig == (sig.s, sig.n):
             break

@@ -338,7 +338,7 @@ URL_NORMALIZE_RULES: list[tuple[str, str, str]] = [
     (r"#.*$", "", "fragment"),
     (r"([?&])(utm_[A-Za-z]+=[^&#]*&)+", "$1", "utm runs followed by &"),
     (r"[?&]utm_[A-Za-z]+=[^&#]*$", "", "trailing utm param"),
-    (r"[?&]$", "", "dangling separator"),
+    (r"[?&]+$", "", "dangling separators"),
     *[(rf"^({scheme}://[^/?#:]+):{port}{tail}", f"$1{keep}", "default port")
       for scheme, port in (("https", "443"), ("http", "80"))
       for tail, keep in ((r"/", "/"), (r"\?", "?"), (r"$", ""))],

@@ -93,8 +93,31 @@ def test_connected_components_lane_equivalence(spark):
              for r in connected_components(pairs).collect()}
     dist = {(r.node, r.component)
             for r in connected_components(
-                pairs, driver_threshold=0).collect()}
-    assert small and small == dist
+                pairs, driver_threshold=0, direct_collect_max=0).collect()}
+    # direct_collect_max=0 with a nonzero driver_threshold forces the
+    # pre-contracted lane (per-partition union-find + root-graph)
+    contracted = {(r.node, r.component)
+                  for r in connected_components(
+                      pairs, direct_collect_max=0).collect()}
+    assert small and small == dist == contracted
+
+
+def test_connected_components_string_ids_all_lanes(spark):
+    """Object-dtype (string) node ids through every lane — the r4
+    advice case: the dense-rank path must work in the per-partition
+    kernel and the root-graph solve, not just the direct collect."""
+    from faxe_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("m", "m2"), ("m2", "a")],
+        "id_a string, id_b string").repartition(4)
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("m", "a"), ("m2", "a"),
+            ("x", "x"), ("y", "x")}
+    for kw in ({}, {"direct_collect_max": 0},
+               {"direct_collect_max": 0, "driver_threshold": 0}):
+        got = {(r.node, r.component)
+               for r in connected_components(pairs, **kw).collect()}
+        assert got == want, kw
 
 
 def test_dedup_keep_canonical_removes_cluster_tails(spark):
@@ -240,3 +263,26 @@ def test_dedup_incremental_null_text_and_column_preservation(spark):
     assert set(rows) == {1, 2}                 # 3 dedups against 1 (NULL==NULL)
     assert rows[1].fingerprint == "keepme1"    # caller column preserved
     assert seen.count() == 2
+
+
+def test_shingle_rows_short_docs_yield_no_rows(spark):
+    """Advice r4: sequence(1, 0) DESCENDS in Spark, so a doc shorter
+    than the shingle width used to crash with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Short docs must simply emit
+    zero shingles (matching the DuckDB oracle, where the range is
+    empty) — and the minhash/jaccard paths built on shingle_rows must
+    survive their presence."""
+    d = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three whole words"),
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    sh = dedup.shingle_rows(d, "doc_id", "text", n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert got == {(3, "three whole words")}
+    # end-to-end through the crash-prone consumers
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=4,
+                                    shingle_n=3)
+    assert sigs.count() == 1
+    pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
+                                      shingle_n=3, threshold=0.1)
+    assert pairs.count() == 0
