@@ -64,8 +64,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      checkpoint: bool = True) -> tuple[DataFrame, DataFrame]:
     """Continuous-crawl exact dedup: drop new documents whose
     fingerprint was already seen in ANY previous batch, and return the
     updated fingerprint set for the next round.
@@ -76,7 +76,16 @@ def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
     set lives as a bucketed table on the fingerprint (pay-once
     shuffle, see tables.stage_bucketed) so the anti-join is
     co-located; within the new batch itself the min-id rule of
-    dedup_exact applies first (batch-internal dups)."""
+    dedup_exact applies first (batch-internal dups).
+
+    Lineage contract (r4 advice): each batch's fingerprints are
+    localCheckpoint'ed (lazily) before entering the returned union, so
+    a later action on the seen set re-reads materialized partitions
+    instead of re-fingerprinting every prior batch. The union PLAN
+    still accretes one (cheap, pre-materialized) leaf per batch;
+    long-running loops should periodically collapse it with
+    compact_seen_fps, which rewrites the set as a bucketed table —
+    constant-depth plan AND a shuffle-free anti-join from then on."""
     # NULL text fingerprints as the empty doc (a NULL key would fall
     # out of every equi-join = silent data loss); the internal column
     # is _fp so a caller's own 'fingerprint' column (text_features
@@ -94,10 +103,37 @@ def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
         batch_unique = batch_unique.join(
             seen_fps.withColumnRenamed("fingerprint", "_fp"),
             "_fp", "left_anti")
+    # lazy checkpoint: materialized by the caller's first action, after
+    # which BOTH fresh and the seen-set leaf read the stored partitions
+    # — no per-batch eager job, no re-fingerprinting on later batches.
+    # checkpoint=False keeps the raw plan (plan-inspection tests)
+    if checkpoint:
+        batch_unique = batch_unique.localCheckpoint(eager=False)
     fresh = batch_unique.select("_r.*")
     new_fps = batch_unique.select(F.col("_fp").alias("fingerprint"))
     updated = new_fps if seen_fps is None else seen_fps.union(new_fps)
     return fresh, updated
+
+
+def compact_seen_fps(seen_fps: DataFrame, table: str = "seen_fingerprints",
+                     *, buckets: int = 32) -> DataFrame:
+    """Collapse an accumulated seen-fingerprint union into a BUCKETED
+    parquet table and return the table-backed frame (brief r5 item 4).
+
+    Two effects, both load-bearing for a continuous-crawl loop:
+    - the returned plan is a constant-depth table scan — the union of
+      N batch leaves (one per dedup_incremental round) is gone, so the
+      Nth batch's anti-join plan no longer grows with N;
+    - the table is bucketed on the fingerprint, so every subsequent
+      anti-join against it needs NO exchange on the seen side (the
+      100 TB layout: pay the shuffle once at compaction, not once per
+      arriving batch). Batches' fingerprint sets are disjoint by
+      construction (the anti-join already filtered replays), so no
+      distinct pass is needed before the rewrite."""
+    from faxe_spark.tables import stage_bucketed
+
+    return stage_bucketed(seen_fps.sparkSession, seen_fps, table,
+                          bucket_by="fingerprint", buckets=buckets)
 
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)

@@ -573,13 +573,20 @@ def pq_encode(corpus: DataFrame, codebooks, *, vec_col: str = "embedding",
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                exclude_self: bool = True) -> DataFrame:
     """Asymmetric-distance top-k: per query, an (m, ksub) lookup table
     of subspace inner products; each candidate scores as m table
     gathers + a sum — never touching the original vectors. Queries
     broadcast with their LUTs; candidates stream through one Arrow
     pass; the per-query top-k is the same window as cosine_topk.
-    Output: (query_id, vec_id, adc_score, rank)."""
+    Output: (query_id, vec_id, adc_score, rank).
+
+    exclude_self drops candidates whose id equals the query id — the
+    right default when queries are drawn FROM the corpus (the ann_*
+    convention here); pass False when query ids live in a separate id
+    space, where a numeric collision would otherwise silently eat a
+    legitimate neighbor (r4 advice)."""
     import numpy as np
     from pyspark.sql.window import Window
 
@@ -588,6 +595,8 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
     qrows = (queries.select(F.col(id_col).alias(query_id_col),
                             _as_double(F.col(vec_col)).alias("_qv"))
              .collect())
+    if not qrows:
+        raise ValueError("pq_adc_topk: empty queries DataFrame")
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     luts = np.stack([
@@ -617,8 +626,31 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
     scored = codes.mapInPandas(
         score, f"{query_id_col} {id_type}, {codes.columns[0]} {id_type}, "
                "adc_score double")
-    scored = scored.filter(F.col(query_id_col) != F.col(codes.columns[0]))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(codes.columns[0]))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_score").desc(), F.col(codes.columns[0]))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pq_exact_codebook(corpus: DataFrame, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Degenerate m=1 codebook holding EVERY (unit-normalized) corpus
+    vector as its own centroid — the configuration under which PQ is
+    provably exact: pq_encode assigns each vector to itself (distance
+    0) and the ADC lookup returns the true cosine, so pq_adc_topk must
+    reproduce brute-force ranks bit-for-bit. This is the PQ analog of
+    ann_ivf_full_probe's nprobe=nlist identity: a correctness probe
+    for the machinery, never a deployment configuration (the codebook
+    is the corpus). Normalization uses the same numpy formula as
+    pq_encode so self-distances are exactly zero."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+            .orderBy(id_col).collect())
+    if not rows:
+        raise ValueError("pq_exact_codebook: empty corpus")
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X[None, :, :]                       # (m=1, ksub=n, dsub=dim)

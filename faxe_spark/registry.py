@@ -1538,6 +1538,45 @@ def ann_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_full_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM c, q WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="similarity search: PQ/ADC with the degenerate exact codebook "
+        "(m=1, every corpus vector its own centroid) must reproduce "
+        "brute-force cosine RANKS — the PQ analog of ann_ivf_full_probe's "
+        "nprobe=nlist identity. Ranks (not adc_score) are compared: ADC "
+        "scores are LUT dot products whose float path legitimately "
+        "differs from the oracle's quantized-cosine formula, but the "
+        "ordering is the same; the exact-reconstruction property is what "
+        "the probe certifies",
+)
+def pq_adc_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id",
+                        sim_ops.quantize_vec(F.col("embedding")).alias("embedding"))
+    books = sim_ops.pq_exact_codebook(corpus)
+    codes = sim_ops.pq_encode(corpus, books)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    out = sim_ops.pq_adc_topk(codes, queries, books, 5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+@register(
     "embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
@@ -2768,32 +2807,27 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row. dedup_minhash_lsh (rewritten r4) and the two new watchdog
 # batch analogs stay in-window for fresh rows. The local oracle gate
 # (tests/test_oracle.py) always runs ALL entries regardless of order.
+# Round-5 rotation: the 35 entries round 4 deferred (hard rows from r3)
+# ALL return to the window, keeping every query <=1 round from its last
+# hard driver row. Deferred now are 36 r4-hard-green entries whose code
+# paths are UNTOUCHED this round; the 14 r4-greens kept in-window are
+# exactly the ones round 5 touched (normalize_url rule fix; shingle_rows
+# short-doc guard -> minhash/simhash/jaccard/decontaminate/trainprep;
+# connected_components lane rewrite -> dedup_clusters/semantic_dedup/
+# embedding_neardup) plus ann_ivf_full_probe as the exactness anchor
+# beside the new pq_adc_full_probe. 35 returning + 14 touched + 1 new
+# (pq_adc_full_probe) = 50 = the driver's scoring window.
 _DEFERRED_THIS_ROUND = [
-    "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
-    "win_event_rolling", "count_change", "change_detect", "collect_unique",
-    "asof_join_nearest", "asof_join_merge", "tpch_q3", "tpch_q5", "tpch_q4",
-    "tpch_q6", "state_count_duration", "state_change", "state_sequence",
-    "collect_fields", "collect_table", "collect_table_aged", "extract_json",
-    # 4 more double-green stalwarts deferred so the round-4 trainprep
-    # queries (repetition_quality/decontaminate/pack_*) sit inside the
-    # driver's first-50 scoring window for fresh hard rows
-    "time_shift", "sliding_window", "win_time_fill_period",
-    "default_rename_extract",
-    # and 5 more (r1+r3 hard-green, untouched) so the second-wave
-    # round-4 queries (pii_scrub/boilerplate_chunks/domain_mix_sample/
-    # semantic_dedup/lm_novelty) also land inside the first-50 window
-    "dedup_exact", "dedup_simhash", "statistics_node", "stats_extra",
-    "multimodal_meta", "image_features_fake",
-    # ann_ivf_topk's driver row is rows-only by nature (its exactness
-    # proof is ann_ivf_full_probe, which stays in-window) — defer it so
-    # trainprep_pipeline gets a hard hash row instead; ann_topk
-    # (r1+r3 hard-green, untouched) makes room for quality_classifier
-    "ann_ivf_topk", "ann_topk",
-    # training_pipeline (hard-green r1+r2+r3, untouched) makes room
-    # for dup_spans; dedup_ngram_jaccard (hard-green r1+r3, value
-    # semantics untouched this round — the r4 repartition is
-    # lane-equivalence-tested) makes room for html_extract
-    "training_pipeline", "dedup_ngram_jaccard",
+    "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
+    "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
+    "combine_enrich", "interval_join", "union_streams", "top_bottom",
+    "dist_count", "array_explode", "path_split", "token_count",
+    "text_quality", "lang_id", "ann_lsh_topk", "lookup_enrich",
+    "sample_per_period", "group_by_lambda", "dfs_script_pipeline",
+    "state_change_bulk", "lambda_showcase", "deadman_gaps",
+    "triggered_timeout", "fields_to_array", "time_elapsed_batch",
+    "win_clock_batch", "repetition_quality", "pack_chunked", "pack_greedy",
+    "boilerplate_chunks", "domain_mix_sample",
 ]
 
 

@@ -585,12 +585,20 @@ def dedup_exact_stream(df: DataFrame, *, text_col: str = "text",
     arriving later than the horizon is a fresh document by design."""
     import pyspark.sql.functions as F
 
-    # the SAME fingerprint as the batch dedup_exact (normalize + md5) —
-    # a normalization change there must carry over here or the
-    # streaming lane silently diverges from its batch analog
+    # the SAME fingerprint as the batch dedup_incremental (NULL text
+    # coalesced to '' so NULL-text docs dedup with empty docs instead
+    # of carrying a NULL state key; normalize + md5) — a normalization
+    # change there must carry over here or the streaming lane silently
+    # diverges from its batch analog. The working column is name-salted
+    # so a caller's own '_fp' column passes through untouched (r4
+    # advice: the old form overwrote then dropped it).
     from faxe_spark.operators.text import fingerprint
 
-    return (df.withColumn("_fp", fingerprint(F.col(text_col)))
+    fp_col = "_fp"
+    while fp_col in df.columns:
+        fp_col = "_" + fp_col
+    fp = fingerprint(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    return (df.withColumn(fp_col, fp)
             .withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(["_fp"])
-            .drop("_fp"))
+            .dropDuplicatesWithinWatermark([fp_col])
+            .drop(fp_col))

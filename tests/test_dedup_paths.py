@@ -286,3 +286,59 @@ def test_shingle_rows_short_docs_yield_no_rows(spark):
     pairs = dedup.ngram_jaccard_pairs(d, id_col="doc_id", text_col="text",
                                       shingle_n=3, threshold=0.1)
     assert pairs.count() == 0
+
+
+def test_compact_seen_fps_bounds_plan_and_exchanges(spark):
+    """Brief r5 item 4: a continuous-crawl loop that compacts the seen
+    set every round must have (a) a batch plan whose size does NOT grow
+    with the number of prior batches, and (b) an anti-join that never
+    exchanges the seen side (it is bucketed on the fingerprint)."""
+    import re
+
+    from faxe_spark.operators.dedup import compact_seen_fps, dedup_incremental
+    from faxe_spark.plans import count_exchanges, formatted_plan
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(i * 10 + j, f"doc {i} {j}") for j in range(5)]
+            + [(i * 10 + 9, "replayed every batch")],
+            "doc_id long, text string")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # bucket count must equal the shuffle-partition count: the groupBy
+    # side arrives hashpartitioned(_fp, shuffle.partitions) and a
+    # mismatched bucket count would force a SECOND exchange to realign
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seen = None
+    plan_sizes, fresh_counts = [], []
+    try:
+        for i in range(5):
+            fresh, seen = dedup_incremental(batch(i), seen)
+            if i >= 1:
+                # probe the SAME batch without the lineage checkpoint
+                # (which hides the join behind a Scan ExistingRDD): the
+                # seen side is the bucketed table, so the whole batch
+                # plan carries exactly ONE exchange (the groupBy /
+                # map-side combine on the new batch) and none above the
+                # seen-side scan — and its size is round-independent
+                probe, _ = dedup_incremental(batch(i), seen_tbl,
+                                             checkpoint=False)
+                assert count_exchanges(probe) == 1, formatted_plan(probe)
+                # node COUNT, not char length (expression ids widen)
+                plan_sizes.append(len(re.findall(r"^\(\d+\)",
+                                                 formatted_plan(probe),
+                                                 re.M)))
+            fresh_counts.append(fresh.count())
+            # alternate table names: Spark refuses to overwrite a
+            # bucketed table that the plan being written still reads
+            seen_tbl = compact_seen_fps(seen, f"t_seen_fps_{i % 2}",
+                                        buckets=n_buckets)
+            seen = seen_tbl
+        # semantic check: the replay row survives only in batch 0
+        assert fresh_counts == [6, 5, 5, 5, 5]
+        # batch 1 onward all read one compacted table: constant depth
+        assert len(set(plan_sizes)) == 1, plan_sizes
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("t_seen_fps_0", "t_seen_fps_1"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -139,3 +139,28 @@ def test_pq_adc_recall_floor(spark):
         exact.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_adc_empty_queries_and_self_match_optout(spark):
+    """r4 advice: an empty query set raises a clear ValueError (not an
+    opaque np.stack crash), and exclude_self=False keeps a candidate
+    whose id merely collides numerically with a query id — the
+    separate-id-space case."""
+    import pytest
+
+    from faxe_spark.operators import similarity as sim
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 20"))
+    books = sim.pq_exact_codebook(emb)
+    codes = sim.pq_encode(emb, books)
+    with pytest.raises(ValueError, match="empty queries"):
+        sim.pq_adc_topk(codes, emb.filter("vec_id < 0"), books, 5)
+    queries = emb.filter("vec_id < 3")
+    with_self = sim.pq_adc_topk(codes, queries, books, 1,
+                                exclude_self=False).collect()
+    # the exact codebook makes each vector its own nearest neighbor
+    assert {(r.query_id, r.vec_id) for r in with_self} == \
+        {(i, i) for i in range(3)}
+    without = sim.pq_adc_topk(codes, queries, books, 1).collect()
+    assert all(r.query_id != r.vec_id for r in without)

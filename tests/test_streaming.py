@@ -481,6 +481,36 @@ def test_dedup_exact_stream_drops_replays(spark, tmp_path):
     assert len(got & {1, 2}) == 1 and 4 not in got
 
 
+def test_dedup_exact_stream_null_text_and_fp_column(spark, tmp_path):
+    """r4 advice: NULL-text docs fingerprint as the empty doc (matching
+    batch dedup_incremental — they dedup against '' instead of keying
+    state on NULL), and a caller's own '_fp' column survives."""
+    from faxe_spark.streaming.stateful import dedup_exact_stream
+
+    import datetime
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    schema = "doc_id long, text string, _fp string, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        (1, None, "keep1", t(0)),
+        (2, "", "keep2", t(5)),      # same fingerprint as NULL text
+        (3, "alpha", "keep3", t(10)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = dedup_exact_stream(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_nulls")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in
+            spark.sql("SELECT * FROM dedup_nulls").collect()}
+    assert 3 in rows and len(rows.keys() & {1, 2}) == 1
+    surviving = (rows.keys() & {1, 2}).pop()
+    assert rows[surviving]._fp == f"keep{surviving}"   # caller col intact
+    assert rows[3]._fp == "keep3"
+
+
 def test_scan_stage_text_ops_run_on_streams(spark, tmp_path):
     """The scan-stage text operators (pii/quality/repetition/url) are
     stateless Column expressions, so the SAME functions run unchanged
