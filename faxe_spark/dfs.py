@@ -1330,7 +1330,9 @@ class DFSCompiler:
         """esp_s7read.erl:63 — coalesced S7 bulk-read poller. The
         build_addresses planner (:356-455, ported at plc.py) turns the
         .vars() list into the minimal wire-request plan; aliases type
-        from the parsed address dtype."""
+        from the parsed address dtype. The recorded plan executes live
+        via sources/s7.py (S7Client.read_plan — ISO-on-TCP/S7comm),
+        tested against the embedded S7Server like the modbus bridge."""
         from faxe_spark.plc import SPARK_TYPE, parse_address, plan_bulk_reads
 
         addrs = self._str_list(node, "vars")

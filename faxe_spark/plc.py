@@ -2,12 +2,13 @@
 
 The reference's s7read node plans its PLC polling by merging many small
 variable reads into few contiguous bulk reads (esp_s7read.erl:356-455:
-build_addresses -> find_bool_bytes / find_contiguous). The PROTOCOL
-driver (snap7 transport, connection pools) is out of scope in this
-container, but the planning algorithm is the valuable part: it is what
-turns a 200-tag subscription into 3 wire requests, and it is reusable
-for any block-addressed source (Modbus registers, memory-mapped files,
-byte-range object-store reads).
+build_addresses -> find_bool_bytes / find_contiguous). The planning
+algorithm is the valuable part: it is what turns a 200-tag
+subscription into 3 wire requests, and it is reusable for any
+block-addressed source (Modbus registers, memory-mapped files,
+byte-range object-store reads). Since round 5 the plans also EXECUTE
+live: sources/s7.py speaks ISO-on-TCP/S7comm (and sources/modbus.py
+Modbus-TCP) against embedded test devices.
 
 Ports faithfully:
 - address parsing for the standard S7 syntax (DB2.DBX4.1 / DBB / DBW /

@@ -131,6 +131,38 @@ def embedded_broker_bridge(spark, *, source, source_topic: str, sink,
             .trigger(processingTime="200 milliseconds").start())
 
 
+def embedded_broker_sink_exactly_once(df: DataFrame, *, broker,
+                                      topic: str, checkpoint: str,
+                                      fail_after_publish=None,
+                                      fail_before_publish=None):
+    """Exactly-once publish of a streaming DataFrame to the embedded
+    broker: each micro-batch commits as ONE transaction keyed by its
+    epoch id (broker.publish_batch), so a batch replayed after a crash
+    — whether the crash hit before or after the broker write — lands
+    exactly once. This is the executable form of the kafka_sink
+    'flow-ack <-> checkpoint' claim (Kafka transactions / idempotent
+    producer), provable in-container.
+
+    fail_after_publish / fail_before_publish inject ONE forced failure
+    at the named point (an Event-like object with is_set/set), for the
+    kill-and-resume contract test. Returns the started query."""
+    def write(batch_df: DataFrame, epoch_id: int):
+        if fail_before_publish is not None and not fail_before_publish.is_set():
+            fail_before_publish.set()
+            raise RuntimeError("injected failure BEFORE publish")
+        rows = [r["value"] for r in
+                batch_df.select(F.to_json(F.struct(*batch_df.columns))
+                                .alias("value")).collect()]
+        broker.publish_batch(topic, rows, txn_id=f"epoch-{epoch_id}")
+        if fail_after_publish is not None and not fail_after_publish.is_set():
+            fail_after_publish.set()
+            raise RuntimeError("injected failure AFTER publish")
+
+    return (df.writeStream.foreachBatch(write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def jdbc_sink(df: DataFrame, *, url: str, table: str, user: str = "",
               password: str = "", mode: str = "append",
               streaming: bool = False, checkpoint: str | None = None,

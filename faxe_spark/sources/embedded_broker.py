@@ -36,6 +36,7 @@ class EmbeddedBroker:
 
     def __init__(self):
         self._topics: dict[str, list[str]] = {}
+        self._txns: dict[str, set[str]] = {}
         self._lock = threading.Lock()
         self._servers: list[socket.socket] = []
         self._stop = threading.Event()
@@ -47,6 +48,26 @@ class EmbeddedBroker:
             raise ValueError("line-protocol payloads must be newline-free")
         with self._lock:
             self._topics.setdefault(topic, []).append(payload)
+
+    def publish_batch(self, topic: str, payloads: list[str],
+                      txn_id: str) -> bool:
+        """Transactional produce (the Kafka-transactions analog the
+        flow-ack <-> checkpoint claim leans on): all payloads append
+        atomically under the lock, and a txn_id seen before is a
+        no-op — so a restarted micro-batch that REPLAYS its writes
+        cannot duplicate them. Returns False iff the txn was already
+        committed."""
+        payloads = [json.dumps(p) if isinstance(p, dict) else p
+                    for p in payloads]
+        if any("\n" in p for p in payloads):
+            raise ValueError("line-protocol payloads must be newline-free")
+        with self._lock:
+            done = self._txns.setdefault(topic, set())
+            if txn_id in done:
+                return False
+            self._topics.setdefault(topic, []).extend(payloads)
+            done.add(txn_id)
+            return True
 
     def messages(self, topic: str) -> list[str]:
         with self._lock:

@@ -844,3 +844,142 @@ def test_embedded_broker_bridge_round_trip(spark):
             q.stop()
         a.stop()
         b.stop()
+
+
+# -- s7read live lane (round 5) --------------------------------------------
+
+def test_s7_decode_bit_order_and_types():
+    """Decode fidelity vs esp_s7read.erl:515-549: bool_byte bits are
+    LSB-first within each byte (the prepare_byte_list reversal), ints
+    are big-endian signed, strings drop control bytes."""
+    import struct
+
+    from faxe_spark.sources.s7 import decode_payload
+
+    # byte 0b00000101 -> bits [1,0,1,0,0,0,0,0]
+    assert decode_payload("bool_byte", b"\x05")[:4] == [1, 0, 1, 0]
+    assert decode_payload("int", struct.pack(">hh", -7, 300)) == [-7, 300]
+    assert decode_payload("word", struct.pack(">H", 0xFFFE)) == [0xFFFE]
+    assert decode_payload("d_int", struct.pack(">i", -100000)) == [-100000]
+    assert decode_payload("float", struct.pack(">f", 2.5)) == [2.5]
+    assert decode_payload("string", b"AB\x00\x1fC") == ["ABC"]
+    assert decode_payload("sint", b"\xff\x7f") == [-1, 127]
+
+
+def test_s7_client_server_round_trip():
+    """Live ISO-on-TCP/S7comm conversation: COTP connect, setup comm,
+    read-var over a coalesced plan with packed bools, merged words,
+    floats — split back per alias exactly (brief r5 item 6)."""
+    import struct
+
+    from faxe_spark.plc import plan_bulk_reads
+    from faxe_spark.sources.s7 import S7Client, S7Server
+
+    db = bytearray(200)
+    db[30] = 0b00000101             # X30.0=1, X30.2=1
+    db[31] = 0b00000001             # X31.0=1
+    struct.pack_into(">H", db, 8, 1234)
+    struct.pack_into(">H", db, 10, 4321)
+    struct.pack_into(">f", db, 62, 42.5)
+    struct.pack_into(">f", db, 66, -1.25)
+    addrs = ["DB11.DBX30.0", "DB11.DBX30.2", "DB11.DBX31.0",
+             "DB11.DBW8", "DB11.DBW10",
+             "DB11.DBD62.FLOAT", "DB11.DBD66.FLOAT"]
+    names = ["b0", "b2", "b9", "w8", "w10", "f62", "f66"]
+    plan = plan_bulk_reads(addrs, names)
+    # bools pack into ONE 2-byte run (X31.0 joins at bit 0 of the
+    # next byte, esp_s7read.erl:395-425); words merge; floats merge -> 3
+    assert len(plan) == 3
+    srv = S7Server({11: bytes(db)})
+    try:
+        c = S7Client("127.0.0.1", srv.port, rack=0, slot=1)
+        vals = c.read_plan(plan)
+        assert vals == {"b0": 1, "b2": 1, "b9": 1, "w8": 1234,
+                        "w10": 4321, "f62": 42.5, "f66": -1.25}
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_s7_plan_chunking_across_pdus():
+    """A plan bigger than one PDU budget splits across read-var
+    requests (the bit_count budget, esp_s7read.erl:472-486) and still
+    lands every alias."""
+    import struct
+
+    from faxe_spark.plc import plan_bulk_reads
+    from faxe_spark.sources.s7 import S7Client, S7Server, chunk_plan
+
+    # 40 non-contiguous words: 40 runs of 2 bytes each
+    addrs = [f"DB2.DBW{4 * i}" for i in range(40)]
+    names = [f"t{i}" for i in range(40)]
+    db = bytearray(400)
+    for i in range(40):
+        struct.pack_into(">H", db, 4 * i, 100 + i)
+    plan = plan_bulk_reads(addrs, names)
+    assert len(plan) == 40
+    assert len(chunk_plan(plan, max_items=18, pdu_size=480)) >= 3
+    srv = S7Server({2: bytes(db)})
+    try:
+        c = S7Client("127.0.0.1", srv.port)
+        vals = c.read_plan(plan)
+        assert vals == {f"t{i}": 100 + i for i in range(40)}
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_s7_dfs_plan_executes_against_live_server(spark):
+    """Bridge: the wire plan the reference's own s7_test.dfs compiles
+    to (comma addresses, esp_s7read.erl:70 syntax) executes against
+    the embedded device — the modbus_multi bridge, S7 edition."""
+    import pathlib
+    import struct
+
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.s7 import S7Client, S7Server
+
+    text = pathlib.Path(
+        "/root/reference/dfs/other/s7_test.dfs").read_text()
+    c = DFSCompiler(spark)
+    c.run(text)
+    plan = next(p for p in c.plc_plans if p["node"] == "s7read")
+    # .vars('DB4,R1','DB4,DWORD7','DB4,DInt22','DB4,Int42','DB4,Int106')
+    db = bytearray(200)
+    struct.pack_into(">f", db, 1, 3.5)
+    struct.pack_into(">I", db, 7, 77777)
+    struct.pack_into(">i", db, 22, -22222)
+    struct.pack_into(">h", db, 42, -42)
+    struct.pack_into(">h", db, 106, 106)
+    srv = S7Server({4: bytes(db)})
+    try:
+        cl = S7Client("127.0.0.1", srv.port, rack=plan["rack"],
+                      slot=plan["slot"])
+        vals = cl.read_plan(plan["requests"])
+        assert vals == {"StrapDrv.ActMotorTorque": 3.5,
+                        "StGa.ActVal": 77777,
+                        "LiftDrv.TargetPos": -22222,
+                        "LiftDrv.SetpVelo": -42,
+                        "LiftDrv.ActVelo": 106}
+        cl.close()
+    finally:
+        srv.stop()
+
+
+def test_s7read_df_single_tick(spark):
+    import struct
+
+    from faxe_spark.sources.s7 import S7Server, s7read_df
+
+    db = bytearray(16)
+    struct.pack_into(">h", db, 0, 5)
+    struct.pack_into(">h", db, 2, 9)
+    srv = S7Server({1: bytes(db)})
+    try:
+        df = s7read_df(spark, host="127.0.0.1", port=srv.port,
+                       addresses=["DB1,Int0", "DB1,Int2"],
+                       aliases=["a", "b"])
+        [row] = df.collect()
+        assert (row.a, row.b) == (5, 9) and row.ts is not None
+    finally:
+        srv.stop()

@@ -83,3 +83,56 @@ def test_change_detect_state_survives_restart(spark, tmp_path):
     vals = sorted((r.ts_ms, r.value)
                   for r in spark.read.parquet(str(out)).collect())
     assert [v for _, v in vals] == ["10.0", "12.0", "13.0"]  # no re-emit of 12
+
+
+def test_exactly_once_sink_across_forced_failures(spark, tmp_path):
+    """Brief r5 item 8: kill-and-resume the broker sink around BOTH
+    failure points — after the broker write but before the checkpoint
+    commit (the no-dup direction), and before the write (the no-loss
+    direction) — and require the broker to hold the EXACT output
+    multiset."""
+    import json
+    import threading
+
+    from faxe_spark.sinks import embedded_broker_sink_exactly_once
+    from faxe_spark.sources.embedded_broker import EmbeddedBroker
+
+    src = tmp_path / "src"
+    ck = tmp_path / "ck"
+    schema = "doc_id long, text string"
+    broker = EmbeddedBroker()
+
+    def run_once(**inject):
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = embedded_broker_sink_exactly_once(
+            stream, broker=broker, topic="out", checkpoint=str(ck),
+            **inject)
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass                       # the injected failure
+        finally:
+            q.stop()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema) \
+        .coalesce(1).write.parquet(str(src) + "/b1")
+    # run 1: crash AFTER the broker write, BEFORE the checkpoint commit
+    run_once(fail_after_publish=threading.Event())
+    assert len(broker.messages("out")) == 2   # data reached the broker
+    # run 2: clean resume — the replayed epoch must NOT re-publish
+    run_once()
+    assert len(broker.messages("out")) == 2, "duplicated on replay"
+
+    spark.createDataFrame([(3, "c"), (4, "d")], schema) \
+        .coalesce(1).write.parquet(str(src) + "/b2")
+    # run 3: crash BEFORE the write — nothing new lands
+    run_once(fail_before_publish=threading.Event())
+    assert len(broker.messages("out")) == 2
+    # run 4: clean resume — the lost batch is recovered exactly once
+    run_once()
+    got = sorted(json.loads(m)["doc_id"] for m in broker.messages("out"))
+    assert got == [1, 2, 3, 4], got
+    broker.stop()

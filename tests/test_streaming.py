@@ -537,3 +537,57 @@ def test_scan_stage_text_ops_run_on_streams(spark, tmp_path):
     assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1
     assert rows[1].clean == "mail <EMAIL> from <IPV4>"
     assert rows[2].repetition_ok and isinstance(rows[2].score, float)
+
+
+def test_trainprep_stream_equals_batch_reference(spark, tmp_path):
+    """Brief r5 item 7: the end-to-end incremental trainprep pipeline
+    (file-stream source -> quality filter -> mixture sampling ->
+    incremental exact dedup with mixture rates from a STATIC census)
+    must emit exactly what the batch pipeline produces over the same
+    batches in the same order."""
+    import datetime
+
+    from faxe_spark.operators.trainprep import plan_mixture
+    from faxe_spark.streaming.trainprep import (trainprep_batch_reference,
+                                                trainprep_stream)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    schema = "doc_id long, source string, text string, ts timestamp"
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away to find some more interesting things to do "
+            "with its afternoon in the quiet forest by the river")
+    rows1 = [(i, "web" if i % 2 else "code", f"{good} variant {i}", t(0))
+             for i in range(10)]
+    rows1.append((90, "web", "!!! 4242 &&& 1111 ###", t(0)))  # low quality
+    rows2 = ([(100 + i, "web" if i % 2 else "code",
+               f"{good} variant {i}", t(5)) for i in range(5)]   # replays
+             + [(200 + i, "web", f"{good} fresh {i}", t(5))
+                for i in range(5)])
+    _write_rows(spark, tmp_path, "b1", rows1, schema)
+    _write_rows(spark, tmp_path, "b2", rows2, schema)
+
+    # static census: the frozen first crawl decides the rates
+    static = spark.createDataFrame(rows1, schema)
+    rates = plan_mixture(static, {"web": 0.5, "code": 0.5})
+    assert rates and all(0 < r <= 1 for r in rates.values())
+
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = trainprep_stream(stream, rates=rates)
+    q = (out.writeStream.format("memory").queryName("tp_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM tp_stream").collect()}
+
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    want = {r.doc_id for r in
+            trainprep_batch_reference([b1, b2], rates=rates).collect()}
+    # meaningful fixture: something passed, something was filtered,
+    # every replay was dropped, and batch 2 contributed fresh docs
+    assert got == want
+    assert 90 not in got                       # quality gate fired
+    assert not any(100 <= d < 200 for d in got)   # replays deduped
+    assert any(d >= 200 for d in got)          # fresh content flowed
+    assert len(got) < len(rows1) + len(rows2)  # mixture sampled out some
