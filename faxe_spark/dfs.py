@@ -1554,13 +1554,23 @@ class DFSCompiler:
     node_amqp_publish = node_mqtt_publish
 
     def node_influx_out(self, df, node: NodeCall) -> DataFrame:
+        """esp_influx_out.erl:23 — line-protocol HTTP writer; the
+        deferred sink binds to sinks.influx.influx_sink (live lane,
+        embedded-endpoint tested) at flow start."""
         return self._defer_sink(
-            df, node, "jdbc_write",
-            table=node.params.get("measurement", node.params.get("table", [""]))[0],
+            df, node, "influx_write",
+            measurement=node.params.get(
+                "measurement", node.params.get("table", [""]))[0],
+            database=node.params.get("database", [""])[0],
             host=node.params.get("host", ["localhost"])[0])
 
-    node_crate_out = node_influx_out
-    node_postgre_out = node_influx_out
+    def node_crate_out(self, df, node: NodeCall) -> DataFrame:
+        return self._defer_sink(
+            df, node, "jdbc_write",
+            table=node.params.get("table", [""])[0],
+            host=node.params.get("host", ["localhost"])[0])
+
+    node_postgre_out = node_crate_out
 
     def node_win_event(self, df, node: NodeCall) -> DataFrame:
         every = int(self._val(node.params.get("every", [1])[0]))

@@ -2,8 +2,10 @@
 
 | faxe node                  | here                                  |
 |----------------------------|---------------------------------------|
-| crate_out / postgre_out    | `jdbc_sink` (foreachBatch bulk write) |
-| influx_out                 | `jdbc_sink`/custom foreachBatch       |
+| crate_out / postgre_out    | `jdbc_sink` (bulk) + live PG-wire     |
+|                            | insert lane (sources/pgwire.py)       |
+| influx_out                 | `influx.influx_sink` (line protocol   |
+|                            | over HTTP, embedded-endpoint tested)  |
 | mqtt_publish, amqp_publish | `kafka_sink`                          |
 | http_post                  | `http_post_sink` (foreachBatch+urllib)|
 | tcp_send / udp_send        | `tcp_send_sink` / `udp_send_sink`     |

@@ -6,7 +6,11 @@ Reference ingest nodes -> Spark sources:
 |----------------------|----------------------------------------|
 | mqtt_subscribe,      | `kafka_source` (broker ingestion; an   |
 | amqp_consume         | MQTT/AMQP->Kafka bridge owns protocol) |
-| http_get, *_query    | `jdbc_source` / `http_poll_source`     |
+| http_get, *_query    | `jdbc_source` / `http_poll_source`;    |
+| crate/postgre/mongo  | live wire lanes: `pgwire.py` (v3       |
+|                      | protocol on DuckDB), `mongo.py`        |
+|                      | (OP_MSG find), both embedded-tested    |
+| modbus_read / s7read | live wire lanes: `modbus.py`, `s7.py`  |
 | blobstream           | `file_source` (csv/json/parquet, batch |
 |                      | or readStream — native cloud FS URIs)  |
 | tcp_recv(_line)      | `socket_source` (line-framed push edge)|

@@ -1,0 +1,390 @@
+"""PostgreSQL v3 wire-protocol lane: a minimal client, an embedded
+DuckDB-backed server, and the one-shot statement DataFrame.
+
+The reference's postgre_statement node is explicitly "a one shot
+statement against a postgreSQL compatible db, (PostGre, Crate, ...)"
+(esp_postgre_statement.erl:2) and its crate_query node pushes its
+time-bucket SQL to CrateDB over the same protocol — both speak the
+PUBLIC PostgreSQL frontend/backend protocol v3 (documented in the
+PostgreSQL manual, "Frontend/Backend Protocol"): a StartupMessage,
+AuthenticationOk, simple Query ('Q'), RowDescription ('T') /
+DataRow ('D') / CommandComplete ('C') / ReadyForQuery ('Z'), text
+format values. That is simple enough to speak from the stdlib, so the
+postgre/crate family gets a LIVE lane like modbus (sources/modbus.py)
+and s7 (sources/s7.py): the embedded server executes received SQL on
+a DuckDB connection — real result sets over the real wire format —
+and the client is what the one-shot statement node and the postgre_out
+insert path run on.
+
+Production deployments would keep jdbc_source/jdbc_sink (partitioned
+parallel reads); this lane proves the NODE semantics — statement
+execution, result decode, insert layout, error propagation,
+connection-status transitions — against a live server in-container.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+# text-format decode by type OID (PostgreSQL catalog constants)
+OID_BOOL, OID_BYTEA, OID_INT8, OID_INT4, OID_INT2 = 16, 17, 20, 23, 21
+OID_TEXT, OID_FLOAT4, OID_FLOAT8, OID_NUMERIC = 25, 700, 701, 1700
+OID_DATE, OID_TIMESTAMP = 1082, 1114
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack(">I", len(payload) + 4) + payload
+
+
+def decode_text(oid: int, text: str):
+    if oid == OID_BOOL:
+        return text == "t"
+    if oid in (OID_INT2, OID_INT4, OID_INT8):
+        return int(text)
+    if oid in (OID_FLOAT4, OID_FLOAT8, OID_NUMERIC):
+        return float(text)
+    if oid == OID_TIMESTAMP:
+        import datetime
+
+        return datetime.datetime.fromisoformat(text)
+    if oid == OID_DATE:
+        import datetime
+
+        return datetime.date.fromisoformat(text)
+    return text
+
+
+def encode_text(v) -> str:
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
+def infer_oid(v) -> int:
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return OID_BOOL
+    if isinstance(v, int):
+        return OID_INT8
+    if isinstance(v, (float, decimal.Decimal)):
+        return OID_FLOAT8
+    if isinstance(v, datetime.datetime):
+        return OID_TIMESTAMP
+    if isinstance(v, datetime.date):
+        return OID_DATE
+    return OID_TEXT
+
+
+def sql_literal(v) -> str:
+    """Literal for the insert path (simple-query protocol has no binds;
+    the reference's epgsql binds become literals here)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class PGWireClient:
+    """Minimal v3-protocol client: trust-auth startup + simple query.
+    One request in flight (the reference's connection is sequential)."""
+
+    def __init__(self, host: str, port: int, *, user: str = "faxe",
+                 database: str = "db", timeout: float = 5.0,
+                 flow_id: str = "default", node_id: str = "postgre"):
+        from faxe_spark.streaming.metrics import CONN_STATUS
+
+        self._ctx = {"flow_id": flow_id, "node_id": node_id,
+                     "conn_type": "pgsql", "peer": f"{host}:{port}"}
+        self._lock = threading.Lock()
+        CONN_STATUS.report(status="connecting", **self._ctx)
+        try:
+            self._sock = socket.create_connection((host, port),
+                                                  timeout=timeout)
+            params = (f"user\0{user}\0database\0{database}\0\0").encode()
+            pkt = struct.pack(">II", len(params) + 8, 196608) + params
+            self._sock.sendall(pkt)
+            self._await_ready()
+        except OSError:
+            CONN_STATUS.report(status="disconnected", **self._ctx)
+            raise
+        CONN_STATUS.report(status="connected", **self._ctx)
+
+    def query(self, sql: str) -> tuple[list[str], list[list]]:
+        """Simple-query round trip: returns (column names, rows of
+        decoded Python values). DDL/DML return ([], [])."""
+        with self._lock:
+            self._sock.sendall(_msg(b"Q", sql.encode() + b"\0"))
+            cols: list[str] = []
+            oids: list[int] = []
+            rows: list[list] = []
+            err = None
+            while True:
+                tag, payload = self._recv_msg()
+                if tag == b"T":
+                    (nf,) = struct.unpack(">H", payload[:2])
+                    pos = 2
+                    cols, oids = [], []
+                    for _ in range(nf):
+                        end = payload.index(b"\0", pos)
+                        cols.append(payload[pos:end].decode())
+                        _tbl, _att, oid, _tl, _tm, _fmt = struct.unpack(
+                            ">IHIhih", payload[end + 1:end + 19])
+                        oids.append(oid)
+                        pos = end + 19
+                elif tag == b"D":
+                    (nf,) = struct.unpack(">H", payload[:2])
+                    pos = 2
+                    row = []
+                    for i in range(nf):
+                        (ln,) = struct.unpack(">i", payload[pos:pos + 4])
+                        pos += 4
+                        if ln < 0:
+                            row.append(None)
+                        else:
+                            row.append(decode_text(
+                                oids[i], payload[pos:pos + ln].decode()))
+                            pos += ln
+                    rows.append(row)
+                elif tag == b"E":
+                    parts = payload.split(b"\0")
+                    err = "; ".join(p[1:].decode() for p in parts
+                                    if p and p[0:1] in (b"M", b"C"))
+                elif tag == b"Z":
+                    break
+                # 'C' CommandComplete / 'S' ParameterStatus etc.: skip
+            if err:
+                raise RuntimeError(f"pgwire: {err}")
+            return cols, rows
+
+    def close(self) -> None:
+        from faxe_spark.streaming.metrics import CONN_STATUS
+
+        try:
+            self._sock.sendall(_msg(b"X", b""))
+        except OSError:
+            pass
+        self._sock.close()
+        CONN_STATUS.report(status="disconnected", **self._ctx)
+
+    def _await_ready(self) -> None:
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"R":
+                (code,) = struct.unpack(">I", payload[:4])
+                if code != 0:
+                    raise ConnectionError(
+                        f"pgwire: unsupported auth method {code}")
+            elif tag == b"E":
+                raise ConnectionError("pgwire: startup rejected")
+            elif tag == b"Z":
+                return
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        hdr = self._recv_exact(5)
+        tag, length = hdr[:1], struct.unpack(">I", hdr[1:5])[0]
+        return tag, self._recv_exact(length - 4)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("pgwire: connection closed")
+            buf += chunk
+        return buf
+
+
+class PGWireServer:
+    """Embedded PostgreSQL-compatible endpoint for tests, executing
+    received SQL on a DuckDB connection (CrateDB plays the same role
+    for the reference: a PG-wire speaker with its own engine). Trust
+    auth; text format; one connection per thread with its own DuckDB
+    cursor (duckdb connections are not thread-safe to share)."""
+
+    def __init__(self, duck_con, *, port: int = 0):
+        self._con = duck_con
+        self._lock = threading.Lock()
+        self._srv = socket.create_server(("127.0.0.1", port))
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        self._srv.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                c, _ = self._srv.accept()
+                c.settimeout(5.0)
+                threading.Thread(target=self._handle, args=(c,),
+                                 daemon=True).start()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+
+    def _handle(self, conn: socket.socket):
+        try:
+            # startup: length + version + params
+            hdr = self._recv_exact(conn, 8)
+            length, version = struct.unpack(">II", hdr)
+            self._recv_exact(conn, length - 8)
+            if version == 80877103:          # SSLRequest: decline
+                conn.sendall(b"N")
+                hdr = self._recv_exact(conn, 8)
+                length, version = struct.unpack(">II", hdr)
+                self._recv_exact(conn, length - 8)
+            conn.sendall(_msg(b"R", struct.pack(">I", 0)))   # AuthOk
+            conn.sendall(_msg(b"Z", b"I"))
+            while not self._stop.is_set():
+                tag = self._recv_exact(conn, 1)
+                (length,) = struct.unpack(">I", self._recv_exact(conn, 4))
+                payload = self._recv_exact(conn, length - 4)
+                if tag == b"X":
+                    return
+                if tag != b"Q":
+                    conn.sendall(_msg(b"E", b"SERROR\0Munsupported\0\0"))
+                    conn.sendall(_msg(b"Z", b"I"))
+                    continue
+                sql = payload.rstrip(b"\0").decode()
+                self._execute(conn, sql)
+                conn.sendall(_msg(b"Z", b"I"))
+        except (ConnectionError, OSError, struct.error):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _execute(self, conn: socket.socket, sql: str):
+        try:
+            with self._lock:
+                cur = self._con.cursor()
+                try:
+                    cur.execute(sql)
+                    desc = cur.description
+                    rows = cur.fetchall() if desc else []
+                finally:
+                    cur.close()
+        except Exception as e:  # noqa: BLE001 - any engine error -> 'E'
+            conn.sendall(_msg(
+                b"E", b"SERROR\0C42000\0M" + str(e).encode() + b"\0\0"))
+            return
+        if desc:
+            # infer an OID per column from the first non-null value
+            oids = []
+            for i, d in enumerate(desc):
+                sample = next((r[i] for r in rows if r[i] is not None),
+                              None)
+                oids.append(infer_oid(sample))
+            body = struct.pack(">H", len(desc))
+            for d, oid in zip(desc, oids):
+                body += d[0].encode() + b"\0"
+                body += struct.pack(">IHIhih", 0, 0, oid, -1, -1, 0)
+            conn.sendall(_msg(b"T", body))
+            for r in rows:
+                body = struct.pack(">H", len(r))
+                for v in r:
+                    if v is None:
+                        body += struct.pack(">i", -1)
+                    else:
+                        t = encode_text(v).encode()
+                        body += struct.pack(">i", len(t)) + t
+                conn.sendall(_msg(b"D", body))
+        tag = f"SELECT {len(rows)}" if desc else "OK"
+        conn.sendall(_msg(b"C", tag.encode() + b"\0"))
+
+    @staticmethod
+    def _recv_exact(conn: socket.socket, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("closed")
+            buf += chunk
+        return buf
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+
+def postgre_statement_df(spark, *, host: str, port: int, statement: str,
+                         user: str = "faxe", database: str = "db"):
+    """One-shot statement as a DataFrame (esp_postgre_statement.erl:2
+    one-shot mode; result_type=batch — every result row becomes one
+    Spark row). Driver-side read, like modbus_read_df/s7read_df: one
+    shot is one connection conversation; bulk parallel ingest is
+    jdbc_source's job."""
+    client = PGWireClient(host, port, user=user, database=database)
+    try:
+        cols, rows = client.query(statement)
+    finally:
+        client.close()
+    if not cols:
+        return spark.createDataFrame([], "ok boolean")
+    return spark.createDataFrame(
+        [tuple(r) for r in rows] or [], ", ".join(
+            f"`{c}` {_spark_type(rows, i)}" for i, c in enumerate(cols)))
+
+
+def _spark_type(rows: list[list], i: int) -> str:
+    import datetime
+    import decimal
+
+    sample = next((r[i] for r in rows if r[i] is not None), None)
+    if isinstance(sample, bool):
+        return "boolean"
+    if isinstance(sample, int):
+        return "bigint"
+    if isinstance(sample, (float, decimal.Decimal)):
+        return "double"
+    if isinstance(sample, datetime.datetime):
+        return "timestamp"
+    if isinstance(sample, datetime.date):
+        return "date"
+    return "string"
+
+
+def postgre_out_insert(client: PGWireClient, table: str, df,
+                       *, batch_size: int = 500) -> int:
+    """postgre_out insert path over the wire: multi-row INSERTs in
+    bounded batches (the reference's epgsql bulk binds become
+    literals — simple-query protocol has no binds). Returns rows
+    written. Driver-side like the one-shot statement; the scale path
+    stays jdbc_sink."""
+    cols = df.columns
+    total = 0
+    batch: list[str] = []
+    for r in df.toLocalIterator():
+        batch.append("(" + ", ".join(sql_literal(r[c]) for c in cols) + ")")
+        if len(batch) >= batch_size:
+            client.query(f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+                         + ", ".join(batch))
+            total += len(batch)
+            batch = []
+    if batch:
+        client.query(f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+                     + ", ".join(batch))
+        total += len(batch)
+    return total

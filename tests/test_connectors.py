@@ -983,3 +983,333 @@ def test_s7read_df_single_tick(spark):
         assert (row.a, row.b) == (5, 9) and row.ts is not None
     finally:
         srv.stop()
+
+
+# -- influx_out live lane (round 5) ----------------------------------------
+
+def test_influx_line_encoding_matches_reference():
+    """influx_line.erl value rules: ints bare (or 'i' when
+    encode_integer), floats compact <=12 decimals, bools t/f, strings
+    raw, map/list fields dropped (filter_fields), tags comma-joined
+    onto the measurement, ms timestamp last."""
+    from faxe_spark.sinks.influx import encode_point
+
+    assert encode_point("m", {"v": 42}, {}, 1700000000000) == \
+        "m v=42 1700000000000"
+    assert encode_point("m", {"v": 42}, encode_integer=True) == "m v=42i"
+    assert encode_point("m", {"v": 2.5}) == "m v=2.5"
+    assert encode_point("m", {"v": 1.0 / 3}) == "m v=0.333333333333"
+    assert encode_point("m", {"a": True, "b": False}) == "m a=t,b=f"
+    assert encode_point("m", {"s": "text"}) == "m s=text"
+    assert encode_point("m", {"v": 1, "drop": {"x": 1}, "l": [1]}) == \
+        "m v=1"
+    assert encode_point("cpu", {"load": 0.5},
+                        {"host": "h1", "dc": "eu"}, 5) == \
+        "cpu,host=h1,dc=eu load=0.5 5"
+
+
+def test_influx_write_url_build_path():
+    """build_path (esp_influx_out.erl:163-175): db + ms precision,
+    optional query auth, optional retention policy."""
+    from faxe_spark.sinks.influx import influx_write_url
+
+    assert influx_write_url("h", 8086, "db1") == \
+        "http://h:8086/write?db=db1&precision=ms"
+    assert influx_write_url("h", 8086, "db1", user="u", password="p",
+                            retention_policy="rp1") == \
+        "http://h:8086/write?db=db1&precision=ms&u=u&p=p&rp=rp1"
+
+
+def test_influx_sink_round_trip_and_retry(spark):
+    """Live lane: a DataFrame lands as line-protocol points on the
+    embedded endpoint; a 503 burst shorter than FAILED_RETRIES is
+    absorbed by the retry loop (esp_influx_out.erl:144-161)."""
+    import datetime
+
+    from faxe_spark.sinks.influx import InfluxHTTPServer, influx_sink
+
+    srv = InfluxHTTPServer()
+    try:
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, 0, 0, 0), "h1", 1.5, 7),
+             (datetime.datetime(2024, 1, 1, 0, 0, 1), "h2", 2.5, 8)],
+            "ts timestamp, host string, load double, n long")
+        influx_sink(df, host="127.0.0.1", port=srv.port, database="d1",
+                    measurement="cpu", tag_cols=["host"])
+        got = sorted(srv.points["d1"])
+        assert got == ["cpu,host=h1 load=1.5,n=7 1704067200000",
+                       "cpu,host=h2 load=2.5,n=8 1704067201000"]
+
+        srv.fail_next = 2                  # < FAILED_RETRIES: absorbed
+        influx_sink(df.limit(1), host="127.0.0.1", port=srv.port,
+                    database="d2", measurement="cpu", tag_cols=["host"])
+        assert len(srv.points.get("d2", [])) == 1
+    finally:
+        srv.stop()
+
+
+# -- PG-wire live lane: postgre_statement / crate_query / postgre_out ------
+
+def test_pgwire_round_trip_types_and_errors():
+    """Live v3-protocol conversation against the embedded DuckDB-backed
+    server: startup/auth, RowDescription/DataRow decode per type OID,
+    NULLs, and ErrorResponse propagation."""
+    import datetime
+
+    import duckdb
+    import pytest
+
+    from faxe_spark.sources.pgwire import PGWireClient, PGWireServer
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, f DOUBLE, s VARCHAR, "
+                "b BOOLEAN, ts TIMESTAMP)")
+    con.execute("INSERT INTO t VALUES (7, 2.5, 'x', TRUE, "
+                "TIMESTAMP '2024-01-01 10:00:00'), "
+                "(NULL, NULL, NULL, NULL, NULL)")
+    srv = PGWireServer(con)
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        cols, rows = c.query("SELECT * FROM t ORDER BY i NULLS LAST")
+        assert cols == ["i", "f", "s", "b", "ts"]
+        assert rows[0] == [7, 2.5, "x", True,
+                           datetime.datetime(2024, 1, 1, 10, 0, 0)]
+        assert rows[1] == [None] * 5
+        with pytest.raises(RuntimeError, match="pgwire"):
+            c.query("SELECT * FROM missing_table")
+        # the connection survives an error (ReadyForQuery resync)
+        assert c.query("SELECT 1 AS one")[1] == [[1]]
+        c.close()
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_postgre_statement_df_one_shot(spark):
+    """esp_postgre_statement.erl one-shot mode: the statement's result
+    set lands as a typed DataFrame."""
+    import duckdb
+
+    from faxe_spark.sources.pgwire import PGWireServer, postgre_statement_df
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m(name VARCHAR, v DOUBLE)")
+    con.execute("INSERT INTO m VALUES ('a', 1.5), ('b', 2.5)")
+    srv = PGWireServer(con)
+    try:
+        df = postgre_statement_df(
+            spark, host="127.0.0.1", port=srv.port,
+            statement="SELECT name, v * 2 AS v2 FROM m ORDER BY name")
+        assert [tuple(r) for r in df.collect()] == [("a", 3.0), ("b", 5.0)]
+        assert dict(df.dtypes) == {"name": "string", "v2": "double"}
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_crate_query_rewrite_executes_over_the_wire():
+    """End-to-end crate_query: the group_by_time SQL rewrite
+    (esp_crate_query.erl:170-194) executes against a live PG-wire
+    endpoint and returns the same buckets the engine computes
+    directly."""
+    import duckdb
+
+    from faxe_spark.sources import time_bucket_query
+    from faxe_spark.sources.pgwire import PGWireClient, PGWireServer
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    q = time_bucket_query("SELECT count(*) AS n FROM events",
+                          group_by_time="5m", time_field="ts")
+    lo, hi = "TIMESTAMP '2024-01-01'", "TIMESTAMP '2026-01-01'"
+    bound = q.replace("$1", lo).replace("$2", hi)
+    srv = PGWireServer(con)
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        cols, rows = c.query(bound)
+        assert cols == ["ts_gb", "n"]
+        want = con.execute(bound).fetchall()
+        assert [tuple(r) for r in rows] == [tuple(w) for w in want]
+        assert len(rows) > 1 and sum(r[1] for r in rows) == \
+            con.execute("SELECT count(*) FROM events").fetchone()[0]
+        c.close()
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_postgre_out_insert_round_trip(spark):
+    """postgre_out over the wire: multi-row batched INSERTs land
+    content-exact (NULLs, quotes, timestamps)."""
+    import datetime
+
+    import duckdb
+
+    from faxe_spark.sources.pgwire import (PGWireClient, PGWireServer,
+                                           postgre_out_insert)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sink_t(id BIGINT, txt VARCHAR, "
+                "ts TIMESTAMP)")
+    srv = PGWireServer(con)
+    df = spark.createDataFrame(
+        [(1, "it's quoted", datetime.datetime(2024, 1, 1, 8, 0)),
+         (2, None, datetime.datetime(2024, 1, 1, 9, 0)),
+         (3, "plain", None)],
+        "id long, txt string, ts timestamp")
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        n = postgre_out_insert(c, "sink_t", df, batch_size=2)
+        assert n == 3
+        got = con.execute(
+            "SELECT id, txt, ts FROM sink_t ORDER BY id").fetchall()
+        assert got == [
+            (1, "it's quoted", datetime.datetime(2024, 1, 1, 8, 0)),
+            (2, None, datetime.datetime(2024, 1, 1, 9, 0)),
+            (3, "plain", None)]
+        c.close()
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_pg_dfs_query_executes_against_live_server(spark):
+    """Bridge: the connector spec a DFS postgresql_query script
+    compiles to (with the group_by_time rewrite) executes against the
+    embedded PG-wire endpoint — the modbus/s7 bridge, database
+    edition. Table/columns adapted from the reference's pg_query.dfs
+    (data_obj['x'] object paths are Crate-specific SQL)."""
+    import duckdb
+
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.pgwire import PGWireClient, PGWireServer
+
+    script = """
+def host = '127.0.0.1'
+|postgresql_query()
+.host(host)
+.port(5432)
+.database('doc')
+.user('crate')
+.query(<<< SELECT AVG(value) AS avg_v FROM events >>>)
+.group_by_time(6h)
+.every(5s)
+.align()
+"""
+    c = DFSCompiler(spark)
+    c.run(script)
+    [spec] = [s for s in c.connector_specs
+              if s["node"] == "postgresql_query"]
+    assert "floor(EXTRACT(epoch FROM ts)/21600)*21600" in spec["query"]
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    srv = PGWireServer(con)
+    try:
+        cl = PGWireClient("127.0.0.1", srv.port, user="crate",
+                          database="doc")
+        bound = (spec["query"].replace("$1", "TIMESTAMP '2024-01-01'")
+                 .replace("$2", "TIMESTAMP '2026-01-01'"))
+        cols, rows = cl.query(bound)
+        assert cols == ["ts_gb", "avg_v"] and len(rows) > 1
+        want = con.execute(bound).fetchall()
+        assert [tuple(r) for r in rows] == [tuple(w) for w in want]
+        cl.close()
+    finally:
+        srv.stop()
+        con.close()
+
+
+# -- mongo_query live lane (round 5) ---------------------------------------
+
+def test_bson_round_trip():
+    """BSON subset encode/decode: nested docs, arrays, all scalar
+    types, and datetimes (ms precision)."""
+    import datetime
+
+    from faxe_spark.sources.mongo import bson_decode, bson_encode
+
+    doc = {"i32": 7, "i64": 2 ** 40, "f": 2.5, "s": "text", "b": True,
+           "n": None, "nested": {"a": [1, "two", {"x": 3.0}]},
+           "ts": datetime.datetime(2024, 1, 1, 10, 0, 0)}
+    got, end = bson_decode(bson_encode(doc))
+    assert got == doc and end == len(bson_encode(doc))
+
+
+def test_mongo_selector_semantics():
+    from faxe_spark.sources.mongo import match_selector
+
+    d = {"id": 5, "tag": "a", "obj": {"x": {"cur": 7}}}
+    assert match_selector(d, {})
+    assert match_selector(d, {"tag": "a", "id": {"$lt": 33}})
+    assert not match_selector(d, {"id": {"$gte": 6}})
+    assert match_selector(d, {"obj.x.cur": {"$in": [7, 8]}})
+    assert match_selector(d, {"$or": [{"id": 1}, {"tag": "a"}]})
+    assert not match_selector(d, {"missing": {"$gt": 0}})
+
+
+def test_mongo_find_round_trip_and_df(spark):
+    """Live OP_MSG conversation: the JSON selector of esp_mongo_query
+    runs as a real find; results land one-row-per-doc under the .as()
+    column."""
+    import json
+
+    import pytest
+
+    from faxe_spark.sources.mongo import (MongoClient, MongoServer,
+                                          mongo_query_df)
+
+    docs = [{"id": i, "tag": "a" if i % 2 else "b",
+             "obj": {"x": {"cur": float(i)}}} for i in range(10)]
+    srv = MongoServer({("doc", "events"): docs})
+    try:
+        c = MongoClient("127.0.0.1", srv.port)
+        got = c.find("doc", "events", {"id": {"$lt": 3}})
+        assert [d["id"] for d in got] == [0, 1, 2]
+        with pytest.raises(ConnectionError, match="unsupported operator"):
+            c.find("doc", "events", {"id": {"$regex": "x"}})
+        # connection survives a command error
+        assert len(c.find("doc", "events")) == 10
+        c.close()
+
+        df = mongo_query_df(spark, host="127.0.0.1", port=srv.port,
+                            database="doc", collection="events",
+                            query='{"tag": "a", "id": {"$lt": 6}}')
+        vals = sorted(json.loads(r.data)["id"] for r in df.collect())
+        assert vals == [1, 3, 5]
+        assert df.columns == ["ts", "data"]
+    finally:
+        srv.stop()
+
+
+def test_mongo_dfs_spec_executes_against_live_server(spark):
+    """Bridge: the connector spec a DFS mongo_query script compiles to
+    executes against the embedded server."""
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sources.mongo import MongoServer, mongo_query_df
+
+    script = """
+|mongo_query()
+.host('127.0.0.1')
+.port(27017)
+.database('doc')
+.collection('readings')
+.query(<<< {"state": {"$gte": 2}} >>>)
+.every(5s)
+.as('point')
+"""
+    c = DFSCompiler(spark)
+    c.run(script)
+    [spec] = [s for s in c.connector_specs if s["node"] == "mongo_query"]
+    srv = MongoServer({("doc", "readings"):
+                       [{"state": 1}, {"state": 2}, {"state": 3}]})
+    try:
+        df = mongo_query_df(spark, host=spec["host"], port=srv.port,
+                            database=spec["database"],
+                            collection=spec["collection"],
+                            query=spec["query"], as_path=spec["as"])
+        assert df.count() == 2 and spec["as"] == "point"
+    finally:
+        srv.stop()
