@@ -768,7 +768,8 @@ class DFSCompiler:
 
     _SOURCE_NODES = ("json_emitter", "value_emitter", "parquet", "http_get",
                      "tcp_recv", "tcp_recv_line", "tcppoll", "udp_recv",
-                     "http_listen", "crate_query", "postgre_statement",
+                     "http_listen", "crate_query", "crate_query_cont",
+                     "postgre_statement",
                      "mongo_query", "oracle_query", "blobstream",
                      "postgresql_query", "modbus", "modbus_multi", "s7read",
                      "conn_status")
@@ -1445,13 +1446,50 @@ class DFSCompiler:
 
     def node_postgresql_query(self, df, node: NodeCall) -> DataFrame:
         """esp_postgre_statement / pg corpus node — jdbc_source pushdown
-        with the crate-style group_by_time rewrite applied up front."""
+        with the crate-style group_by_time rewrite applied up front.
+        The recorded spec also executes live over the v3 wire protocol
+        (sources/pgwire.py, embedded-endpoint bridge test)."""
         host = str(self._val(node.params.get("host", ["localhost"])[0]))
         port = int(self._val(node.params.get("port", [5432])[0]))
         db = str(self._val(node.params.get("database", ["postgres"])[0]))
         return self._jdbc_query_node(
             node, kind="postgresql_query",
             url=f"jdbc:postgresql://{host}:{port}/{db}")
+
+    def node_crate_query(self, df, node: NodeCall) -> DataFrame:
+        """esp_crate_query.erl:45 — CrateDB speaks the PG wire protocol
+        (port 5432 HTTP-side default 4200; the reference uses the
+        pg-compatible port), so the node is the postgresql_query shape
+        with the crate default port; crate_query_cont adds the
+        advancing-range poller (sources/pgwire.py pg_poll_source)."""
+        host = str(self._val(node.params.get("host", ["localhost"])[0]))
+        port = int(self._val(node.params.get("port", [5432])[0]))
+        db = str(self._val(node.params.get("database", ["doc"])[0]))
+        return self._jdbc_query_node(
+            node, kind=node.name,
+            url=f"jdbc:postgresql://{host}:{port}/{db}")
+
+    node_crate_query_cont = node_crate_query
+
+    def node_postgre_statement(self, df, node: NodeCall) -> DataFrame:
+        """esp_postgre_statement.erl — one-shot (or `every`-periodic)
+        statement; executes live via pgwire.postgre_statement_df."""
+        stmt = str(self._val(node.params.get(
+            "statement", node.params.get("query", [""]))[0])).strip()
+        if not stmt:
+            raise ValueError("postgre_statement: .statement() is required"
+                             " (one_of_params statement/statement_field)")
+        host = str(self._val(node.params.get("host", ["localhost"])[0]))
+        port = int(self._val(node.params.get("port", [5432])[0]))
+        db = str(self._val(node.params.get("database", ["postgres"])[0]))
+        self.connector_specs.append({
+            "node": "postgre_statement", "host": host, "port": port,
+            "database": db, "statement": stmt,
+            "user": str(self._val(node.params.get("user", [""])[0])),
+            "every": (self._dur(node.params["every"][0])
+                      if "every" in node.params else None),
+        })
+        return self._typed_stub([])
 
     def node_oracle_query(self, df, node: NodeCall) -> DataFrame:
         """esp_oracle_query analog — thin-driver JDBC URL from

@@ -388,3 +388,70 @@ def postgre_out_insert(client: PGWireClient, table: str, df,
                      + ", ".join(batch))
         total += len(batch)
     return total
+
+
+def pg_poll_source(spark, *, host: str, port: int, query: str,
+                   every: str = "10s", period: str | None = None,
+                   offset: str = "0s", align: bool = False,
+                   user: str = "faxe", database: str = "db"):
+    """crate_query_cont (esp_crate_query_cont.erl): re-run a
+    time-bucketed query continuously over an advancing range. The
+    reference keeps a query_mark and queries [mark - period, mark]
+    each tick, `offset` behind now so late rows have landed; here the
+    clock is Spark's rate source (the http_poll_source shape) and the
+    range is a PURE FUNCTION of the tick timestamp — [tick - offset -
+    period, tick - offset] — so replays and restarts recompute the
+    same ranges (the streaming-safe form of the advancing mark).
+
+    $1/$2 placeholders in `query` (what time_bucket_query emits) bind
+    to the range ends as timestamp literals. Each tick's result rows
+    emit as JSON strings (schema-on-read, like mongo_query_df)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from faxe_spark.durations import parse_duration_ms
+
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    period_ms = parse_duration_ms(period if period is not None else every)
+    offset_ms = parse_duration_ms(offset)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+    if align:
+        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
+    else:
+        tick = rate.filter(F.col("value") % every_s == 0)
+
+    def poll(batches):
+        import datetime
+        import json
+
+        for pdf in batches:
+            out_ts, out_rows = [], []
+            for t in pdf["timestamp"]:
+                t = t.to_pydatetime()
+                hi = t - datetime.timedelta(milliseconds=offset_ms)
+                lo = hi - datetime.timedelta(milliseconds=period_ms)
+                bound = (query
+                         .replace("$1", "TIMESTAMP '"
+                                  + lo.isoformat(sep=" ") + "'")
+                         .replace("$2", "TIMESTAMP '"
+                                  + hi.isoformat(sep=" ") + "'"))
+                try:
+                    client = PGWireClient(host, port, user=user,
+                                          database=database)
+                    try:
+                        cols, rows = client.query(bound)
+                    finally:
+                        client.close()
+                    for r in rows:
+                        out_ts.append(t)
+                        out_rows.append(json.dumps(
+                            dict(zip(cols, r)), default=str))
+                except (OSError, RuntimeError):
+                    # conn_status 'down' analog: a null payload row,
+                    # filterable downstream (http_poll_source shape)
+                    out_ts.append(t)
+                    out_rows.append(None)
+            yield pd.DataFrame({"poll_ts": out_ts, "payload": out_rows})
+
+    return tick.mapInPandas(poll, "poll_ts timestamp, payload string")

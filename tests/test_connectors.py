@@ -1313,3 +1313,49 @@ def test_mongo_dfs_spec_executes_against_live_server(spark):
         assert df.count() == 2 and spec["as"] == "point"
     finally:
         srv.stop()
+
+
+def test_pg_poll_source_continuous_query(spark):
+    """crate_query_cont: the advancing-range query re-executes per tick
+    against the live PG-wire endpoint; each tick's range is a pure
+    function of the tick timestamp ($1/$2 bound to [t-offset-period,
+    t-offset])."""
+    import json
+    import time
+
+    import duckdb
+
+    from faxe_spark.sources.pgwire import PGWireServer, pg_poll_source
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE live(v BIGINT)")
+    con.execute("INSERT INTO live VALUES (1), (2)")
+    srv = PGWireServer(con)
+    # the range binds must reach the query: echo them back as strings
+    q = ("SELECT count(*) AS n, strftime($1, '%M:%S') AS lo, "
+         "strftime($2, '%M:%S') AS hi FROM live")
+    out = pg_poll_source(spark, host="127.0.0.1", port=srv.port,
+                         query=q, every="1s", period="5s", offset="2s")
+    qy = (out.writeStream.format("memory").queryName("pg_poll")
+          .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM pg_poll "
+                             "WHERE payload IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert len(rows) >= 2, "poller never produced results"
+        for r in rows:
+            d = json.loads(r.payload)
+            assert d["n"] == 2
+            # period=5s: lo is exactly 5 seconds behind hi
+            lo_m, lo_s = map(int, d["lo"].split(":"))
+            hi_m, hi_s = map(int, d["hi"].split(":"))
+            assert (hi_m * 60 + hi_s) - (lo_m * 60 + lo_s) in (5, -3595)
+    finally:
+        qy.stop()
+        srv.stop()
+        con.close()
