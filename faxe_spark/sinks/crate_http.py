@@ -1,0 +1,154 @@
+"""CrateDB HTTP `_sql` bulk sink: the http_post_crate live lane.
+
+The reference's http_post_crate (esp_http_post_crate.erl) POSTs
+`{"stmt": <INSERT ... VALUES (?, ...)>, "bulk_args": [[...], ...]}`
+to CrateDB's public HTTP endpoint `/_sql` with a `Default-Schema`
+header and optional Basic auth (:34-38, :108-118), retrying failures
+up to FAILED_RETRIES. The statement and the bulk_args row layout are
+the SAME shapes crate_out builds (sinks.crate_out_statement /
+crate_out_args — ts first, db_fields, optional remaining-fields JSON
+object, content dedup), so this module only owns the HTTP framing:
+body build, headers, retry, and an embedded `/_sql` endpoint that
+executes the statement with the args on DuckDB for round-trip tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+FAILED_RETRIES = 3
+
+
+def crate_sql_body(df: DataFrame, *, table: str,
+                   db_fields: list[str],
+                   faxe_fields: list[str] | None = None,
+                   database: str = "doc",
+                   remaining_fields_as: str | None = None) -> str:
+    """The exact JSON body (esp_http_post_crate.erl:121-128 build):
+    stmt from crate_out_statement, bulk_args rows from
+    crate_out_args — a driver-side collect is correct here because one
+    body IS one bounded micro-batch/request."""
+    from faxe_spark.sinks import crate_out_args, crate_out_statement
+
+    stmt = crate_out_statement(table, db_fields, database=database,
+                               remaining_fields_as=remaining_fields_as)
+    args = crate_out_args(df, faxe_fields or db_fields,
+                          remaining_fields_as=remaining_fields_as)
+    rows = [list(r) for r in args.collect()]
+    return json.dumps({"stmt": stmt, "bulk_args": rows}, default=str)
+
+
+def http_post_crate(df: DataFrame, *, host: str, port: int = 4200,
+                    table: str, db_fields: list[str],
+                    faxe_fields: list[str] | None = None,
+                    database: str = "doc",
+                    remaining_fields_as: str | None = None,
+                    user: str | None = None, password: str = "",
+                    tls: bool = False, streaming: bool = False,
+                    checkpoint: str | None = None,
+                    retries: int = FAILED_RETRIES):
+    """POST the bulk body to /_sql with the reference's headers;
+    streaming wraps the same writer in foreachBatch."""
+    url = f"{'https' if tls else 'http'}://{host}:{port}/_sql"
+
+    def write_batch(batch_df: DataFrame, _epoch=None) -> bool:
+        body = crate_sql_body(batch_df, table=table, db_fields=db_fields,
+                              faxe_fields=faxe_fields, database=database,
+                              remaining_fields_as=remaining_fields_as)
+        headers = {"Default-Schema": database,
+                   "content-type": "application/json"}
+        if user is not None:
+            headers["Authorization"] = "Basic " + base64.b64encode(
+                f"{user}:{password}".encode()).decode()
+        for _attempt in range(retries + 1):
+            req = urllib.request.Request(url, data=body.encode(),
+                                         headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=10) as resp:
+                    if 200 <= resp.status < 300:
+                        return True
+                    return False
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    return False               # invalid: do not retry
+                continue
+            except OSError:
+                continue
+        return False
+
+    if streaming:
+        w = df.writeStream.foreachBatch(write_batch)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.start()
+    return write_batch(df)
+
+
+class CrateSQLServer:
+    """Embedded `/_sql` endpoint executing {stmt, bulk_args} on a
+    DuckDB connection — CrateDB's bulk response shape
+    ({"results": [{"rowcount": 1}, ...]})."""
+
+    def __init__(self, duck_con, *, port: int = 0):
+        self._con = duck_con
+        self._lock = threading.Lock()
+        self.requests: list[dict] = []
+        self.headers: list[dict] = []
+        self.fail_next = 0
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):            # noqa: N802 (stdlib casing)
+                body = self.rfile.read(
+                    int(self.headers.get("content-length", 0)))
+                if self.path != "/_sql":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if outer.fail_next > 0:
+                    outer.fail_next -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                doc = json.loads(body)
+                outer.requests.append(doc)
+                outer.headers.append(dict(self.headers))
+                try:
+                    with outer._lock:
+                        cur = outer._con.cursor()
+                        try:
+                            cur.executemany(doc["stmt"],
+                                            doc.get("bulk_args", []))
+                        finally:
+                            cur.close()
+                except Exception as e:  # noqa: BLE001 -> crate 4xx shape
+                    msg = json.dumps({"error": {"message": str(e)}})
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(msg.encode())
+                    return
+                resp = json.dumps({"results": [
+                    {"rowcount": 1} for _ in doc.get("bulk_args", [])]})
+                self.send_response(200)
+                self.send_header("content-type", "application/json")
+                self.end_headers()
+                self.wfile.write(resp.encode())
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever,
+                         daemon=True).start()
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()

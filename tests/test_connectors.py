@@ -1359,3 +1359,53 @@ def test_pg_poll_source_continuous_query(spark):
         qy.stop()
         srv.stop()
         con.close()
+
+
+# -- http_post_crate live lane (round 5) -----------------------------------
+
+def test_http_post_crate_round_trip(spark):
+    """Live /_sql bulk insert: the crate_out statement + bulk_args
+    layout (ts first, db_fields, remaining-fields JSON) lands
+    content-exact via HTTP, with the Default-Schema header and Basic
+    auth; a 503 burst is absorbed by the retry loop."""
+    import json
+
+    import duckdb
+
+    from faxe_spark.sinks.crate_http import CrateSQLServer, http_post_crate
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA doc")
+    con.execute("CREATE TABLE doc.readings(ts BIGINT, id BIGINT, "
+                "val DOUBLE, data_obj VARCHAR)")
+    srv = CrateSQLServer(con)
+    df = spark.createDataFrame(
+        [(1000, 7, 2.5, "a", 1), (2000, 8, 0.5, "b", 2)],
+        "ts long, id long, val double, tag string, extra long")
+    try:
+        ok = http_post_crate(
+            df, host="127.0.0.1", port=srv.port, table="readings",
+            db_fields=["id", "val"], faxe_fields=["id", "val"],
+            remaining_fields_as="data_obj",
+            user="crate", password="pw")
+        assert ok
+        got = con.execute("SELECT ts, id, val, data_obj FROM doc.readings"
+                          " ORDER BY ts").fetchall()
+        assert [(r[0], r[1], r[2]) for r in got] == \
+            [(1000, 7, 2.5), (2000, 8, 0.5)]
+        assert json.loads(got[0][3]) == {"tag": "a", "extra": 1}
+        [hdrs] = [h for h in srv.headers][:1]
+        assert hdrs.get("Default-Schema") == "doc"
+        assert hdrs.get("Authorization", "").startswith("Basic ")
+        [req] = srv.requests[:1]
+        assert req["stmt"].startswith(
+            "INSERT INTO doc.readings (ts, id, val, data_obj) VALUES")
+
+        srv.fail_next = 2
+        assert http_post_crate(
+            df.limit(1), host="127.0.0.1", port=srv.port,
+            table="readings", db_fields=["id", "val"],
+            faxe_fields=["id", "val"], remaining_fields_as="data_obj")
+    finally:
+        srv.stop()
+        con.close()
