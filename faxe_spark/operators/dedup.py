@@ -327,6 +327,12 @@ def _shingle_dictionary(sh: DataFrame) -> DataFrame:
 # Monkeypatchable for lane-equivalence tests.
 _GEMM_CROSSOVER = 20_000_000
 
+# pair-word-op volume above which the dense-numpy lane pays for a
+# vocabulary-component decomposition first (the CC labeling costs a few
+# driver-lane seconds — noise at billions of pair ops, a 20-50% tax at
+# the crossover boundary, hence the 64x margin)
+_DECOMPOSE_MIN_OPS = 64 * _GEMM_CROSSOVER
+
 
 def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
                        threshold: float,
@@ -349,12 +355,20 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
     subtree just to check it, doubling the most expensive stage; and
     a bare assert disappears under python -O); replicating the matrix
     to Python workers then rides sc.broadcast's torrent path rather
-    than per-task Arrow re-ship."""
+    than per-task Arrow re-ship.
+
+    When masks carries a `_c` (vocabulary-component) column, each
+    probe row is tested only against ITS component's slice of the
+    broadcast matrix — cross-component intersections are zero by
+    construction, so the output is identical and the pair-test volume
+    drops from n^2 to sum_c(g_c^2)."""
     import numpy as np
     import pandas as pd
 
     spark = masks.sparkSession
-    rows = masks.select(id_col, "_m", "n").collect()
+    has_comp = "_c" in masks.columns
+    cols = [id_col, "_m", "n"] + (["_c"] if has_comp else [])
+    rows = masks.select(*cols).collect()
     n_docs = len(rows)
     if n_docs * (8 * n_words + 32) > broadcast_bytes:
         raise ValueError(
@@ -366,7 +380,18 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
     mat = np.array([r[1] for r in rows], dtype=np.int64) \
         .view(np.uint64).reshape(len(rows), n_words)
     counts = np.array([r[2] for r in rows], dtype=np.int64)
-    b = spark.sparkContext.broadcast((ids, mat, counts))
+    if has_comp:
+        comps = np.array([r[3] for r in rows], dtype=np.int64)
+        order = np.argsort(comps, kind="stable")
+        ids, mat, counts, comps = (ids[order], mat[order], counts[order],
+                                   comps[order])
+        # component -> contiguous [start, end) slice of the sorted side
+        uniq, starts = np.unique(comps, return_index=True)
+        slices = {int(c): (int(s), int(e)) for c, s, e in
+                  zip(uniq, starts, list(starts[1:]) + [len(comps)])}
+    else:
+        slices = None
+    b = spark.sparkContext.broadcast((ids, mat, counts, slices))
 
     if hasattr(np, "bitwise_count"):
         def _pop(x):
@@ -379,26 +404,42 @@ def _dense_pairs_numpy(masks: DataFrame, id_col: str, n_words: int,
             return _LUT[v].sum(axis=-1, dtype=np.int64)
 
     def gen(batches):
-        b_ids, b_mat, b_n = b.value
-        block = max(1, (64 << 20) // max(1, len(b_ids) * n_words * 8))
+        b_ids, b_mat, b_n, b_slices = b.value
+
+        def emit(aI, aM, aN, lo, hi):
+            sI, sM, sN = b_ids[lo:hi], b_mat[lo:hi], b_n[lo:hi]
+            block = max(1, (64 << 20) // max(1, len(sI) * n_words * 8))
+            for s in range(0, len(aI), block):
+                cI, cM, cN = aI[s:s + block], aM[s:s + block], aN[s:s + block]
+                inter = _pop(cM[:, None, :] & sM[None, :, :])
+                union = cN[:, None] + sN[None, :] - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = inter / union
+                keep = ((cI[:, None] < sI[None, :]) & (inter >= 1)
+                        & (jac >= threshold))
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    yield pd.DataFrame({
+                        "id_a": cI[ai], "id_b": sI[bi],
+                        "inter": inter[ai, bi], "jaccard": jac[ai, bi]})
+
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["_m"]), dtype=np.int64) \
                 .view(np.uint64).reshape(len(pdf), n_words)
             a_n = pdf["n"].to_numpy(dtype=np.int64)
-            for s in range(0, len(a_ids), block):
-                aI, aM, aN = a_ids[s:s + block], a_mat[s:s + block], a_n[s:s + block]
-                inter = _pop(aM[:, None, :] & b_mat[None, :, :])
-                union = aN[:, None] + b_n[None, :] - inter
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    jac = inter / union
-                keep = ((aI[:, None] < b_ids[None, :]) & (inter >= 1)
-                        & (jac >= threshold))
-                ai, bi = np.nonzero(keep)
-                if len(ai):
-                    yield pd.DataFrame({
-                        "id_a": aI[ai], "id_b": b_ids[bi],
-                        "inter": inter[ai, bi], "jaccard": jac[ai, bi]})
+            if b_slices is None:
+                yield from emit(a_ids, a_mat, a_n, 0, len(b_ids))
+                continue
+            a_c = pdf["_c"].to_numpy(dtype=np.int64)
+            order = np.argsort(a_c, kind="stable")
+            a_ids, a_mat, a_n, a_c = (a_ids[order], a_mat[order],
+                                      a_n[order], a_c[order])
+            uq, st = np.unique(a_c, return_index=True)
+            for c, s0, s1 in zip(uq, st, list(st[1:]) + [len(a_c)]):
+                lo, hi = b_slices[int(c)]
+                yield from emit(a_ids[s0:s1], a_mat[s0:s1], a_n[s0:s1],
+                                lo, hi)
 
     # the probe side must spread across the executor cores: masks often
     # hangs off a one-file scan + groupBy whose AQE-coalesced output is
@@ -446,6 +487,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
       shingles before everything (semantics-changing, off by default).
     """
     sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    # lazy checkpoint: the vocab probe (dic count) materializes the
+    # scan+normalize+explode+distinct subtree once; the ids join and
+    # everything downstream then reads the stored rows instead of
+    # re-exploding the corpus per consumer
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         freq_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(F.broadcast(freq_cap.filter(F.col("_f") <= max_shingle_freq)
@@ -453,6 +499,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     dic = _shingle_dictionary(sh)
     vocab = dic.count()  # adaptive probe #1 (vocab-sized job)
     ids = sh.join(F.broadcast(dic), "shingle").select(id_col, "wid")
+    if vocab > 64:
+        # the bitmap/sparse paths consume `ids` several times (masks,
+        # doc arrays, and the numpy lane's component stars); without a
+        # checkpoint every consumer re-runs the scan+normalize+explode
+        # +distinct subtree — measured 38 s -> 16 s on the x10 probe
+        ids = ids.localCheckpoint(eager=False)
 
     jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     if vocab <= dense_universe_max:
@@ -478,7 +530,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                            " w -> coalesce(try_element_at(_mm, w), 0L))").alias("_m"))
                 if n_docs * n_docs * n_words >= _GEMM_CROSSOVER:
                     # past the measured interpreted-fold crossover:
-                    # blocked numpy popcount kernel
+                    # blocked numpy popcount kernel. At serious pair
+                    # volumes, first label docs by vocabulary-connected
+                    # component (docs in different components share no
+                    # shingle, so every cross-component test is wasted
+                    # work the inter>=1 filter would discard): the
+                    # kernel then probes only the component slice.
+                    # Measured on the x10 probe corpus (50k docs, 10
+                    # disjoint replicas), together with the sh/ids
+                    # checkpoints below: 58 s -> 16-25 s, identical
+                    # pairs; the residual is the linear scan/dictionary
+                    # work plus the within-replica pair tests the
+                    # output itself requires.
+                    if n_docs * n_docs * n_words >= _DECOMPOSE_MIN_OPS:
+                        per_sh = ids.groupBy("wid").agg(
+                            F.min(id_col).alias("_root"))
+                        star = (ids.join(per_sh, "wid")
+                                .select(F.col(id_col).alias("id_a"),
+                                        F.col("_root").alias("id_b"))
+                                .filter(F.col("id_a") != F.col("id_b"))
+                                .distinct())
+                        labels = connected_components(star)
+                        masks = (masks.join(
+                            labels.withColumnRenamed("node", id_col),
+                            id_col, "left")
+                            .withColumn("_c", F.coalesce(
+                                "component", F.col(id_col)))
+                            .drop("component"))
                     return _dense_pairs_numpy(masks, id_col, n_words,
                                               threshold,
                                               dense_broadcast_bytes)

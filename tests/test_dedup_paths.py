@@ -342,3 +342,37 @@ def test_compact_seen_fps_bounds_plan_and_exchanges(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("t_seen_fps_0", "t_seen_fps_1"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dense_numpy_component_decomposition_equivalence(spark, monkeypatch):
+    """Round 5: at serious pair volumes the dense-numpy kernel labels
+    docs by vocabulary-connected component and probes only the
+    component slice. Forcing the decomposition on a corpus of two
+    disjoint vocabularies must give pair-identical output to the
+    undecomposed kernel and the sparse lane — and produce no
+    cross-group pair."""
+    monkeypatch.setattr(dedup, "_GEMM_CROSSOVER", 0)
+
+    rows = []
+    for g, words in enumerate((list("abcdefghijklmnopqrstuvwxyz")[:20],
+                               [f"w{i}" for i in range(60)])):
+        for d in range(40):
+            rows.append((g * 1000 + d,
+                         " ".join(words[(d + j) % len(words)]
+                                  for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.inter, round(r.jaccard, 12)) for r in
+            dedup.ngram_jaccard_pairs(df, id_col="doc_id", text_col="text",
+                                      shingle_n=1, threshold=0.3,
+                                      **kw).collect())
+
+    monkeypatch.setattr(dedup, "_DECOMPOSE_MIN_OPS", 10 ** 18)
+    plain = pairs()
+    monkeypatch.setattr(dedup, "_DECOMPOSE_MIN_OPS", 0)
+    decomposed = pairs()
+    sparse = pairs(dense_universe_max=0)
+    assert plain and plain == decomposed == sparse
+    assert all((a < 1000) == (b < 1000) for a, b, _, _ in plain)
