@@ -1600,7 +1600,12 @@ class DFSCompiler:
             measurement=node.params.get(
                 "measurement", node.params.get("table", [""]))[0],
             database=node.params.get("database", [""])[0],
-            host=node.params.get("host", ["localhost"])[0])
+            host=node.params.get("host", ["localhost"])[0],
+            port=int(self._val(node.params.get("port", [8086])[0])),
+            user=(str(self._val(node.params["user"][0]))
+                  if "user" in node.params else None),
+            password=(str(self._val(node.params["pass"][0]))
+                      if "pass" in node.params else ""))
 
     def node_crate_out(self, df, node: NodeCall) -> DataFrame:
         return self._defer_sink(

@@ -129,11 +129,23 @@ def compact_seen_fps(seen_fps: DataFrame, table: str = "seen_fingerprints",
       100 TB layout: pay the shuffle once at compaction, not once per
       arriving batch). Batches' fingerprint sets are disjoint by
       construction (the anti-join already filtered replays), so no
-      distinct pass is needed before the rewrite."""
+      distinct pass is needed before the rewrite.
+
+    Re-compaction safe (round-5 review find): the natural loop passes
+    last round's compacted table back in, and Spark refuses to
+    overwrite a table the input plan is reading — so the rewrite lands
+    in a staging table first and is RENAMEd over the destination (two
+    catalog ops; a crash between them leaves the previous table
+    dropped but the staged data intact under <table>__stage)."""
     from faxe_spark.tables import stage_bucketed
 
-    return stage_bucketed(seen_fps.sparkSession, seen_fps, table,
-                          bucket_by="fingerprint", buckets=buckets)
+    spark = seen_fps.sparkSession
+    stage = f"{table}__stage"
+    stage_bucketed(spark, seen_fps, stage,
+                   bucket_by="fingerprint", buckets=buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    return spark.table(table)
 
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -707,10 +719,16 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     dedup_clusters pair list (9.65M edges): r4 direct collect 22.6 s
     -> pre-contracted over the symmetric-distinct set 18.5 s ->
     pre-contracted over the raw list 6.1 s, identical labels."""
-    raw = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # node type = the UNION coercion of the two id columns (schema-only
+    # probe, nothing executes): mixed-width inputs (int id_a, bigint
+    # id_b) must not truncate through an int labels schema
+    node_t = (pairs.select(F.col(id_a).alias("x"))
+              .union(pairs.select(F.col(id_b).alias("x")))
+              .schema["x"].dataType.simpleString())
+    raw = (pairs.select(F.col(id_a).cast(node_t).alias("src"),
+                        F.col(id_b).cast(node_t).alias("dst"))
            .localCheckpoint(eager=True))
     n_edges = raw.count()  # free: the checkpoint is already materialized
-    node_t = raw.schema["src"].dataType.simpleString()
     numeric_ids = node_t in ("tinyint", "smallint", "int", "bigint",
                              "float", "double", "date", "timestamp",
                              "timestamp_ntz") or node_t.startswith("decimal")
@@ -771,22 +789,28 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     nodes = base.select(F.col("src").alias("node")).distinct()
     edges = base.union(nodes.select(F.col("node").alias("src"),
                                     F.col("node").alias("dst")))
-    labels = nodes.withColumn("label", F.col("node"))
-    prev_sig = None
+    labels = nodes.withColumn("label", F.col("node")) \
+        .localCheckpoint(eager=True)
     for _ in range(max_iterations):
+        prev = labels
         joined = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
         labels = (joined.groupBy(F.col("src").alias("node"))
                   .agg(F.min("label").alias("label"))).localCheckpoint(eager=True)
-        # bit_xor(xxhash64) makes the convergence probe type-agnostic
-        # (a raw sum(label) throws CAST_INVALID_INPUT on string node
-        # ids) and overflow-free under ANSI (sum of 64-bit hashes is
-        # not); xor is order-independent, so it is a stable multiset
-        # signature like the sum was
-        sig = labels.agg(F.expr("bit_xor(xxhash64(label))").alias("s"),
-                         F.count(F.lit(1)).alias("n")).collect()[0]
-        if prev_sig == (sig.s, sig.n):
+        # EXACT convergence probe: did any node's label change this
+        # round? Both frames are checkpointed and hash-partitioned on
+        # node (the groupBy output), so the probe join adds no
+        # exchange on the new side. A multiset SIGNATURE here is a
+        # correctness trap: labels decrease monotonically, so a raw
+        # sum was exact for numeric labels, but any hash-combined
+        # signature (sum or xor of hashes) can collide when an even
+        # number of nodes make identical transitions in one round —
+        # bit_xor(h(2->1)) ^ bit_xor(h(2->1)) == 0 — silently freezing
+        # the loop early with split components (round-5 review find).
+        changed = (labels.join(prev.withColumnRenamed("label", "_pl"),
+                               "node")
+                   .filter(F.col("label") != F.col("_pl")).take(1))
+        if not changed:
             break
-        prev_sig = (sig.s, sig.n)
     return labels.select("node", F.col("label").alias("component"))
 
 

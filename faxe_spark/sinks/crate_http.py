@@ -81,7 +81,12 @@ def http_post_crate(df: DataFrame, *, host: str, port: int = 4200,
                 continue
             except OSError:
                 continue
-        return False
+        # exhausted retries must FAIL the epoch (streaming: offsets
+        # never commit, batch replays) instead of silently dropping
+        # the bulk body (round-5 review find)
+        raise RuntimeError(
+            f"http_post_crate: POST to {url} failed after {retries} "
+            "retries")
 
     if streaming:
         w = df.writeStream.foreachBatch(write_batch)

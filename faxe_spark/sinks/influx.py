@@ -57,8 +57,12 @@ def encode_value(v, encode_integer: bool = False) -> str | None:
 
 def encode_point(measurement: str, fields: dict, tags: dict | None = None,
                  ts: int | None = None, *,
-                 encode_integer: bool = False) -> str:
-    """One line-protocol line (no trailing newline)."""
+                 encode_integer: bool = False) -> str | None:
+    """One line-protocol line (no trailing newline). Returns None when
+    every field value filters out (None/dict/list): line protocol
+    requires at least one field, and one empty-field line would 400
+    the whole request body on a real endpoint (round-5 review find) —
+    callers skip such rows."""
     parts = [measurement]
     for k, v in (tags or {}).items():
         if v is None or isinstance(v, (dict, list)):
@@ -69,6 +73,8 @@ def encode_point(measurement: str, fields: dict, tags: dict | None = None,
         ev = None if v is None else encode_value(v, encode_integer)
         if ev is not None:
             fparts.append(f"{k}={ev}")
+    if not fparts:
+        return None
     line = "".join(parts) + " " + ",".join(fparts)
     if ts is not None:
         line += f" {ts}"
@@ -92,9 +98,14 @@ def influx_write_url(host: str, port: int, db: str, *,
 
 def post_lines(url: str, lines: list[str], *,
                retries: int = FAILED_RETRIES) -> bool:
-    """POST a batch; 2xx ok, 4xx invalid (dropped, logged-equivalent:
-    False), 5xx retried up to `retries` times (esp_influx_out.erl:
-    144-161 do_send / handle_response)."""
+    """POST a batch; 2xx ok (True), 4xx invalid — dropped without
+    retry, False (a replay cannot fix a bad payload; the reference
+    logs {error, invalid} the same way) — and 5xx/connect errors
+    retried up to `retries` times (esp_influx_out.erl:144-161), then
+    RAISED: the reference logs-and-drops after its retry ladder, but
+    here an exhausted ladder must fail the (foreachBatch) epoch so
+    the checkpoint never commits and the batch replays — silent loss
+    otherwise (round-5 review find)."""
     body = ("".join(ln + "\n" for ln in lines)).encode()
     for _attempt in range(retries + 1):
         req = urllib.request.Request(
@@ -110,7 +121,9 @@ def post_lines(url: str, lines: list[str], *,
             continue                           # 5xx: retry
         except OSError:
             continue
-    return False
+    raise RuntimeError(
+        f"influx: write of {len(lines)} lines to {url} failed after "
+        f"{retries} retries")
 
 
 def influx_sink(df: DataFrame, *, host: str, port: int, database: str,
@@ -139,20 +152,29 @@ def influx_sink(df: DataFrame, *, host: str, port: int, database: str,
                 dict(batch_df.dtypes)[ts_col].startswith("timestamp"):
             prepped = batch_df.withColumn(ts_col,
                                           F.unix_millis(F.col(ts_col)))
+
+        # post_lines raises on an exhausted retry ladder — that is
+        # what makes the streaming variant at-least-once (the failed
+        # epoch never commits, the batch replays); a 4xx returns
+        # False and the invalid payload drops, as the reference does
+        flush = lambda lines: post_lines(url, lines)  # noqa: E731
+
         lines = []
         for r in prepped.toLocalIterator():
             d = r.asDict()
-            lines.append(encode_point(
+            line = encode_point(
                 measurement,
                 {c: d[c] for c in field_cols},
                 {c: d[c] for c in tag_cols},
                 d.get(ts_col),
-                encode_integer=encode_integer))
+                encode_integer=encode_integer)
+            if line is not None:               # all-NULL fields: skip
+                lines.append(line)
             if len(lines) >= 5000:             # bounded request bodies
-                post_lines(url, lines)
+                flush(lines)
                 lines = []
         if lines:
-            post_lines(url, lines)
+            flush(lines)
 
     if streaming:
         w = df.writeStream.foreachBatch(write_batch)

@@ -200,13 +200,15 @@ class MongoClient:
              selector: dict | None = None) -> list[dict]:
         with self._lock:
             self._rid += 1
+            sent_rid = self._rid   # local copy: another thread may bump
+            # self._rid the moment the lock releases (modbus.py pattern)
             cmd = {"find": collection, "filter": selector or {},
                    "$db": database}
-            self._sock.sendall(_op_msg(self._rid, 0, cmd))
+            self._sock.sendall(_op_msg(sent_rid, 0, cmd))
             hdr = self._recv_exact(16)
             length, _rid, resp_to, opcode = struct.unpack("<iiii", hdr)
             body = self._recv_exact(length - 16)
-        if opcode != OP_MSG or resp_to != self._rid:
+        if opcode != OP_MSG or resp_to != sent_rid:
             raise ConnectionError("mongo: unexpected reply framing")
         if body[4:5] != b"\x00":
             raise ConnectionError("mongo: expected kind-0 section")

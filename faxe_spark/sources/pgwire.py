@@ -90,7 +90,18 @@ def sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # bare nan/inf are not SQL literals; the quoted-cast form is
+        # accepted by PostgreSQL, CrateDB and DuckDB alike
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE PRECISION)"
+        if math.isinf(v):
+            s = "Infinity" if v > 0 else "-Infinity"
+            return f"CAST('{s}' AS DOUBLE PRECISION)"
+        return repr(v)
+    if isinstance(v, int):
         return str(v)
     import datetime
 

@@ -1409,3 +1409,86 @@ def test_http_post_crate_round_trip(spark):
     finally:
         srv.stop()
         con.close()
+
+
+def test_influx_all_null_fields_skipped_and_exhausted_retries_raise(spark):
+    """Round-5 review finds: a row whose every field filters out emits
+    NO line (an empty field set would 400 the whole body), and an
+    exhausted retry ladder RAISES instead of silently dropping the
+    batch (streaming: the epoch must not commit)."""
+    import datetime
+
+    import pytest
+
+    from faxe_spark.sinks.influx import (InfluxHTTPServer, encode_point,
+                                         influx_sink)
+
+    assert encode_point("m", {"a": None, "b": {"x": 1}, "c": [1]}) is None
+
+    srv = InfluxHTTPServer()
+    try:
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1), "h1", None),
+             (datetime.datetime(2024, 1, 1, 0, 0, 1), "h2", 1.5)],
+            "ts timestamp, host string, load double")
+        influx_sink(df, host="127.0.0.1", port=srv.port, database="d3",
+                    measurement="cpu", tag_cols=["host"])
+        assert srv.points["d3"] == ["cpu,host=h2 load=1.5 1704067201000"]
+
+        srv.fail_next = 10                     # > FAILED_RETRIES
+        with pytest.raises(RuntimeError, match="failed after"):
+            influx_sink(df.limit(1).fillna(0.0),
+                        host="127.0.0.1", port=srv.port, database="d4",
+                        measurement="cpu", tag_cols=["host"])
+    finally:
+        srv.stop()
+
+
+def test_http_post_crate_exhausted_retries_raise(spark):
+    import duckdb
+    import pytest
+
+    from faxe_spark.sinks.crate_http import CrateSQLServer, http_post_crate
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA doc")
+    con.execute("CREATE TABLE doc.t2(ts BIGINT, v BIGINT)")
+    srv = CrateSQLServer(con)
+    df = spark.createDataFrame([(1, 2)], "ts long, v long")
+    try:
+        srv.fail_next = 10
+        with pytest.raises(RuntimeError, match="failed after"):
+            http_post_crate(df, host="127.0.0.1", port=srv.port,
+                            table="t2", db_fields=["v"])
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_pgwire_sql_literal_nan_inf(spark):
+    """Round-5 review find: bare nan/inf are not SQL; the quoted-cast
+    form must land through the wire insert."""
+    import math
+
+    import duckdb
+
+    from faxe_spark.sources.pgwire import (PGWireClient, PGWireServer,
+                                           postgre_out_insert, sql_literal)
+
+    assert sql_literal(float("nan")) == "CAST('NaN' AS DOUBLE PRECISION)"
+    assert sql_literal(float("inf")) == \
+        "CAST('Infinity' AS DOUBLE PRECISION)"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nt(id BIGINT, v DOUBLE)")
+    srv = PGWireServer(con)
+    df = spark.createDataFrame([(1, float("nan")), (2, float("-inf"))],
+                               "id long, v double")
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        assert postgre_out_insert(c, "nt", df) == 2
+        got = dict(con.execute("SELECT id, v FROM nt").fetchall())
+        assert math.isnan(got[1]) and got[2] == float("-inf")
+        c.close()
+    finally:
+        srv.stop()
+        con.close()

@@ -329,9 +329,10 @@ def test_compact_seen_fps_bounds_plan_and_exchanges(spark):
                                                  formatted_plan(probe),
                                                  re.M)))
             fresh_counts.append(fresh.count())
-            # alternate table names: Spark refuses to overwrite a
-            # bucketed table that the plan being written still reads
-            seen_tbl = compact_seen_fps(seen, f"t_seen_fps_{i % 2}",
+            # SAME table name every round: compact_seen_fps stages and
+            # renames internally (Spark refuses a direct overwrite of
+            # a table the input plan reads — round-5 review find)
+            seen_tbl = compact_seen_fps(seen, "t_seen_fps",
                                         buckets=n_buckets)
             seen = seen_tbl
         # semantic check: the replay row survives only in batch 0
@@ -340,7 +341,7 @@ def test_compact_seen_fps_bounds_plan_and_exchanges(spark):
         assert len(set(plan_sizes)) == 1, plan_sizes
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        for t in ("t_seen_fps_0", "t_seen_fps_1"):
+        for t in ("t_seen_fps", "t_seen_fps__stage"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -376,3 +377,39 @@ def test_dense_numpy_component_decomposition_equivalence(spark, monkeypatch):
     sparse = pairs(dense_universe_max=0)
     assert plain and plain == decomposed == sparse
     assert all((a < 1000) == (b < 1000) for a, b, _, _ in plain)
+
+
+def test_distributed_cc_no_false_convergence(spark):
+    """Round-5 review find: a multiset-signature convergence probe
+    (sum/xor of label hashes) collides when an even number of nodes
+    make identical transitions in one round — on this graph, round-1
+    labels {1,1,2,2,3,3} and round-2 labels {1,1,1,1,2,2} share any
+    order-independent signature, so a signature probe stops with nodes
+    5,6 mislabeled. The probe must be an exact changed-label check."""
+    from faxe_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (3, 5), (4, 5), (3, 6), (4, 6)],
+        "id_a long, id_b long")
+    got = {(r.node, r.component)
+           for r in connected_components(
+               pairs, driver_threshold=0, direct_collect_max=0).collect()}
+    assert got == {(n, 1) for n in range(1, 7)}
+
+
+def test_connected_components_mixed_width_ids(spark):
+    """Round-5 review find: int id_a with bigint id_b values beyond
+    2^31 must coerce to the union type, not truncate through an int
+    labels schema."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.dedup import connected_components
+
+    big = 2 ** 40
+    pairs = spark.createDataFrame([(1, big), (2, big + 1), (1, 2)],
+                                  "id_a int, id_b long")
+    for kw in ({}, {"direct_collect_max": 0},
+               {"direct_collect_max": 0, "driver_threshold": 0}):
+        got = {(r.node, r.component)
+               for r in connected_components(pairs, **kw).collect()}
+        assert got == {(1, 1), (2, 1), (big, 1), (big + 1, 1)}, kw
