@@ -1577,6 +1577,45 @@ def pq_adc_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivfpq_full_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM c, q WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="similarity search: the full IVFPQ composition (coarse lists + "
+        "residual PQ codes + ADC) at nprobe=nlist with the exact residual "
+        "codebook must reproduce brute-force cosine RANKS — score = "
+        "q*c[cid] + q*residual = true cosine; closes the exactness-probe "
+        "triangle with ann_ivf_full_probe (list pruning) and "
+        "pq_adc_full_probe (code scoring)",
+)
+def ivfpq_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id",
+                        sim_ops.quantize_vec(F.col("embedding")).alias("embedding"))
+    coarse, _b, _c = sim_ops.ivfpq_index(corpus, nlist=8, m=1, ksub=2)
+    books = sim_ops.ivfpq_exact_residual_codebook(corpus, coarse)
+    _, _, codes = sim_ops.ivfpq_index(corpus, coarse=coarse,
+                                      codebooks=books)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    out = sim_ops.ivfpq_topk(codes, queries, coarse, books, 5, nprobe=8)
+    return out.select("query_id", "vec_id", "rank")
+
+
+@register(
     "embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
@@ -2809,15 +2848,17 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_oracle.py) always runs ALL entries regardless of order.
 # Round-5 rotation: the 35 entries round 4 deferred (hard rows from r3)
 # ALL return to the window, keeping every query <=1 round from its last
-# hard driver row. Deferred now are 36 r4-hard-green entries whose code
-# paths are UNTOUCHED this round; the 14 r4-greens kept in-window are
+# hard driver row. Deferred now are 37 r4-hard-green entries whose code
+# paths are UNTOUCHED this round; the 13 r4-greens kept in-window are
 # exactly the ones round 5 touched (normalize_url rule fix; shingle_rows
 # short-doc guard -> minhash/simhash/jaccard/decontaminate/trainprep;
 # connected_components lane rewrite -> dedup_clusters/semantic_dedup/
-# embedding_neardup) plus ann_ivf_full_probe as the exactness anchor
-# beside the new pq_adc_full_probe. 35 returning + 14 touched + 1 new
-# (pq_adc_full_probe) = 50 = the driver's scoring window.
+# embedding_neardup). 35 returning + 13 touched + 2 new
+# (pq_adc_full_probe, ivfpq_full_probe) = 50 = the driver's scoring
+# window; ann_ivf_full_probe (r4-hard-green, untouched) defers to make
+# room for the IVFPQ probe that supersedes it as the exactness anchor.
 _DEFERRED_THIS_ROUND = [
+    "ann_ivf_full_probe",
     "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
     "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
     "combine_enrich", "interval_join", "union_streams", "top_bottom",

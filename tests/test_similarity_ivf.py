@@ -164,3 +164,71 @@ def test_pq_adc_empty_queries_and_self_match_optout(spark):
         {(i, i) for i in range(3)}
     without = sim.pq_adc_topk(codes, queries, books, 1).collect()
     assert all(r.query_id != r.vec_id for r in without)
+
+
+# -- IVFPQ composition (round 5) --------------------------------------------
+
+def test_ivfpq_exact_when_full_probe_and_exact_residuals(spark):
+    """nprobe=nlist + the degenerate exact residual codebook: ADC
+    score = q·c[cid] + q·residual = true cosine, so IVFPQ must
+    reproduce brute-force RANKS exactly."""
+    from faxe_spark.operators import similarity as sim
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 60"))
+    coarse, _b, _c = sim.ivfpq_index(emb, nlist=4, m=1, ksub=2)
+    books = sim.ivfpq_exact_residual_codebook(emb, coarse)
+    _, _, codes = sim.ivfpq_index(emb, coarse=coarse, codebooks=books)
+    queries = emb.filter("vec_id < 5")
+    got = {(r.query_id, r.rank): r.vec_id for r in
+           sim.ivfpq_topk(codes, queries, coarse, books, 5,
+                          nprobe=4).collect()}
+    want = {(r.query_id, r.rank): r.vec_id for r in
+            sim.cosine_topk(emb, queries, 5).collect()}
+    assert got == want
+
+
+def test_ivfpq_recall_floor_and_pruning(spark):
+    """Real compression (m=16 codes, nprobe < nlist): recall clears a
+    floor on the adversarial near-uniform corpus, and shrinking nprobe
+    can only shrink the candidate set (monotone pruning)."""
+    from faxe_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse, books, codes_df = sim.ivfpq_index(emb, nlist=8, m=16, ksub=64)
+    codes_df = codes_df.localCheckpoint(eager=True)
+    queries = emb.filter("vec_id < 10")
+    exact = {}
+    for r in sim.cosine_topk(emb, queries, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    full = {}
+    for r in sim.ivfpq_topk(codes_df, queries, coarse, books, 10,
+                            nprobe=8).collect():
+        full.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(full[q] & exact[q]) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # nprobe=2 candidates ⊆ nprobe=8 candidates per query
+    pruned = {}
+    for r in sim.ivfpq_topk(codes_df, queries, coarse, books, 1000,
+                            nprobe=2).collect():
+        pruned.setdefault(r.query_id, set()).add(r.vec_id)
+    allp = {}
+    for r in sim.ivfpq_topk(codes_df, queries, coarse, books, 1000,
+                            nprobe=8).collect():
+        allp.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in pruned:
+        assert pruned[q] <= allp[q]
+
+
+def test_ivfpq_empty_queries_raises(spark):
+    import pytest
+
+    from faxe_spark.operators import similarity as sim
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 30"))
+    coarse, books, codes = sim.ivfpq_index(emb, nlist=2, m=8, ksub=4)
+    with pytest.raises(ValueError, match="empty queries"):
+        sim.ivfpq_topk(codes, emb.filter("vec_id < 0"), coarse, books, 5)
