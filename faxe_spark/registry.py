@@ -1167,6 +1167,39 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_exact(d, text_col="text", id_col="doc_id")
 
 
+# dedup_incremental coalesces NULL text to '' before fingerprinting
+_NORM_C = _NORM.replace("lower(text)", "lower(coalesce(text, ''))")
+
+
+@register(
+    "dedup_incremental_batches",
+    f"""
+    WITH f AS (SELECT doc_id, md5({_NORM_C}) AS fp,
+                      doc_id % 2 AS b FROM documents),
+    b1 AS (SELECT fp, min(doc_id) AS keep FROM f WHERE b = 0 GROUP BY fp),
+    b2 AS (SELECT fp, min(doc_id) AS keep FROM f WHERE b = 1 GROUP BY fp)
+    SELECT 1 AS batch, keep AS doc_id FROM b1
+    UNION ALL
+    SELECT 2 AS batch, keep AS doc_id FROM b2
+    WHERE fp NOT IN (SELECT fp FROM b1)
+    """,
+    doc="dedup: continuous-crawl exact dedup across arrival batches — "
+        "batch-internal dups keep the min id, cross-batch replays drop "
+        "via the accumulated seen-fingerprint set (dedup_incremental "
+        "folded over an even/odd doc_id split); the compaction helper "
+        "keeps the seen set a bucketed constant-depth table at scale",
+)
+def dedup_incremental_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    fresh1, seen = dedup_ops.dedup_incremental(b1, None)
+    fresh2, _ = dedup_ops.dedup_incremental(b2, seen)
+    return (fresh1.select(F.lit(1).alias("batch"), "doc_id")
+            .unionByName(fresh2.select(F.lit(2).alias("batch"),
+                                       "doc_id")))
+
+
 _SHINGLES_1 = f"""
     shin AS (
       SELECT DISTINCT doc_id, unnest({_TOKS}) AS shingle
@@ -2848,17 +2881,19 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_oracle.py) always runs ALL entries regardless of order.
 # Round-5 rotation: the 35 entries round 4 deferred (hard rows from r3)
 # ALL return to the window, keeping every query <=1 round from its last
-# hard driver row. Deferred now are 37 r4-hard-green entries whose code
-# paths are UNTOUCHED this round; the 13 r4-greens kept in-window are
+# hard driver row. Deferred now are 38 r4-hard-green entries whose code
+# paths are UNTOUCHED this round; the 12 r4-greens kept in-window are
 # exactly the ones round 5 touched (normalize_url rule fix; shingle_rows
 # short-doc guard -> minhash/simhash/jaccard/decontaminate/trainprep;
-# connected_components lane rewrite -> dedup_clusters/semantic_dedup/
-# embedding_neardup). 35 returning + 13 touched + 2 new
-# (pq_adc_full_probe, ivfpq_full_probe) = 50 = the driver's scoring
+# connected_components lane rewrite -> dedup_clusters/semantic_dedup).
+# 35 returning + 12 touched + 3 new (pq_adc_full_probe,
+# ivfpq_full_probe, dedup_incremental_batches) = 50 = the driver's scoring
 # window; ann_ivf_full_probe (r4-hard-green, untouched) defers to make
-# room for the IVFPQ probe that supersedes it as the exactness anchor.
+# room for the IVFPQ probe that supersedes it as the exactness anchor,
+# and embedding_neardup (r4-hard-green; cosine_pairs, untouched this
+# round) makes room for dedup_incremental_batches.
 _DEFERRED_THIS_ROUND = [
-    "ann_ivf_full_probe",
+    "ann_ivf_full_probe", "embedding_neardup",
     "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
     "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
     "combine_enrich", "interval_join", "union_streams", "top_bottom",
