@@ -36,20 +36,28 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     distinct=False and skip that shuffle entirely — on near-dup-heavy
     corpora it's the single largest intermediate in the pipeline."""
     toks = F.split(F.trim(normalize_text(F.col(text_col))), r"\s+")
-    parts = ", ' ', ".join(f"element_at(_toks, i+{j})" for j in range(n))
     out = df.select(id_col, toks.alias("_toks"))
-    # guard short docs: sequence(1, 0) DESCENDS to [1, 0] in Spark (step
-    # defaults to -1 when start > stop), so a doc with < n tokens would
-    # hit element_at(_, 0) = INVALID_ARRAY_INDEX. Same fix as
-    # text.ngram_array: explicit empty array below n tokens.
-    out = out.select(
-        id_col,
-        F.explode(F.expr(
-            f"if(size(_toks) >= {n}, "
-            f"transform(sequence(1, size(_toks)-{n - 1}), i -> concat({parts})), "
-            f"array())"
-        )).alias("shingle"),
-    )
+    if n == 1:
+        # unigrams ARE the token array — explode directly, skipping
+        # the sequence/element_at assembly on the hottest paths
+        # (unigram jaccard / simhash / dedup_clusters)
+        out = out.select(id_col, F.explode("_toks").alias("shingle"))
+    else:
+        parts = ", ' ', ".join(f"element_at(_toks, i+{j})"
+                               for j in range(n))
+        # guard short docs: sequence(1, 0) DESCENDS to [1, 0] in Spark
+        # (step defaults to -1 when start > stop), so a doc with < n
+        # tokens would hit element_at(_, 0) = INVALID_ARRAY_INDEX.
+        # Same fix as text.ngram_array: empty array below n tokens.
+        out = out.select(
+            id_col,
+            F.explode(F.expr(
+                f"if(size(_toks) >= {n}, "
+                f"transform(sequence(1, size(_toks)-{n - 1}), "
+                f"i -> concat({parts})), "
+                f"array())"
+            )).alias("shingle"),
+        )
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
