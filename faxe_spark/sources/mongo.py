@@ -333,3 +333,51 @@ def mongo_query_df(spark, *, host: str, port: int, database: str,
     rows = [(json.dumps(d, default=str),) for d in docs]
     df = spark.createDataFrame(rows or [], f"`{as_path}` string")
     return df.select(F.current_timestamp().alias("ts"), f"`{as_path}`")
+
+
+def mongo_poll_source(spark, *, host: str, port: int, database: str,
+                      collection: str, query: str = "{}",
+                      every: str = "5s", align: bool = False,
+                      as_path: str = "data"):
+    """The PERIODIC form of esp_mongo_query (its `every` option, the
+    default mode — the node re-runs the find on a timer): Spark's rate
+    source provides the clock (the http_poll_source / pg_poll_source
+    shape), each surviving tick runs one executor-side find, and every
+    result document emits as one row with the JSON payload under the
+    `.as()` column. A failed tick emits one null-payload row (the
+    conn_status 'down' analog, filterable downstream)."""
+    import json
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from faxe_spark.durations import parse_duration_ms
+
+    selector = json.loads(query)
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+    if align:
+        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
+    else:
+        tick = rate.filter(F.col("value") % every_s == 0)
+
+    def poll(batches):
+        for pdf in batches:
+            out_ts, out_doc = [], []
+            for t in pdf["timestamp"]:
+                try:
+                    client = MongoClient(host, port)
+                    try:
+                        docs = client.find(database, collection, selector)
+                    finally:
+                        client.close()
+                    for d in docs:
+                        out_ts.append(t)
+                        out_doc.append(json.dumps(d, default=str))
+                except (OSError, ConnectionError):
+                    out_ts.append(t)
+                    out_doc.append(None)
+            yield pd.DataFrame({"poll_ts": out_ts, as_path: out_doc})
+
+    return tick.mapInPandas(poll, f"poll_ts timestamp, `{as_path}` string")

@@ -1492,3 +1492,37 @@ def test_pgwire_sql_literal_nan_inf(spark):
     finally:
         srv.stop()
         con.close()
+
+
+def test_mongo_poll_source_periodic_find(spark):
+    """esp_mongo_query's periodic mode: the selector re-runs per tick
+    against the live embedded server; docs land under the .as()
+    column."""
+    import json
+    import time
+
+    from faxe_spark.sources.mongo import MongoServer, mongo_poll_source
+
+    srv = MongoServer({("doc", "r"): [{"id": 1, "on": True},
+                                      {"id": 2, "on": False}]})
+    out = mongo_poll_source(spark, host="127.0.0.1", port=srv.port,
+                            database="doc", collection="r",
+                            query='{"on": true}', every="1s",
+                            as_path="point")
+    q = (out.writeStream.format("memory").queryName("mongo_poll")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM mongo_poll "
+                             "WHERE point IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert len(rows) >= 2
+        assert all(json.loads(r.point)["id"] == 1 for r in rows)
+        assert len({r.poll_ts for r in rows}) >= 2   # distinct ticks
+    finally:
+        q.stop()
+        srv.stop()
