@@ -1406,6 +1406,30 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonsize_batch",
+    """
+    SELECT event_id,
+           CAST(strlen(to_json(struct_pack(
+             event_id := event_id, user_id := user_id,
+             event_type := event_type))) AS INT) AS json_size
+    FROM events
+    """,
+    doc="jsonsize (esp_jsonsize.erl:22): byte size of the row serialized "
+        "as JSON — Spark's to_json and DuckDB's struct to_json emit "
+        "byte-identical bodies for integer/string fields (no-space "
+        "separators, same escaping), so the size is engine-exact; "
+        "timestamp/float fields are excluded by the query (their "
+        "renderings legitimately differ across engines)",
+)
+def jsonsize_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faxe_spark.operators.project import jsonsize
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type")
+    return jsonsize(ev).select("event_id", "json_size")
+
+
+@register(
     "time_shift",
     f"""
     SELECT event_id, ts + INTERVAL '-30 seconds' AS ts, event_type, value
@@ -2894,6 +2918,9 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round) makes room for dedup_incremental_batches.
 _DEFERRED_THIS_ROUND = [
     "ann_ivf_full_probe", "embedding_neardup",
+    # lookup_enrich (r4-hard-green, untouched) makes room for
+    # jsonsize_batch — the first hash row for the jsonsize node
+    "lookup_enrich",
     "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
     "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
     "combine_enrich", "interval_join", "union_streams", "top_bottom",
