@@ -466,3 +466,72 @@ def pg_poll_source(spark, *, host: str, port: int, query: str,
             yield pd.DataFrame({"poll_ts": out_ts, "payload": out_rows})
 
     return tick.mapInPandas(poll, "poll_ts timestamp, payload string")
+
+
+def postgre_out_exactly_once(client: PGWireClient, table: str, df, *,
+                             epoch: int | str,
+                             txn_table: str = "faxe_txn_log",
+                             batch_size: int = 500) -> bool:
+    """Exactly-once insert of one micro-batch: every statement runs
+    inside ONE transaction guarded by an epoch marker in `txn_table`
+    — a replayed epoch (crash after the DB write, before the stream
+    checkpoint committed) finds its marker and inserts nothing. The
+    multi-statement simple-Query form is protocol-legal (one 'Q', a
+    CommandComplete per statement) and the transaction makes the
+    data+marker write atomic: a crash mid-transaction rolls back both,
+    so the replay starts clean. Returns False when the epoch was
+    already committed (the replay case)."""
+    e = str(epoch).replace("'", "''")
+    cols = df.columns
+    guard = (f"NOT EXISTS (SELECT 1 FROM {txn_table} "
+             f"WHERE epoch = '{e}')")
+    already = client.query(
+        f"SELECT count(*) AS n FROM {txn_table} WHERE epoch = '{e}'")
+    if already[1][0][0]:
+        return False
+    stmts = ["BEGIN"]
+    rows = [r for r in df.toLocalIterator()]
+    for s in range(0, len(rows), batch_size):
+        vals = ", ".join(
+            "(" + ", ".join(sql_literal(r[c]) for c in cols) + ")"
+            for r in rows[s:s + batch_size])
+        if vals:
+            stmts.append(
+                f"INSERT INTO {table} ({', '.join(cols)}) "
+                f"SELECT * FROM (VALUES {vals}) AS _t({', '.join(cols)}) "
+                f"WHERE {guard}")
+    stmts.append(f"INSERT INTO {txn_table} SELECT '{e}' WHERE {guard}")
+    stmts.append("COMMIT")
+    client.query("; ".join(stmts))
+    return True
+
+
+def postgre_sink_exactly_once(df, *, host: str, port: int, table: str,
+                              checkpoint: str, user: str = "faxe",
+                              database: str = "db",
+                              txn_table: str = "faxe_txn_log",
+                              fail_after_write=None,
+                              fail_before_write=None):
+    """Streaming exactly-once DB sink: foreachBatch wraps
+    postgre_out_exactly_once with the micro-batch's epoch id — the DB
+    analog of embedded_broker_sink_exactly_once (same kill-and-resume
+    contract: no-dup when the crash lands after the DB transaction,
+    no-loss when it lands before). The txn_table must exist (one
+    `CREATE TABLE ... (epoch VARCHAR)` at deploy time)."""
+    def write(batch_df, epoch_id: int):
+        if fail_before_write is not None and not fail_before_write.is_set():
+            fail_before_write.set()
+            raise RuntimeError("injected failure BEFORE write")
+        client = PGWireClient(host, port, user=user, database=database)
+        try:
+            postgre_out_exactly_once(client, table, batch_df,
+                                     epoch=epoch_id, txn_table=txn_table)
+        finally:
+            client.close()
+        if fail_after_write is not None and not fail_after_write.is_set():
+            fail_after_write.set()
+            raise RuntimeError("injected failure AFTER write")
+
+    return (df.writeStream.foreachBatch(write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -136,3 +136,58 @@ def test_exactly_once_sink_across_forced_failures(spark, tmp_path):
     got = sorted(json.loads(m)["doc_id"] for m in broker.messages("out"))
     assert got == [1, 2, 3, 4], got
     broker.stop()
+
+
+def test_exactly_once_db_sink_across_forced_failures(spark, tmp_path):
+    """The DB edition of the exactly-once contract: epoch-guarded
+    transactional inserts over the PG wire. Crash after the DB
+    transaction -> the replay finds the epoch marker and inserts
+    nothing (no-dup); crash before -> the replay lands the batch
+    (no-loss). Exact multiset required."""
+    import duckdb
+    import threading
+
+    from faxe_spark.sources.pgwire import (PGWireServer,
+                                           postgre_sink_exactly_once)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sink_x(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE faxe_txn_log(epoch VARCHAR)")
+    srv = PGWireServer(con)
+    src, ck = tmp_path / "src", tmp_path / "ck"
+    schema = "doc_id long, text string"
+
+    def run_once(**inject):
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        q = postgre_sink_exactly_once(
+            stream, host="127.0.0.1", port=srv.port, table="sink_x",
+            checkpoint=str(ck), **inject)
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        finally:
+            q.stop()
+
+    try:
+        spark.createDataFrame([(1, "a"), (2, "b")], schema) \
+            .coalesce(1).write.parquet(str(src) + "/b1")
+        run_once(fail_after_write=threading.Event())
+        assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
+        run_once()                                 # replay: no dup
+        assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
+
+        spark.createDataFrame([(3, "c"), (4, "d")], schema) \
+            .coalesce(1).write.parquet(str(src) + "/b2")
+        run_once(fail_before_write=threading.Event())
+        assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
+        run_once()                                 # recover: no loss
+        got = sorted(r[0] for r in
+                     con.execute("SELECT doc_id FROM sink_x").fetchall())
+        assert got == [1, 2, 3, 4], got
+    finally:
+        srv.stop()
+        con.close()
