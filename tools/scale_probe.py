@@ -51,6 +51,8 @@ PROBE_QUERIES = [
     "semantic_dedup", "lm_novelty", "url_normalize",
     "trainprep_pipeline", "quality_classifier", "dup_spans",
     "html_extract",
+    # round 5
+    "dedup_incremental_batches", "jsonsize_batch", "dedup_ngram_jaccard",
 ]
 
 
