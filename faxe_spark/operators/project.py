@@ -175,8 +175,13 @@ def array_explode(df: DataFrame, fields: Sequence[str], aliases: Sequence[str] |
 
 
 def jsonsize(df: DataFrame, alias: str = "json_size") -> DataFrame:
-    """faxe `jsonsize` (esp_jsonsize.erl:22): byte size of the row as JSON."""
-    return df.withColumn(alias, F.octet_length(F.to_json(F.struct(*df.columns))))
+    """faxe `jsonsize` (esp_jsonsize.erl:22): byte size of the row as
+    JSON. NULL fields are KEPT as "field":null — the reference's jiffy
+    encoding does the same, and it is what keeps the size identical to
+    the DuckDB oracle's struct to_json (which always emits nulls)."""
+    return df.withColumn(alias, F.octet_length(
+        F.to_json(F.struct(*df.columns),
+                  {"ignoreNullFields": "false"})))
 
 
 def shift_time(df: DataFrame, offset: str, ts_col: str = "ts") -> DataFrame:

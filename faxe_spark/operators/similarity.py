@@ -623,8 +623,11 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
                                 "adc_score": out_s})
 
     id_type = codes.schema[codes.columns[0]].dataType.simpleString()
+    # the query id type comes from the QUERIES side: with
+    # exclude_self=False the two id spaces may be different types
+    q_type = queries.schema[id_col].dataType.simpleString()
     scored = codes.mapInPandas(
-        score, f"{query_id_col} {id_type}, {codes.columns[0]} {id_type}, "
+        score, f"{query_id_col} {q_type}, {codes.columns[0]} {id_type}, "
                "adc_score double")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(codes.columns[0]))
@@ -683,17 +686,22 @@ def ivfpq_index(corpus: DataFrame, *, vec_col: str = "embedding",
     a probe prunes to its lists."""
     import numpy as np
 
-    samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-            .limit(25_000).collect())
-    samp.sort(key=lambda r: r[0])
-    if not samp:
-        raise ValueError("ivfpq_index: empty corpus")
-    X = np.array([r[1] for r in samp], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    dim = X.shape[1]
-    if coarse is None:
-        coarse = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
+    if coarse is None or codebooks is None:
+        # the training sample is only needed when something trains —
+        # the re-encode path (both quantizers supplied) skips the
+        # corpus sort+collect entirely (round-5 review find)
+        samp = (corpus.select(id_col,
+                              _as_double(F.col(vec_col)).alias("_v"))
+                .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+                .limit(25_000).collect())
+        samp.sort(key=lambda r: r[0])
+        if not samp:
+            raise ValueError("ivfpq_index: empty corpus")
+        X = np.array([r[1] for r in samp], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        dim = X.shape[1]
+        if coarse is None:
+            coarse = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
     if codebooks is None:
         if dim % m:
             raise ValueError(
@@ -827,8 +835,9 @@ def ivfpq_topk(codes_df: DataFrame, queries: DataFrame, coarse, codebooks,
                                 "adc_score": out_s})
 
     id_type = codes_df.schema[codes_df.columns[0]].dataType.simpleString()
+    q_type = queries.schema[id_col].dataType.simpleString()
     scored = codes_df.mapInPandas(
-        score, f"{query_id_col} {id_type}, {codes_df.columns[0]} "
+        score, f"{query_id_col} {q_type}, {codes_df.columns[0]} "
                f"{id_type}, adc_score double")
     if exclude_self:
         scored = scored.filter(

@@ -1169,6 +1169,9 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # dedup_incremental coalesces NULL text to '' before fingerprinting
 _NORM_C = _NORM.replace("lower(text)", "lower(coalesce(text, ''))")
+# a reworded _NORM would make the replace a silent no-op and drop the
+# NULL-coalesce from the oracle — fail loudly instead
+assert _NORM_C != _NORM, "_NORM changed: update the _NORM_C rewrite"
 
 
 @register(

@@ -375,7 +375,10 @@ def mongo_poll_source(spark, *, host: str, port: int, database: str,
                     for d in docs:
                         out_ts.append(t)
                         out_doc.append(json.dumps(d, default=str))
-                except (OSError, ConnectionError):
+                except Exception:  # noqa: BLE001 - ANY tick failure
+                    # (connect, wire decode, reply shape) -> one
+                    # null-payload row; a poller must outlive a bad
+                    # tick (round-5 review find)
                     out_ts.append(t)
                     out_doc.append(None)
             yield pd.DataFrame({"poll_ts": out_ts, as_path: out_doc})

@@ -251,6 +251,11 @@ class PGWireServer:
                 break
 
     def _handle(self, conn: socket.socket):
+        # ONE DuckDB cursor (= connection) per wire connection, so
+        # session state — in particular a BEGIN/COMMIT transaction
+        # spanning several Query messages, which the exactly-once sink
+        # relies on — behaves like a real server's backend session
+        cur = self._con.cursor()
         try:
             # startup: length + version + params
             hdr = self._recv_exact(conn, 8)
@@ -274,26 +279,26 @@ class PGWireServer:
                     conn.sendall(_msg(b"Z", b"I"))
                     continue
                 sql = payload.rstrip(b"\0").decode()
-                self._execute(conn, sql)
+                self._execute(conn, cur, sql)
                 conn.sendall(_msg(b"Z", b"I"))
         except (ConnectionError, OSError, struct.error):
             pass
         finally:
             try:
+                cur.close()
+            except Exception:  # noqa: BLE001 - teardown best-effort
+                pass
+            try:
                 conn.close()
             except OSError:
                 pass
 
-    def _execute(self, conn: socket.socket, sql: str):
+    def _execute(self, conn: socket.socket, cur, sql: str):
         try:
             with self._lock:
-                cur = self._con.cursor()
-                try:
-                    cur.execute(sql)
-                    desc = cur.description
-                    rows = cur.fetchall() if desc else []
-                finally:
-                    cur.close()
+                cur.execute(sql)
+                desc = cur.description
+                rows = cur.fetchall() if desc else []
         except Exception as e:  # noqa: BLE001 - any engine error -> 'E'
             conn.sendall(_msg(
                 b"E", b"SERROR\0C42000\0M" + str(e).encode() + b"\0\0"))
@@ -458,9 +463,11 @@ def pg_poll_source(spark, *, host: str, port: int, query: str,
                         out_ts.append(t)
                         out_rows.append(json.dumps(
                             dict(zip(cols, r)), default=str))
-                except (OSError, RuntimeError):
-                    # conn_status 'down' analog: a null payload row,
-                    # filterable downstream (http_poll_source shape)
+                except Exception:  # noqa: BLE001 - ANY tick failure
+                    # (connect, wire decode, engine error) -> one null
+                    # payload row, the conn_status 'down' analog
+                    # (http_poll_source shape); a poller must outlive
+                    # a bad tick
                     out_ts.append(t)
                     out_rows.append(None)
             yield pd.DataFrame({"poll_ts": out_ts, "payload": out_rows})
@@ -469,40 +476,57 @@ def pg_poll_source(spark, *, host: str, port: int, query: str,
 
 
 def postgre_out_exactly_once(client: PGWireClient, table: str, df, *,
-                             epoch: int | str,
+                             epoch: int | str, scope: str = "",
                              txn_table: str = "faxe_txn_log",
                              batch_size: int = 500) -> bool:
-    """Exactly-once insert of one micro-batch: every statement runs
-    inside ONE transaction guarded by an epoch marker in `txn_table`
-    — a replayed epoch (crash after the DB write, before the stream
+    """Exactly-once insert of one micro-batch: the inserts and an
+    epoch marker in `txn_table` commit inside ONE transaction — a
+    replayed epoch (crash after the DB write, before the stream
     checkpoint committed) finds its marker and inserts nothing. The
-    multi-statement simple-Query form is protocol-legal (one 'Q', a
-    CommandComplete per statement) and the transaction makes the
-    data+marker write atomic: a crash mid-transaction rolls back both,
-    so the replay starts clean. Returns False when the epoch was
-    already committed (the replay case)."""
-    e = str(epoch).replace("'", "''")
+    transaction spans several Query messages (BEGIN, one bounded
+    INSERT per `batch_size` rows, the marker, COMMIT) — protocol-legal
+    and memory-bounded: rows stream through toLocalIterator and never
+    materialize as one list or one giant SQL string. A crash
+    mid-transaction rolls back data AND marker, so the replay starts
+    clean. Returns False when the epoch was already committed.
+
+    `scope` namespaces the marker (round-5 review find): epoch ids
+    restart at 0 for every stream, so two sinks sharing a txn_table —
+    or one sink restarted on a FRESH checkpoint — would otherwise
+    swallow each other's batches. postgre_sink_exactly_once scopes by
+    table + checkpoint path; deleting a checkpoint while keeping the
+    txn_table is a new stream and needs a new scope."""
+    e = (f"{scope}|{epoch}" if scope else str(epoch)).replace("'", "''")
     cols = df.columns
-    guard = (f"NOT EXISTS (SELECT 1 FROM {txn_table} "
-             f"WHERE epoch = '{e}')")
     already = client.query(
         f"SELECT count(*) AS n FROM {txn_table} WHERE epoch = '{e}'")
     if already[1][0][0]:
         return False
-    stmts = ["BEGIN"]
-    rows = [r for r in df.toLocalIterator()]
-    for s in range(0, len(rows), batch_size):
-        vals = ", ".join(
-            "(" + ", ".join(sql_literal(r[c]) for c in cols) + ")"
-            for r in rows[s:s + batch_size])
-        if vals:
-            stmts.append(
-                f"INSERT INTO {table} ({', '.join(cols)}) "
-                f"SELECT * FROM (VALUES {vals}) AS _t({', '.join(cols)}) "
-                f"WHERE {guard}")
-    stmts.append(f"INSERT INTO {txn_table} SELECT '{e}' WHERE {guard}")
-    stmts.append("COMMIT")
-    client.query("; ".join(stmts))
+    client.query("BEGIN TRANSACTION")
+    try:
+        batch: list[str] = []
+
+        def flush():
+            if batch:
+                client.query(
+                    f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+                    + ", ".join(batch))
+                batch.clear()
+
+        for r in df.toLocalIterator():
+            batch.append(
+                "(" + ", ".join(sql_literal(r[c]) for c in cols) + ")")
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        client.query(f"INSERT INTO {txn_table} VALUES ('{e}')")
+        client.query("COMMIT")
+    except Exception:
+        try:
+            client.query("ROLLBACK")
+        except Exception:  # noqa: BLE001 - connection may be gone
+            pass
+        raise
     return True
 
 
@@ -525,7 +549,9 @@ def postgre_sink_exactly_once(df, *, host: str, port: int, table: str,
         client = PGWireClient(host, port, user=user, database=database)
         try:
             postgre_out_exactly_once(client, table, batch_df,
-                                     epoch=epoch_id, txn_table=txn_table)
+                                     epoch=epoch_id,
+                                     scope=f"{table}@{checkpoint}",
+                                     txn_table=txn_table)
         finally:
             client.close()
         if fail_after_write is not None and not fail_after_write.is_set():

@@ -52,11 +52,9 @@ def test_bson_round_trip_property(doc):
 def test_pgwire_text_round_trip_property(v):
     from faxe_spark.sources.pgwire import decode_text, encode_text, infer_oid
 
-    got = decode_text(infer_oid(v), encode_text(v))
-    if isinstance(v, float) and not isinstance(v, bool):
-        assert math.isclose(got, v, rel_tol=0, abs_tol=0) or got == v
-    else:
-        assert got == v
+    # exact in every branch: str(float) round-trips doubles exactly
+    # in Python (repr-based), and the other types are lossless
+    assert decode_text(infer_oid(v), encode_text(v)) == v
 
 
 @settings(max_examples=100, deadline=None)
