@@ -465,3 +465,30 @@ class TcpServeSink:
 def tcp_serve_sink(**kwargs) -> TcpServeSink:
     """tcp_serve analog — see TcpServeSink."""
     return TcpServeSink(**kwargs)
+
+
+def run_sink_spec(df: DataFrame, spec: dict, **overrides):
+    """Bind one DFS deferred-sink spec (DFSCompiler.sinks entries) to
+    its live implementation and execute it on a BATCH DataFrame — the
+    flow-start step the DFS front-end defers. `overrides` patch spec
+    fields (tests point host/port at embedded endpoints; a deployment
+    injects real addresses the same way). Kinds without an in-container
+    transport raise with the spec intact."""
+    s = {**spec, **overrides}
+    kind = s["kind"]
+    if kind == "influx_write":
+        from faxe_spark.sinks.influx import influx_sink
+
+        return influx_sink(
+            df, host=s["host"], port=int(s["port"]),
+            database=s["database"],
+            measurement=s["measurement"],
+            tag_cols=s.get("tag_cols"),
+            user=s.get("user"), password=s.get("password") or "")
+    if kind == "http_post":
+        return http_post_sink(df, url=s["url"])
+    if kind == "jdbc_write":
+        raise NotImplementedError(
+            "jdbc_write binds at deployment (needs a JDBC driver jar); "
+            f"spec: {s}")
+    raise NotImplementedError(f"unbound sink kind {kind!r}: {s}")

@@ -719,3 +719,43 @@ def v = 1
     assert set(c.macros) == {"m_one", "m_two"}
     [row] = out.select("a", "b").collect()
     assert (row.a, row.b) == (1, 2)
+
+
+def test_dfs_influx_sink_spec_executes_live(spark):
+    """Full circuit: a DFS script's influx_out spec binds to the live
+    line-protocol lane and lands points on the embedded endpoint."""
+    import datetime
+
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sinks import run_sink_spec
+    from faxe_spark.sinks.influx import InfluxHTTPServer
+
+    script = """
+a
+|eval()
+.lambdas(lambda: "v" * 2)
+.as('v2')
+|influx_out()
+.host('127.0.0.1')
+.port(8086)
+.database('metrics')
+.measurement('m1')
+.user('u')
+.pass('pw')
+"""
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    a = spark.createDataFrame([(t(0), 1.5), (t(1), 2.0)],
+                              "ts timestamp, v double")
+    c = DFSCompiler(spark, sources={"a": a})
+    out = c.run(script)
+    [spec] = [s for s in c.sinks if s["kind"] == "influx_write"]
+    assert spec["port"] == 8086 and spec["user"] == "u"
+    srv = InfluxHTTPServer()
+    try:
+        run_sink_spec(out, spec, port=srv.port)
+        pts = sorted(srv.points["metrics"])
+        assert pts == ["m1 v=1.5,v2=3.0 1704067200000",
+                       "m1 v=2.0,v2=4.0 1704067201000"]
+        assert any("u=u&p=pw" in r for r in srv.requests)
+    finally:
+        srv.stop()
