@@ -71,6 +71,8 @@ HEADLINE = [
     "quality_classifier",
     "dup_spans",
     "html_extract",
+    # round 5: incremental corpus dedup
+    "dedup_incremental_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
