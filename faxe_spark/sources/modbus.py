@@ -288,3 +288,56 @@ def modbus_read_df(spark, *, host: str, port: int, device: int = 255,
     df = spark.createDataFrame([row])
     return df.select(F.current_timestamp().alias("ts"),
                      *[F.col(f"`{a}`") for a in aliases])
+
+
+def modbus_poll_source(spark, *, host: str, port: int, device: int = 255,
+                       functions, starts, counts, aliases,
+                       outputs=None, signed=None,
+                       every: str = "1s", align: bool = False):
+    """The PERIODIC form of esp_modbus_read (its `every`/`align`
+    options — the node's default mode): the rate source provides the
+    clock (http_poll_source shape), each surviving tick opens one
+    device conversation executor-side and executes the coalesced
+    plc.plan_modbus_reads wire plan; values land as one JSON payload
+    per tick (schema-on-read; the alias columns are typed by the DFS
+    stub lane). A failed tick emits a null payload — the conn_status
+    'down' analog."""
+    import json
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from faxe_spark.durations import parse_duration_ms
+    from faxe_spark.plc import plan_modbus_reads
+
+    plan = plan_modbus_reads(functions, starts, counts, aliases,
+                             outputs=outputs, signed=signed)
+    opts = {}
+    for a, o, s in zip(aliases, outputs or [""] * len(aliases),
+                       signed or [None] * len(aliases)):
+        opts[a] = (o, s)
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+    if align:
+        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
+    else:
+        tick = rate.filter(F.col("value") % every_s == 0)
+
+    def poll(batches):
+        for pdf in batches:
+            out_ts, out_vals = [], []
+            for t in pdf["timestamp"]:
+                try:
+                    client = ModbusClient(host, port, unit=device)
+                    try:
+                        values = client.read_plan(plan, outputs=opts)
+                    finally:
+                        client.close()
+                    out_vals.append(json.dumps(values, default=str))
+                except Exception:  # noqa: BLE001 - any tick failure
+                    out_vals.append(None)
+                out_ts.append(t)
+            yield pd.DataFrame({"poll_ts": out_ts, "values": out_vals})
+
+    return tick.mapInPandas(poll, "poll_ts timestamp, values string")

@@ -363,3 +363,48 @@ def s7read_df(spark, *, host: str, port: int, rack: int = 0,
     df = spark.createDataFrame([row])
     return df.select(F.current_timestamp().alias("ts"),
                      *[F.col(f"`{a}`") for a in aliases])
+
+
+def s7_poll_source(spark, *, host: str, port: int, rack: int = 0,
+                   slot: int = 1, addresses: list[str],
+                   aliases: list[str], every: str = "1s",
+                   align: bool = False):
+    """The PERIODIC form of esp_s7read (its `every`/`align` options):
+    one COALESCED bulk-read conversation per tick, executor-side, over
+    the plc.plan_bulk_reads wire plan — the modbus_poll_source shape.
+    Values land as one JSON payload per tick; failed ticks emit a null
+    payload (conn_status 'down' analog)."""
+    import json
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from faxe_spark.durations import parse_duration_ms
+    from faxe_spark.plc import plan_bulk_reads
+
+    plan = plan_bulk_reads(addresses, aliases)
+    every_s = max(1, parse_duration_ms(every) // 1000)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 1).load())
+    if align:
+        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
+    else:
+        tick = rate.filter(F.col("value") % every_s == 0)
+
+    def poll(batches):
+        for pdf in batches:
+            out_ts, out_vals = [], []
+            for t in pdf["timestamp"]:
+                try:
+                    client = S7Client(host, port, rack=rack, slot=slot)
+                    try:
+                        values = client.read_plan(plan)
+                    finally:
+                        client.close()
+                    out_vals.append(json.dumps(values, default=str))
+                except Exception:  # noqa: BLE001 - any tick failure
+                    out_vals.append(None)
+                out_ts.append(t)
+            yield pd.DataFrame({"poll_ts": out_ts, "values": out_vals})
+
+    return tick.mapInPandas(poll, "poll_ts timestamp, values string")

@@ -1526,3 +1526,68 @@ def test_mongo_poll_source_periodic_find(spark):
     finally:
         q.stop()
         srv.stop()
+
+
+def test_modbus_poll_source_periodic(spark):
+    """esp_modbus_read's periodic mode: the coalesced plan re-executes
+    per tick against the live embedded device."""
+    import json
+    import time
+
+    from faxe_spark.sources.modbus import ModbusServer, modbus_poll_source
+
+    srv = ModbusServer(hregs={5: 7, 6: 9})
+    out = modbus_poll_source(
+        spark, host="127.0.0.1", port=srv.port,
+        functions=["hregs", "hregs"], starts=[5, 6], counts=[1, 1],
+        aliases=["a", "b"], outputs=["int16", "int16"], every="1s")
+    q = (out.writeStream.format("memory").queryName("mb_poll")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM mb_poll "
+                             "WHERE values IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert len(rows) >= 2
+        assert all(json.loads(r.values) == {"a": 7, "b": 9} for r in rows)
+    finally:
+        q.stop()
+        srv.stop()
+
+
+def test_s7_poll_source_periodic(spark):
+    """esp_s7read's periodic mode: one coalesced bulk-read conversation
+    per tick against the live embedded PLC."""
+    import json
+    import struct
+    import time
+
+    from faxe_spark.sources.s7 import S7Server, s7_poll_source
+
+    db = bytearray(8)
+    struct.pack_into(">h", db, 0, 5)
+    struct.pack_into(">h", db, 2, 9)
+    srv = S7Server({1: bytes(db)})
+    out = s7_poll_source(spark, host="127.0.0.1", port=srv.port,
+                         addresses=["DB1,Int0", "DB1,Int2"],
+                         aliases=["a", "b"], every="1s")
+    q = (out.writeStream.format("memory").queryName("s7_poll")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM s7_poll "
+                             "WHERE values IS NOT NULL").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert len(rows) >= 2
+        assert all(json.loads(r.values) == {"a": 5, "b": 9} for r in rows)
+    finally:
+        q.stop()
+        srv.stop()
