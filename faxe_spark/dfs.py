@@ -1573,7 +1573,25 @@ class DFSCompiler:
     def node_http_post(self, df, node: NodeCall) -> DataFrame:
         return self._defer_sink(df, node, "http_post", url=self._url(node))
 
-    node_http_post_crate = node_http_post
+    def node_http_post_crate(self, df, node: NodeCall) -> DataFrame:
+        """esp_http_post_crate.erl:45 — the /_sql {stmt, bulk_args}
+        bulk writer; binds to sinks.crate_http.http_post_crate (live,
+        embedded-endpoint tested), NOT the plain-JSON http_post."""
+        return self._defer_sink(
+            df, node, "http_post_crate",
+            host=str(self._val(node.params.get("host", ["localhost"])[0])),
+            port=int(self._val(node.params.get("port", [4200])[0])),
+            table=str(self._val(node.params.get("table", [""])[0])),
+            database=str(self._val(node.params.get("database", ["doc"])[0])),
+            db_fields=self._str_list(node, "db_fields"),
+            faxe_fields=self._str_list(node, "faxe_fields") or None,
+            remaining_fields_as=(
+                str(self._val(node.params["remaining_fields_as"][0]))
+                if "remaining_fields_as" in node.params else None),
+            user=(str(self._val(node.params["user"][0]))
+                  if "user" in node.params else None),
+            password=(str(self._val(node.params["pass"][0]))
+                      if "pass" in node.params else ""))
 
     def node_email(self, df, node: NodeCall) -> DataFrame:
         return self._defer_sink(

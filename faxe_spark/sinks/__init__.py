@@ -476,6 +476,8 @@ def run_sink_spec(df: DataFrame, spec: dict, **overrides):
     transport raise with the spec intact."""
     s = {**spec, **overrides}
     kind = s["kind"]
+    streaming = bool(df.isStreaming)           # forward the mode: the
+    # deferred spec is bound at flow start, batch or stream alike
     if kind == "influx_write":
         from faxe_spark.sinks.influx import influx_sink
 
@@ -484,9 +486,20 @@ def run_sink_spec(df: DataFrame, spec: dict, **overrides):
             database=s["database"],
             measurement=s["measurement"],
             tag_cols=s.get("tag_cols"),
-            user=s.get("user"), password=s.get("password") or "")
+            user=s.get("user"), password=s.get("password") or "",
+            streaming=streaming, checkpoint=s.get("checkpoint"))
+    if kind == "http_post_crate":
+        from faxe_spark.sinks.crate_http import http_post_crate
+
+        return http_post_crate(
+            df, host=s["host"], port=int(s["port"]), table=s["table"],
+            db_fields=s["db_fields"], faxe_fields=s.get("faxe_fields"),
+            database=s.get("database", "doc"),
+            remaining_fields_as=s.get("remaining_fields_as"),
+            user=s.get("user"), password=s.get("password") or "",
+            streaming=streaming, checkpoint=s.get("checkpoint"))
     if kind == "http_post":
-        return http_post_sink(df, url=s["url"])
+        return http_post_sink(df, url=s["url"], streaming=streaming)
     if kind == "jdbc_write":
         raise NotImplementedError(
             "jdbc_write binds at deployment (needs a JDBC driver jar); "

@@ -214,15 +214,9 @@ def http_poll_source(spark: SparkSession, url: str, *, every: str = "10s",
     'down' analog, filterable downstream)."""
     import pandas as pd
 
-    from faxe_spark.durations import parse_duration_ms
+    from faxe_spark.sources._poll import poll_ticks
 
-    every_s = max(1, parse_duration_ms(every) // 1000)
-    rate = (spark.readStream.format("rate")
-            .option("rowsPerSecond", 1).load())
-    if align:
-        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
-    else:
-        tick = rate.filter(F.col("value") % every_s == 0)
+    tick = poll_ticks(spark, every, align)
 
     def fetch(batches):
         import urllib.request

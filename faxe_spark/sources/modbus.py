@@ -262,6 +262,26 @@ def set_float32(bank: dict, start: int, value: float) -> None:
     bank[start], bank[start + 1] = hi, lo
 
 
+def _decode_opts(aliases, outputs, signed) -> dict:
+    """alias -> (output_format, signed) map shared by the one-shot tick
+    and the periodic poller."""
+    opts = {}
+    for a, o, s in zip(aliases, outputs or [""] * len(aliases),
+                       signed or [None] * len(aliases)):
+        opts[a] = (o, s)
+    return opts
+
+
+def _json_tick(values: dict) -> str:
+    """One tick's values as JSON; bytes ('binary' output format)
+    encode as hex strings (json.dumps(default=str) would emit the
+    Python repr — round-5 review find)."""
+    import json
+
+    return json.dumps({k: v.hex() if isinstance(v, (bytes, bytearray))
+                       else v for k, v in values.items()}, default=str)
+
+
 def modbus_read_df(spark, *, host: str, port: int, device: int = 255,
                    functions, starts, counts, aliases,
                    outputs=None, signed=None):
@@ -275,10 +295,7 @@ def modbus_read_df(spark, *, host: str, port: int, device: int = 255,
 
     plan = plan_modbus_reads(functions, starts, counts, aliases,
                              outputs=outputs, signed=signed)
-    opts = {}
-    for a, o, s in zip(aliases, outputs or [""] * len(aliases),
-                       signed or [None] * len(aliases)):
-        opts[a] = (o, s)
+    opts = _decode_opts(aliases, outputs, signed)
     client = ModbusClient(host, port, unit=device)
     try:
         values = client.read_plan(plan, outputs=opts)
@@ -312,17 +329,10 @@ def modbus_poll_source(spark, *, host: str, port: int, device: int = 255,
 
     plan = plan_modbus_reads(functions, starts, counts, aliases,
                              outputs=outputs, signed=signed)
-    opts = {}
-    for a, o, s in zip(aliases, outputs or [""] * len(aliases),
-                       signed or [None] * len(aliases)):
-        opts[a] = (o, s)
-    every_s = max(1, parse_duration_ms(every) // 1000)
-    rate = (spark.readStream.format("rate")
-            .option("rowsPerSecond", 1).load())
-    if align:
-        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
-    else:
-        tick = rate.filter(F.col("value") % every_s == 0)
+    opts = _decode_opts(aliases, outputs, signed)
+    from faxe_spark.sources._poll import poll_ticks
+
+    tick = poll_ticks(spark, every, align)
 
     def poll(batches):
         for pdf in batches:
@@ -334,7 +344,7 @@ def modbus_poll_source(spark, *, host: str, port: int, device: int = 255,
                         values = client.read_plan(plan, outputs=opts)
                     finally:
                         client.close()
-                    out_vals.append(json.dumps(values, default=str))
+                    out_vals.append(_json_tick(values))
                 except Exception:  # noqa: BLE001 - any tick failure
                     out_vals.append(None)
                 out_ts.append(t)

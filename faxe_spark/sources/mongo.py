@@ -354,13 +354,9 @@ def mongo_poll_source(spark, *, host: str, port: int, database: str,
     from faxe_spark.durations import parse_duration_ms
 
     selector = json.loads(query)
-    every_s = max(1, parse_duration_ms(every) // 1000)
-    rate = (spark.readStream.format("rate")
-            .option("rowsPerSecond", 1).load())
-    if align:
-        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
-    else:
-        tick = rate.filter(F.col("value") % every_s == 0)
+    from faxe_spark.sources._poll import poll_ticks
+
+    tick = poll_ticks(spark, every, align)
 
     def poll(batches):
         for pdf in batches:

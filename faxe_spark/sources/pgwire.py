@@ -427,15 +427,11 @@ def pg_poll_source(spark, *, host: str, port: int, query: str,
 
     from faxe_spark.durations import parse_duration_ms
 
-    every_s = max(1, parse_duration_ms(every) // 1000)
+    from faxe_spark.sources._poll import poll_ticks
+
     period_ms = parse_duration_ms(period if period is not None else every)
     offset_ms = parse_duration_ms(offset)
-    rate = (spark.readStream.format("rate")
-            .option("rowsPerSecond", 1).load())
-    if align:
-        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
-    else:
-        tick = rate.filter(F.col("value") % every_s == 0)
+    tick = poll_ticks(spark, every, align)
 
     def poll(batches):
         import datetime

@@ -383,13 +383,9 @@ def s7_poll_source(spark, *, host: str, port: int, rack: int = 0,
     from faxe_spark.plc import plan_bulk_reads
 
     plan = plan_bulk_reads(addresses, aliases)
-    every_s = max(1, parse_duration_ms(every) // 1000)
-    rate = (spark.readStream.format("rate")
-            .option("rowsPerSecond", 1).load())
-    if align:
-        tick = rate.filter(F.unix_seconds("timestamp") % every_s == 0)
-    else:
-        tick = rate.filter(F.col("value") % every_s == 0)
+    from faxe_spark.sources._poll import poll_ticks
+
+    tick = poll_ticks(spark, every, align)
 
     def poll(batches):
         for pdf in batches:

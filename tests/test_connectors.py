@@ -1591,3 +1591,31 @@ def test_s7_poll_source_periodic(spark):
     finally:
         q.stop()
         srv.stop()
+
+
+def test_poll_ticks_subsecond_cadence(spark):
+    """Round-5 review find: sub-second `every` used to floor to 1 s.
+    The shared clock honors 500ms (rate at 2 rps, every row kept)."""
+    import time
+
+    from faxe_spark.sources._poll import poll_ticks
+
+    tick = poll_ticks(spark, "500ms")
+    q = (tick.writeStream.format("memory").queryName("halfsec")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT timestamp FROM halfsec").collect()
+            n = len(rows)
+            if n >= 6:
+                break
+            time.sleep(1)
+        assert n >= 6                      # ~2 ticks/second arrived
+        ts = sorted(r.timestamp for r in rows)
+        gaps = [(b - a).total_seconds() for a, b in zip(ts, ts[1:])]
+        assert min(gaps) < 0.75, gaps      # genuinely sub-second
+    finally:
+        q.stop()

@@ -759,3 +759,43 @@ a
         assert any("u=u&p=pw" in r for r in srv.requests)
     finally:
         srv.stop()
+
+
+def test_dfs_http_post_crate_sink_spec_executes_live(spark):
+    """The http_post_crate node binds to the /_sql bulk lane (NOT the
+    plain-JSON http_post): compile a DFS script, run the spec against
+    the embedded endpoint, and land content-exact rows."""
+    import duckdb
+
+    from faxe_spark.dfs import DFSCompiler
+    from faxe_spark.sinks import run_sink_spec
+    from faxe_spark.sinks.crate_http import CrateSQLServer
+
+    script = """
+a
+|http_post_crate()
+.host('127.0.0.1')
+.port(4200)
+.database('doc')
+.table('dfs_sink')
+.db_fields('id', 'val')
+.faxe_fields('id', 'val')
+"""
+    a = spark.createDataFrame([(1000, 7, 2.5), (2000, 8, 0.5)],
+                              "ts long, id long, val double")
+    c = DFSCompiler(spark, sources={"a": a})
+    out = c.run(script)
+    [spec] = [s for s in c.sinks if s["kind"] == "http_post_crate"]
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA doc")
+    con.execute("CREATE TABLE doc.dfs_sink(ts BIGINT, id BIGINT, "
+                "val DOUBLE)")
+    srv = CrateSQLServer(con)
+    try:
+        assert run_sink_spec(out, spec, port=srv.port)
+        got = con.execute("SELECT ts, id, val FROM doc.dfs_sink "
+                          "ORDER BY ts").fetchall()
+        assert got == [(1000, 7, 2.5), (2000, 8, 0.5)]
+    finally:
+        srv.stop()
+        con.close()
