@@ -1615,10 +1615,10 @@ class DFSCompiler:
         embedded-endpoint tested) at flow start."""
         return self._defer_sink(
             df, node, "influx_write",
-            measurement=node.params.get(
-                "measurement", node.params.get("table", [""]))[0],
-            database=node.params.get("database", [""])[0],
-            host=node.params.get("host", ["localhost"])[0],
+            measurement=str(self._val(node.params.get(
+                "measurement", node.params.get("table", [""]))[0])),
+            database=str(self._val(node.params.get("database", [""])[0])),
+            host=str(self._val(node.params.get("host", ["localhost"])[0])),
             port=int(self._val(node.params.get("port", [8086])[0])),
             user=(str(self._val(node.params["user"][0]))
                   if "user" in node.params else None),

@@ -2906,35 +2906,36 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row. dedup_minhash_lsh (rewritten r4) and the two new watchdog
 # batch analogs stay in-window for fresh rows. The local oracle gate
 # (tests/test_oracle.py) always runs ALL entries regardless of order.
-# Round-5 rotation: the 35 entries round 4 deferred (hard rows from r3)
-# ALL return to the window, keeping every query <=1 round from its last
-# hard driver row. Deferred now are 38 r4-hard-green entries whose code
-# paths are UNTOUCHED this round; the 12 r4-greens kept in-window are
-# exactly the ones round 5 touched (normalize_url rule fix; shingle_rows
-# short-doc guard -> minhash/simhash/jaccard/decontaminate/trainprep;
-# connected_components lane rewrite -> dedup_clusters/semantic_dedup).
-# 35 returning + 12 touched + 3 new (pq_adc_full_probe,
-# ivfpq_full_probe, dedup_incremental_batches) = 50 = the driver's scoring
-# window; ann_ivf_full_probe (r4-hard-green, untouched) defers to make
-# room for the IVFPQ probe that supersedes it as the exactness anchor,
-# and embedding_neardup (r4-hard-green; cosine_pairs, untouched this
-# round) makes room for dedup_incremental_batches.
+# Round-6 rotation: ALL 39 entries round 5 deferred (hard rows from r4 —
+# including semantic_dedup, which r5 deferred unintentionally via a
+# duplicate "lookup_enrich" entry, the ADVICE r5 low item) return to the
+# window, keeping every query <=1 round from its last hard driver row.
+# Deferred now are 40 r5-hard-green entries whose code paths are
+# UNTOUCHED this round; the 10 r5-greens kept in-window are the ones
+# round 6 touches or tracks (ANN build/query lifecycle split ->
+# ann_topk/ann_ivf_topk/pq_adc_full_probe/ivfpq_full_probe; jaccard
+# lane-cliff work -> dedup_ngram_jaccard; seen-set streaming compaction
+# -> dedup_incremental_batches; drift attribution -> lm_novelty;
+# flagships dedup_minhash_lsh/dedup_clusters/trainprep_pipeline).
+# 39 returning + 10 kept + 1 new (ann_index_reuse) = 50 = the driver's
+# scoring window.
 _DEFERRED_THIS_ROUND = [
-    "ann_ivf_full_probe", "embedding_neardup",
-    # lookup_enrich (r4-hard-green, untouched) makes room for
-    # jsonsize_batch — the first hash row for the jsonsize node
-    "lookup_enrich",
-    "where_filter", "eval_project", "case_when_bucket", "percentile_exact",
-    "batch_by_count", "value_diff", "time_diff", "sample_nth", "first_last",
-    "combine_enrich", "interval_join", "union_streams", "top_bottom",
-    "dist_count", "array_explode", "path_split", "token_count",
-    "text_quality", "lang_id", "ann_lsh_topk", "lookup_enrich",
-    "sample_per_period", "group_by_lambda", "dfs_script_pipeline",
-    "state_change_bulk", "lambda_showcase", "deadman_gaps",
-    "triggered_timeout", "fields_to_array", "time_elapsed_batch",
-    "win_clock_batch", "repetition_quality", "pack_chunked", "pack_greedy",
-    "boilerplate_chunks", "domain_mix_sample",
+    "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
+    "win_event_rolling", "count_change", "change_detect", "collect_unique",
+    "asof_join_nearest", "asof_join_merge", "tpch_q3", "tpch_q5",
+    "tpch_q4", "tpch_q6", "state_count_duration", "state_change",
+    "state_sequence", "collect_fields", "collect_table",
+    "collect_table_aged", "extract_json", "dedup_exact", "dedup_simhash",
+    "dedup_simhash_pairs", "jsonsize_batch", "time_shift",
+    "training_pipeline", "multimodal_meta", "image_features_fake",
+    "stats_extra", "statistics_node", "sliding_window",
+    "win_time_fill_period", "default_rename_extract", "decontaminate",
+    "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
+    "url_normalize",
 ]
+assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
+    "duplicate entry in the rotation list (ADVICE r5: a dup silently " \
+    "shrinks the deferred set and strands a query in the window)"
 
 
 def _rotate_scoring_window() -> None:

@@ -135,6 +135,7 @@ def embedded_broker_bridge(spark, *, source, source_topic: str, sink,
 
 def embedded_broker_sink_exactly_once(df: DataFrame, *, broker,
                                       topic: str, checkpoint: str,
+                                      scope: str | None = None,
                                       fail_after_publish=None,
                                       fail_before_publish=None):
     """Exactly-once publish of a streaming DataFrame to the embedded
@@ -147,7 +148,15 @@ def embedded_broker_sink_exactly_once(df: DataFrame, *, broker,
 
     fail_after_publish / fail_before_publish inject ONE forced failure
     at the named point (an Event-like object with is_set/set), for the
-    kill-and-resume contract test. Returns the started query."""
+    kill-and-resume contract test. Returns the started query.
+
+    The txn id is scoped by (topic, checkpoint) — epoch ids restart at
+    0 per stream, so a bare epoch key would make a SECOND stream (or a
+    restart on a fresh checkpoint) collide with an already-committed
+    txn and silently drop its batch. Same contract as
+    pgwire.postgre_out_exactly_once's scope parameter."""
+    txn_scope = scope if scope is not None else f"{topic}@{checkpoint}"
+
     def write(batch_df: DataFrame, epoch_id: int):
         if fail_before_publish is not None and not fail_before_publish.is_set():
             fail_before_publish.set()
@@ -155,7 +164,7 @@ def embedded_broker_sink_exactly_once(df: DataFrame, *, broker,
         rows = [r["value"] for r in
                 batch_df.select(F.to_json(F.struct(*batch_df.columns))
                                 .alias("value")).collect()]
-        broker.publish_batch(topic, rows, txn_id=f"epoch-{epoch_id}")
+        broker.publish_batch(topic, rows, txn_id=f"{txn_scope}|{epoch_id}")
         if fail_after_publish is not None and not fail_after_publish.is_set():
             fail_after_publish.set()
             raise RuntimeError("injected failure AFTER publish")

@@ -43,8 +43,15 @@ def decode_text(oid: int, text: str):
         return text == "t"
     if oid in (OID_INT2, OID_INT4, OID_INT8):
         return int(text)
-    if oid in (OID_FLOAT4, OID_FLOAT8, OID_NUMERIC):
+    if oid in (OID_FLOAT4, OID_FLOAT8):
         return float(text)
+    if oid == OID_NUMERIC:
+        # NUMERIC/DECIMAL is arbitrary-precision; float() would lose
+        # precision (0.1 accumulations, money) where the reference's
+        # epgsql decodes losslessly. Keep it exact.
+        import decimal
+
+        return decimal.Decimal(text)
     if oid == OID_TIMESTAMP:
         import datetime
 
@@ -74,7 +81,9 @@ def infer_oid(v) -> int:
         return OID_BOOL
     if isinstance(v, int):
         return OID_INT8
-    if isinstance(v, (float, decimal.Decimal)):
+    if isinstance(v, decimal.Decimal):
+        return OID_NUMERIC          # lossless: decoded as Decimal
+    if isinstance(v, float):
         return OID_FLOAT8
     if isinstance(v, datetime.datetime):
         return OID_TIMESTAMP
@@ -103,6 +112,10 @@ def sql_literal(v) -> str:
         return repr(v)
     if isinstance(v, int):
         return str(v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)               # exact decimal text, no float round
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -373,7 +386,10 @@ def _spark_type(rows: list[list], i: int) -> str:
         return "boolean"
     if isinstance(sample, int):
         return "bigint"
-    if isinstance(sample, (float, decimal.Decimal)):
+    if isinstance(sample, decimal.Decimal):
+        # lossless NUMERIC: wide-enough fixed decimal, never double
+        return "decimal(38,18)"
+    if isinstance(sample, float):
         return "double"
     if isinstance(sample, datetime.datetime):
         return "timestamp"

@@ -1619,3 +1619,39 @@ def test_poll_ticks_subsecond_cadence(spark):
         assert min(gaps) < 0.75, gaps      # genuinely sub-second
     finally:
         q.stop()
+
+
+def test_pgwire_numeric_decodes_losslessly(spark):
+    """ADVICE r5: NUMERIC/DECIMAL must survive the wire exactly —
+    epgsql returns numerics losslessly, so float() on OID 1700 was a
+    precision bug (0.1 accumulations, money). Server advertises
+    OID_NUMERIC for Decimal values; client decodes via
+    decimal.Decimal; postgre_statement_df lands a decimal column."""
+    import decimal
+
+    import duckdb
+
+    from faxe_spark.sources.pgwire import (PGWireClient, PGWireServer,
+                                           postgre_statement_df)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE money(amt DECIMAL(18,2))")
+    # 0.10 summed 3x = 0.30 exactly in decimal; 0.30000000000000004 in float
+    con.execute("INSERT INTO money VALUES (0.10), (0.10), (0.10), "
+                "(12345678901234.56)")
+    srv = PGWireServer(con)
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        _, rows = c.query("SELECT sum(amt) AS total FROM money")
+        assert rows[0][0] == decimal.Decimal("12345678901234.86")
+        assert isinstance(rows[0][0], decimal.Decimal)
+        c.close()
+
+        df = postgre_statement_df(
+            spark, host="127.0.0.1", port=srv.port,
+            statement="SELECT sum(amt) AS total FROM money")
+        assert dict(df.dtypes)["total"].startswith("decimal")
+        assert df.collect()[0][0] == decimal.Decimal("12345678901234.86")
+    finally:
+        srv.stop()
+        con.close()

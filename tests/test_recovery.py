@@ -191,3 +191,43 @@ def test_exactly_once_db_sink_across_forced_failures(spark, tmp_path):
     finally:
         srv.stop()
         con.close()
+
+
+def test_broker_sink_txn_scoped_per_stream(spark, tmp_path):
+    """ADVICE r5 (medium): epoch ids restart at 0 per stream, so a bare
+    epoch-keyed txn id made a SECOND stream publishing to the same
+    topic collide with an already-committed txn and silently drop its
+    batch. The txn id is now scoped by (topic, checkpoint): two streams
+    with distinct checkpoints must BOTH land their epoch-0 batches."""
+    import json
+
+    from faxe_spark.sinks import embedded_broker_sink_exactly_once
+    from faxe_spark.sources.embedded_broker import EmbeddedBroker
+
+    schema = "doc_id long, text string"
+    broker = EmbeddedBroker()
+
+    def run_stream(subdir: str, ck: str, rows):
+        src = tmp_path / subdir
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src))
+        stream = (spark.readStream.schema(
+            spark.read.parquet(str(src)).schema).parquet(str(src)))
+        q = embedded_broker_sink_exactly_once(
+            stream, broker=broker, topic="shared",
+            checkpoint=str(tmp_path / ck))
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        run_stream("s1", "ck1", [(1, "a"), (2, "b")])
+        assert len(broker.messages("shared")) == 2
+        # second, independent stream — same topic, fresh checkpoint,
+        # epoch ids restart at 0: with the unscoped key this batch was
+        # silently dropped as "already committed"
+        run_stream("s2", "ck2", [(3, "c"), (4, "d")])
+        got = sorted(json.loads(m)["doc_id"]
+                     for m in broker.messages("shared"))
+        assert got == [1, 2, 3, 4], got
+    finally:
+        broker.stop()
