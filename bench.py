@@ -73,6 +73,12 @@ HEADLINE = [
     "html_extract",
     # round 5: incremental corpus dedup
     "dedup_incremental_batches",
+    # round 6: the PQ/IVFPQ exactness probes (the most algorithmically
+    # complex ops in the repo previously had no tracked wall-time —
+    # VERDICT r5 #8) and the persisted-index lifecycle query
+    "pq_adc_full_probe",
+    "ivfpq_full_probe",
+    "ann_index_reuse",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -185,13 +191,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
         plan_hashes[name] = _plan_hash(df)
-        # result cardinality for the data-dependent-cost queries (dedup
-        # candidate pairs, ANN match lists): lets a future wall-clock
-        # drift be attributed to corpus change (counts move) vs
-        # environment (counts identical) — the r3 minhash +46% was
-        # unattributable for want of exactly this number.
-        if name.startswith(("dedup_", "ann_", "embedding_")):
-            result_rows[name] = QUERIES[name].fn(spark, cache_dir).count()
+        # result cardinality for EVERY headline query: lets a future
+        # wall-clock drift be attributed to corpus/data change (counts
+        # move) vs environment (counts identical) — the r3 minhash
+        # +46% and the r5 lm_novelty +29% were both unattributable for
+        # want of exactly this number (extended from the dedup/ANN
+        # subset per VERDICT r5 next-round #4).
+        result_rows[name] = QUERIES[name].fn(spark, cache_dir).count()
 
     _record_plan_hashes(plan_hashes, sf)
     total = round(sum(per_query.values()), 3)

@@ -1,0 +1,319 @@
+"""Persisted ANN index lifecycle: build ONCE, query MANY.
+
+The one-shot operators (cosine_ivf_topk, ivfpq_index+ivfpq_topk)
+retrain the coarse quantizer and re-encode the corpus on every call —
+fine for a single oracle query, the dominant waste at 100 TB where one
+corpus serves thousands of query batches. This module splits the
+lifecycle the way FAISS (Jegou et al. 2011; Johnson et al. 2017) and
+every production vector store do:
+
+  BUILD  (once per corpus version; the expensive scan):
+    - train coarse centroids / PQ codebooks on a bounded deterministic
+      sample (driver-side numpy Lloyd's — the strategy proven in
+      similarity.py: FAISS trains on ~100k vectors regardless of
+      corpus size),
+    - assign + encode the full corpus in ONE Arrow pass,
+    - persist the inverted lists as a parquet table PARTITIONED BY the
+      coarse list id `_cid`, and the tiny centroid/codebook matrices
+      as side tables. The partition layout is the scale lever: a probe
+      of nprobe/nlist lists prunes the scan to nprobe/nlist of the
+      bytes (PartitionFilters on `_cid`, asserted by
+      tests/test_ann_index.py).
+
+  QUERY  (per batch; touches NO training or encode stage):
+    - load the centroid/codebook matrices (tiny),
+    - rank centroids per query driver-side (queries are a bounded
+      batch by the same contract as pq_adc_topk),
+    - scan ONLY the probed partitions of the lists table and re-rank
+      exact (IVF-flat) or ADC-score (IVFPQ).
+
+Result-equivalence with the one-shot path is pinned by
+tests/test_ann_index.py; the registry query `ann_index_reuse` runs
+build-once + two query batches against the brute-force SQL oracle.
+
+Reference parity note: faxe has no ANN surface — this is part of the
+LLM-training-data extension (north-star item, VERDICT r5 §missing #3).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from faxe_spark.operators import similarity as sim
+
+
+@dataclass
+class AnnIndex:
+    """Driver-side handle for a persisted index. The big state (the
+    inverted lists / codes) stays in the warehouse table; only the
+    centroid and codebook matrices (nlist x dim / m x ksub x dsub
+    float64 — kilobytes) live on the driver."""
+
+    name: str
+    kind: str            # "ivf_flat" | "ivfpq"
+    centroids: object    # np.ndarray (nlist, dim)
+    codebooks: object    # np.ndarray (m, ksub, dsub) | None for ivf_flat
+    quantize: bool       # ivf_flat: stored vectors are bigint-quantized
+    id_col: str
+    id_type: str
+
+    @property
+    def lists_table(self) -> str:
+        return f"{self.name}_lists"
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+
+def _table_path(spark: SparkSession, table: str) -> str:
+    """Index storage is addressed by PATH under the warehouse dir, not
+    by catalog name: the default in-memory catalog forgets tables at
+    session end while their directories survive, so a catalog-named
+    index would be un-droppable and un-loadable from the next session
+    (LOCATION_ALREADY_EXISTS on rebuild). Path-addressed parquet is
+    durable across sessions with zero metastore; a deployment with a
+    real metastore would saveAsTable + MSCK instead."""
+    return spark.conf.get("spark.sql.warehouse.dir") + "/" + table
+
+
+def _save_matrix(spark: SparkSession, table: str, M) -> None:
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(M)]
+    (spark.createDataFrame(rows, "_i int, _vec array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(_table_path(spark, table)))
+
+
+def _load_matrix(spark: SparkSession, table: str):
+    import numpy as np
+
+    rows = (spark.read.parquet(_table_path(spark, table))
+            .orderBy("_i").collect())
+    return np.array([r["_vec"] for r in rows], dtype=np.float64)
+
+
+def _drop(spark: SparkSession, table: str) -> None:
+    import shutil
+    from urllib.parse import urlparse
+
+    p = urlparse(_table_path(spark, table))
+    if p.scheme in ("", "file"):
+        shutil.rmtree(p.path, ignore_errors=True)
+
+
+def build_ivf_index(spark: SparkSession, corpus: DataFrame, *, name: str,
+                    nlist: int = 64, seed: int = 42, max_iter: int = 20,
+                    quantize: bool = False, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> AnnIndex:
+    """IVF-flat build: train coarse centroids on the bounded hash
+    sample, assign every corpus vector in one Arrow pass, persist
+    (id, vec) partitioned by `_cid` plus the centroid table. The
+    stored vector is the RE-RANK representation: bigint-quantized when
+    quantize=True (engine-exact cosine, the oracle determinism device)
+    else double."""
+    X = sim.hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                               what="build_ivf_index")
+    centroids = sim._lloyds(X, k=nlist, iters=max_iter, seed=seed)
+
+    prep = sim.quantize_vec if quantize else sim._as_double
+    c = corpus.select(F.col(id_col),
+                      sim._as_double(F.col(vec_col)).alias("_cv"),
+                      prep(F.col(vec_col)).alias("_cvs"))
+    assigned = sim.assign_lists(c, centroids, id_col=id_col)
+    lists = c.join(assigned, id_col).select(id_col, "_cid", "_cvs")
+
+    (lists.write.mode("overwrite").partitionBy("_cid")
+     .parquet(_table_path(spark, f"{name}_lists")))
+    _save_matrix(spark, f"{name}_centroids", centroids)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    (spark.createDataFrame(
+        [("ivf_flat", int(len(centroids)), bool(quantize), id_col,
+          id_type)],
+        "kind string, nlist int, quantize boolean, id_col string, "
+        "id_type string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(_table_path(spark, f"{name}_meta")))
+    return AnnIndex(name=name, kind="ivf_flat", centroids=centroids,
+                    codebooks=None, quantize=quantize, id_col=id_col,
+                    id_type=id_type)
+
+
+def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, *,
+                      name: str, nlist: int = 64, m: int = 8,
+                      ksub: int = 16, seed: int = 42, max_iter: int = 20,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> AnnIndex:
+    """IVFPQ build: coarse lists + residual-PQ codes (the
+    similarity.ivfpq_index composition), with the codes persisted
+    partitioned by `_cid` and both quantizer matrices as side tables.
+    At 100 TB the codes table IS the index — m bytes-ish per vector
+    instead of 4*dim."""
+    import numpy as np
+
+    coarse, books, codes_df = sim.ivfpq_index(
+        corpus, vec_col=vec_col, id_col=id_col, nlist=nlist, m=m,
+        ksub=ksub, seed=seed, max_iter=max_iter)
+
+    (codes_df.write.mode("overwrite")
+     .partitionBy("_cid").parquet(_table_path(spark, f"{name}_lists")))
+    _save_matrix(spark, f"{name}_centroids", coarse)
+    # codebooks: (m, ksub, dsub) flattened as one row per (j, c)
+    m_, ksub_, _ = books.shape
+    flat = [(int(j * ksub_ + cc), [float(x) for x in books[j][cc]])
+            for j in range(m_) for cc in range(ksub_)]
+    (spark.createDataFrame(flat, "_i int, _vec array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(_table_path(spark, f"{name}_codebooks")))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    (spark.createDataFrame(
+        [("ivfpq", int(nlist), int(m_), int(ksub_), id_col, id_type)],
+        "kind string, nlist int, m int, ksub int, id_col string, "
+        "id_type string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(_table_path(spark, f"{name}_meta")))
+    return AnnIndex(name=name, kind="ivfpq", centroids=coarse,
+                    codebooks=books, quantize=False, id_col=id_col,
+                    id_type=id_type)
+
+
+def load_ann_index(spark: SparkSession, name: str) -> AnnIndex:
+    """Rehydrate the driver handle from the persisted side tables —
+    the durability path: build in one session, query from another."""
+    meta = (spark.read.parquet(_table_path(spark, f"{name}_meta"))
+            .collect()[0])
+    centroids = _load_matrix(spark, f"{name}_centroids")
+    books = None
+    if meta["kind"] == "ivfpq":
+        flat = _load_matrix(spark, f"{name}_codebooks")
+        books = flat.reshape(meta["m"], meta["ksub"], -1)
+    return AnnIndex(name=name, kind=meta["kind"], centroids=centroids,
+                    codebooks=books,
+                    quantize=bool(meta["quantize"])
+                    if meta["kind"] == "ivf_flat" else False,
+                    id_col=meta["id_col"], id_type=meta["id_type"])
+
+
+def drop_ann_index(spark: SparkSession, name: str) -> None:
+    for suffix in ("_lists", "_centroids", "_codebooks", "_meta"):
+        _drop(spark, name + suffix)
+
+
+def _probe_sets_spark_mirror(qvecs, centroids, nprobe: int):
+    """Per-query probed list ids, mirroring cosine_ivf_topk's Spark
+    probe BIT-FOR-BIT: unit-normalize with the same sequential
+    square-sum fold F.aggregate performs, then rank centroids by the
+    sequential fold of (x-y)^2, ties by cid asc. Sequential IEEE
+    double folds in Python reproduce Spark's aggregate() exactly, so
+    the persisted-index query path picks the SAME lists as the
+    one-shot operator (the equivalence test's hinge)."""
+    out = []
+    for qv in qvecs:
+        acc = 0.0
+        for x in qv:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        u = [x / nrm for x in qv] if nrm else list(qv)
+        ranked = []
+        for cid, ctr in enumerate(centroids):
+            d = 0.0
+            for x, y in zip(u, ctr):
+                d += (x - y) * (x - y)
+            ranked.append((d, cid))
+        ranked.sort()
+        out.append([cid for _, cid in ranked[:nprobe]])
+    return out
+
+
+def query_ann_index(queries: DataFrame, index: AnnIndex, k: int, *,
+                    nprobe: int = 8, vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    exclude_self: bool = True) -> DataFrame:
+    """Search a persisted index: NO training, NO encode — the plan is
+    a partition-pruned scan of the probed lists plus a broadcast of
+    the per-query probe rows. Output matches the one-shot operators:
+    ivf_flat -> (query_id, id, cosine, rank); ivfpq -> (query_id, id,
+    adc_score, rank)."""
+    spark = queries.sparkSession
+    if index.kind == "ivfpq":
+        return _query_ivfpq(spark, queries, index, k, nprobe=nprobe,
+                            vec_col=vec_col, query_id_col=query_id_col,
+                            exclude_self=exclude_self)
+    return _query_ivf_flat(spark, queries, index, k, nprobe=nprobe,
+                           vec_col=vec_col, query_id_col=query_id_col,
+                           exclude_self=exclude_self)
+
+
+def _query_ivf_flat(spark: SparkSession, queries: DataFrame,
+                    index: AnnIndex, k: int, *, nprobe: int,
+                    vec_col: str, query_id_col: str,
+                    exclude_self: bool) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    prep = sim.quantize_vec if index.quantize else sim._as_double
+    cos = sim.cosine_quantized if index.quantize else sim.cosine
+    qrows = (queries.select(F.col(id_col).alias(query_id_col),
+                            sim._as_double(F.col(vec_col)).alias("_qv"),
+                            prep(F.col(vec_col)).alias("_qvs"))
+             .collect())
+    if not qrows:
+        raise ValueError("query_ann_index: empty queries DataFrame")
+    probe_lists = _probe_sets_spark_mirror(
+        [r["_qv"] for r in qrows], index.centroids, nprobe)
+    probed_union = sorted({c for lst in probe_lists for c in lst})
+
+    vec_t = ("array<bigint>" if index.quantize else "array<double>")
+    probes = spark.createDataFrame(
+        [(int(cid), r[query_id_col], r["_qvs"])
+         for r, lst in zip(qrows, probe_lists) for cid in lst],
+        f"_cid int, {query_id_col} {index.id_type}, _qvs {vec_t}")
+
+    # partition-pruned scan: only the probed lists' files are read
+    lists = (spark.read.parquet(_table_path(spark, index.lists_table))
+             .filter(F.col("_cid").isin([int(c) for c in probed_union])))
+    joined = lists.join(F.broadcast(probes), "_cid")
+    if exclude_self:
+        joined = joined.filter(F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(
+        query_id_col, id_col,
+        cos(F.col("_qvs"), F.col("_cvs")).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _query_ivfpq(spark: SparkSession, queries: DataFrame,
+                 index: AnnIndex, k: int, *, nprobe: int, vec_col: str,
+                 query_id_col: str, exclude_self: bool) -> DataFrame:
+    """Prune the codes scan to the union of probe sets (same argsort
+    as ivfpq_topk — per-query masks are subsets of the union, so
+    filtering first never changes a score), then delegate scoring to
+    ivfpq_topk over the pruned table."""
+    import numpy as np
+
+    id_col = index.id_col
+    qrows = (queries.select(F.col(id_col).alias(query_id_col),
+                            sim._as_double(F.col(vec_col)).alias("_qv"))
+             .collect())
+    if not qrows:
+        raise ValueError("query_ann_index: empty queries DataFrame")
+    Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    coarse = index.centroids
+    half = 0.5 * (coarse * coarse).sum(axis=1)
+    order = np.argsort(-(Q @ coarse.T - half[None, :]), axis=1,
+                       kind="stable")
+    probed_union = sorted({int(c) for row in order[:, :nprobe]
+                           for c in row})
+    codes = (spark.read.parquet(_table_path(spark, index.lists_table))
+             .filter(F.col("_cid").isin(probed_union))
+             .select(id_col, "_cid", "codes"))
+    return sim.ivfpq_topk(codes, queries, coarse, index.codebooks, k,
+                          nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                          query_id_col=query_id_col,
+                          exclude_self=exclude_self)

