@@ -82,9 +82,13 @@ def _table_path(spark: SparkSession, table: str) -> str:
 
 
 def _save_matrix(spark: SparkSession, table: str, M) -> None:
+    # repartition(1), NOT coalesce(1): coalescing a parallelized local
+    # relation into one write task measures 4-5 s per tiny side-table
+    # on Spark 4.1 (the single task computes every parent slice
+    # serially without AQE help); the one-row shuffle is ~0.4 s.
     rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(M)]
     (spark.createDataFrame(rows, "_i int, _vec array<double>")
-     .coalesce(1).write.mode("overwrite")
+     .repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, table)))
 
 
@@ -135,7 +139,7 @@ def build_ivf_index(spark: SparkSession, corpus: DataFrame, *, name: str,
           id_type)],
         "kind string, nlist int, quantize boolean, id_col string, "
         "id_type string")
-     .coalesce(1).write.mode("overwrite")
+     .repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, f"{name}_meta")))
     return AnnIndex(name=name, kind="ivf_flat", centroids=centroids,
                     codebooks=None, quantize=quantize, id_col=id_col,
@@ -166,14 +170,14 @@ def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, *,
     flat = [(int(j * ksub_ + cc), [float(x) for x in books[j][cc]])
             for j in range(m_) for cc in range(ksub_)]
     (spark.createDataFrame(flat, "_i int, _vec array<double>")
-     .coalesce(1).write.mode("overwrite")
+     .repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, f"{name}_codebooks")))
     id_type = corpus.schema[id_col].dataType.simpleString()
     (spark.createDataFrame(
         [("ivfpq", int(nlist), int(m_), int(ksub_), id_col, id_type)],
         "kind string, nlist int, m int, ksub int, id_col string, "
         "id_type string")
-     .coalesce(1).write.mode("overwrite")
+     .repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, f"{name}_meta")))
     return AnnIndex(name=name, kind="ivfpq", centroids=coarse,
                     codebooks=books, quantize=False, id_col=id_col,

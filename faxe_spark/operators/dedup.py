@@ -156,6 +156,33 @@ def compact_seen_fps(seen_fps: DataFrame, table: str = "seen_fingerprints",
     return spark.table(table)
 
 
+def compact_pending_fps(spark, pending_dir: str,
+                        table: str = "seen_fingerprints", *,
+                        buckets: int = 32) -> DataFrame:
+    """Fold a streaming run's pending fingerprints
+    (streaming.stateful.incremental_dedup_pipeline writes them to
+    `pending_dir`, epoch-partitioned) into the bucketed seen table —
+    the between-runs step of the continuous-crawl loop:
+    run stream -> stop -> compact_pending_fps -> restart.
+
+    Defensive distinct + anti-join before the rewrite: the stream's
+    own layers make pending fingerprints unique and table-disjoint in
+    normal operation, but foreachBatch is at-least-once and a crash
+    between the table RENAME and clearing pending_dir leaves absorbed
+    epochs behind — both re-deliveries land here, once, at compaction
+    cost (pay-once) instead of corrupting the seen set. Clear
+    pending_dir only AFTER this returns (the rename has landed)."""
+    pending = (spark.read.parquet(pending_dir)
+               .select("fingerprint").distinct())
+    if spark.catalog.tableExists(table):
+        prior = spark.table(table)
+        merged = prior.union(
+            pending.join(prior, "fingerprint", "left_anti"))
+    else:
+        merged = pending
+    return compact_seen_fps(merged, table, buckets=buckets)
+
+
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

@@ -602,3 +602,98 @@ def dedup_exact_stream(df: DataFrame, *, text_col: str = "text",
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark([fp_col])
             .drop(fp_col))
+
+
+def dedup_incremental_stream(df: DataFrame, seen_fps: DataFrame | None, *,
+                             text_col: str = "text", ts_col: str = "ts",
+                             watermark: str = "1 hour",
+                             fp_out: str = "fingerprint") -> DataFrame:
+    """Streaming lane of operators.dedup.dedup_incremental: drop
+    documents whose fingerprint appears in the COMPACTED seen-set table
+    (the long-tail history, months of crawl), then
+    dropDuplicatesWithinWatermark for replays inside the recent horizon
+    (arrivals newer than the last compaction).
+
+    The two layers split the work by age, which is the only shape that
+    stays bounded on an unbounded stream:
+    - `seen_fps` (a 1-column 'fingerprint' frame, normally the bucketed
+      table compact_seen_fps writes) handles duplicates OLDER than the
+      watermark horizon via a stream-static anti-join. Structured
+      Streaming re-evaluates the static side per micro-batch, and a
+      bucketed table scan is constant-depth — plan depth does NOT grow
+      with crawl age. Pass None to run horizon-only (== the
+      dedup_exact_stream behavior, with the fingerprint exposed).
+    - the state store handles duplicates YOUNGER than the horizon —
+      exactly the window the table can't know about yet.
+
+    The output carries the fingerprint in `fp_out` so a foreachBatch
+    sink can append fresh fingerprints for the next compaction
+    (incremental_dedup_pipeline below does this). Raises if `fp_out`
+    already exists — the caller must pick a free name; silently
+    overwriting it is the r4-advice hazard dedup_exact_stream fixed.
+
+    A static-side refresh requires a stream restart (Spark pins the
+    static file index at query start), so the operational loop is:
+    run -> stop -> compact_pending_fps -> restart from the SAME
+    checkpoint. The stateful-operator layout is unchanged across that
+    restart (the anti-join is stateless), so the state store resumes
+    cleanly — proven by tests/test_recovery.py."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators.text import fingerprint
+
+    if fp_out in df.columns:
+        raise ValueError(
+            f"fp_out column {fp_out!r} already exists on the input; "
+            "pass a free name")
+    fp = fingerprint(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    out = df.withColumn(fp_out, fp)
+    if seen_fps is not None:
+        out = out.join(
+            seen_fps.select(F.col("fingerprint").alias(fp_out)),
+            fp_out, "left_anti")
+    return (out.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([fp_out]))
+
+
+def incremental_dedup_pipeline(df: DataFrame, *, seen_fps: DataFrame | None,
+                               out_dir: str, pending_dir: str,
+                               checkpoint_dir: str,
+                               text_col: str = "text", ts_col: str = "ts",
+                               watermark: str = "1 hour",
+                               available_now: bool = True):
+    """Start the continuous-crawl dedup stream: fresh documents land in
+    `out_dir`, their fingerprints in `pending_dir` (both parquet,
+    epoch-partitioned). Returns the StreamingQuery.
+
+    foreachBatch is at-least-once, so each epoch overwrites its OWN
+    partition (`epoch=<id>/`) — a replayed epoch rewrites identical
+    data instead of appending duplicates; readers take
+    spark.read.parquet(dir) and drop the epoch column. Between runs,
+    compact_pending_fps(spark, pending_dir, table) folds the pending
+    fingerprints into the bucketed seen table; restart then picks the
+    refreshed table up (see dedup_incremental_stream)."""
+    import pyspark.sql.functions as F
+
+    fp_out = "_pending_fp"
+    deduped = dedup_incremental_stream(
+        df, seen_fps, text_col=text_col, ts_col=ts_col,
+        watermark=watermark, fp_out=fp_out)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (batch_df.drop(fp_out).write.mode("overwrite")
+             .parquet(f"{out_dir}/epoch={epoch_id}"))
+            (batch_df.select(F.col(fp_out).alias("fingerprint"))
+             .write.mode("overwrite")
+             .parquet(f"{pending_dir}/epoch={epoch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    writer = (deduped.writeStream.foreachBatch(write_epoch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

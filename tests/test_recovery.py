@@ -231,3 +231,87 @@ def test_broker_sink_txn_scoped_per_stream(spark, tmp_path):
         assert got == [1, 2, 3, 4], got
     finally:
         broker.stop()
+
+
+def test_incremental_dedup_compaction_across_restart(spark, tmp_path):
+    """The continuous-crawl loop end-to-end (VERDICT r5 #6): stream
+    dedups against a bucketed seen table + the watermark-horizon state
+    store, stops, compacts its pending fingerprints into the table,
+    and RESTARTS FROM THE SAME CHECKPOINT — a replay arriving after
+    the horizon expired (state gone) must be caught by the compacted
+    table, and only by it. Plan depth stays bounded: the seen side is
+    always one bucketed table scan, never a per-batch union."""
+    import shutil
+
+    from faxe_spark.operators.dedup import (compact_pending_fps,
+                                            compact_seen_fps)
+    from faxe_spark.streaming.stateful import incremental_dedup_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "seen_fps_restart_e2e"
+    schema = "doc_id long, text string, ts timestamp"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = incremental_dedup_pipeline(
+            stream, seen_fps=spark.table(tbl), out_dir=out,
+            pending_dir=pending, checkpoint_dir=ck, watermark="30 minutes")
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        # the table exists (empty) from the start so the query plan
+        # SHAPE is identical across the restart
+        compact_seen_fps(
+            spark.createDataFrame([], "fingerprint string"), tbl)
+
+        # phase A: batch-internal dup + in-horizon replay
+        feed("b1", [(1, "alpha beta", _t(0, 0)),
+                    (2, "ALPHA   beta", _t(0, 10)),   # normalized dup of 1
+                    (3, "gamma delta", _t(0, 20))])
+        feed("b2", [(4, "alpha beta", _t(5, 0)),      # replay, in horizon
+                    (5, "epsilon zeta", _t(5, 10))])
+        run_once()
+        got_a = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert 3 in got_a and 5 in got_a
+        assert len(got_a & {1, 2}) == 1 and 4 not in got_a
+
+        # between runs: fold pending fingerprints into the bucketed
+        # table, then clear the absorbed pending epochs
+        seen = compact_pending_fps(spark, pending, tbl)
+        assert seen.count() == 3
+        assert "Num Buckets" in "".join(
+            str(r) for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect())
+        shutil.rmtree(pending)
+
+        # phase B: SAME checkpoint. b3 advances the watermark past the
+        # phase-A horizon; b3b runs AT that watermark, whose end-of-batch
+        # eviction clears the phase-A state entries (watermark updates
+        # and eviction both lag one batch — pinned by
+        # test_streaming.test_dedup_stream_beyond_horizon_replay_is_fresh);
+        # b4's replay of doc 1's content can then ONLY be caught by the
+        # compacted table.
+        noon = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        feed("b3", [(6, "theta iota", noon)])
+        feed("b3b", [(9, "mu nu", noon + datetime.timedelta(minutes=5))])
+        feed("b4", [(7, "alpha beta",                 # replay, beyond horizon
+                     noon + datetime.timedelta(minutes=6)),
+                    (8, "kappa lambda",
+                     noon + datetime.timedelta(minutes=6, seconds=10))])
+        run_once()
+        got_b = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert {6, 8, 9} <= got_b and 7 not in got_b
+        # pending after phase B holds exactly the phase-B fresh docs
+        assert spark.read.parquet(pending).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")

@@ -591,3 +591,173 @@ def test_trainprep_stream_equals_batch_reference(spark, tmp_path):
     assert not any(100 <= d < 200 for d in got)   # replays deduped
     assert any(d >= 200 for d in got)          # fresh content flowed
     assert len(got) < len(rows1) + len(rows2)  # mixture sampled out some
+
+
+# ---------------------------------------------------------------------------
+# Late / out-of-order arrival goldens (VERDICT r5 #5): SURVEY §2.5 claims
+# Spark watermarks are a SUPERSET of the reference's win_time late-data
+# handling — these pin the documented policy: an out-of-order event inside
+# the watermark horizon lands in its (earlier) window; an event beyond the
+# horizon is dropped from a finalized window; dedup state expires with the
+# horizon so an ancient replay is a fresh document.
+# ---------------------------------------------------------------------------
+
+
+def _late_t(h, m, s=0):
+    import datetime
+    return datetime.datetime(2024, 1, 1, h, m, s)
+
+
+def test_win_time_stream_late_within_watermark_included(spark, tmp_path):
+    """An out-of-order event arriving AFTER later event-times were seen,
+    but within the watermark horizon, is aggregated into its own
+    (earlier) window — the window's final emission equals the batch
+    reference computed over ALL rows including the late one."""
+    from faxe_spark.streaming import win_time_stream
+    from faxe_spark.tables import load_table  # noqa: F401 (batch analog below)
+
+    schema = "key string, value double, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        ("a", 1.0, _late_t(10, 10)),
+        ("a", 2.0, _late_t(10, 20)),
+        ("a", 10.0, _late_t(11, 5)),
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        ("a", 4.0, _late_t(10, 30)),   # LATE: older than the 11:05 max,
+                                       # inside the 1h horizon -> accepted
+        ("a", 20.0, _late_t(12, 30)),
+    ], schema)
+    _write_rows(spark, tmp_path, "b3", [
+        ("a", 0.0, _late_t(14, 0)),    # advance watermark to 13:00
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    agg = win_time_stream(stream, [("value", "sum", "sum_v"),
+                                   ("value", "count", "n")],
+                          ts_col="ts", period="1h", by=["key"],
+                          watermark="1h")
+    _run_available_now(agg, "late_ok")
+    rows = {r["start"]: r for r in spark.sql(
+        "SELECT window.start AS start, sum_v, n FROM late_ok").collect()}
+    w10 = rows[_late_t(10, 0)]
+    assert w10.n == 3 and w10.sum_v == 7.0      # 1 + 2 + late 4
+    assert rows[_late_t(11, 0)].sum_v == 10.0
+    assert rows[_late_t(12, 0)].sum_v == 20.0
+
+
+def test_win_time_stream_beyond_watermark_dropped(spark, tmp_path):
+    """An event older than the watermark arrives after its window was
+    finalized: it is DROPPED — the already-emitted window is not
+    re-emitted or amended (append-mode policy), so the final result
+    equals the batch reference computed WITHOUT the too-late row."""
+    from faxe_spark.streaming import win_time_stream
+
+    schema = "key string, value double, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        ("a", 1.0, _late_t(10, 10)),
+        ("a", 2.0, _late_t(10, 20)),
+        ("a", 20.0, _late_t(12, 30)),  # advances watermark to 12:30 (0s delay)
+    ], schema)
+    # watermark updates lag one batch (a row late vs b1's max is still
+    # accepted in the very next batch — Spark's bound is conservative,
+    # verified empirically), so a filler batch makes 12:30 effective
+    _write_rows(spark, tmp_path, "b2", [
+        ("a", 9.0, _late_t(13, 0)),
+    ], schema)
+    _write_rows(spark, tmp_path, "b3", [
+        ("a", 4.0, _late_t(10, 30)),   # TOO LATE: watermark 12:30 already
+                                       # passed the 10:00 window's end
+        ("a", 5.0, _late_t(13, 30)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    agg = win_time_stream(stream, [("value", "sum", "sum_v"),
+                                   ("value", "count", "n")],
+                          ts_col="ts", period="1h", by=["key"],
+                          watermark="0s")
+    _run_available_now(agg, "late_drop")
+    got = [(r["start"], r.sum_v, r.n) for r in spark.sql(
+        "SELECT window.start AS start, sum_v, n FROM late_drop").collect()]
+    w10 = [g for g in got if g[0] == _late_t(10, 0)]
+    assert w10 == [(_late_t(10, 0), 3.0, 2)]    # late 4.0 excluded, one emission
+    assert (_late_t(12, 0), 20.0, 1) in got
+
+
+def test_session_window_stream_out_of_order_merge(spark, tmp_path):
+    """Two session fragments 15 min apart (> the 10-min gap) are bridged
+    by an out-of-order event delivered in a LATER micro-batch: the state
+    store merges them into ONE session, matching the batch
+    session_window reference over the same rows."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.streaming.windows import win_session_stream
+
+    schema = "user_id string, value double, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        ("u", 1.0, _late_t(10, 0)),
+        ("u", 2.0, _late_t(10, 15)),   # 15 min gap: two sessions... so far
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        ("u", 3.0, _late_t(10, 8)),    # out-of-order bridge -> ONE session
+    ], schema)
+    _write_rows(spark, tmp_path, "b3", [
+        ("u", 0.0, _late_t(14, 0)),    # close the session past the watermark
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    agg = win_session_stream(stream, [("value", "sum", "sum_v"),
+                                      ("value", "count", "n")],
+                             ts_col="ts", gap="10m", by=["user_id"],
+                             watermark="1h")
+    _run_available_now(agg, "sess_ooo")
+    got = [(r["start"], r.sum_v, r.n) for r in spark.sql(
+        "SELECT session.start AS start, sum_v, n FROM sess_ooo").collect()]
+    merged = [g for g in got if g[0] == _late_t(10, 0)]
+    assert merged == [(_late_t(10, 0), 6.0, 3)]  # one merged session
+
+    # batch reference over the same (closed-session) rows
+    batch = (spark.read.parquet(str(tmp_path) + "/*")
+             .filter(F.col("ts") < F.lit(_late_t(14, 0)))
+             .groupBy(F.session_window("ts", "10 minutes").alias("s"),
+                      "user_id")
+             .agg(F.sum("value").alias("sum_v"), F.count("*").alias("n")))
+    want = [(r["s"]["start"], r.sum_v, r.n) for r in batch.collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_dedup_stream_beyond_horizon_replay_is_fresh(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state expires with the horizon: a
+    replay arriving AFTER the watermark passed the original's event time
+    + delay is a fresh document by design (the bounded-state contract;
+    catching it requires the compacted seen table —
+    test_recovery.test_incremental_dedup_compaction_across_restart)."""
+    from faxe_spark.streaming.stateful import dedup_exact_stream
+
+    schema = "doc_id long, text string, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        (1, "alpha beta", _late_t(10, 0)),
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        (2, "filler doc", _late_t(12, 0)),  # watermark -> 11:30 for the NEXT
+                                            # batch (one-batch lag)
+    ], schema)
+    _write_rows(spark, tmp_path, "b3", [
+        (5, "filler two", _late_t(12, 5)),  # runs AT watermark 11:30: end-of-
+                                            # batch eviction removes fp(1)
+    ], schema)
+    _write_rows(spark, tmp_path, "b4", [
+        (3, "alpha beta", _late_t(12, 6)),  # beyond-horizon replay: FRESH
+        (4, "alpha beta", _late_t(12, 7)),  # in-horizon replay of 3: dropped
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = dedup_exact_stream(stream, watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_horizon")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_horizon").collect()}
+    assert got == {1, 2, 3, 5}
