@@ -109,27 +109,42 @@ def _drop(spark: SparkSession, table: str) -> None:
         shutil.rmtree(p.path, ignore_errors=True)
 
 
-def build_ivf_index(spark: SparkSession, corpus: DataFrame, *, name: str,
-                    nlist: int = 64, seed: int = 42, max_iter: int = 20,
-                    quantize: bool = False, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> AnnIndex:
-    """IVF-flat build: train coarse centroids on the bounded hash
-    sample, assign every corpus vector in one Arrow pass, persist
-    (id, vec) partitioned by `_cid` plus the centroid table. The
-    stored vector is the RE-RANK representation: bigint-quantized when
-    quantize=True (engine-exact cosine, the oracle determinism device)
-    else double."""
-    X = sim.hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
-                               what="build_ivf_index")
-    centroids = sim._lloyds(X, k=nlist, iters=max_iter, seed=seed)
-
+def _ivf_flat_lists(corpus: DataFrame, centroids, *, quantize: bool,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """(id, _cid, stored-vector) rows for an IVF-flat index: one Arrow
+    assignment pass against the broadcast centroids. Shared by build
+    and incremental add — assignment depends ONLY on the centroids, so
+    encoding a batch now or later yields identical rows."""
     prep = sim.quantize_vec if quantize else sim._as_double
     c = corpus.select(F.col(id_col),
                       sim._as_double(F.col(vec_col)).alias("_cv"),
                       prep(F.col(vec_col)).alias("_cvs"))
     assigned = sim.assign_lists(c, centroids, id_col=id_col)
-    lists = c.join(assigned, id_col).select(id_col, "_cid", "_cvs")
+    return c.join(assigned, id_col).select(id_col, "_cid", "_cvs")
 
+
+def build_ivf_index(spark: SparkSession, corpus: DataFrame, *, name: str,
+                    nlist: int = 64, seed: int = 42, max_iter: int = 20,
+                    quantize: bool = False, id_col: str = "vec_id",
+                    vec_col: str = "embedding", centroids=None) -> AnnIndex:
+    """IVF-flat build: train coarse centroids on the bounded hash
+    sample, assign every corpus vector in one Arrow pass, persist
+    (id, vec) partitioned by `_cid` plus the centroid table. The
+    stored vector is the RE-RANK representation: bigint-quantized when
+    quantize=True (engine-exact cosine, the oracle determinism device)
+    else double.
+
+    Pass `centroids` (nlist, dim) to build with a FROZEN pre-trained
+    quantizer instead of training — the production pattern for
+    rebuilding shards consistently, and the equivalence hinge for
+    add_to_ann_index's tests."""
+    if centroids is None:
+        X = sim.hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                                   what="build_ivf_index")
+        centroids = sim._lloyds(X, k=nlist, iters=max_iter, seed=seed)
+
+    lists = _ivf_flat_lists(corpus, centroids, quantize=quantize,
+                            id_col=id_col, vec_col=vec_col)
     (lists.write.mode("overwrite").partitionBy("_cid")
      .parquet(_table_path(spark, f"{name}_lists")))
     _save_matrix(spark, f"{name}_centroids", centroids)
@@ -204,6 +219,35 @@ def load_ann_index(spark: SparkSession, name: str) -> AnnIndex:
 def drop_ann_index(spark: SparkSession, name: str) -> None:
     for suffix in ("_lists", "_centroids", "_codebooks", "_meta"):
         _drop(spark, name + suffix)
+
+
+def add_to_ann_index(spark: SparkSession, index: AnnIndex,
+                     new_corpus: DataFrame, *,
+                     vec_col: str = "embedding") -> None:
+    """Incremental ADD — the third phase of the lifecycle (FAISS
+    `index.add`): encode a new batch with the index's FROZEN
+    quantizers and APPEND it to the persisted lists. Zero training,
+    and the write touches only the partitions the new vectors land in.
+    This is how a crawl keeps one index current at 100 TB: the corpus
+    grows by batches, the quantizers don't move (retrain = rebuild
+    under a new name, then swap).
+
+    Because assignment/encoding depend only on the frozen quantizers,
+    build(A) + add(B) is row-identical to build(A ∪ B) with the same
+    centroids — pinned by tests/test_ann_index.py. Caller contract:
+    ids in `new_corpus` must be new (appends don't dedup; re-adding an
+    id duplicates it, same as FAISS)."""
+    path = _table_path(spark, index.lists_table)
+    if index.kind == "ivfpq":
+        _, _, codes_df = sim.ivfpq_index(
+            new_corpus, vec_col=vec_col, id_col=index.id_col,
+            coarse=index.centroids, codebooks=index.codebooks)
+        codes_df.write.mode("append").partitionBy("_cid").parquet(path)
+    else:
+        lists = _ivf_flat_lists(new_corpus, index.centroids,
+                                quantize=index.quantize,
+                                id_col=index.id_col, vec_col=vec_col)
+        lists.write.mode("append").partitionBy("_cid").parquet(path)
 
 
 def _probe_sets_spark_mirror(qvecs, centroids, nprobe: int):

@@ -538,6 +538,21 @@ def semantic_dedup(corpus: DataFrame, threshold: float, *,
 # FAISS IVFPQ layout, rebuilt from the public papers (Jegou et al. 2011).
 # ---------------------------------------------------------------------------
 
+def _argmin_sq_dist(X, C):
+    """Row-wise argmin_j ||x - c_j||^2 via the GEMM expansion
+    ||x||^2 - 2 x.c_j + ||c_j||^2 (||x||^2 is constant per row, so it
+    drops out of the argmin). Peak memory is the (n, ksub) score
+    matrix — the broadcast (n, ksub, dsub) difference tensor the naive
+    form materializes is ksub*dsub/1 times larger and made the
+    degenerate exact-codebook probes (ksub = corpus size) page the
+    machine at x10. Ties break to the lowest index, same as the naive
+    np.argmin."""
+    import numpy as np
+
+    scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    return np.argmax(scores, axis=1)
+
+
 def pq_train(corpus: DataFrame, *, vec_col: str = "embedding",
              id_col: str = "vec_id", m: int = 8, ksub: int = 16,
              seed: int = 42, max_iter: int = 20):
@@ -582,8 +597,7 @@ def pq_encode(corpus: DataFrame, codebooks, *, vec_col: str = "embedding",
             codes = np.empty((len(V), m_), dtype=np.int64)
             for j in range(m_):
                 sub = V[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
-                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = np.argmin(d2, axis=1)
+                codes[:, j] = _argmin_sq_dist(sub, B[j])
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "codes": list(codes)})
 
@@ -751,8 +765,7 @@ def ivfpq_index(corpus: DataFrame, *, vec_col: str = "embedding",
             codes = np.empty((len(V), m_), dtype=np.int64)
             for j in range(m_):
                 sub = R[:, j * ds:(j + 1) * ds]
-                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = np.argmin(d2, axis=1)
+                codes[:, j] = _argmin_sq_dist(sub, B[j])
             yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid,
                                 "codes": list(codes)})
 

@@ -113,3 +113,56 @@ def test_query_ann_index_empty_queries_raises(spark):
             ax.query_ann_index(emb.filter(F.col("vec_id") < 0), idx, 5)
     finally:
         ax.drop_ann_index(spark, "t_annix_empty")
+
+
+def test_add_to_ivf_index_equals_full_build(spark):
+    """Incremental ADD (build A, add B, frozen quantizer) is
+    row-identical to building A ∪ B with the same centroids —
+    assignment depends only on the centroids, so when a vector is
+    encoded doesn't matter. Queries over both must agree exactly."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    try:
+        inc = ax.build_ivf_index(spark, half_a, name="t_annix_add",
+                                 nlist=8, seed=42, quantize=True)
+        ax.add_to_ann_index(spark, inc, half_b)
+        full = ax.build_ivf_index(spark, emb, name="t_annix_full",
+                                  quantize=True, centroids=inc.centroids)
+        got = _rows(ax.query_ann_index(queries, inc, 5, nprobe=3), "cosine")
+        want = _rows(ax.query_ann_index(queries, full, 5, nprobe=3),
+                     "cosine")
+        assert got == want and len(got) == 50
+        # the added rows really landed in the persisted lists
+        lists = spark.read.parquet(
+            ax._table_path(spark, inc.lists_table))
+        assert lists.count() == emb.count()
+    finally:
+        ax.drop_ann_index(spark, "t_annix_add")
+        ax.drop_ann_index(spark, "t_annix_full")
+
+
+def test_add_to_ivfpq_index_equals_full_build(spark):
+    """The IVFPQ edition: residual-PQ encoding with frozen coarse +
+    codebook quantizers commutes with batching."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    try:
+        inc = ax.build_ivfpq_index(spark, half_a, name="t_annix_pqadd",
+                                   nlist=8, m=8, ksub=4, seed=42)
+        ax.add_to_ann_index(spark, inc, half_b)
+        # one-shot reference over the full corpus with the SAME frozen
+        # quantizers
+        _, _, codes = sim.ivfpq_index(emb, coarse=inc.centroids,
+                                      codebooks=inc.codebooks)
+        want = _rows(sim.ivfpq_topk(codes, queries, inc.centroids,
+                                    inc.codebooks, 5, nprobe=3),
+                     "adc_score")
+        got = _rows(ax.query_ann_index(queries, inc, 5, nprobe=3),
+                    "adc_score")
+        assert got == want and len(got) == 50
+    finally:
+        ax.drop_ann_index(spark, "t_annix_pqadd")

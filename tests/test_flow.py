@@ -195,7 +195,7 @@ def test_mem_updater_streaming_foreachbatch(spark, tmp_path):
     t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
     path = str(tmp_path / "memsrc")
     spark.createDataFrame([(t(0), 5.0), (t(1), 7.0)], "ts timestamp, v double") \
-        .coalesce(1).write.parquet(path)
+        .repartition(1).write.parquet(path)
     clear_mem()
     try:
         s = stream_parquet(spark, path)

@@ -94,7 +94,7 @@ def test_join_stream_pairs_and_missing_timeout(spark, tmp_path):
     ]
     spark.createDataFrame(
         rows, "key bigint, ts timestamp, src string, value double"
-    ).coalesce(1).write.parquet(src)
+    ).repartition(1).write.parquet(src)
 
     s = stream_parquet(spark, src)
     out = join_stream(s, key_col="key", src_col="src", value_col="value",

@@ -36,13 +36,13 @@ def test_dedup_stream_state_survives_restart(spark, tmp_path):
 
     spark.createDataFrame(
         [(1, "alpha beta", _t(0, 0)), (2, "gamma delta", _t(0, 10))],
-        schema).coalesce(1).write.parquet(str(src) + "/b1")
+        schema).repartition(1).write.parquet(str(src) + "/b1")
     run_once()
 
     spark.createDataFrame(
         [(3, "ALPHA  beta", _t(5, 0)),   # replay from BEFORE the restart
          (4, "epsilon zeta", _t(5, 10))],
-        schema).coalesce(1).write.parquet(str(src) + "/b2")
+        schema).repartition(1).write.parquet(str(src) + "/b2")
     run_once()                            # new query object, same checkpoint
 
     got = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
@@ -72,12 +72,12 @@ def test_change_detect_state_survives_restart(spark, tmp_path):
         q.awaitTermination(120)
 
     spark.createDataFrame([(1, _t(0, 0), 10.0), (1, _t(0, 1), 12.0)],
-                          schema).coalesce(1).write.parquet(str(src) + "/b1")
+                          schema).repartition(1).write.parquet(str(src) + "/b1")
     run_once()
 
     spark.createDataFrame([(1, _t(0, 2), 12.0),   # == pre-restart last
                            (1, _t(0, 3), 13.0)],
-                          schema).coalesce(1).write.parquet(str(src) + "/b2")
+                          schema).repartition(1).write.parquet(str(src) + "/b2")
     run_once()
 
     vals = sorted((r.ts_ms, r.value)
@@ -118,7 +118,7 @@ def test_exactly_once_sink_across_forced_failures(spark, tmp_path):
             q.stop()
 
     spark.createDataFrame([(1, "a"), (2, "b")], schema) \
-        .coalesce(1).write.parquet(str(src) + "/b1")
+        .repartition(1).write.parquet(str(src) + "/b1")
     # run 1: crash AFTER the broker write, BEFORE the checkpoint commit
     run_once(fail_after_publish=threading.Event())
     assert len(broker.messages("out")) == 2   # data reached the broker
@@ -127,7 +127,7 @@ def test_exactly_once_sink_across_forced_failures(spark, tmp_path):
     assert len(broker.messages("out")) == 2, "duplicated on replay"
 
     spark.createDataFrame([(3, "c"), (4, "d")], schema) \
-        .coalesce(1).write.parquet(str(src) + "/b2")
+        .repartition(1).write.parquet(str(src) + "/b2")
     # run 3: crash BEFORE the write — nothing new lands
     run_once(fail_before_publish=threading.Event())
     assert len(broker.messages("out")) == 2
@@ -174,14 +174,14 @@ def test_exactly_once_db_sink_across_forced_failures(spark, tmp_path):
 
     try:
         spark.createDataFrame([(1, "a"), (2, "b")], schema) \
-            .coalesce(1).write.parquet(str(src) + "/b1")
+            .repartition(1).write.parquet(str(src) + "/b1")
         run_once(fail_after_write=threading.Event())
         assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
         run_once()                                 # replay: no dup
         assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
 
         spark.createDataFrame([(3, "c"), (4, "d")], schema) \
-            .coalesce(1).write.parquet(str(src) + "/b2")
+            .repartition(1).write.parquet(str(src) + "/b2")
         run_once(fail_before_write=threading.Event())
         assert con.execute("SELECT count(*) FROM sink_x").fetchone()[0] == 2
         run_once()                                 # recover: no loss
@@ -209,7 +209,7 @@ def test_broker_sink_txn_scoped_per_stream(spark, tmp_path):
 
     def run_stream(subdir: str, ck: str, rows):
         src = tmp_path / subdir
-        spark.createDataFrame(rows, schema).coalesce(1) \
+        spark.createDataFrame(rows, schema).repartition(1) \
             .write.parquet(str(src))
         stream = (spark.readStream.schema(
             spark.read.parquet(str(src)).schema).parquet(str(src)))
@@ -255,7 +255,7 @@ def test_incremental_dedup_compaction_across_restart(spark, tmp_path):
     schema = "doc_id long, text string, ts timestamp"
 
     def feed(name, rows):
-        spark.createDataFrame(rows, schema).coalesce(1) \
+        spark.createDataFrame(rows, schema).repartition(1) \
             .write.parquet(str(src / name))
 
     def run_once():

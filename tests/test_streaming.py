@@ -240,7 +240,7 @@ def test_flow_metrics_listener_and_observe(spark, tmp_path):
 
 def _write_rows(spark, tmp_path, name, rows, schema):
     path = str(tmp_path / name)
-    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(path)
     return path
 
 
@@ -346,7 +346,7 @@ def test_change_detect_and_value_diff_streams_cross_batch(spark, tmp_path):
     os.makedirs(src)
     spark.createDataFrame([(1, t(0), 10.0), (1, t(1), 10.0), (1, t(2), 12.0)],
                           "key bigint, ts timestamp, v double") \
-        .coalesce(1).write.parquet(src + "/b1")
+        .repartition(1).write.parquet(src + "/b1")
     schema = spark.read.parquet(src + "/b1").schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
         .parquet(src + "/*")
@@ -367,7 +367,7 @@ def test_change_detect_and_value_diff_streams_cross_batch(spark, tmp_path):
         # change event; then 13 -> change
         spark.createDataFrame([(1, t(10), 12.0), (1, t(11), 13.0)],
                               "key bigint, ts timestamp, v double") \
-            .coalesce(1).write.parquet(src + "/b2")
+            .repartition(1).write.parquet(src + "/b2")
         deadline = time.time() + 45
         while time.time() < deadline:
             if spark.sql("SELECT count(*) c FROM cd_s").collect()[0].c >= 3 and \
@@ -395,7 +395,7 @@ def test_sample_stream_every_nth(spark, tmp_path):
     src = str(tmp_path / "smpsrc")
     spark.createDataFrame([(1, t(i)) for i in range(7)],
                           "key bigint, ts timestamp") \
-        .coalesce(1).write.parquet(src)
+        .repartition(1).write.parquet(src)
     s = stream_parquet(spark, src)
     out = sample_stream(s, key_col="key", n=3)
     _run_available_now(out, "smp_s")

@@ -108,7 +108,7 @@ def test_apply_node_stateful_persists_across_batches(spark, tmp_path):
     import os
     os.makedirs(src)
     spark.createDataFrame([(1, 10.0)], "key bigint, v double") \
-        .coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+        .repartition(1).write.mode("overwrite").parquet(src + "/b1")
 
     schema = spark.read.parquet(src + "/b1").schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
@@ -126,7 +126,7 @@ def test_apply_node_stateful_persists_across_batches(spark, tmp_path):
             _t.sleep(0.5)
         # second batch arrives later -> must resume the count at 2
         spark.createDataFrame([(1, 20.0)], "key bigint, v double") \
-            .coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+            .repartition(1).write.mode("overwrite").parquet(src + "/b2")
         deadline = _t.time() + 45
         got = []
         while _t.time() < deadline:

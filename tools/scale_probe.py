@@ -53,6 +53,11 @@ PROBE_QUERIES = [
     "html_extract",
     # round 5
     "dedup_incremental_batches", "jsonsize_batch", "dedup_ngram_jaccard",
+    # round 6 (pq_adc_full_probe / ivfpq_full_probe are deliberately NOT
+    # here: the degenerate exact codebook makes them O(n^2) by
+    # definition — correctness devices, not linearity subjects; see
+    # BASELINE.md round-6 journal)
+    "ann_index_reuse",
 ]
 
 
