@@ -79,6 +79,8 @@ HEADLINE = [
     "pq_adc_full_probe",
     "ivfpq_full_probe",
     "ann_index_reuse",
+    # round 6 second wave: streaming-capable near-dup crawl dedup
+    "dedup_minhash_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

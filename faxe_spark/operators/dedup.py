@@ -183,6 +183,110 @@ def compact_pending_fps(spark, pending_dir: str,
     return compact_seen_fps(merged, table, buckets=buckets)
 
 
+def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", *, num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(id, fingerprint) LSH band-bucket membership rows, one per
+    (doc, band): fingerprint = 'b<band>|<md5 of the band's minhash
+    slice>'. The band prefix scopes buckets so band 0 and band 1
+    hashes can never collide into one bucket. The string form makes a
+    bucket set storable in the SAME 1-column fingerprint tables the
+    exact-dedup crawl loop uses (compact_seen_fps /
+    compact_pending_fps work unchanged)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n)
+    band_fps = [
+        F.concat(F.lit(f"b{b}|"), F.md5(F.concat_ws(",", *[
+            F.col(f"mh{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ])))
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_fps)).alias("fingerprint"))
+
+
+def dedup_minhash_incremental(new_df: DataFrame,
+                              seen_buckets: DataFrame | None, *,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_n: int = 3,
+                              checkpoint: bool = True
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl NEAR-dup dedup (the MinHash-LSH analog of
+    dedup_incremental): drop a new document iff any of its LSH band
+    buckets was already occupied by an EARLIER arrival — an earlier
+    batch (via `seen_buckets`) or a smaller-id document in this batch.
+
+    Returns (fresh_docs, updated_buckets) where updated_buckets =
+    seen ∪ ALL of this batch's band fingerprints — kept AND dropped
+    docs contribute buckets, so chains collapse to the first arrival
+    (B a near-dup of A is dropped, C a near-dup of B is dropped too:
+    C's collision with B's bucket suffices; no transitive closure is
+    ever computed). This greedy first-arrival rule is the online
+    counterpart of the pair-then-cluster batch path
+    (minhash_lsh_candidates + connected_components) and is what a
+    crawl actually wants: the earliest copy wins, everything later
+    that looks like anything already seen is discarded on arrival.
+
+    Shapes at 100 TB: per batch, one shingle explode + k min-aggs
+    (minhash_signatures' partial-agg layout), one groupBy on the
+    bucket fingerprint (within-batch min), and one semi-join against
+    the bucketed seen table (shuffle-free after compact_seen_fps).
+    The seen set grows by <= bands rows per arriving doc and is
+    EXACTLY the 1-column fingerprint-table contract of the exact-dedup
+    loop, so compact_seen_fps / compact_pending_fps apply unchanged.
+
+    Documents with no shingles (empty/NULL text) have no buckets:
+    they always pass and contribute nothing — compose with
+    dedup_incremental for exact dups, which owns that case."""
+    fresh, new_buckets = _minhash_incr_core(
+        new_df, seen_buckets, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        checkpoint=checkpoint)
+    updated = (new_buckets if seen_buckets is None
+               else seen_buckets.union(new_buckets))
+    return fresh, updated
+
+
+def _minhash_incr_core(new_df: DataFrame, seen_buckets: DataFrame | None,
+                       *, text_col: str, id_col: str, num_hashes: int,
+                       bands: int, shingle_n: int,
+                       checkpoint: bool) -> tuple[DataFrame, DataFrame]:
+    """(fresh_docs, NEW band fingerprints) — the per-batch kernel;
+    new_buckets excludes anything already in seen_buckets, so the seen
+    union stays duplicate-free and the streaming pipeline can land
+    exactly the delta per epoch."""
+    band = minhash_band_rows(new_df, id_col, text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_n=shingle_n)
+    if checkpoint:
+        # the signature subtree feeds three consumers (old-hit, new-hit,
+        # bucket-set); materialize once (lazily — the caller's first
+        # action pays it), same contract as dedup_incremental
+        band = band.localCheckpoint(eager=False)
+
+    hit_old = None
+    if seen_buckets is not None:
+        hit_old = (band.join(seen_buckets, "fingerprint", "leftsemi")
+                   .select(id_col))
+    bucket_min = band.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_first"))
+    hit_new = (band.join(bucket_min, "fingerprint")
+               .filter(F.col(id_col) > F.col("_first"))
+               .select(id_col))
+    dropped = hit_new if hit_old is None else hit_new.union(hit_old)
+    fresh = new_df.join(dropped.distinct(), id_col, "left_anti")
+
+    new_buckets = band.select("fingerprint").distinct()
+    if seen_buckets is not None:
+        new_buckets = new_buckets.join(seen_buckets, "fingerprint",
+                                       "left_anti")
+    return fresh, new_buckets
+
+
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

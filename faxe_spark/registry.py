@@ -1252,6 +1252,59 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incr_batches",
+    f"""
+    WITH {_SHINGLES_1},
+    base AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                    p -> (strpos('0123456789abcdef', substr(md5(shingle), p, 1)) - 1)
+                         * (16 ** (8 - p)))) AS BIGINT) % 2147483647 AS h
+      FROM shin
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min((({_MH_A})[seed + 1] * h + ({_MH_B})[seed + 1]) % 2147483647) AS minhash
+      FROM base, (SELECT unnest(range(0, 16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 8 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_hash
+      FROM mh GROUP BY doc_id, band
+    ),
+    r AS (SELECT doc_id, doc_id % 2 AS b, band, band_hash FROM bands),
+    dropped AS (
+      SELECT DISTINCT r1.doc_id
+      FROM r r1 JOIN r r2
+        ON r1.band = r2.band AND r1.band_hash = r2.band_hash
+      WHERE r2.b < r1.b OR (r2.b = r1.b AND r2.doc_id < r1.doc_id)
+    )
+    SELECT CAST(doc_id % 2 + 1 AS INT) AS batch, doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    doc="dedup: continuous-crawl NEAR-dup dedup across arrival batches "
+        "(the MinHash-LSH analog of dedup_incremental_batches): a doc "
+        "is dropped iff any of its LSH band buckets was occupied by an "
+        "earlier arrival — earlier batch via the accumulated bucket "
+        "set, or smaller id within the batch; dropped docs' buckets "
+        "still enter the set, so chains collapse to the first arrival "
+        "with no transitive closure. Greedy rule = NOT EXISTS earlier "
+        "sharer under the lexicographic (batch, doc_id) arrival order",
+)
+def dedup_minhash_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    fresh1, seen = dedup_ops.dedup_minhash_incremental(
+        b1, None, num_hashes=16, bands=2, shingle_n=1)
+    fresh2, _ = dedup_ops.dedup_minhash_incremental(
+        b2, seen, num_hashes=16, bands=2, shingle_n=1)
+    return (fresh1.select(F.lit(1).alias("batch"), "doc_id")
+            .unionByName(fresh2.select(F.lit(2).alias("batch"), "doc_id")))
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_1},
@@ -2954,15 +3007,18 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # including semantic_dedup, which r5 deferred unintentionally via a
 # duplicate "lookup_enrich" entry, the ADVICE r5 low item) return to the
 # window, keeping every query <=1 round from its last hard driver row.
-# Deferred now are 40 r5-hard-green entries whose code paths are
-# UNTOUCHED this round; the 10 r5-greens kept in-window are the ones
-# round 6 touches or tracks (ANN build/query lifecycle split ->
-# ann_topk/ann_ivf_topk/pq_adc_full_probe/ivfpq_full_probe; jaccard
-# lane-cliff work -> dedup_ngram_jaccard; seen-set streaming compaction
-# -> dedup_incremental_batches; drift attribution -> lm_novelty;
-# flagships dedup_minhash_lsh/dedup_clusters/trainprep_pipeline).
-# 39 returning + 10 kept + 1 new (ann_index_reuse) = 50 = the driver's
-# scoring window.
+# Deferred now are 41 r5-hard-green entries whose code paths are
+# UNTOUCHED this round; the 9 r5-greens kept in-window are the ones
+# round 6 touches (ANN build/query lifecycle split + the GEMM argmin
+# kernel -> ann_topk/ann_ivf_topk/pq_adc_full_probe/ivfpq_full_probe;
+# jaccard lane-cliff work -> dedup_ngram_jaccard; seen-set streaming
+# compaction -> dedup_incremental_batches; flagships
+# dedup_minhash_lsh/dedup_clusters/trainprep_pipeline). lm_novelty,
+# originally slated to stay for the drift watch, is deferred instead:
+# its CODE is untouched and r5-hash-green, bench.py tracks its timing
+# regardless of the window, and its slot goes to the second round-6
+# query. 39 returning + 9 kept + 2 new (ann_index_reuse,
+# dedup_minhash_incr_batches) = 50 = the driver's scoring window.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -2975,7 +3031,7 @@ _DEFERRED_THIS_ROUND = [
     "stats_extra", "statistics_node", "sliding_window",
     "win_time_fill_period", "default_rename_extract", "decontaminate",
     "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
-    "url_normalize",
+    "url_normalize", "lm_novelty",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

@@ -697,3 +697,74 @@ def incremental_dedup_pipeline(df: DataFrame, *, seen_fps: DataFrame | None,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def minhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
+                           out_dir: str, pending_dir: str,
+                           checkpoint_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3,
+                           available_now: bool = True):
+    """Streaming NEAR-dup crawl dedup (the MinHash-LSH sibling of
+    incremental_dedup_pipeline): each micro-batch runs the full batch
+    kernel (operators.dedup dedup_minhash_incremental semantics)
+    inside foreachBatch against the union of
+
+    - the COMPACTED bucket table (`bucket_table`, refreshed at restart
+      via compact_pending_fps — the band fingerprints share the exact
+      1-column table contract of the exact-dedup loop), and
+    - the pending epochs this run already landed in `pending_dir` —
+      which is what makes a near-dup arriving two micro-batches after
+      its original get caught WITHIN a run. The exact pipeline gets
+      that from dropDuplicatesWithinWatermark's state store; LSH
+      bucket membership has no built-in streaming operator, so the
+      pending directory IS the in-run state (at-least-once safe: each
+      epoch overwrites its own partition).
+
+    Semantics are the batch kernel's greedy first-arrival rule: a doc
+    is dropped iff any band bucket was occupied by an earlier arrival;
+    dropped docs' buckets still enter the set. Fresh docs land in
+    `out_dir`, the new bucket fingerprints in `pending_dir`, both
+    epoch-partitioned. Operational loop: run -> stop ->
+    compact_pending_fps(spark, pending_dir, bucket_table) -> clear
+    pending -> restart."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from faxe_spark.operators.dedup import _minhash_incr_core
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = None
+        if bucket_table is not None and spark.catalog.tableExists(
+                bucket_table):
+            seen = spark.table(bucket_table).select("fingerprint")
+        try:
+            # STRICTLY earlier epochs: a replayed epoch must not see its
+            # own failed attempt's buckets, or every doc in the batch
+            # would collide with itself and be dropped (data loss on
+            # the at-least-once path). The filter is partition pruning
+            # on the epoch= directory layout.
+            pend = (spark.read.parquet(pending_dir)
+                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                    .select("fingerprint"))
+            seen = pend if seen is None else seen.union(pend)
+        except AnalysisException:
+            pass                       # no pending epochs yet
+        fresh, new_buckets = _minhash_incr_core(
+            batch_df, seen, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            checkpoint=True)
+        (fresh.write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+        (new_buckets.write.mode("overwrite")
+         .parquet(f"{pending_dir}/epoch={epoch_id}"))
+
+    writer = (df.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

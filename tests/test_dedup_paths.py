@@ -413,3 +413,66 @@ def test_connected_components_mixed_width_ids(spark):
         got = {(r.node, r.component)
                for r in connected_components(pairs, **kw).collect()}
         assert got == {(1, 1), (2, 1), (big, 1), (big + 1, 1)}, kw
+
+
+def test_minhash_incremental_chain_and_empty_docs(spark):
+    """Greedy first-arrival LSH semantics: a chain A ~ B ~ C collapses
+    to A without transitive closure (B's buckets enter the seen set
+    even though B was dropped, so C's collision with B suffices);
+    docs with no shingles (empty/NULL text) always pass and add no
+    buckets."""
+    from faxe_spark.operators.dedup import dedup_minhash_incremental
+
+    long = ("the quick brown fox jumps over the lazy dog "
+            "again and again tonight")
+    chain_b = long.replace("fox", "cat")
+    chain_c = chain_b.replace("brown", "mole")
+    df = spark.createDataFrame([
+        (1, long),
+        (2, chain_b),      # near-dup of 1 -> dropped
+        (3, chain_c),      # near-dup of 2 (NOT of 1 directly) -> dropped
+        (4, "entirely different unrelated words in this one body"),
+        (5, ""),           # no shingles: passes
+        (6, None),         # no shingles: passes
+    ], "doc_id long, text string")
+    fresh, buckets = dedup_minhash_incremental(
+        df, None, num_hashes=16, bands=2, shingle_n=1)
+    assert sorted(r.doc_id for r in fresh.collect()) == [1, 4, 5, 6]
+    # sanity: B and C DO share a bucket while C and A do not (the
+    # chain premise — if this ever flips, the fixture needs new words)
+    from faxe_spark.operators.dedup import minhash_band_rows
+
+    bb = {(r.doc_id, r.fingerprint) for r in minhash_band_rows(
+        df.filter("doc_id <= 3"), num_hashes=16, bands=2,
+        shingle_n=1).collect()}
+    fps = lambda d: {f for i, f in bb if i == d}  # noqa: E731
+    assert fps(2) & fps(3), "chain premise broken: B,C share no bucket"
+    assert not (fps(1) & fps(3)), "fixture too similar: A,C share a bucket"
+    # the seen set carries buckets from dropped docs too
+    assert {r.fingerprint for r in buckets.collect()} >= fps(3)
+
+
+def test_minhash_incremental_cross_batch_and_bucket_delta(spark):
+    """Cross-batch: replays and near-dups of batch-1 docs drop in
+    batch 2; the updated bucket set is duplicate-free (union of
+    disjoint deltas), so compaction needs no distinct pass."""
+    from faxe_spark.operators.dedup import dedup_minhash_incremental
+
+    long = ("the quick brown fox jumps over the lazy dog "
+            "again and again tonight")
+    b1 = spark.createDataFrame(
+        [(1, long), (2, "some other totally distinct words here")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, long.replace("fox", "cat")),    # near-dup of 1 (shares a
+                                              # band — same fixture the
+                                              # chain test pins)
+         (11, "genuinely novel content appears only in batch two")],
+        "doc_id long, text string")
+    f1, seen1 = dedup_minhash_incremental(b1, None, num_hashes=16,
+                                          bands=2, shingle_n=1)
+    assert sorted(r.doc_id for r in f1.collect()) == [1, 2]
+    f2, seen2 = dedup_minhash_incremental(b2, seen1, num_hashes=16,
+                                          bands=2, shingle_n=1)
+    assert sorted(r.doc_id for r in f2.collect()) == [11]
+    assert seen2.count() == seen2.distinct().count()

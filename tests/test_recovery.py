@@ -315,3 +315,62 @@ def test_incremental_dedup_compaction_across_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_minhash_dedup_pipeline_within_run_and_across_restart(spark, tmp_path):
+    """Streaming NEAR-dup crawl dedup: a near-dup arriving a LATER
+    micro-batch in the same run is caught via the pending epochs (the
+    in-run state), and after stop -> compact -> restart a replay is
+    caught via the compacted bucket table. Greedy first-arrival
+    semantics throughout."""
+    import shutil
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import minhash_dedup_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "minhash_buckets_e2e"
+    schema = "doc_id long, text string"
+    long = ("the quick brown fox jumps over the lazy dog "
+            "again and again tonight")
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = minhash_dedup_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, num_hashes=16, bands=2, shingle_n=1)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", [(1, long),
+                    (2, long.replace("fox", "cat")),  # near-dup of 1
+                    (3, "totally unrelated content with different words")])
+        feed("b2", [(4, long),                        # replay, LATER batch:
+                                                      # only pending catches it
+                    (5, "fresh material unlike anything else so far")])
+        run_once()
+        got_a = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got_a == {1, 3, 5}, got_a
+
+        compact_pending_fps(spark, pending, tbl)
+        shutil.rmtree(pending)
+
+        feed("b3", [(6, long),                        # replay across restart:
+                                                      # only the table catches it
+                    (7, "yet another brand new document body here")])
+        run_once()
+        got_b = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got_b == {1, 3, 5, 7}, got_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")

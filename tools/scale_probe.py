@@ -57,7 +57,7 @@ PROBE_QUERIES = [
     # here: the degenerate exact codebook makes them O(n^2) by
     # definition — correctness devices, not linearity subjects; see
     # BASELINE.md round-6 journal)
-    "ann_index_reuse",
+    "ann_index_reuse", "dedup_minhash_incr_batches",
 ]
 
 
