@@ -315,10 +315,14 @@ def _query_ivf_flat(spark: SparkSession, queries: DataFrame,
     probed_union = sorted({c for lst in probe_lists for c in lst})
 
     vec_t = ("array<bigint>" if index.quantize else "array<double>")
+    # the probe rows' id type comes from the QUERIES side, not the
+    # corpus: with exclude_self=False the two id spaces are allowed to
+    # differ (the contract pq_adc_topk/ivfpq_topk honor the same way)
+    q_type = queries.schema[id_col].dataType.simpleString()
     probes = spark.createDataFrame(
         [(int(cid), r[query_id_col], r["_qvs"])
          for r, lst in zip(qrows, probe_lists) for cid in lst],
-        f"_cid int, {query_id_col} {index.id_type}, _qvs {vec_t}")
+        f"_cid int, {query_id_col} {q_type}, _qvs {vec_t}")
 
     # partition-pruned scan: only the probed lists' files are read
     lists = (spark.read.parquet(_table_path(spark, index.lists_table))
@@ -361,7 +365,10 @@ def _query_ivfpq(spark: SparkSession, queries: DataFrame,
     codes = (spark.read.parquet(_table_path(spark, index.lists_table))
              .filter(F.col("_cid").isin(probed_union))
              .select(id_col, "_cid", "codes"))
+    # hand ivfpq_topk the rows we already collected — its own select
+    # produces the identical (qid, _qv) shape, so this skips a second
+    # driver collect of the query batch on the hot path
     return sim.ivfpq_topk(codes, queries, coarse, index.codebooks, k,
                           nprobe=nprobe, vec_col=vec_col, id_col=id_col,
                           query_id_col=query_id_col,
-                          exclude_self=exclude_self)
+                          exclude_self=exclude_self, _prefetched=qrows)

@@ -171,9 +171,23 @@ def compact_pending_fps(spark, pending_dir: str,
     between the table RENAME and clearing pending_dir leaves absorbed
     epochs behind — both re-deliveries land here, once, at compaction
     cost (pay-once) instead of corrupting the seen set. Clear
-    pending_dir only AFTER this returns (the rename has landed)."""
-    pending = (spark.read.parquet(pending_dir)
-               .select("fingerprint").distinct())
+    pending_dir only AFTER this returns (the rename has landed).
+
+    A run that produced zero epochs never creates pending_dir: that is
+    a no-op, not an error — the existing table is returned unchanged
+    (or created empty, keeping the loop's 'table exists after
+    compaction' contract)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        pending = (spark.read.parquet(pending_dir)
+                   .select("fingerprint").distinct())
+    except AnalysisException:
+        if spark.catalog.tableExists(table):
+            return spark.table(table)
+        return compact_seen_fps(
+            spark.createDataFrame([], "fingerprint string"), table,
+            buckets=buckets)
     if spark.catalog.tableExists(table):
         prior = spark.table(table)
         merged = prior.union(

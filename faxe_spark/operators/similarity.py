@@ -800,7 +800,7 @@ def ivfpq_exact_residual_codebook(corpus: DataFrame, coarse, *,
 def ivfpq_topk(codes_df: DataFrame, queries: DataFrame, coarse, codebooks,
                k: int, *, nprobe: int = 8, vec_col: str = "embedding",
                id_col: str = "vec_id", query_id_col: str = "query_id",
-               exclude_self: bool = True) -> DataFrame:
+               exclude_self: bool = True, _prefetched=None) -> DataFrame:
     """IVFPQ search: per query, rank the coarse centroids, keep the
     `nprobe` nearest lists, and ADC-score ONLY candidates in those
     lists. With residual codes the score decomposes as
@@ -815,9 +815,14 @@ def ivfpq_topk(codes_df: DataFrame, queries: DataFrame, coarse, codebooks,
 
     B = codebooks
     m_, ksub, dsub = B.shape
-    qrows = (queries.select(F.col(id_col).alias(query_id_col),
-                            _as_double(F.col(vec_col)).alias("_qv"))
-             .collect())
+    # _prefetched: the already-collected (qid, vec) rows, so a caller
+    # that had to collect the batch anyway (ann_index._query_ivfpq
+    # derives its partition-prune set from them) doesn't pay a second
+    # driver collect of the same frame
+    qrows = (_prefetched if _prefetched is not None else
+             (queries.select(F.col(id_col).alias(query_id_col),
+                             _as_double(F.col(vec_col)).alias("_qv"))
+              .collect()))
     if not qrows:
         raise ValueError("ivfpq_topk: empty queries DataFrame")
     Q = np.array([r[1] for r in qrows], dtype=np.float64)

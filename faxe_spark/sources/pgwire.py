@@ -115,6 +115,13 @@ def sql_literal(v) -> str:
     import decimal
 
     if isinstance(v, decimal.Decimal):
+        # PostgreSQL NUMERIC admits NaN (and +-Infinity since v14);
+        # bare NaN is not a SQL literal, so quote-cast like the float
+        # branch — there is no precision to preserve in a non-finite
+        if not v.is_finite():
+            s = ("NaN" if v.is_nan()
+                 else ("Infinity" if v > 0 else "-Infinity"))
+            return f"CAST('{s}' AS DOUBLE PRECISION)"
         return str(v)               # exact decimal text, no float round
     import datetime
 
@@ -387,8 +394,25 @@ def _spark_type(rows: list[list], i: int) -> str:
     if isinstance(sample, int):
         return "bigint"
     if isinstance(sample, decimal.Decimal):
-        # lossless NUMERIC: wide-enough fixed decimal, never double
-        return "decimal(38,18)"
+        # lossless NUMERIC: size the Spark decimal to the DATA (the
+        # wire typmod isn't threaded here) — a fixed decimal(38,18)
+        # silently rounds scale>18 values, the opposite of the point.
+        # Non-finite (NaN/Inf) or >38-digit values fall back to string:
+        # Spark decimals can represent neither, and string keeps every
+        # digit.
+        max_s, max_i = 0, 1
+        for r in rows:
+            v = r[i]
+            if not isinstance(v, decimal.Decimal):
+                continue
+            if not v.is_finite():
+                return "string"
+            t = v.as_tuple()
+            max_s = max(max_s, max(0, -t.exponent))
+            max_i = max(max_i, len(t.digits) + t.exponent)
+        if max_i + max_s <= 38:
+            return f"decimal({max_i + max_s},{max_s})"
+        return "string"
     if isinstance(sample, float):
         return "double"
     if isinstance(sample, datetime.datetime):

@@ -166,3 +166,30 @@ def test_add_to_ivfpq_index_equals_full_build(spark):
         assert got == want and len(got) == 50
     finally:
         ax.drop_ann_index(spark, "t_annix_pqadd")
+
+
+def test_query_ids_may_differ_in_type_from_corpus(spark):
+    """Review round 6: with exclude_self=False the query id space is
+    independent of the corpus id space (the pq_adc_topk contract) —
+    string query ids against a bigint-id corpus must work on BOTH
+    index kinds."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.concat(F.lit("q"),
+                                F.col("vec_id").cast("string"))
+                       .alias("vec_id"), "embedding"))
+    try:
+        ivf = ax.build_ivf_index(spark, emb, name="t_annix_qt",
+                                 nlist=4, seed=42)
+        out = ax.query_ann_index(queries, ivf, 3, nprobe=4,
+                                 exclude_self=False)
+        got = {r["query_id"] for r in out.collect()}
+        assert got == {"q0", "q1", "q2"}
+        pq = ax.build_ivfpq_index(spark, emb, name="t_annix_qt2",
+                                  nlist=4, m=8, ksub=4, seed=42)
+        out2 = ax.query_ann_index(queries, pq, 3, nprobe=4,
+                                  exclude_self=False)
+        assert {r["query_id"] for r in out2.collect()} == {"q0", "q1", "q2"}
+    finally:
+        ax.drop_ann_index(spark, "t_annix_qt")
+        ax.drop_ann_index(spark, "t_annix_qt2")

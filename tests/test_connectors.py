@@ -1655,3 +1655,40 @@ def test_pgwire_numeric_decodes_losslessly(spark):
     finally:
         srv.stop()
         con.close()
+
+
+def test_pgwire_numeric_scale_sizing_and_nonfinite_literals(spark):
+    """Review round 6: (a) the Spark decimal type is sized to the
+    data, so scale>18 survives (the old fixed decimal(38,18) silently
+    rounded); (b) sql_literal quote-casts non-finite Decimals — bare
+    NaN is not a SQL literal."""
+    import decimal
+
+    import duckdb
+
+    from faxe_spark.sources.pgwire import (PGWireServer, sql_literal,
+                                           postgre_statement_df)
+
+    assert sql_literal(decimal.Decimal("NaN")) == \
+        "CAST('NaN' AS DOUBLE PRECISION)"
+    assert sql_literal(decimal.Decimal("Infinity")) == \
+        "CAST('Infinity' AS DOUBLE PRECISION)"
+    assert sql_literal(decimal.Decimal("-Infinity")) == \
+        "CAST('-Infinity' AS DOUBLE PRECISION)"
+    assert sql_literal(decimal.Decimal("0.10")) == "0.10"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE deep(v DECIMAL(38,30))")
+    deep = "0.123456789012345678901234567890"
+    con.execute(f"INSERT INTO deep VALUES ({deep})")
+    srv = PGWireServer(con)
+    try:
+        df = postgre_statement_df(
+            spark, host="127.0.0.1", port=srv.port,
+            statement="SELECT v FROM deep")
+        dt = dict(df.dtypes)["v"]
+        assert dt.startswith("decimal") and ",30)" in dt, dt
+        assert df.collect()[0][0] == decimal.Decimal(deep)
+    finally:
+        srv.stop()
+        con.close()

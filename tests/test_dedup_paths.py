@@ -476,3 +476,23 @@ def test_minhash_incremental_cross_batch_and_bucket_delta(spark):
                                           bands=2, shingle_n=1)
     assert sorted(r.doc_id for r in f2.collect()) == [11]
     assert seen2.count() == seen2.distinct().count()
+
+
+def test_compact_pending_fps_missing_dir_is_noop(spark, tmp_path):
+    """Review round 6: a run that produced zero epochs never creates
+    pending_dir — compaction must no-op (return the table unchanged,
+    or create it empty), not throw PATH_NOT_FOUND."""
+    from faxe_spark.operators.dedup import compact_pending_fps
+
+    tbl = "t_compact_noop"
+    try:
+        out = compact_pending_fps(spark, str(tmp_path / "never_made"), tbl)
+        assert out.count() == 0                       # created empty
+        spark.createDataFrame([("fp1",)], "fingerprint string") \
+            .write.parquet(str(tmp_path / "pend" / "epoch=0"))
+        compact_pending_fps(spark, str(tmp_path / "pend"), tbl)
+        out2 = compact_pending_fps(spark, str(tmp_path / "never_made"), tbl)
+        assert {r.fingerprint for r in out2.collect()} == {"fp1"}  # unchanged
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
