@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_index_reuse",
     # round 6 second wave: streaming-capable near-dup crawl dedup
     "dedup_minhash_incr_batches",
+    "dedup_simhash_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -158,7 +158,8 @@ def compact_seen_fps(seen_fps: DataFrame, table: str = "seen_fingerprints",
 
 def compact_pending_fps(spark, pending_dir: str,
                         table: str = "seen_fingerprints", *,
-                        buckets: int = 32) -> DataFrame:
+                        buckets: int = 32,
+                        cols: tuple = ("fingerprint",)) -> DataFrame:
     """Fold a streaming run's pending fingerprints
     (streaming.stateful.incremental_dedup_pipeline writes them to
     `pending_dir`, epoch-partitioned) into the bucketed seen table —
@@ -176,22 +177,29 @@ def compact_pending_fps(spark, pending_dir: str,
     A run that produced zero epochs never creates pending_dir: that is
     a no-op, not an error — the existing table is returned unchanged
     (or created empty, keeping the loop's 'table exists after
-    compaction' contract)."""
+    compaction' contract).
+
+    `cols` names the bucket-row columns — ("fingerprint",) for the
+    exact and MinHash loops, ("fingerprint", "simhash") for the
+    hamming loop; the table stays bucketed on the fingerprint either
+    way."""
     from pyspark.errors import AnalysisException
 
+    cols = list(cols)
     try:
         pending = (spark.read.parquet(pending_dir)
-                   .select("fingerprint").distinct())
+                   .select(*cols).distinct())
     except AnalysisException:
         if spark.catalog.tableExists(table):
             return spark.table(table)
         return compact_seen_fps(
-            spark.createDataFrame([], "fingerprint string"), table,
-            buckets=buckets)
+            spark.createDataFrame(
+                [], ", ".join(f"{c} string" if c == "fingerprint"
+                              else f"{c} long" for c in cols)),
+            table, buckets=buckets)
     if spark.catalog.tableExists(table):
         prior = spark.table(table)
-        merged = prior.union(
-            pending.join(prior, "fingerprint", "left_anti"))
+        merged = prior.union(pending.join(prior, cols, "left_anti"))
     else:
         merged = pending
     return compact_seen_fps(merged, table, buckets=buckets)
@@ -1106,3 +1114,101 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.lit(0).alias("hamming")))
     return cross.unionByName(same)
+
+
+def simhash_band_rows(sig: DataFrame, *, bits: int = 32,
+                      hamming_max: int = 3) -> DataFrame:
+    """Explode a (…, simhash) frame into hamming-band bucket rows:
+    one row per (doc, band) with fingerprint = 's<band>|<band_val>'.
+    Pigeonhole over hamming_max+1 bands: any pair within the hamming
+    threshold shares at least one whole band (the simhash_pairs
+    construction), so a bucket join yields a candidate SUPERSET and
+    the bit_count filter restores exactness. The string fingerprint
+    keeps the bucket set storable in the same fingerprint tables the
+    other crawl loops compact."""
+    n_bands = hamming_max + 1
+    band_bits = [bits // n_bands + (1 if i < bits % n_bands else 0)
+                 for i in range(n_bands)]
+    structs, lo = [], 0
+    for b, width in enumerate(band_bits):
+        structs.append(F.concat(
+            F.lit(f"s{b}|"),
+            F.expr(f"(simhash >> {lo}) & {(1 << width) - 1}")
+            .cast("string")))
+        lo += width
+    return sig.withColumn("fingerprint",
+                          F.explode(F.array(*structs)))
+
+
+def dedup_simhash_incremental(new_df: DataFrame,
+                              seen_sigs: DataFrame | None, *,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              bits: int = 32, shingle_n: int = 3,
+                              hamming_max: int = 3,
+                              checkpoint: bool = True
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl near-dup dedup on SIMHASH distance (the
+    hamming sibling of dedup_minhash_incremental): drop a new document
+    iff an EARLIER arrival's signature is within `hamming_max` bits —
+    earlier batch via `seen_sigs`, or a smaller id in this batch.
+    Unlike the MinHash loop the semantic is exact, not probabilistic:
+    the hamming band buckets only generate candidates, and the
+    bit_count(xor) filter decides. Dropped docs' signatures still
+    enter the seen set (chains collapse to the first arrival).
+
+    seen_sigs is a 2-column (fingerprint, simhash) frame — ~
+    (hamming_max+1) band rows per DISTINCT signature seen; compact it
+    with compact_seen_fps/compact_pending_fps(cols=("fingerprint",
+    "simhash")): the bucketed fingerprint layout co-locates the
+    candidate join exactly like the other loops' tables.
+
+    Returns (fresh_docs, updated_seen). Docs with no shingles have no
+    signature: they pass and contribute nothing (dedup_incremental
+    owns exact/empty-doc dedup)."""
+    fresh, new_rows = _simhash_incr_core(
+        new_df, seen_sigs, text_col=text_col, id_col=id_col,
+        bits=bits, shingle_n=shingle_n, hamming_max=hamming_max,
+        checkpoint=checkpoint)
+    updated = (new_rows if seen_sigs is None
+               else seen_sigs.union(new_rows))
+    return fresh, updated
+
+
+def _simhash_incr_core(new_df: DataFrame, seen_sigs: DataFrame | None,
+                       *, text_col: str, id_col: str, bits: int,
+                       shingle_n: int, hamming_max: int,
+                       checkpoint: bool) -> tuple[DataFrame, DataFrame]:
+    """(fresh_docs, NEW (fingerprint, simhash) rows) — the per-batch
+    kernel; like _minhash_incr_core, new rows exclude anything already
+    seen so unions stay duplicate-free."""
+    sig = simhash(new_df, id_col=id_col, text_col=text_col, bits=bits,
+                  shingle_n=shingle_n)
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=False)
+    band = simhash_band_rows(sig, bits=bits, hamming_max=hamming_max)
+
+    ham = F.expr("bit_count(simhash ^ _seen_sig)")
+    hit_old = None
+    if seen_sigs is not None:
+        hit_old = (band.join(
+            seen_sigs.select("fingerprint",
+                             F.col("simhash").alias("_seen_sig")),
+            "fingerprint")
+            .filter(ham <= hamming_max)
+            .select(id_col))
+    earlier = band.select(
+        "fingerprint", F.col(id_col).alias("_eid"),
+        F.col("simhash").alias("_seen_sig"))
+    hit_new = (band.join(earlier, "fingerprint")
+               .filter((F.col("_eid") < F.col(id_col))
+                       & (ham <= hamming_max))
+               .select(id_col))
+    dropped = hit_new if hit_old is None else hit_new.union(hit_old)
+    fresh = new_df.join(dropped.distinct(), id_col, "left_anti")
+
+    new_rows = band.select("fingerprint", "simhash").distinct()
+    if seen_sigs is not None:
+        new_rows = new_rows.join(seen_sigs, ["fingerprint", "simhash"],
+                                 "left_anti")
+    return fresh, new_rows

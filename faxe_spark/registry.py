@@ -1381,6 +1381,40 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    shingle_n=1, hamming_max=3)
 
 
+@register(
+    "dedup_simhash_incr_batches",
+    _SIMHASH_SIGS_SQL + """
+    , r AS (SELECT doc_id, doc_id % 2 AS b, simhash FROM sigs),
+    dropped AS (
+      SELECT DISTINCT r1.doc_id
+      FROM r r1 JOIN r r2
+        ON bit_count(xor(r1.simhash, r2.simhash)) <= 3
+       AND (r2.b < r1.b OR (r2.b = r1.b AND r2.doc_id < r1.doc_id))
+    )
+    SELECT CAST(doc_id % 2 + 1 AS INT) AS batch, doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    doc="dedup: continuous-crawl near-dup dedup on SIMHASH hamming "
+        "distance across arrival batches — a doc drops iff an earlier "
+        "arrival's signature is within 3 bits (earlier batch via the "
+        "accumulated band-bucket set, smaller id within the batch); "
+        "dropped docs' signatures stay in the set so chains collapse. "
+        "EXACT semantic (bands generate candidates, bit_count decides) "
+        "— the oracle needs no band construction at all",
+)
+def dedup_simhash_incr_batches_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    fresh1, seen = dedup_ops.dedup_simhash_incremental(
+        b1, None, bits=32, shingle_n=1, hamming_max=3)
+    fresh2, _ = dedup_ops.dedup_simhash_incremental(
+        b2, seen, bits=32, shingle_n=1, hamming_max=3)
+    return (fresh1.select(F.lit(1).alias("batch"), "doc_id")
+            .unionByName(fresh2.select(F.lit(2).alias("batch"), "doc_id")))
+
+
 _QVEC = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 
@@ -3017,8 +3051,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # originally slated to stay for the drift watch, is deferred instead:
 # its CODE is untouched and r5-hash-green, bench.py tracks its timing
 # regardless of the window, and its slot goes to the second round-6
-# query. 39 returning + 9 kept + 2 new (ann_index_reuse,
-# dedup_minhash_incr_batches) = 50 = the driver's scoring window.
+# query. ann_ivf_topk (rows-only BY DESIGN — approximate) also defers:
+# a rows-only row is the weakest window evidence, and the SAME
+# machinery holds an in-window HASH row via ann_ivf_full_probe
+# (nprobe=nlist ≡ brute force); its slot goes to the third round-6
+# query. 39 returning + 8 kept + 3 new (ann_index_reuse,
+# dedup_minhash_incr_batches, dedup_simhash_incr_batches) = 50 = the
+# driver's scoring window.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -3031,7 +3070,7 @@ _DEFERRED_THIS_ROUND = [
     "stats_extra", "statistics_node", "sliding_window",
     "win_time_fill_period", "default_rename_extract", "decontaminate",
     "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
-    "url_normalize", "lm_novelty",
+    "url_normalize", "lm_novelty", "ann_ivf_topk",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

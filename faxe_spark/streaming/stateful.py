@@ -730,17 +730,70 @@ def minhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
     epoch-partitioned. Operational loop: run -> stop ->
     compact_pending_fps(spark, pending_dir, bucket_table) -> clear
     pending -> restart."""
+    from faxe_spark.operators.dedup import _minhash_incr_core
+
+    def kernel(batch_df, seen):
+        return _minhash_incr_core(
+            batch_df, seen, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            checkpoint=True)
+
+    return _bucket_dedup_pipeline(
+        df, kernel=kernel, cols=("fingerprint",),
+        bucket_table=bucket_table, out_dir=out_dir,
+        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
+        available_now=available_now)
+
+
+def simhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
+                           out_dir: str, pending_dir: str,
+                           checkpoint_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           bits: int = 32, shingle_n: int = 3,
+                           hamming_max: int = 3,
+                           available_now: bool = True):
+    """Streaming near-dup crawl dedup on SIMHASH hamming distance —
+    same loop as minhash_dedup_pipeline (compacted bucket table +
+    pending epochs as in-run state), but the seen rows carry
+    (fingerprint, simhash) so candidates from the hamming-band buckets
+    are verified by bit_count: the semantic is exact, not
+    probabilistic. Compact with compact_pending_fps(..., cols=
+    ("fingerprint", "simhash"))."""
+    from faxe_spark.operators.dedup import _simhash_incr_core
+
+    def kernel(batch_df, seen):
+        return _simhash_incr_core(
+            batch_df, seen, text_col=text_col, id_col=id_col,
+            bits=bits, shingle_n=shingle_n, hamming_max=hamming_max,
+            checkpoint=True)
+
+    return _bucket_dedup_pipeline(
+        df, kernel=kernel, cols=("fingerprint", "simhash"),
+        bucket_table=bucket_table, out_dir=out_dir,
+        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
+        available_now=available_now)
+
+
+def _bucket_dedup_pipeline(df: DataFrame, *, kernel, cols: tuple,
+                           bucket_table: str | None, out_dir: str,
+                           pending_dir: str, checkpoint_dir: str,
+                           available_now: bool):
+    """Shared foreachBatch loop for the bucket-set crawl dedups:
+    seen = compacted table ∪ STRICTLY earlier pending epochs, kernel
+    returns (fresh, new_rows), both land epoch-idempotently. `cols`
+    are the bucket-row columns the kernel expects on the seen side."""
     import pyspark.sql.functions as F
     from pyspark.errors import AnalysisException
 
-    from faxe_spark.operators.dedup import _minhash_incr_core
+    cols = list(cols)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         seen = None
         if bucket_table is not None and spark.catalog.tableExists(
                 bucket_table):
-            seen = spark.table(bucket_table).select("fingerprint")
+            seen = spark.table(bucket_table).select(*cols)
         try:
             # STRICTLY earlier epochs: a replayed epoch must not see its
             # own failed attempt's buckets, or every doc in the batch
@@ -749,17 +802,14 @@ def minhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
             # on the epoch= directory layout.
             pend = (spark.read.parquet(pending_dir)
                     .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                    .select("fingerprint"))
+                    .select(*cols))
             seen = pend if seen is None else seen.union(pend)
         except AnalysisException:
             pass                       # no pending epochs yet
-        fresh, new_buckets = _minhash_incr_core(
-            batch_df, seen, text_col=text_col, id_col=id_col,
-            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-            checkpoint=True)
+        fresh, new_rows = kernel(batch_df, seen)
         (fresh.write.mode("overwrite")
          .parquet(f"{out_dir}/epoch={epoch_id}"))
-        (new_buckets.write.mode("overwrite")
+        (new_rows.write.mode("overwrite")
          .parquet(f"{pending_dir}/epoch={epoch_id}"))
 
     writer = (df.writeStream.foreachBatch(process)

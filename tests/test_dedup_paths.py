@@ -496,3 +496,34 @@ def test_compact_pending_fps_missing_dir_is_noop(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_simhash_incremental_chain_cross_batch_and_empty(spark):
+    """Hamming-distance crawl dedup: at hamming_max=2 the fixture is a
+    PURE chain (h(A,B)=1, h(B,C)=2, but h(A,C)=3 — C is not a dup of A
+    directly, only of dropped B, whose signature stays in the seen
+    set); cross-batch replays drop against the accumulated set; docs
+    with no shingles pass."""
+    from faxe_spark.operators.dedup import dedup_simhash_incremental
+
+    long = ("the quick brown fox jumps over the lazy dog "
+            "again and again tonight")
+    b1 = spark.createDataFrame([
+        (1, long),
+        (2, long.replace("fox", "cat")),                     # h=1 to 1
+        (3, long.replace("fox", "cat").replace("brown", "mole")),
+        # ^ h=2 to doc2, h=3 to doc1: dropped ONLY via the chain
+        (4, "totally unrelated content with different words"),
+        (5, None),
+    ], "doc_id long, text string")
+    f1, seen = dedup_simhash_incremental(b1, None, bits=32,
+                                         shingle_n=1, hamming_max=2)
+    assert sorted(r.doc_id for r in f1.collect()) == [1, 4, 5]
+    b2 = spark.createDataFrame([
+        (10, long),                                          # replay: h=0
+        (11, "genuinely new material unlike anything before")],
+        "doc_id long, text string")
+    f2, seen2 = dedup_simhash_incremental(b2, seen, bits=32,
+                                          shingle_n=1, hamming_max=2)
+    assert sorted(r.doc_id for r in f2.collect()) == [11]
+    assert seen2.count() == seen2.distinct().count()

@@ -374,3 +374,61 @@ def test_minhash_dedup_pipeline_within_run_and_across_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_simhash_dedup_pipeline_restart(spark, tmp_path):
+    """The hamming edition of the streaming crawl loop: within-run
+    later-micro-batch near-dup caught via pending epochs; replay
+    across restart caught via the compacted 2-column
+    (fingerprint, simhash) bucket table."""
+    import shutil
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import simhash_dedup_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "simhash_buckets_e2e"
+    schema = "doc_id long, text string"
+    long = ("the quick brown fox jumps over the lazy dog "
+            "again and again tonight")
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = simhash_dedup_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, bits=32, shingle_n=1, hamming_max=3)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", [(1, long),
+                    (3, "totally unrelated content with different words")])
+        feed("b2", [(4, long.replace("fox", "cat")),  # h=1: near-dup of 1,
+                                                      # caught via pending
+                    (5, "fresh material unlike anything else so far")])
+        run_once()
+        got_a = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got_a == {1, 3, 5}, got_a
+
+        compact_pending_fps(spark, pending, tbl,
+                            cols=("fingerprint", "simhash"))
+        shutil.rmtree(pending)
+
+        feed("b3", [(6, long),                        # replay across restart:
+                                                      # only the table catches it
+                    (7, "yet another brand new document body here")])
+        run_once()
+        got_b = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got_b == {1, 3, 5, 7}, got_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
