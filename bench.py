@@ -82,6 +82,7 @@ HEADLINE = [
     # round 6 second wave: streaming-capable near-dup crawl dedup
     "dedup_minhash_incr_batches",
     "dedup_simhash_incr_batches",
+    "exact_substring_dedup", "embedding_neardup_ivf",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

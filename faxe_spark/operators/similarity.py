@@ -459,6 +459,144 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             .applyInPandas(tile, "id_a long, id_b long, cosine double"))
 
 
+def assign_probes(corpus: DataFrame, centroids, *, id_col: str,
+                  nprobe: int, vec_col: str = "_cv") -> DataFrame:
+    """assign_lists plus the probe set in the SAME Arrow pass: output
+    (id_col, _cid, _probes) where _cid is the nearest centroid (the
+    vector's own inverted list) and _probes the next `nprobe - 1`
+    nearest list ids. Tie-break matches assign_lists' argmax (stable
+    sort on the negated scores breaks score ties toward the lower
+    centroid id), so _cid is bit-identical to the single-list path."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        half = 0.5 * (C * C).sum(axis=1)
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(V @ C.T - half[None, :]), axis=1,
+                               kind="stable").astype(np.int32)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "_cid": order[:, 0],
+                "_probes": list(order[:, 1:nprobe])})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return (corpus.select(id_col, vec_col)
+            .mapInPandas(assign, f"{id_col} {id_type}, _cid int, "
+                                 "_probes array<int>"))
+
+
+def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
+                     nlist: int = 8, nprobe: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42, max_iter: int = 20,
+                     block_size: int = 1024) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT the all-pairs join — the scale
+    path for cosine_pairs: IVF coarse lists generate candidates, exact
+    quantized cosine decides. A pair is considered iff the two vectors
+    share a coarse list, or either vector PROBES the other's list
+    (its `nprobe` nearest centroids) — the multi-probe recall device
+    from the FAISS IVF family, applied to pair generation instead of
+    top-k, which catches the near-dups straddling a centroid boundary
+    that SemDeDup's within-cluster lane misses.
+
+    nprobe=None (or nlist) probes every list: every pair is considered
+    and the result is EXACTLY cosine_pairs (the oracle lane; the
+    quantized float64 GEMM is bit-exact, see cosine_pairs). Bounded
+    nprobe is the 100 TB config: candidate cost drops from n^2 to
+    sum(within-list n_c^2) + n * nprobe/nlist * n_c, output-
+    proportional in practice.
+
+    Shape: one driver-side trainer sample (hash_sample_matrix), one
+    Arrow pass for assignment+probes, the within-list pairs reuse
+    cosine_pairs' per-cluster tile grid, and the cross-list stage
+    tiles the prober side per probed list (member side replicated per
+    tile, the same replication structure as the brute tile grid —
+    but over nprobe/nlist of the data). distinct() is safe because
+    both directions of a twice-found pair compute identical float64
+    bits from exact integer dots."""
+    import math
+
+    import numpy as np  # noqa: F401  (tile closures)
+
+    X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                           what="cosine_pairs_ivf")
+    centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
+    if nprobe is None:
+        nprobe = nlist
+    nprobe = max(1, min(nprobe, nlist))
+
+    c = corpus.select(F.col(id_col).cast("long").alias("_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"),
+                      quantize_vec(F.col(vec_col)).alias("_vq"))
+    ap = assign_probes(c, centroids, id_col="_id", nprobe=nprobe)
+    clustered = (corpus
+                 .select(F.col(id_col), F.col(vec_col),
+                         F.col(id_col).cast("long").alias("_id"))
+                 .join(ap.select("_id", "_cid"), "_id").drop("_id"))
+    within = cosine_pairs(clustered, threshold, id_col=id_col,
+                          vec_col=vec_col, block_size=block_size,
+                          block_col="_cid")
+    if nprobe == 1:
+        return within
+
+    # cross-list stage: probers replicated to their probed lists, the
+    # members of each probed list tiled against them
+    probers = (c.join(ap.select("_id", "_probes"), "_id")
+               .select("_id", "_vq",
+                       F.explode("_probes").alias("_pid")))
+    members = c.join(ap.select("_id", "_cid"), "_id") \
+        .select("_id", "_vq", F.col("_cid").alias("_pid"))
+    counts = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
+        .cast("int")
+    p_tagged = (probers.join(F.broadcast(counts), "_pid")
+                .select("_pid", "_id", "_vq", F.lit(1).alias("_side"),
+                        F.pmod(F.xxhash64("_id"), nb).cast("int")
+                        .alias("_pb")))
+    m_tagged = (members.join(F.broadcast(counts), "_pid")
+                .select("_pid", "_id", "_vq", F.lit(0).alias("_side"),
+                        F.explode(F.sequence(F.lit(0), nb - 1))
+                        .alias("_pb")))
+
+    thr = threshold
+
+    def tile_cross(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["_side"] == 1]
+        right = pdf[pdf["_side"] == 0]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        X = np.stack(left["_vq"].to_numpy()).astype(np.float64)
+        Y = np.stack(right["_vq"].to_numpy()).astype(np.float64)
+        dots = X @ Y.T
+        nx = np.sqrt((X * X).sum(axis=1))
+        ny = np.sqrt((Y * Y).sum(axis=1))
+        cos = dots / np.outer(nx, ny)
+        ia, ib = np.nonzero(cos >= thr)
+        a_ids, b_ids = lid[ia], rid[ib]
+        return pd.DataFrame({"id_a": np.minimum(a_ids, b_ids),
+                             "id_b": np.maximum(a_ids, b_ids),
+                             "cosine": cos[ia, ib]})
+
+    cross = (p_tagged.unionByName(m_tagged)
+             .groupBy("_pid", "_pb")
+             .applyInPandas(tile_cross,
+                            "id_a long, id_b long, cosine double")
+             .distinct())
+    return within.unionByName(cross)
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float, *,
                    nlist: int = 1, id_col: str = "vec_id",
                    vec_col: str = "embedding", seed: int = 42,

@@ -252,6 +252,64 @@ def duplicate_span_features(df: DataFrame, *, text_col: str = "text",
                          / F.greatest("n_spans", F.lit(1))).cast("double")))
 
 
+def exact_substring_dedup(df: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          span_words: int = 10) -> DataFrame:
+    """Exact substring-span REMOVAL (the apply side of
+    duplicate_span_features — Lee et al. 2022 'Deduplicating Training
+    Data' ExactSubstr, word-granular): every corpus-wide duplicated
+    `span_words`-word span keeps its FIRST occurrence (min (doc, pos))
+    and is cut from every later one. Overlapping grams make removal
+    span-maximal: a duplicated region of ANY length >= span_words is
+    tiled by duplicated grams, so the union of their covered token
+    ranges removes the whole region from non-first occurrences while
+    the first occurrence keeps every token.
+
+    Returns one row per input doc: (id, n_tokens, n_removed,
+    clean_text) where clean_text is the surviving normalized tokens
+    re-joined by ' ' (docs with nothing removed get their normalized
+    text back — deterministic, engine-comparable).
+
+    Shape (all JVM, no Python): grams posexplode scan-stage; the
+    canonical occurrence per gram is ONE groupBy min(struct(doc,pos))
+    with map-side partial agg (never a window over the gram — the
+    viral-span skew rule duplicate_span_features documents); covered
+    token indexes collapse per doc via collect_set; the final token
+    filter is a higher-order transform on the already-materialized
+    words array. The paper's suffix-array build is a single-machine
+    construction — the overlapping-gram tiling is the shuffle-friendly
+    equivalent at word granularity."""
+    d = df.withColumn("_w", words(F.col(text_col)))
+    occ = (d.select(id_col,
+                    F.posexplode(ngram_array(span_words))
+                    .alias("_p0", "_g"))
+           .select(id_col, (F.col("_p0") + 1).alias("_pos"),
+                   F.md5("_g").alias("_ck")))
+    first = occ.groupBy("_ck").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("_pos").alias("p"))).alias("_f"))
+    covered = (occ.join(first, "_ck")
+               .filter((F.col(id_col) != F.col("_f.d"))
+                       | (F.col("_pos") != F.col("_f.p")))
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("_pos"),
+                           F.col("_pos") + F.lit(span_words - 1)))
+                       .alias("_i")))
+    cov = covered.groupBy(id_col).agg(F.collect_set("_i").alias("_cov"))
+    return (d.select(id_col, "_w").join(cov, id_col, "left")
+            .withColumn("_cov", F.coalesce(
+                "_cov", F.expr("cast(array() as array<int>)")))
+            .select(
+                id_col,
+                F.size("_w").cast("long").alias("n_tokens"),
+                F.size("_cov").cast("long").alias("n_removed"),
+                F.concat_ws(" ", F.expr(
+                    "filter(transform(_w, (t, i) -> "
+                    "if(array_contains(_cov, i + 1), null, t)), "
+                    "x -> x is not null)")).alias("clean_text")))
+
+
 def hashed_token_weight(tok: Column, *, seed: str = "q",
                         scale: int = 1000) -> Column:
     """Deterministic integer weight in [-scale, scale] for a token —

@@ -232,3 +232,45 @@ def test_ivfpq_empty_queries_raises(spark):
     coarse, books, codes = sim.ivfpq_index(emb, nlist=2, m=8, ksub=4)
     with pytest.raises(ValueError, match="empty queries"):
         sim.ivfpq_topk(codes, emb.filter("vec_id < 0"), coarse, books, 5)
+
+
+# -- IVF multi-probe PAIR generation (cosine_pairs_ivf) ---------------------
+
+def test_pairs_ivf_full_probe_equals_all_pairs(spark):
+    """nprobe == nlist considers every pair, so the result must equal
+    cosine_pairs bit-for-bit (same quantized float64 GEMM; the
+    twice-found cross-list pairs dedupe via distinct on identical
+    bits)."""
+    emb = load_table(spark, SF, "embeddings")
+    brute = {(r.id_a, r.id_b): r.cosine
+             for r in sim.cosine_pairs(emb, 0.35, id_col="vec_id",
+                                       vec_col="embedding").collect()}
+    ivf = {(r.id_a, r.id_b): r.cosine
+           for r in sim.cosine_pairs_ivf(emb, 0.35, nlist=8, nprobe=8,
+                                         id_col="vec_id",
+                                         vec_col="embedding").collect()}
+    assert ivf == brute
+    assert len(brute) > 0              # non-vacuous fixture
+
+
+def test_pairs_ivf_probe_monotone_and_within_cluster_complete(spark):
+    """Bounded probes: every result is a TRUE pair (subset of brute,
+    never a false positive — candidates only generate, the exact
+    cosine decides), recall grows monotonically with nprobe, and
+    nprobe=1 is exactly the SemDeDup within-cluster lane — so any
+    extra pairs at nprobe>1 are boundary-straddlers that lane
+    misses."""
+    emb = load_table(spark, SF, "embeddings")
+    brute = {(r.id_a, r.id_b)
+             for r in sim.cosine_pairs(emb, 0.35, id_col="vec_id",
+                                       vec_col="embedding").collect()}
+    got = {}
+    for np_ in (1, 4, 8):
+        got[np_] = {(r.id_a, r.id_b)
+                    for r in sim.cosine_pairs_ivf(
+                        emb, 0.35, nlist=8, nprobe=np_, id_col="vec_id",
+                        vec_col="embedding").collect()}
+        assert got[np_] <= brute
+    assert got[1] <= got[4] <= got[8] == brute
+    assert len(got[4]) > len(got[1]), \
+        "multi-probe found no boundary-straddling pairs on this corpus"

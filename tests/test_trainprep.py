@@ -424,6 +424,44 @@ def test_duplicate_span_features_crafted(spark):
     assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
 
 
+def test_exact_substring_dedup_crafted(spark):
+    """Span REMOVAL semantics: the first occurrence (min (doc,pos)) of
+    a duplicated region keeps every token; later occurrences lose the
+    WHOLE region even when it is longer than span_words (overlapping
+    grams tile it); within-doc repetition keeps only the first copy;
+    unique and too-short docs pass through as normalized text."""
+    shared = " ".join(f"s{i}" for i in range(16))    # 16 > span_words
+    ten = " ".join(f"r{i}" for i in range(10))
+    df = _docs(spark, [
+        (1, f"pre1 {shared} tail1", "s"),            # first: untouched
+        (2, f"other lead-in {shared}", "s"),         # later: region cut
+        (3, " ".join(f"u{i}" for i in range(12)), "s"),
+        (4, "Short  Text", "s"),                     # <10 words + norm
+        (5, f"{ten} {ten}", "s"),                    # within-doc repeat
+    ])
+    out = {r.doc_id: r for r in
+           text_ops.exact_substring_dedup(df, span_words=10).collect()}
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == f"pre1 {shared} tail1"
+    assert out[2].n_removed == 16                    # whole 16-word region
+    assert out[2].clean_text == "other lead-in"
+    assert out[3].n_removed == 0 and out[3].n_tokens == 12
+    assert out[4].clean_text == "short text"         # normalized passthrough
+    assert out[5].n_removed == 10                    # second copy only
+    assert out[5].clean_text == ten
+
+    # 100 TB skew guard: the canonical-occurrence pick per gram must be
+    # a groupBy min (map-side partial combine) — never row_number over
+    # partitionBy(gram), which sorts every instance of a viral span
+    # onto one task (same rule as test_corpus_count_ops_use_partial_
+    # aggregation; the DuckDB oracle may use the window form, the
+    # distributed plan must not)
+    plan = (text_ops.exact_substring_dedup(df, span_words=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
 # -- HTML extraction --------------------------------------------------------
 
 def test_html_to_text_crafted(spark):
