@@ -279,7 +279,56 @@ def exact_substring_dedup(df: DataFrame, *, text_col: str = "text",
     words array. The paper's suffix-array build is a single-machine
     construction — the overlapping-gram tiling is the shuffle-friendly
     equivalent at word granularity."""
-    d = df.withColumn("_w", words(F.col(text_col)))
+    cleaned, _ = _substring_scrub_core(
+        df, None, text_col=text_col, id_col=id_col,
+        span_words=span_words)
+    return cleaned
+
+
+def substring_scrub_incremental(new_df: DataFrame,
+                                seen_grams: DataFrame | None, *,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                span_words: int = 10
+                                ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl edition of exact_substring_dedup (the span
+    sibling of dedup_incremental/dedup_minhash_incremental): a span of
+    an arriving document is cut iff its gram was seen EARLIER — in a
+    prior batch via `seen_grams`, or at an earlier (doc, pos) within
+    this batch. One batch with seen_grams=None is EXACTLY the batch
+    op. Every gram of the batch enters the seen set (text was
+    observed, whether or not it survived — the same
+    chains-collapse-to-first-arrival rule as the other crawl loops).
+
+    seen_grams is a 1-column (fingerprint) frame of gram md5s — the
+    same table contract as the exact/MinHash loops, so
+    compact_seen_fps / compact_pending_fps apply unchanged.
+
+    Returns (cleaned_docs, updated_seen): cleaned_docs has the batch
+    op's (id, n_tokens, n_removed, clean_text) schema — docs arrive
+    and leave scrubbed, nothing is dropped wholesale (a fully
+    duplicated doc leaves with clean_text = '')."""
+    cleaned, new_rows = _substring_scrub_core(
+        new_df, seen_grams, text_col=text_col, id_col=id_col,
+        span_words=span_words)
+    updated = (new_rows if seen_grams is None
+               else seen_grams.union(new_rows))
+    return cleaned, updated
+
+
+def _substring_scrub_core(new_df: DataFrame,
+                          seen_grams: DataFrame | None, *,
+                          text_col: str, id_col: str,
+                          span_words: int
+                          ) -> tuple[DataFrame, DataFrame]:
+    """(cleaned_docs, NEW (fingerprint) gram rows) — the shared kernel
+    of exact_substring_dedup (seen=None) and the incremental loop.
+    An occurrence is covered iff its gram is in the seen set (every
+    in-batch occurrence then covers — the canonical keeper already
+    lives in an earlier batch) or it is not the batch-canonical
+    min (doc, pos) occurrence. New rows exclude already-seen grams so
+    unions stay duplicate-free."""
+    d = new_df.withColumn("_w", words(F.col(text_col)))
     occ = (d.select(id_col,
                     F.posexplode(ngram_array(span_words))
                     .alias("_p0", "_g"))
@@ -288,26 +337,39 @@ def exact_substring_dedup(df: DataFrame, *, text_col: str = "text",
     first = occ.groupBy("_ck").agg(
         F.min(F.struct(F.col(id_col).alias("d"),
                        F.col("_pos").alias("p"))).alias("_f"))
-    covered = (occ.join(first, "_ck")
-               .filter((F.col(id_col) != F.col("_f.d"))
-                       | (F.col("_pos") != F.col("_f.p")))
-               .select(id_col,
-                       F.explode(F.sequence(
-                           F.col("_pos"),
-                           F.col("_pos") + F.lit(span_words - 1)))
-                       .alias("_i")))
+    not_canonical = ((F.col(id_col) != F.col("_f.d"))
+                     | (F.col("_pos") != F.col("_f.p")))
+    joined = occ.join(first, "_ck")
+    if seen_grams is not None:
+        seen_marked = (seen_grams
+                       .select(F.col("fingerprint").alias("_ck"),
+                               F.lit(True).alias("_seen")))
+        joined = (joined.join(seen_marked, "_ck", "left")
+                  .filter(F.coalesce("_seen", F.lit(False))
+                          | not_canonical))
+    else:
+        joined = joined.filter(not_canonical)
+    covered = joined.select(
+        id_col,
+        F.explode(F.sequence(F.col("_pos"),
+                             F.col("_pos") + F.lit(span_words - 1)))
+        .alias("_i"))
     cov = covered.groupBy(id_col).agg(F.collect_set("_i").alias("_cov"))
-    return (d.select(id_col, "_w").join(cov, id_col, "left")
-            .withColumn("_cov", F.coalesce(
-                "_cov", F.expr("cast(array() as array<int>)")))
-            .select(
-                id_col,
-                F.size("_w").cast("long").alias("n_tokens"),
-                F.size("_cov").cast("long").alias("n_removed"),
-                F.concat_ws(" ", F.expr(
-                    "filter(transform(_w, (t, i) -> "
-                    "if(array_contains(_cov, i + 1), null, t)), "
-                    "x -> x is not null)")).alias("clean_text")))
+    cleaned = (d.select(id_col, "_w").join(cov, id_col, "left")
+               .withColumn("_cov", F.coalesce(
+                   "_cov", F.expr("cast(array() as array<int>)")))
+               .select(
+                   id_col,
+                   F.size("_w").cast("long").alias("n_tokens"),
+                   F.size("_cov").cast("long").alias("n_removed"),
+                   F.concat_ws(" ", F.expr(
+                       "filter(transform(_w, (t, i) -> "
+                       "if(array_contains(_cov, i + 1), null, t)), "
+                       "x -> x is not null)")).alias("clean_text")))
+    new_rows = occ.select(F.col("_ck").alias("fingerprint")).distinct()
+    if seen_grams is not None:
+        new_rows = new_rows.join(seen_grams, "fingerprint", "left_anti")
+    return cleaned, new_rows
 
 
 def hashed_token_weight(tok: Column, *, seed: str = "q",

@@ -2790,6 +2790,59 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.exact_substring_dedup(d, span_words=10)
 
 
+@register(
+    "substring_scrub_incr_batches",
+    f"""
+    WITH w AS (SELECT doc_id, doc_id % 2 AS b, {_TOKS} AS wl
+               FROM documents),
+    occ AS (
+      SELECT doc_id, b, i AS pos,
+             md5(array_to_string(wl[i : i+9], ' ')) AS ck
+      FROM w, unnest(generate_series(1, greatest(len(wl)-9, 0))) AS t(i)
+    ),
+    r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY ck
+                                    ORDER BY b, doc_id, pos) AS rn
+          FROM occ),
+    cov AS (SELECT DISTINCT doc_id, u.p
+            FROM r, unnest(generate_series(pos, pos + 9)) AS u(p)
+            WHERE rn > 1),
+    cg AS (SELECT doc_id, count(*) AS n_removed, list(p) AS ps
+           FROM cov GROUP BY doc_id)
+    SELECT CAST(w.b + 1 AS INT) AS batch, w.doc_id,
+           CAST(len(wl) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cg.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(1, len(wl)),
+                           i -> NOT list_contains(coalesce(cg.ps, []), i)),
+               i -> wl[i]), ' '), '') AS clean_text
+    FROM w LEFT JOIN cg USING (doc_id)
+    """,
+    doc="crawl-time exact substring scrubbing across arrival batches "
+        "(the span sibling of dedup_incremental): a span is cut iff "
+        "its gram was seen earlier — prior batch via the accumulated "
+        "gram set, or an earlier (doc,pos) in-batch; every gram "
+        "observed enters the set. Incremental semantics ≡ global "
+        "first-occurrence under the (batch, doc, pos) arrival order, "
+        "which is what the oracle's row_number states directly",
+)
+def substring_scrub_incr_batches_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    c1, seen = text_ops.substring_scrub_incremental(b1, None,
+                                                    span_words=10)
+    c2, _ = text_ops.substring_scrub_incremental(b2, seen,
+                                                 span_words=10)
+    return (c1.select(F.lit(1).alias("batch"), "doc_id", "n_tokens",
+                      "n_removed", "clean_text")
+            .unionByName(c2.select(F.lit(2).alias("batch"), "doc_id",
+                                   "n_tokens", "n_removed",
+                                   "clean_text")))
+
+
 _HTW = ("((('0x' || substr(md5({tok} || 'q'), 1, 8))::BIGINT % 2001)"
         " - 1000)")
 
@@ -3135,10 +3188,14 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (embedding_neardup_ivf — NEW code on the IVF candidate machinery,
 # which needs the hard row more; brute cosine scoring keeps in-window
 # coverage via embedding_neardup and ann_index_reuse's re-rank).
-# 39 returning + 6 kept + 5 new (ann_index_reuse,
+# dedup_clusters (r5-green; the connected-components machinery it
+# exercises is UNTOUCHED this round — the r6 dedup.py work is all in
+# the incremental/compaction/simhash lanes, which hold their own new
+# in-window rows) defers for the sixth (substring_scrub_incr_batches —
+# NEW code). 39 returning + 5 kept + 6 new (ann_index_reuse,
 # dedup_minhash_incr_batches, dedup_simhash_incr_batches,
-# exact_substring_dedup, embedding_neardup_ivf) = 50 = the driver's
-# scoring window.
+# exact_substring_dedup, embedding_neardup_ivf,
+# substring_scrub_incr_batches) = 50 = the driver's scoring window.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -3152,7 +3209,7 @@ _DEFERRED_THIS_ROUND = [
     "win_time_fill_period", "default_rename_extract", "decontaminate",
     "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
     "url_normalize", "lm_novelty", "ann_ivf_topk", "pq_adc_full_probe",
-    "ann_topk",
+    "ann_topk", "dedup_clusters",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

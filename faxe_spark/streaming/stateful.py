@@ -775,6 +775,36 @@ def simhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
         available_now=available_now)
 
 
+def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,
+                             out_dir: str, pending_dir: str,
+                             checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             span_words: int = 10,
+                             available_now: bool = True):
+    """Streaming crawl-time span scrubbing — exact_substring_dedup's
+    place in the bucket-table loop: spans whose gram an EARLIER batch
+    (compacted table or earlier pending epoch) or an earlier in-batch
+    (doc, pos) already produced are cut from arriving documents; the
+    batch's grams land as pending fingerprints. out_dir receives
+    SCRUBBED docs ((id, n_tokens, n_removed, clean_text)) — nothing
+    drops wholesale; a fully duplicated doc leaves with clean_text ''.
+    Same 1-column fingerprint table as the exact/MinHash loops:
+    compact with compact_pending_fps unchanged."""
+    from faxe_spark.operators.text import _substring_scrub_core
+
+    def kernel(batch_df, seen):
+        return _substring_scrub_core(
+            batch_df, seen, text_col=text_col, id_col=id_col,
+            span_words=span_words)
+
+    return _bucket_dedup_pipeline(
+        df, kernel=kernel, cols=("fingerprint",),
+        bucket_table=bucket_table, out_dir=out_dir,
+        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
+        available_now=available_now)
+
+
 def _bucket_dedup_pipeline(df: DataFrame, *, kernel, cols: tuple,
                            bucket_table: str | None, out_dir: str,
                            pending_dir: str, checkpoint_dir: str,

@@ -432,3 +432,60 @@ def test_simhash_dedup_pipeline_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_substring_scrub_pipeline_restart(spark, tmp_path):
+    """Streaming crawl-time span scrubbing: a later micro-batch doc
+    repeating an earlier micro-batch's region is scrubbed via pending
+    epochs; after compaction + restart a replay is scrubbed via the
+    bucketed gram table (same 1-column contract as the exact loop)."""
+    import shutil
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import substring_scrub_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "scrub_grams_e2e"
+    schema = "doc_id long, text string"
+    shared = " ".join(f"s{i}" for i in range(12))
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = substring_scrub_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, span_words=10)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", [(1, f"intro {shared} outro")])
+        feed("b2", [(4, f"other words {shared}"),   # cut via pending
+                    (5, "nothing shared with anything else here")])
+        run_once()
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert got[1].n_removed == 0
+        assert got[4].n_removed == 12 and got[4].clean_text == "other words"
+        assert got[5].n_removed == 0
+
+        compact_pending_fps(spark, pending, tbl)
+        shutil.rmtree(pending)
+
+        feed("b3", [(6, f"replayed {shared} again"),  # cut via the table
+                    (7, "fresh unrelated closing material")])
+        run_once()
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert got[6].n_removed == 12
+        assert got[6].clean_text == "replayed again"
+        assert got[7].n_removed == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")

@@ -462,6 +462,49 @@ def test_exact_substring_dedup_crafted(spark):
     assert "partial_min" in plan
 
 
+def test_substring_scrub_incremental_crafted(spark):
+    """Crawl-time span scrubbing: a batch-2 doc repeating a batch-1
+    region loses it (via the seen gram set) even though nothing in
+    batch 2 itself duplicates it; new duplication WITHIN batch 2 still
+    resolves by (doc,pos) order; one batch with seen=None is exactly
+    the batch op."""
+    from faxe_spark.operators.text import (exact_substring_dedup,
+                                           substring_scrub_incremental)
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    ten = " ".join(f"n{i}" for i in range(10))
+    b1 = _docs(spark, [(1, f"pre1 {shared} tail1", "s"),
+                       (3, " ".join(f"u{i}" for i in range(12)), "s")])
+    c1, seen = substring_scrub_incremental(b1, None, span_words=10)
+    got1 = {r.doc_id: r for r in c1.collect()}
+    assert got1[1].n_removed == 0 and got1[3].n_removed == 0
+
+    # seen=None ≡ the batch op, row for row
+    batch = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+             for r in exact_substring_dedup(b1, span_words=10).collect()}
+    incr = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in c1.collect()}
+    assert batch == incr
+
+    b2 = _docs(spark, [
+        (10, f"other lead-in {shared}", "s"),   # b1 region -> cut via seen
+        (11, f"{ten} alpha beta", "s"),         # first arrival of `ten`
+        (12, f"gamma {ten}", "s"),              # in-batch repeat -> cut
+        (13, "totally novel words here only once ever", "s"),
+    ])
+    c2, seen2 = substring_scrub_incremental(b2, seen, span_words=10)
+    got2 = {r.doc_id: r for r in c2.collect()}
+    assert got2[10].n_removed == 16
+    assert got2[10].clean_text == "other lead-in"
+    assert got2[11].n_removed == 0                  # first arrival keeps
+    assert got2[12].n_removed == 10
+    assert got2[12].clean_text == "gamma"
+    assert got2[13].n_removed == 0
+    # the cut region's grams were ALREADY seen: set grows only by the
+    # genuinely new grams, duplicate-free
+    assert seen2.count() == seen2.distinct().count()
+
+
 # -- HTML extraction --------------------------------------------------------
 
 def test_html_to_text_crafted(spark):
