@@ -83,7 +83,7 @@ HEADLINE = [
     "dedup_minhash_incr_batches",
     "dedup_simhash_incr_batches",
     "exact_substring_dedup", "embedding_neardup_ivf",
-    "substring_scrub_incr_batches",
+    "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -339,6 +339,190 @@ def _query_ivf_flat(spark: SparkSession, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def range_query_ann_index(queries: DataFrame, index: AnnIndex,
+                          threshold: float, *, nprobe: int | None = None,
+                          vec_col: str = "embedding",
+                          query_id_col: str = "query_id",
+                          block_size: int = 1024) -> DataFrame:
+    """RANGE search against a persisted IVF-flat index (the FAISS
+    range_search analog): every (query, stored) pair with cosine >=
+    threshold from the probed lists — no top-k cut. nprobe=None probes
+    every list (exact: the candidate set covers the whole corpus and
+    the cosine filter decides). Ids may collide across the two spaces
+    (a stored vector matching its own replayed id scores 1.0 and IS
+    returned — range search has no self-exclusion; callers that want
+    one filter it). IVFPQ indexes are refused: ADC scores are distance
+    estimates, not cosines, so a threshold on them would be a
+    different (and silently looser) predicate.
+
+    Unlike query_ann_index (bounded top-k batch: driver-collected
+    probe rows, JVM fold per candidate), range search serves CRAWL
+    batches that can be a meaningful fraction of the corpus, so the
+    whole path is distributed: probe selection is one Arrow
+    assign_probes pass (no driver collect of the batch), the probed
+    lists are partition-pruned via a bounded distinct-_cid collect
+    (<= nlist ints), and scoring is the tiled float64 GEMM of
+    cosine_pairs — exact over quantized vectors. The x10 probe on the
+    driver-collect + JVM-fold formulation measured 36x at 10x data;
+    this shape is the one that survives."""
+    import numpy as np
+
+    if index.kind != "ivf_flat":
+        raise ValueError(
+            "range_query_ann_index: cosine-threshold range search "
+            "needs exact stored vectors (ivf_flat); an IVFPQ ADC "
+            "score is not a cosine")
+    spark = queries.sparkSession
+    if nprobe is None:
+        nprobe = index.nlist
+    nprobe = max(1, min(nprobe, index.nlist))
+    id_col = index.id_col
+    if queries.isEmpty():
+        raise ValueError("range_query_ann_index: empty queries DataFrame")
+    prep = sim.quantize_vec if index.quantize else sim._as_double
+    q = queries.select(F.col(id_col).alias("_qid"),
+                       sim._as_double(F.col(vec_col)).alias("_cv"),
+                       prep(F.col(vec_col)).alias("_qvs"))
+    ap = sim.assign_probes(q, index.centroids, id_col="_qid",
+                           nprobe=nprobe)
+    probers = (q.join(ap, "_qid")
+               .select(F.explode(F.concat(F.array("_cid"), "_probes"))
+                       .alias("_pid"),
+                       "_qid", "_qvs"))
+
+    # partition pruning: the probed-list union is <= nlist ints
+    pids = sorted(r["_pid"] for r in
+                  probers.select("_pid").distinct().collect())
+    members = (spark.read.parquet(_table_path(spark, index.lists_table))
+               .filter(F.col("_cid").isin([int(c) for c in pids]))
+               .select(F.col("_cid").alias("_pid"),
+                       F.col(id_col).alias("_mid"),
+                       F.col("_cvs").alias("_mvs")))
+
+    counts = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
+        .cast("int")
+    p_tagged = (probers.join(F.broadcast(counts), "_pid")
+                .select("_pid", "_qid", "_qvs",
+                        F.pmod(F.xxhash64(F.col("_qid").cast("string")),
+                               nb).cast("int").alias("_pb")))
+    m_tagged = (members.join(F.broadcast(counts), "_pid")
+                .select("_pid", "_mid", "_mvs",
+                        F.explode(F.sequence(F.lit(0), nb - 1))
+                        .alias("_pb")))
+    both = (p_tagged.select(
+        "_pid", "_pb", F.lit(1).alias("_side"),
+        F.col("_qid").cast("string").alias("_sid"), "_qvs",
+        F.lit(None).cast(members.schema["_mid"].dataType).alias("_mid"),
+        F.lit(None).cast(members.schema["_mvs"].dataType).alias("_mvs"))
+        .unionByName(m_tagged.select(
+            "_pid", "_pb", F.lit(0).alias("_side"),
+            F.lit(None).cast("string").alias("_sid"),
+            F.lit(None).cast(p_tagged.schema["_qvs"].dataType)
+            .alias("_qvs"), "_mid", "_mvs")))
+
+    thr = threshold
+    q_type = queries.schema[id_col].dataType.simpleString()
+    m_type = members.schema["_mid"].dataType.simpleString()
+
+    def tile(key, pdf):
+        import pandas as pd
+
+        left = pdf[pdf["_side"] == 1]
+        right = pdf[pdf["_side"] == 0]
+        if left.empty or right.empty:
+            return pd.DataFrame({query_id_col: [], id_col: [],
+                                 "cosine": []})
+        qid = left["_sid"].to_numpy()
+        mid = right["_mid"].to_numpy()
+        X = np.stack(left["_qvs"].to_numpy()).astype(np.float64)
+        Y = np.stack(right["_mvs"].to_numpy()).astype(np.float64)
+        dots = X @ Y.T
+        nx = np.sqrt((X * X).sum(axis=1))
+        ny = np.sqrt((Y * Y).sum(axis=1))
+        cos = dots / np.outer(nx, ny)
+        ia, ib = np.nonzero(cos >= thr)
+        return pd.DataFrame({query_id_col: qid[ia], id_col: mid[ib],
+                             "cosine": cos[ia, ib]})
+
+    return (both.groupBy("_pid", "_pb")
+            .applyInPandas(
+                tile, f"{query_id_col} string, {id_col} {m_type}, "
+                      "cosine double")
+            .withColumn(query_id_col,
+                        F.col(query_id_col).cast(q_type)))
+
+
+def embedding_neardup_incremental(new_df: DataFrame,
+                                  index: AnnIndex | None, *,
+                                  threshold: float,
+                                  name: str | None = None,
+                                  nprobe: int | None = None,
+                                  nlist: int = 8, seed: int = 42,
+                                  max_iter: int = 20,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding"
+                                  ) -> tuple[DataFrame, AnnIndex]:
+    """Continuous-crawl near-dup dedup in EMBEDDING space — the vector
+    member of the crawl-loop family (exact / MinHash / SimHash /
+    substring), with the persisted ANN index as the seen set: a new
+    vector drops iff an EARLIER arrival is within cosine >= threshold
+    — earlier batch via a range query against the index, or a smaller
+    id within this batch (exact tiled-GEMM pairs: the increment is the
+    small side, all-pairs within it is the right cost). EVERY batch
+    vector then enters the index via the frozen-quantizer add phase
+    (dropped ones too — chains collapse to the first arrival, same
+    rule as every other loop).
+
+    index=None starts the crawl: the batch self-dedups and its FULL
+    vector set becomes the initial index (requires `name`). nprobe
+    defaults to every list (exact ≡ the arrival-order rule the oracle
+    states); bounded nprobe is the recall/cost dial at scale. The
+    index is built quantize=True so the threshold compare is
+    engine-exact.
+
+    Returns (fresh_docs, index). The dropped-id set is force-
+    materialized (eager localCheckpoint) BEFORE the add appends to the
+    lists table — the range scan reads that table lazily, and without
+    the barrier a batch would see its own vectors and drop
+    everything."""
+    pairs_in = sim.cosine_pairs(new_df, threshold, id_col=id_col,
+                                vec_col=vec_col)
+    hit_new = pairs_in.select(F.col("id_b").alias(id_col))
+    if index is None:
+        if name is None:
+            raise ValueError("embedding_neardup_incremental: starting "
+                             "a crawl (index=None) needs `name`")
+        dropped = hit_new.distinct()
+        spark = new_df.sparkSession
+        fresh = (new_df.join(
+            dropped.select(F.col(id_col).cast(
+                new_df.schema[id_col].dataType.simpleString())), id_col,
+            "left_anti"))
+        idx = build_ivf_index(spark, new_df, name=name, nlist=nlist,
+                              seed=seed, max_iter=max_iter,
+                              quantize=True, id_col=id_col,
+                              vec_col=vec_col)
+        return fresh, idx
+
+    hit_old = (range_query_ann_index(
+        new_df, index, threshold, nprobe=nprobe, vec_col=vec_col,
+        query_id_col="_qid")
+        .select(F.col("_qid").alias(id_col)))
+    dropped = (hit_new.select(F.col(id_col).cast("string"))
+               .union(hit_old.select(F.col(id_col).cast("string")))
+               .distinct()
+               .localCheckpoint())           # BARRIER before the add
+    fresh = (new_df
+             .join(dropped.withColumn(
+                 id_col, F.col(id_col).cast(
+                     new_df.schema[id_col].dataType.simpleString())),
+                 id_col, "left_anti"))
+    add_to_ann_index(new_df.sparkSession, index, new_df,
+                     vec_col=vec_col)
+    return fresh, index
+
+
 def _query_ivfpq(spark: SparkSession, queries: DataFrame,
                  index: AnnIndex, k: int, *, nprobe: int, vec_col: str,
                  query_id_col: str, exclude_self: bool) -> DataFrame:

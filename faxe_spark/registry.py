@@ -1857,6 +1857,48 @@ def embedding_neardup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_incr_batches",
+    f"""
+    WITH v AS (SELECT vec_id, vec_id % 2 AS b, {_QVEC} AS qv
+               FROM embeddings),
+    d AS (
+      SELECT DISTINCT r1.vec_id
+      FROM v r1 JOIN v r2
+        ON (r2.b < r1.b OR (r2.b = r1.b AND r2.vec_id < r1.vec_id))
+      WHERE list_sum(list_transform(range(1, len(r1.qv) + 1), i -> r1.qv[i] * r2.qv[i]))
+            / (sqrt(CAST(list_sum(list_transform(range(1, len(r1.qv) + 1), i -> r1.qv[i] * r1.qv[i])) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(range(1, len(r2.qv) + 1), i -> r2.qv[i] * r2.qv[i])) AS DOUBLE)))
+            >= 0.35
+    )
+    SELECT CAST(vec_id % 2 + 1 AS INT) AS batch, vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM d)
+    """,
+    doc="continuous-crawl near-dup dedup in EMBEDDING space — the "
+        "vector member of the crawl-loop family, with the persisted "
+        "ANN index as the seen set: a vector drops iff an earlier "
+        "arrival is within cosine 0.35 (earlier batch via a "
+        "partition-pruned RANGE query against the index, smaller id "
+        "within the batch via exact tiled-GEMM pairs); every batch "
+        "vector then enters the index through the frozen-quantizer "
+        "add phase, so chains collapse to the first arrival. Full "
+        "probe here ≡ the arrival-order rule the oracle states",
+)
+def embedding_neardup_incr_batches_q(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from faxe_spark.operators import ann_index as annix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    f1, idx = annix.embedding_neardup_incremental(
+        b1, None, threshold=0.35, name="nd_incr_seen", nlist=8)
+    f2, _ = annix.embedding_neardup_incremental(
+        b2, idx, threshold=0.35)
+    return (f1.select(F.lit(1).alias("batch"), "vec_id")
+            .unionByName(f2.select(F.lit(2).alias("batch"), "vec_id")))
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id,
@@ -3192,10 +3234,15 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercises is UNTOUCHED this round — the r6 dedup.py work is all in
 # the incremental/compaction/simhash lanes, which hold their own new
 # in-window rows) defers for the sixth (substring_scrub_incr_batches —
-# NEW code). 39 returning + 5 kept + 6 new (ann_index_reuse,
+# NEW code). dedup_minhash_lsh (r5-green) defers for the seventh
+# (embedding_neardup_incr_batches — NEW code): its shingle/minhash/
+# banding machinery holds an in-window hard row through
+# dedup_minhash_incr_batches, which drives the same functions.
+# 39 returning + 4 kept + 7 new (ann_index_reuse,
 # dedup_minhash_incr_batches, dedup_simhash_incr_batches,
 # exact_substring_dedup, embedding_neardup_ivf,
-# substring_scrub_incr_batches) = 50 = the driver's scoring window.
+# substring_scrub_incr_batches, embedding_neardup_incr_batches) = 50
+# = the driver's scoring window.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -3209,7 +3256,7 @@ _DEFERRED_THIS_ROUND = [
     "win_time_fill_period", "default_rename_extract", "decontaminate",
     "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
     "url_normalize", "lm_novelty", "ann_ivf_topk", "pq_adc_full_probe",
-    "ann_topk", "dedup_clusters",
+    "ann_topk", "dedup_clusters", "dedup_minhash_lsh",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

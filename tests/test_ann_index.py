@@ -193,3 +193,63 @@ def test_query_ids_may_differ_in_type_from_corpus(spark):
     finally:
         ax.drop_ann_index(spark, "t_annix_qt")
         ax.drop_ann_index(spark, "t_annix_qt2")
+
+
+def test_embedding_neardup_incremental_chain_replay_barrier(spark):
+    """The vector crawl loop at threshold 0.7 (~45.6deg) over crafted
+    2D unit vectors (A at 0deg, B at 30deg, C at 60deg: A~B=0.866 and
+    B~C=0.866 but A~C=0.5 — NOT a pair): B drops via the index, C
+    drops ONLY through dropped-B's in-batch earlier id (the chain
+    rule); a verbatim replay drops via the index across batches; and
+    far-away vectors (180deg, 270deg) survive every batch — which
+    also proves the materialization barrier (without it, a batch
+    would see its own add and drop wholesale)."""
+    from faxe_spark.operators import ann_index as annix
+
+    A = [1.0, 0.0]
+    B = [0.8660254, 0.5]
+    C = [0.5, 0.8660254]
+    D = [-1.0, 0.0]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>")
+    name = "nd_incr_test"
+    try:
+        f1, idx = annix.embedding_neardup_incremental(
+            mk([(1, A)]), None, threshold=0.7, name=name, nlist=2)
+        assert [r.vec_id for r in f1.collect()] == [1]
+
+        f2, idx = annix.embedding_neardup_incremental(
+            mk([(10, B), (11, C), (12, D)]), idx, threshold=0.7)
+        assert sorted(r.vec_id for r in f2.collect()) == [12], \
+            "B drops via index-A; C drops via dropped in-batch B"
+
+        f3, idx = annix.embedding_neardup_incremental(
+            mk([(20, A), (21, [0.0, -1.0])]), idx, threshold=0.7)
+        assert sorted(r.vec_id for r in f3.collect()) == [21], \
+            "replayed A drops via the index; the fresh vector survives"
+    finally:
+        annix.drop_ann_index(spark, name)
+
+
+def test_range_query_refuses_ivfpq_and_empty(spark):
+    import pytest
+
+    from faxe_spark.operators import ann_index as annix
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id < 40"))
+    name = "range_refusal_test"
+    try:
+        annix.build_ivfpq_index(spark, emb, name=name, nlist=2, m=8,
+                                ksub=4)
+        idx = annix.load_ann_index(spark, name)
+        with pytest.raises(ValueError, match="not a cosine"):
+            annix.range_query_ann_index(emb, idx, 0.5)
+        annix.drop_ann_index(spark, name)
+        flat = annix.build_ivf_index(spark, emb, name=name, nlist=2,
+                                     quantize=True)
+        with pytest.raises(ValueError, match="empty queries"):
+            annix.range_query_ann_index(emb.filter("vec_id < 0"),
+                                        flat, 0.5)
+    finally:
+        annix.drop_ann_index(spark, name)

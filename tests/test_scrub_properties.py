@@ -63,3 +63,41 @@ def test_scrubbed_text_has_no_remaining_pii(spark, s):
         text_ops.pii_count(F.col("v"), k).alias(k)
         for k in text_ops.PII_PATTERNS]).collect()[0]
     assert counts.email == 0 and counts.phone == 0 and counts.ipv4 == 0
+
+
+# -- exact substring-span removal invariants --------------------------------
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=14) \
+    .map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_CORPUS)
+def test_exact_substring_dedup_invariants(spark, docs):
+    """Structural invariants under adversarial tiny-vocab corpora
+    (heavy accidental duplication): token conservation (kept + removed
+    = total), kept tokens are an in-order subsequence of the doc's
+    tokens, and a verbatim duplicate of an earlier doc long enough to
+    gram is removed in full."""
+    span = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    # doc max(id)+1 duplicates doc 0 verbatim: every gram it has is
+    # seen earlier, so IF it grams (>= span words) it must vanish
+    dup_id = len(docs)
+    rows.append((dup_id, docs[0]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.exact_substring_dedup(
+        df, span_words=span).collect()}
+    for i, t in rows:
+        got = out[i]
+        kept = got.clean_text.split(" ") if got.clean_text else []
+        orig = t.split(" ")
+        assert got.n_tokens == len(orig)
+        assert got.n_tokens - got.n_removed == len(kept)
+        it = iter(orig)                       # in-order subsequence
+        assert all(any(tok == o for o in it) for tok in kept)
+    if len(docs[0].split(" ")) >= span:
+        assert out[dup_id].clean_text == ""
+        assert out[dup_id].n_removed == out[dup_id].n_tokens
