@@ -250,6 +250,45 @@ def add_to_ann_index(spark: SparkSession, index: AnnIndex,
         lists.write.mode("append").partitionBy("_cid").parquet(path)
 
 
+def compact_pending_vectors(spark: SparkSession, pending_dir: str,
+                            index: AnnIndex) -> None:
+    """Fold a streaming embedding-crawl run's pending encoded rows
+    (streaming.stateful.embedding_dedup_pipeline writes (id, _cvs,
+    _cid) per epoch) into the index's lists table — the vector
+    analog of compact_pending_fps. Replayed epochs can duplicate ids
+    across epoch directories, so pending dedupes on id (rows are
+    identical per id: frozen-quantizer encoding is deterministic) and
+    anti-joins the existing table before the merge. The merged table
+    is REWRITTEN via a stage directory + rename (a crash between
+    delete and rename leaves the previous lists gone but the staged
+    merge intact under <lists>__stage — same contract as
+    compact_seen_fps). A run with zero epochs is a no-op."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.errors import AnalysisException
+
+    id_col = index.id_col
+    try:
+        pending = (spark.read.parquet(pending_dir)
+                   .select(id_col, "_cvs", "_cid")
+                   .dropDuplicates([id_col]))
+    except AnalysisException:
+        return
+    path = _table_path(spark, index.lists_table)
+    lists = spark.read.parquet(path).select(id_col, "_cvs", "_cid")
+    merged = lists.union(
+        pending.join(lists.select(id_col), id_col, "left_anti"))
+    stage = _table_path(spark, index.lists_table + "__stage")
+    (merged.write.mode("overwrite").partitionBy("_cid")
+     .parquet(stage))
+    p_old = urlparse(path).path
+    p_stage = urlparse(stage).path
+    shutil.rmtree(p_old)
+    os.rename(p_stage, p_old)
+
+
 def _probe_sets_spark_mirror(qvecs, centroids, nprobe: int):
     """Per-query probed list ids, mirroring cosine_ivf_topk's Spark
     probe BIT-FOR-BIT: unit-normalize with the same sequential
@@ -379,16 +418,7 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
     id_col = index.id_col
     if queries.isEmpty():
         raise ValueError("range_query_ann_index: empty queries DataFrame")
-    prep = sim.quantize_vec if index.quantize else sim._as_double
-    q = queries.select(F.col(id_col).alias("_qid"),
-                       sim._as_double(F.col(vec_col)).alias("_cv"),
-                       prep(F.col(vec_col)).alias("_qvs"))
-    ap = sim.assign_probes(q, index.centroids, id_col="_qid",
-                           nprobe=nprobe)
-    probers = (q.join(ap, "_qid")
-               .select(F.explode(F.concat(F.array("_cid"), "_probes"))
-                       .alias("_pid"),
-                       "_qid", "_qvs"))
+    probers = _probe_rows(queries, index, nprobe, vec_col=vec_col)
 
     # partition pruning: the probed-list union is <= nlist ints
     pids = sorted(r["_pid"] for r in
@@ -398,6 +428,37 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
                .select(F.col("_cid").alias("_pid"),
                        F.col(id_col).alias("_mid"),
                        F.col("_cvs").alias("_mvs")))
+    return _range_pairs(probers, members, threshold,
+                        block_size=block_size, id_col=id_col,
+                        query_id_col=query_id_col,
+                        q_type=queries.schema[id_col].dataType
+                        .simpleString())
+
+
+def _probe_rows(queries: DataFrame, index: AnnIndex, nprobe: int, *,
+                vec_col: str) -> DataFrame:
+    """(_pid, _qid, _qvs) prober rows for the range kernel: one Arrow
+    assign_probes pass, own list + the next nprobe-1 exploded."""
+    prep = sim.quantize_vec if index.quantize else sim._as_double
+    q = queries.select(F.col(index.id_col).alias("_qid"),
+                       sim._as_double(F.col(vec_col)).alias("_cv"),
+                       prep(F.col(vec_col)).alias("_qvs"))
+    ap = sim.assign_probes(q, index.centroids, id_col="_qid",
+                           nprobe=nprobe)
+    return (q.join(ap, "_qid")
+            .select(F.explode(F.concat(F.array("_cid"), "_probes"))
+                    .alias("_pid"),
+                    "_qid", "_qvs"))
+
+
+def _range_pairs(probers: DataFrame, members: DataFrame,
+                 threshold: float, *, block_size: int, id_col: str,
+                 query_id_col: str, q_type: str) -> DataFrame:
+    """Tiled float64 GEMM range scoring of (_pid, _qid, _qvs) probers
+    against (_pid, _mid, _mvs) members — the shared kernel of
+    range_query_ann_index and the streaming embedding crawl loop
+    (whose member side is lists-table ∪ pending epochs)."""
+    import numpy as np
 
     counts = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
@@ -422,7 +483,6 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
             .alias("_qvs"), "_mid", "_mvs")))
 
     thr = threshold
-    q_type = queries.schema[id_col].dataType.simpleString()
     m_type = members.schema["_mid"].dataType.simpleString()
 
     def tile(key, pdf):

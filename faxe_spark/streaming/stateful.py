@@ -805,6 +805,90 @@ def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,
         available_now=available_now)
 
 
+def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
+                             out_dir: str, pending_dir: str,
+                             checkpoint_dir: str, threshold: float,
+                             nprobe: int | None = None,
+                             vec_col: str = "embedding",
+                             block_size: int = 1024,
+                             available_now: bool = True):
+    """Streaming crawl dedup in EMBEDDING space — the vector member's
+    streaming lane, same loop shape as the bucket-table pipelines but
+    with the persisted IVF index as the compacted seen set: a vector
+    drops iff an earlier arrival is within the cosine threshold
+    (index lists ∪ STRICTLY earlier pending epochs via the range
+    kernel, or a smaller id in this micro-batch via exact pairs); the
+    batch's frozen-quantizer encodings land as the pending epoch. The
+    index must exist (bootstrap: build_ivf_index on the initial
+    corpus, or embedding_neardup_incremental's first batch); its
+    quantizer is frozen for the run. Between runs
+    compact_pending_vectors folds pending into the lists table —
+    restart-after-compaction is the months-long-crawl story, same as
+    every other loop. nprobe=None probes every list (the exact
+    semantic); bounded nprobe is the recall/cost dial."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from faxe_spark.operators import ann_index as annix
+    from faxe_spark.operators import similarity as sim
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = annix.load_ann_index(spark, index_name)
+        id_col = idx.id_col
+        np_ = (idx.nlist if nprobe is None
+               else max(1, min(nprobe, idx.nlist)))
+        q_type = batch_df.schema[id_col].dataType.simpleString()
+        probers = annix._probe_rows(batch_df, idx, np_, vec_col=vec_col)
+        pids = sorted(r["_pid"] for r in
+                      probers.select("_pid").distinct().collect())
+        members = (spark.read.parquet(
+            annix._table_path(spark, idx.lists_table))
+            .filter(F.col("_cid").isin([int(c) for c in pids]))
+            .select(F.col("_cid").alias("_pid"),
+                    F.col(id_col).alias("_mid"),
+                    F.col("_cvs").alias("_mvs")))
+        try:
+            # STRICTLY earlier epochs — a replayed epoch must not see
+            # its own failed attempt's vectors (each would match
+            # itself at cosine 1.0 and the whole batch would drop)
+            pend = (spark.read.parquet(pending_dir)
+                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                    .select(F.col("_cid").alias("_pid"),
+                            F.col(id_col).alias("_mid"),
+                            F.col("_cvs").alias("_mvs")))
+            members = members.union(pend)
+        except AnalysisException:
+            pass
+        hit_old = (annix._range_pairs(
+            probers, members, threshold, block_size=block_size,
+            id_col=id_col, query_id_col="_qid", q_type=q_type)
+            .select(F.col("_qid").alias(id_col)))
+        pairs_in = sim.cosine_pairs(batch_df, threshold, id_col=id_col,
+                                    vec_col=vec_col,
+                                    block_size=block_size)
+        dropped = (pairs_in.select(F.col("id_b").cast(q_type)
+                                   .alias(id_col))
+                   .union(hit_old.select(F.col(id_col).cast(q_type)))
+                   .distinct())
+        fresh = batch_df.join(dropped, id_col, "left_anti")
+        new_rows = (annix._ivf_flat_lists(
+            batch_df, idx.centroids, quantize=idx.quantize,
+            id_col=id_col, vec_col=vec_col)
+            .select(id_col, "_cvs", "_cid"))
+        (fresh.write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+        (new_rows.write.mode("overwrite")
+         .parquet(f"{pending_dir}/epoch={epoch_id}"))
+
+    writer = (df.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bucket_dedup_pipeline(df: DataFrame, *, kernel, cols: tuple,
                            bucket_table: str | None, out_dir: str,
                            pending_dir: str, checkpoint_dir: str,

@@ -489,3 +489,76 @@ def test_substring_scrub_pipeline_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_embedding_dedup_pipeline_restart(spark, tmp_path):
+    """The embedding crawl loop's streaming lane over the crafted 2D
+    fixture (threshold 0.7 ~ 45.6deg): a near-dup of the SEED corpus
+    drops via the index lists; a near-dup of an earlier MICRO-BATCH
+    arrival drops via pending epochs; after compact_pending_vectors +
+    restart, a replay drops via the folded lists table; far vectors
+    survive throughout."""
+    import shutil
+
+    from faxe_spark.operators import ann_index as annix
+    from faxe_spark.streaming.stateful import embedding_dedup_pipeline
+
+    A = [1.0, 0.0]           # seed
+    B = [0.8660254, 0.5]     # 30deg: near A
+    E = [-1.0, 0.0]          # 180deg: fresh
+    Fv = [-0.8660254, -0.5]  # 210deg: near E (30deg apart)
+    G = [0.0, -1.0]          # 270deg: fresh
+    H = [0.0, 1.0]           # 90deg: fresh (closest is B at 60deg ->
+                             # cos 0.5 < 0.7)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    name = "emb_crawl_e2e"
+    schema = "vec_id long, embedding array<double>"
+
+    def feed(fname, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / fname))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = embedding_dedup_pipeline(
+            stream, index_name=name, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, threshold=0.7)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        seed = spark.createDataFrame([(1, A)], schema)
+        annix.build_ivf_index(spark, seed, name=name, nlist=2,
+                              quantize=True)
+        feed("b1", [(10, B),      # near seed-A: drops via the index
+                    (11, E)])     # fresh
+        feed("b2", [(20, Fv),     # near b1's E: drops via PENDING
+                    (21, G)])     # fresh
+        run_once()
+        got = {r.vec_id for r in spark.read.parquet(out).collect()}
+        assert got == {11, 21}, got
+
+        annix.compact_pending_vectors(
+            spark, pending, annix.load_ann_index(spark, name))
+        shutil.rmtree(pending)
+
+        feed("b3", [(30, B),      # replay: drops via the FOLDED table
+                    (31, H)])     # fresh
+        run_once()
+        got = {r.vec_id for r in spark.read.parquet(out).collect()}
+        assert got == {11, 21, 31}, got
+        # the folded table holds every observed vector exactly once
+        idx = annix.load_ann_index(spark, name)
+        import pyspark.sql.functions as F
+        lists = spark.read.parquet(
+            annix._table_path(spark, idx.lists_table))
+        assert lists.count() == 5          # A,B,E,F,G (b3 still pending)
+        assert lists.select("vec_id").distinct().count() == 5
+    finally:
+        annix.drop_ann_index(spark, name)
