@@ -270,20 +270,30 @@ def compact_pending_vectors(spark: SparkSession, pending_dir: str,
     from pyspark.errors import AnalysisException
 
     id_col = index.id_col
+    path = _table_path(spark, index.lists_table)
+    parsed = urlparse(path)
+    if parsed.scheme not in ("", "file"):
+        # the swap below is local-filesystem rename; a remote
+        # warehouse (hdfs://, s3a://) needs the engine-side rename a
+        # metastore deployment gets from compact_seen_fps' ALTER
+        # TABLE path — refuse loudly instead of failing mid-sequence
+        raise NotImplementedError(
+            "compact_pending_vectors: stage-and-rename is implemented "
+            f"for local warehouse paths only (got {parsed.scheme}://); "
+            "use a catalog-backed lists table + ALTER TABLE RENAME")
     try:
         pending = (spark.read.parquet(pending_dir)
                    .select(id_col, "_cvs", "_cid")
                    .dropDuplicates([id_col]))
     except AnalysisException:
         return
-    path = _table_path(spark, index.lists_table)
     lists = spark.read.parquet(path).select(id_col, "_cvs", "_cid")
     merged = lists.union(
         pending.join(lists.select(id_col), id_col, "left_anti"))
     stage = _table_path(spark, index.lists_table + "__stage")
     (merged.write.mode("overwrite").partitionBy("_cid")
      .parquet(stage))
-    p_old = urlparse(path).path
+    p_old = parsed.path
     p_stage = urlparse(stage).path
     shutil.rmtree(p_old)
     os.rename(p_stage, p_old)
@@ -404,8 +414,6 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
     cosine_pairs — exact over quantized vectors. The x10 probe on the
     driver-collect + JVM-fold formulation measured 36x at 10x data;
     this shape is the one that survives."""
-    import numpy as np
-
     if index.kind != "ivf_flat":
         raise ValueError(
             "range_query_ann_index: cosine-threshold range search "
@@ -418,7 +426,11 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
     id_col = index.id_col
     if queries.isEmpty():
         raise ValueError("range_query_ann_index: empty queries DataFrame")
-    probers = _probe_rows(queries, index, nprobe, vec_col=vec_col)
+    # probers feed three consumers (the pids collect, the kernel's
+    # per-list counts, the tile rows) — materialize the Arrow
+    # assignment pass once; the pids collect below is the first action
+    probers = (_probe_rows(queries, index, nprobe, vec_col=vec_col)
+               .localCheckpoint(eager=False))
 
     # partition pruning: the probed-list union is <= nlist ints
     pids = sorted(r["_pid"] for r in
@@ -428,11 +440,11 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
                .select(F.col("_cid").alias("_pid"),
                        F.col(id_col).alias("_mid"),
                        F.col("_cvs").alias("_mvs")))
-    return _range_pairs(probers, members, threshold,
-                        block_size=block_size, id_col=id_col,
-                        query_id_col=query_id_col,
-                        q_type=queries.schema[id_col].dataType
-                        .simpleString())
+    return sim._range_pairs(probers, members, threshold,
+                            block_size=block_size, id_col=id_col,
+                            query_id_col=query_id_col,
+                            q_type=queries.schema[id_col].dataType
+                            .simpleString())
 
 
 def _probe_rows(queries: DataFrame, index: AnnIndex, nprobe: int, *,
@@ -449,68 +461,6 @@ def _probe_rows(queries: DataFrame, index: AnnIndex, nprobe: int, *,
             .select(F.explode(F.concat(F.array("_cid"), "_probes"))
                     .alias("_pid"),
                     "_qid", "_qvs"))
-
-
-def _range_pairs(probers: DataFrame, members: DataFrame,
-                 threshold: float, *, block_size: int, id_col: str,
-                 query_id_col: str, q_type: str) -> DataFrame:
-    """Tiled float64 GEMM range scoring of (_pid, _qid, _qvs) probers
-    against (_pid, _mid, _mvs) members — the shared kernel of
-    range_query_ann_index and the streaming embedding crawl loop
-    (whose member side is lists-table ∪ pending epochs)."""
-    import numpy as np
-
-    counts = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
-        .cast("int")
-    p_tagged = (probers.join(F.broadcast(counts), "_pid")
-                .select("_pid", "_qid", "_qvs",
-                        F.pmod(F.xxhash64(F.col("_qid").cast("string")),
-                               nb).cast("int").alias("_pb")))
-    m_tagged = (members.join(F.broadcast(counts), "_pid")
-                .select("_pid", "_mid", "_mvs",
-                        F.explode(F.sequence(F.lit(0), nb - 1))
-                        .alias("_pb")))
-    both = (p_tagged.select(
-        "_pid", "_pb", F.lit(1).alias("_side"),
-        F.col("_qid").cast("string").alias("_sid"), "_qvs",
-        F.lit(None).cast(members.schema["_mid"].dataType).alias("_mid"),
-        F.lit(None).cast(members.schema["_mvs"].dataType).alias("_mvs"))
-        .unionByName(m_tagged.select(
-            "_pid", "_pb", F.lit(0).alias("_side"),
-            F.lit(None).cast("string").alias("_sid"),
-            F.lit(None).cast(p_tagged.schema["_qvs"].dataType)
-            .alias("_qvs"), "_mid", "_mvs")))
-
-    thr = threshold
-    m_type = members.schema["_mid"].dataType.simpleString()
-
-    def tile(key, pdf):
-        import pandas as pd
-
-        left = pdf[pdf["_side"] == 1]
-        right = pdf[pdf["_side"] == 0]
-        if left.empty or right.empty:
-            return pd.DataFrame({query_id_col: [], id_col: [],
-                                 "cosine": []})
-        qid = left["_sid"].to_numpy()
-        mid = right["_mid"].to_numpy()
-        X = np.stack(left["_qvs"].to_numpy()).astype(np.float64)
-        Y = np.stack(right["_mvs"].to_numpy()).astype(np.float64)
-        dots = X @ Y.T
-        nx = np.sqrt((X * X).sum(axis=1))
-        ny = np.sqrt((Y * Y).sum(axis=1))
-        cos = dots / np.outer(nx, ny)
-        ia, ib = np.nonzero(cos >= thr)
-        return pd.DataFrame({query_id_col: qid[ia], id_col: mid[ib],
-                             "cosine": cos[ia, ib]})
-
-    return (both.groupBy("_pid", "_pb")
-            .applyInPandas(
-                tile, f"{query_id_col} string, {id_col} {m_type}, "
-                      "cosine double")
-            .withColumn(query_id_col,
-                        F.col(query_id_col).cast(q_type)))
 
 
 def embedding_neardup_incremental(new_df: DataFrame,
@@ -534,52 +484,74 @@ def embedding_neardup_incremental(new_df: DataFrame,
     (dropped ones too — chains collapse to the first arrival, same
     rule as every other loop).
 
-    index=None starts the crawl: the batch self-dedups and its FULL
-    vector set becomes the initial index (requires `name`). nprobe
-    defaults to every list (exact ≡ the arrival-order rule the oracle
-    states); bounded nprobe is the recall/cost dial at scale. The
-    index is built quantize=True so the threshold compare is
-    engine-exact.
+    index=None starts the crawl: the batch's FULL vector set becomes
+    the initial index first (requires `name`), and the in-batch rule
+    is then one range query against it with the smaller-id filter —
+    querying an index that contains the batch is intended there, and
+    keeps every lane on the shared _range_pairs kernel with the
+    batch's own id type end-to-end (no long cast anywhere; string and
+    numeric crawl ids both work). nprobe defaults to every list
+    (exact ≡ the arrival-order rule the oracle states); bounded
+    nprobe is the recall/cost dial at scale. The index is built
+    quantize=True so the threshold compare is engine-exact.
 
-    Returns (fresh_docs, index). The dropped-id set is force-
-    materialized (eager localCheckpoint) BEFORE the add appends to the
-    lists table — the range scan reads that table lazily, and without
-    the barrier a batch would see its own vectors and drop
-    everything."""
-    pairs_in = sim.cosine_pairs(new_df, threshold, id_col=id_col,
-                                vec_col=vec_col)
-    hit_new = pairs_in.select(F.col("id_b").alias(id_col))
+    Returns (fresh_docs, index). In the incremental branch the
+    dropped-id set is force-materialized (eager localCheckpoint)
+    BEFORE the add appends to the lists table — the range scan reads
+    that table lazily, and without the barrier a batch would see its
+    own vectors and drop everything."""
+    spark = new_df.sparkSession
+    smaller = F.col("_mid_") < F.col("_qid_")
     if index is None:
         if name is None:
             raise ValueError("embedding_neardup_incremental: starting "
                              "a crawl (index=None) needs `name`")
-        dropped = hit_new.distinct()
-        spark = new_df.sparkSession
-        fresh = (new_df.join(
-            dropped.select(F.col(id_col).cast(
-                new_df.schema[id_col].dataType.simpleString())), id_col,
-            "left_anti"))
         idx = build_ivf_index(spark, new_df, name=name, nlist=nlist,
                               seed=seed, max_iter=max_iter,
                               quantize=True, id_col=id_col,
                               vec_col=vec_col)
-        return fresh, idx
+        dropped = (range_query_ann_index(
+            new_df, idx, threshold, nprobe=nprobe, vec_col=vec_col,
+            query_id_col="_qid_")
+            .withColumnRenamed(id_col, "_mid_")
+            .filter(smaller)
+            .select(F.col("_qid_").alias(id_col)).distinct())
+        return new_df.join(dropped, id_col, "left_anti"), idx
 
-    hit_old = (range_query_ann_index(
-        new_df, index, threshold, nprobe=nprobe, vec_col=vec_col,
-        query_id_col="_qid")
-        .select(F.col("_qid").alias(id_col)))
-    dropped = (hit_new.select(F.col(id_col).cast("string"))
-               .union(hit_old.select(F.col(id_col).cast("string")))
-               .distinct()
+    np_ = (index.nlist if nprobe is None
+           else max(1, min(nprobe, index.nlist)))
+    probers = (_probe_rows(new_df, index, np_, vec_col=vec_col)
+               .localCheckpoint(eager=False))
+    pids = sorted(r["_pid"] for r in
+                  probers.select("_pid").distinct().collect())
+    q_type = new_df.schema[id_col].dataType.simpleString()
+    members_old = (spark.read.parquet(
+        _table_path(spark, index.lists_table))
+        .filter(F.col("_cid").isin([int(c) for c in pids]))
+        .select(F.col("_cid").alias("_pid"),
+                F.col(id_col).alias("_mid"),
+                F.col("_cvs").alias("_mvs")))
+    hit_old = (sim._range_pairs(
+        probers, members_old, threshold, block_size=1024,
+        id_col="_mid_", query_id_col="_qid_", q_type=q_type)
+        .select(F.col("_qid_").alias(id_col)))
+    # in-batch rule: the batch's own frozen-quantizer encoding is the
+    # member side, smaller id wins
+    members_new = (_ivf_flat_lists(new_df, index.centroids,
+                                   quantize=index.quantize,
+                                   id_col=id_col, vec_col=vec_col)
+                   .select(F.col("_cid").alias("_pid"),
+                           F.col(id_col).alias("_mid"),
+                           F.col("_cvs").alias("_mvs")))
+    hit_new = (sim._range_pairs(
+        probers, members_new, threshold, block_size=1024,
+        id_col="_mid_", query_id_col="_qid_", q_type=q_type)
+        .filter(smaller)
+        .select(F.col("_qid_").alias(id_col)))
+    dropped = (hit_new.union(hit_old).distinct()
                .localCheckpoint())           # BARRIER before the add
-    fresh = (new_df
-             .join(dropped.withColumn(
-                 id_col, F.col(id_col).cast(
-                     new_df.schema[id_col].dataType.simpleString())),
-                 id_col, "left_anti"))
-    add_to_ann_index(new_df.sparkSession, index, new_df,
-                     vec_col=vec_col)
+    fresh = new_df.join(dropped, id_col, "left_anti")
+    add_to_ann_index(spark, index, new_df, vec_col=vec_col)
     return fresh, index
 
 

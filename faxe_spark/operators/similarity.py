@@ -515,16 +515,10 @@ def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
 
     Shape: one driver-side trainer sample (hash_sample_matrix), one
     Arrow pass for assignment+probes, the within-list pairs reuse
-    cosine_pairs' per-cluster tile grid, and the cross-list stage
-    tiles the prober side per probed list (member side replicated per
-    tile, the same replication structure as the brute tile grid —
-    but over nprobe/nlist of the data). distinct() is safe because
-    both directions of a twice-found pair compute identical float64
-    bits from exact integer dots."""
-    import math
-
-    import numpy as np  # noqa: F401  (tile closures)
-
+    cosine_pairs' per-cluster tile grid, and the cross-list stage is
+    the shared _range_pairs kernel (two-sided tile grid per probed
+    list). distinct() is safe because both directions of a twice-found
+    pair compute identical float64 bits from exact integer dots."""
     X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
                            what="cosine_pairs_ivf")
     centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
@@ -546,55 +540,101 @@ def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
     if nprobe == 1:
         return within
 
-    # cross-list stage: probers replicated to their probed lists, the
-    # members of each probed list tiled against them
+    # cross-list stage: probers (own list excluded — within pairs are
+    # the lane above) against each probed list's members
     probers = (c.join(ap.select("_id", "_probes"), "_id")
-               .select("_id", "_vq",
-                       F.explode("_probes").alias("_pid")))
-    members = c.join(ap.select("_id", "_cid"), "_id") \
-        .select("_id", "_vq", F.col("_cid").alias("_pid"))
-    counts = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
+               .select(F.explode("_probes").alias("_pid"),
+                       F.col("_id").alias("_qid"),
+                       F.col("_vq").alias("_qvs")))
+    members = (c.join(ap.select("_id", "_cid"), "_id")
+               .select(F.col("_cid").alias("_pid"),
+                       F.col("_id").alias("_mid"),
+                       F.col("_vq").alias("_mvs")))
+    rp = _range_pairs(probers, members, threshold,
+                      block_size=block_size, id_col="_mid",
+                      query_id_col="_qid", q_type="bigint")
+    cross = (rp.select(F.least("_qid", "_mid").alias("id_a"),
+                       F.greatest("_qid", "_mid").alias("id_b"),
+                       "cosine")
+             .distinct())
+    return within.unionByName(cross)
+
+
+def _range_pairs(probers: DataFrame, members: DataFrame,
+                 threshold: float, *, block_size: int, id_col: str,
+                 query_id_col: str, q_type: str) -> DataFrame:
+    """Tiled float64 GEMM RANGE scoring of (_pid, _qid, _qvs) probers
+    against (_pid, _mid, _mvs) members, emitting every pair with
+    cosine >= threshold — the shared kernel of cosine_pairs_ivf's
+    cross stage, ann_index.range_query_ann_index, and the streaming
+    embedding crawl loop. The tile grid blocks BOTH sides (probers by
+    query-id hash, members by member-id hash; each side replicated
+    across the other's blocks — the cosine_pairs structure), so one
+    viral list cannot hand a single Python worker an unbounded
+    np.stack. Lists with no probers or no members drop at the counts
+    join. Exact over integer-quantized vectors (see cosine_pairs)."""
+    import numpy as np
+
+    pc = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    mc = members.groupBy("_pid").agg(F.count(F.lit(1)).alias("_mn"))
+    counts = pc.join(mc, "_pid")
+    npb = F.greatest(F.lit(1), F.ceil(F.col("_pn") / F.lit(block_size))) \
+        .cast("int")
+    nmb = F.greatest(F.lit(1), F.ceil(F.col("_mn") / F.lit(block_size))) \
         .cast("int")
     p_tagged = (probers.join(F.broadcast(counts), "_pid")
-                .select("_pid", "_id", "_vq", F.lit(1).alias("_side"),
-                        F.pmod(F.xxhash64("_id"), nb).cast("int")
-                        .alias("_pb")))
+                .select("_pid",
+                        F.col("_qid").cast("string").alias("_sid"),
+                        "_qvs",
+                        F.pmod(F.xxhash64(F.col("_qid").cast("string")),
+                               npb).cast("int").alias("_pb"),
+                        F.explode(F.sequence(F.lit(0), nmb - 1))
+                        .alias("_mb")))
     m_tagged = (members.join(F.broadcast(counts), "_pid")
-                .select("_pid", "_id", "_vq", F.lit(0).alias("_side"),
-                        F.explode(F.sequence(F.lit(0), nb - 1))
-                        .alias("_pb")))
+                .select("_pid", "_mid", "_mvs",
+                        F.explode(F.sequence(F.lit(0), npb - 1))
+                        .alias("_pb"),
+                        F.pmod(F.xxhash64(F.col("_mid").cast("string")),
+                               nmb).cast("int").alias("_mb")))
+    both = (p_tagged.select(
+        "_pid", "_pb", "_mb", F.lit(1).alias("_side"), "_sid", "_qvs",
+        F.lit(None).cast(members.schema["_mid"].dataType).alias("_mid"),
+        F.lit(None).cast(members.schema["_mvs"].dataType).alias("_mvs"))
+        .unionByName(m_tagged.select(
+            "_pid", "_pb", "_mb", F.lit(0).alias("_side"),
+            F.lit(None).cast("string").alias("_sid"),
+            F.lit(None).cast(p_tagged.schema["_qvs"].dataType)
+            .alias("_qvs"), "_mid", "_mvs")))
 
     thr = threshold
+    m_type = members.schema["_mid"].dataType.simpleString()
 
-    def tile_cross(key, pdf):
-        import numpy as np
+    def tile(key, pdf):
         import pandas as pd
 
         left = pdf[pdf["_side"] == 1]
         right = pdf[pdf["_side"] == 0]
         if left.empty or right.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        lid = left["_id"].to_numpy()
-        rid = right["_id"].to_numpy()
-        X = np.stack(left["_vq"].to_numpy()).astype(np.float64)
-        Y = np.stack(right["_vq"].to_numpy()).astype(np.float64)
+            return pd.DataFrame({query_id_col: [], id_col: [],
+                                 "cosine": []})
+        qid = left["_sid"].to_numpy()
+        mid = right["_mid"].to_numpy()
+        X = np.stack(left["_qvs"].to_numpy()).astype(np.float64)
+        Y = np.stack(right["_mvs"].to_numpy()).astype(np.float64)
         dots = X @ Y.T
         nx = np.sqrt((X * X).sum(axis=1))
         ny = np.sqrt((Y * Y).sum(axis=1))
         cos = dots / np.outer(nx, ny)
         ia, ib = np.nonzero(cos >= thr)
-        a_ids, b_ids = lid[ia], rid[ib]
-        return pd.DataFrame({"id_a": np.minimum(a_ids, b_ids),
-                             "id_b": np.maximum(a_ids, b_ids),
+        return pd.DataFrame({query_id_col: qid[ia], id_col: mid[ib],
                              "cosine": cos[ia, ib]})
 
-    cross = (p_tagged.unionByName(m_tagged)
-             .groupBy("_pid", "_pb")
-             .applyInPandas(tile_cross,
-                            "id_a long, id_b long, cosine double")
-             .distinct())
-    return within.unionByName(cross)
+    return (both.groupBy("_pid", "_pb", "_mb")
+            .applyInPandas(
+                tile, f"{query_id_col} string, {id_col} {m_type}, "
+                      "cosine double")
+            .withColumn(query_id_col,
+                        F.col(query_id_col).cast(q_type)))
 
 
 def semantic_dedup(corpus: DataFrame, threshold: float, *,

@@ -327,7 +327,16 @@ def _substring_scrub_core(new_df: DataFrame,
     in-batch occurrence then covers — the canonical keeper already
     lives in an earlier batch) or it is not the batch-canonical
     min (doc, pos) occurrence. New rows exclude already-seen grams so
-    unions stay duplicate-free."""
+    unions stay duplicate-free.
+
+    The gram stream `occ` feeds three consumers and is deliberately
+    NOT checkpointed (unlike the minhash/simhash cores, which
+    checkpoint their small one-row-per-doc SIGNATURE frames): occ is
+    the exploded one-row-per-(doc,pos) stream — the largest
+    intermediate — and re-deriving it is a scan-stage explode off the
+    parquet scan, the same recompute-over-materialize call
+    duplicate_span_features documents ('scan-stage, cheap to
+    repeat')."""
     d = new_df.withColumn("_w", words(F.col(text_col)))
     occ = (d.select(id_col,
                     F.posexplode(ngram_array(span_words))

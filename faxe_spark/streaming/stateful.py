@@ -825,21 +825,36 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
     compact_pending_vectors folds pending into the lists table —
     restart-after-compaction is the months-long-crawl story, same as
     every other loop. nprobe=None probes every list (the exact
-    semantic); bounded nprobe is the recall/cost dial."""
+    semantic); bounded nprobe is the recall/cost dial.
+
+    The handle loads ONCE here (the run's frozen-quantizer contract
+    made literal) — which also surfaces the IVFPQ refusal at pipeline
+    construction instead of as an unresolved-column error inside the
+    first micro-batch."""
     import pyspark.sql.functions as F
     from pyspark.errors import AnalysisException
 
     from faxe_spark.operators import ann_index as annix
     from faxe_spark.operators import similarity as sim
 
+    idx = annix.load_ann_index(df.sparkSession, index_name)
+    if idx.kind != "ivf_flat":
+        raise ValueError(
+            "embedding_dedup_pipeline: the crawl loop needs exact "
+            "stored vectors (ivf_flat); an IVFPQ ADC score is not a "
+            "cosine")
+    id_col = idx.id_col
+    np_ = (idx.nlist if nprobe is None
+           else max(1, min(nprobe, idx.nlist)))
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx = annix.load_ann_index(spark, index_name)
-        id_col = idx.id_col
-        np_ = (idx.nlist if nprobe is None
-               else max(1, min(nprobe, idx.nlist)))
         q_type = batch_df.schema[id_col].dataType.simpleString()
-        probers = annix._probe_rows(batch_df, idx, np_, vec_col=vec_col)
+        # three consumers (pids collect, kernel counts, tile rows):
+        # materialize the Arrow probe pass once per micro-batch
+        probers = (annix._probe_rows(batch_df, idx, np_,
+                                     vec_col=vec_col)
+                   .localCheckpoint(eager=False))
         pids = sorted(r["_pid"] for r in
                       probers.select("_pid").distinct().collect())
         members = (spark.read.parquet(
@@ -860,22 +875,28 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
             members = members.union(pend)
         except AnalysisException:
             pass
-        hit_old = (annix._range_pairs(
+        hit_old = (sim._range_pairs(
             probers, members, threshold, block_size=block_size,
-            id_col=id_col, query_id_col="_qid", q_type=q_type)
-            .select(F.col("_qid").alias(id_col)))
-        pairs_in = sim.cosine_pairs(batch_df, threshold, id_col=id_col,
-                                    vec_col=vec_col,
-                                    block_size=block_size)
-        dropped = (pairs_in.select(F.col("id_b").cast(q_type)
-                                   .alias(id_col))
-                   .union(hit_old.select(F.col(id_col).cast(q_type)))
-                   .distinct())
-        fresh = batch_df.join(dropped, id_col, "left_anti")
+            id_col="_mid_", query_id_col="_qid_", q_type=q_type)
+            .select(F.col("_qid_").alias(id_col)))
+        # in-batch rule over the batch's own encoding (computed once —
+        # it is also this epoch's pending write), smaller id wins;
+        # no long cast anywhere, so string crawl ids work
         new_rows = (annix._ivf_flat_lists(
             batch_df, idx.centroids, quantize=idx.quantize,
             id_col=id_col, vec_col=vec_col)
-            .select(id_col, "_cvs", "_cid"))
+            .select(id_col, "_cvs", "_cid")
+            .localCheckpoint(eager=False))
+        members_new = new_rows.select(
+            F.col("_cid").alias("_pid"), F.col(id_col).alias("_mid"),
+            F.col("_cvs").alias("_mvs"))
+        hit_new = (sim._range_pairs(
+            probers, members_new, threshold, block_size=block_size,
+            id_col="_mid_", query_id_col="_qid_", q_type=q_type)
+            .filter(F.col("_mid_") < F.col("_qid_"))
+            .select(F.col("_qid_").alias(id_col)))
+        dropped = hit_new.union(hit_old).distinct()
+        fresh = batch_df.join(dropped, id_col, "left_anti")
         (fresh.write.mode("overwrite")
          .parquet(f"{out_dir}/epoch={epoch_id}"))
         (new_rows.write.mode("overwrite")

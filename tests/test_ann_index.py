@@ -253,3 +253,29 @@ def test_range_query_refuses_ivfpq_and_empty(spark):
                                         flat, 0.5)
     finally:
         annix.drop_ann_index(spark, name)
+
+
+def test_embedding_neardup_incremental_string_ids(spark):
+    """Crawl ids are often URLs/hashes, not numbers: the loop must run
+    end-to-end on string ids (review-found crash: the early in-batch
+    lane routed through cosine_pairs' long cast). Same geometry as the
+    chain test; 'earlier in batch' = lexicographically smaller id."""
+    from faxe_spark.operators import ann_index as annix
+
+    A = [1.0, 0.0]
+    B = [0.8660254, 0.5]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id string, embedding array<double>")
+    name = "nd_incr_str_test"
+    try:
+        f1, idx = annix.embedding_neardup_incremental(
+            mk([("url/a", A), ("url/b", B)]), None, threshold=0.7,
+            name=name, nlist=2)
+        assert sorted(r.vec_id for r in f1.collect()) == ["url/a"], \
+            "url/b drops via in-batch lexicographically-earlier url/a"
+        f2, idx = annix.embedding_neardup_incremental(
+            mk([("url/c", A),                 # replay: drops via index
+                ("url/d", [0.0, -1.0])]), idx, threshold=0.7)
+        assert sorted(r.vec_id for r in f2.collect()) == ["url/d"]
+    finally:
+        annix.drop_ann_index(spark, name)
