@@ -84,6 +84,8 @@ HEADLINE = [
     "dedup_simhash_incr_batches",
     "exact_substring_dedup", "embedding_neardup_ivf",
     "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
+    # round 6 third wave: crawl-balance cap + Gopher format rules
+    "domain_cap", "gopher_quality",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -138,6 +138,71 @@ def dup_ngram_fraction(n: int) -> Column:
         F.lit(1.0) - F.size(F.array_distinct(g)) / total).cast("double")
 
 
+# The eight highest-frequency English words Gopher requires a document
+# to contain at least two of (Rae et al. 2021 §A1.1, "stop word filter").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher document-format quality rules (Rae et al. 2021 §A1.1) —
+    the canonical web-corpus keep/drop gate: word-count bounds, mean
+    word length bounds, symbol-to-word ratio ('#'/'...'), fraction of
+    lines that are bullets or trail off in an ellipsis, fraction of
+    words with an alphabetic character, and presence of >=2 of the
+    eight Gopher stop words. Complements repetition_features (the
+    §A1.1 repetition half lives there).
+
+    Every rule is a pure Column expression over the raw text — at
+    100 TB this is one parquet scan stage, zero shuffles, fully inside
+    whole-stage codegen; regex constructs are the portable subset
+    (classes, anchors, alternation) so Java regex and RE2/DuckDB agree.
+    """
+    c = F.col(text_col)
+    w = tokens(c)
+    n_words = F.size(w)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = (F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / safe_n)
+    symbols = F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.")) \
+        + F.regexp_count(c, F.lit("…"))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.when(F.lower(c).rlike(r"\b" + sw + r"\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.withColumns({
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wl, 4).cast("double"),
+        "symbol_word_ratio": F.round(symbols / safe_n, 4).cast("double"),
+        "bullet_line_frac": F.round(bullet_lines / n_lines, 4).cast("double"),
+        "ellipsis_line_frac": F.round(ellipsis_lines / n_lines, 4).cast("double"),
+        "alpha_word_frac": F.round(alpha_words / safe_n, 4).cast("double"),
+        "stop_hits": stop_hits.cast("long"),
+    })
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         *, max_dup_word: float = 0.7,
                         max_dup_2gram: float = 0.6) -> DataFrame:

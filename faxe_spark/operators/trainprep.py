@@ -239,6 +239,35 @@ def mix_sample(df: DataFrame, weights: dict[str, float], *,
     return df.filter(h < thr)
 
 
+def host_cap(df: DataFrame, *, cap: int, host_col: str = "host",
+             id_col: str = "doc_id", priority_col: str | None = None,
+             salt: int | None = None) -> DataFrame:
+    """Per-host document cap — the crawl-balance stage (CCNet /
+    RefinedWeb-style): bound any single registered domain's
+    contribution to the corpus by keeping the `cap` highest-priority
+    documents per host. Priority defaults to md5(id), i.e. exact
+    deterministic hash-priority sampling: the kept subset is a pure
+    function of the ids, so re-runs, backfills and a DuckDB oracle all
+    agree with no RNG coordination across 1000 executors — and unlike
+    a rate filter (mix_sample) the cap is EXACT per host.
+
+    Scale shape: a plain window over host is the classic skew cliff —
+    one viral domain that owns 10% of a 100 TB crawl lands on one
+    task. `salt=S` runs aggregate.top_k's exact two-phase form: phase
+    1 ranks within (host, xxhash64(id)%S) — uniform partitions — and
+    phase 2 finishes over at most S*cap survivors per host, so the
+    result is identical and the hot host spreads over S tasks.
+
+    Returns the kept rows with a `host_rank` column (1-based position
+    in the host's priority order)."""
+    pr = (F.col(priority_col) if priority_col
+          else F.md5(F.col(id_col).cast("string")))
+    from faxe_spark.operators.aggregate import top_k
+    out = top_k(df.withColumn("_prio", pr), "_prio", cap, by=[host_col],
+                bottom=True, tiebreak=id_col, salt=salt)
+    return out.drop("_prio").withColumnRenamed("rank", "host_rank")
+
+
 def plan_mixture(df: DataFrame, targets: dict[str, float], *,
                  domain_col: str = "source", text_col: str = "text",
                  token_col: str | None = None,

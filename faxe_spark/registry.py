@@ -3189,6 +3189,124 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("component").cast("long"), "keep")
 
 
+@register(
+    "domain_cap",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 > 0 THEN 'viral.example.com'
+                  ELSE lower(source) || '.example.com' END AS host
+      FROM documents),
+    r AS (
+      SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS host_rank
+      FROM h)
+    SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 8
+    """,
+    doc="per-host document cap (CCNet/RefinedWeb crawl balance): keep "
+        "the 8 highest-hash-priority docs per host — EXACT deterministic "
+        "sampling, salted two-phase top-k so the synthetic viral host "
+        "(2/3 of the corpus on one domain) spreads over 8 tasks instead "
+        "of the one-task window cliff",
+)
+def domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    host = (F.when(F.col("doc_id") % 3 > 0, F.lit("viral.example.com"))
+            .otherwise(F.concat(F.lower(F.col("source")),
+                                F.lit(".example.com"))))
+    capped = tp_ops.host_cap(d.withColumn("host", host), cap=8, salt=8)
+    return capped.select("doc_id", "host", "host_rank")
+
+
+# deterministic per-doc structure so the line/symbol rules discriminate
+# on the newline-free synthetic corpus (same pattern as the url_* and
+# pii_scrub queries' augmentation) — identical string built on both sides
+_GOPHER_AUG = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- alpha' || chr(10)"
+    " || '- beta' || chr(10) || '* gamma' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'it trails off...'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' ## # ##' ELSE '' END")
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(lower(t), '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+
+@register(
+    "gopher_quality",
+    f"""
+    WITH a AS (SELECT doc_id, {_GOPHER_AUG} AS t FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             string_split_regex(trim(t), '\\s+') AS w,
+             string_split(t, chr(10)) AS lines
+      FROM a),
+    s AS (
+      SELECT doc_id, t, w, lines,
+             greatest(len(w), 1) AS nw, greatest(len(lines), 1) AS nl,
+             ({_GOPHER_STOP_SQL}) AS stop_hits
+      FROM m)
+    SELECT doc_id,
+           len(w) AS n_words,
+           round(length(regexp_replace(trim(t), '\\s+', '', 'g')) / nw, 4)
+             AS mean_word_len,
+           round((len(regexp_extract_all(t, '#'))
+                  + len(regexp_extract_all(t, '\\.\\.\\.'))
+                  + len(regexp_extract_all(t, '…'))) / nw, 4)
+             AS symbol_word_ratio,
+           round(len(list_filter(lines,
+                   x -> regexp_matches(x, '^\\s*[-*•]'))) / nl, 4)
+             AS bullet_line_frac,
+           round(len(list_filter(lines,
+                   x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) / nl, 4)
+             AS ellipsis_line_frac,
+           round(len(list_filter(w,
+                   x -> regexp_matches(x, '[A-Za-z]'))) / nw, 4)
+             AS alpha_word_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (len(w) BETWEEN 50 AND 100000
+            AND round(length(regexp_replace(trim(t), '\\s+', '', 'g')) / nw, 4)
+                BETWEEN 3.0 AND 10.0
+            AND round((len(regexp_extract_all(t, '#'))
+                       + len(regexp_extract_all(t, '\\.\\.\\.'))
+                       + len(regexp_extract_all(t, '…'))) / nw, 4) <= 0.1
+            AND round(len(list_filter(lines,
+                    x -> regexp_matches(x, '^\\s*[-*•]'))) / nl, 4) <= 0.9
+            AND round(len(list_filter(lines,
+                    x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) / nl, 4)
+                <= 0.3
+            AND round(len(list_filter(w,
+                    x -> regexp_matches(x, '[A-Za-z]'))) / nw, 4) >= 0.8
+            AND stop_hits >= 2) AS gopher_pass
+    FROM s
+    """,
+    doc="Gopher document-format rules (Rae et al. 2021 §A1.1): word "
+        "count / mean word length bounds, symbol-to-word ratio, bullet "
+        "and ellipsis line fractions, alpha-word fraction, >=2 of the 8 "
+        "stop words — pure scan-stage expressions, zero shuffles at "
+        "100 TB; deterministic augmentation keyed on doc_id makes every "
+        "rule fire differently across the corpus",
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n- alpha\n- beta\n* gamma")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nit trails off...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" ## # ##")).otherwise(F.lit("")))
+    out = text_ops.gopher_rules(d.withColumn("_t", aug), text_col="_t")
+    return out.select("doc_id", "n_words", "mean_word_len",
+                      "symbol_word_ratio", "bullet_line_frac",
+                      "ellipsis_line_frac", "alpha_word_frac",
+                      "stop_hits", "gopher_pass")
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -3243,6 +3361,18 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact_substring_dedup, embedding_neardup_ivf,
 # substring_scrub_incr_batches, embedding_neardup_incr_batches) = 50
 # = the driver's scoring window.
+# Late-round-6 additions (domain_cap, gopher_quality) need first hard
+# rows, so two of the four kept r5-greens defer after all:
+# dedup_incremental_batches (r5 hash row; the r6-touched shared
+# pipeline/compaction machinery holds FOUR in-window rows via
+# dedup_minhash_incr_batches / dedup_simhash_incr_batches /
+# substring_scrub_incr_batches / embedding_neardup_incr_batches) and
+# trainprep_pipeline (r5 hash row; its batch lineage is UNTOUCHED this
+# round — the r5 streaming lane is pytest-covered — and bench.py tracks
+# its timing regardless of the window). dedup_ngram_jaccard (lane-cliff
+# fix needs its fresh row) and ivfpq_full_probe (sole in-window
+# exerciser of the r6-fixed _argmin_sq_dist kernel) stay. 39 returning
+# + 2 kept + 9 new = 50.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -3257,6 +3387,7 @@ _DEFERRED_THIS_ROUND = [
     "pii_scrub", "html_extract", "dup_spans", "quality_classifier",
     "url_normalize", "lm_novelty", "ann_ivf_topk", "pq_adc_full_probe",
     "ann_topk", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_incremental_batches", "trainprep_pipeline",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

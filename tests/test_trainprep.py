@@ -585,3 +585,76 @@ def test_corpus_count_ops_use_partial_aggregation(spark):
         assert plan.count("partial_count") >= n_count_aggs, \
             plan.count("partial_count")
         out.count()  # completes under a 100%-hot-gram corpus
+
+
+# -- Gopher format rules (round 6) -------------------------------------------
+
+def test_gopher_rules_crafted(spark):
+    good = " ".join("the and of that with have word%d text" % (i % 7)
+                    for i in range(10))            # 80 words, stopword-rich
+    df = _docs(spark, [
+        (1, good, "s"),
+        (2, "too short to keep", "s"),             # n_words = 4 < 50
+        (3, "\n".join("- item %d" % i for i in range(10)), "s"),
+        (4, "one...\ntwo...\nthree\nfour", "s"),   # 2/4 ellipsis lines
+        (5, good + " " + "#" * 30, "s"),           # symbol-heavy tail
+        (6, " ".join(str(i) for i in range(60)), "s"),  # no alpha words
+    ])
+    out = {r.doc_id: r for r in text_ops.gopher_rules(df).collect()}
+    assert out[1].gopher_pass and out[1].n_words == 80
+    assert out[1].stop_hits >= 5 and out[1].bullet_line_frac == 0.0
+    assert not out[2].gopher_pass and out[2].n_words == 4
+    assert out[3].bullet_line_frac == 1.0 and not out[3].gopher_pass
+    assert out[4].ellipsis_line_frac == 0.5 and not out[4].gopher_pass
+    assert out[5].symbol_word_ratio > 0.1 and not out[5].gopher_pass
+    assert out[6].alpha_word_frac == 0.0 and not out[6].gopher_pass
+
+
+def test_gopher_rules_is_scan_stage_only(spark):
+    df = _docs(spark, [(1, "a b c", "s")])
+    plan = text_ops.gopher_rules(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- per-host cap (round 6) ---------------------------------------------------
+
+def test_host_cap_exact_deterministic_and_salted_equal(spark):
+    """The kept set is EXACTLY the cap lowest md5(id) per host (pure
+    function of the ids — reproducible across runs/engines), and the
+    salted two-phase form returns the identical rows AND ranks."""
+    import hashlib
+    rows = [(i, "t%d" % i, "viral" if i % 4 else "host%d" % (i % 3))
+            for i in range(200)]
+    df = _docs(spark, rows).withColumnRenamed("source", "host")
+    plain = tp.host_cap(df, cap=5)
+    got = {(r.doc_id, r.host, r.host_rank) for r in plain.collect()}
+
+    by_host = {}
+    for i, _, h in rows:
+        by_host.setdefault(h, []).append(i)
+    want = set()
+    for h, ids in by_host.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want |= {(i, h, rank + 1) for rank, i in enumerate(ids[:5])}
+    assert got == want
+
+    salted = tp.host_cap(df, cap=5, salt=7)
+    assert {(r.doc_id, r.host, r.host_rank)
+            for r in salted.collect()} == want
+
+
+def test_host_cap_salted_spreads_hot_host(spark):
+    """Plan shape: the salted lane's first window partitions by
+    (host, _salt) — the viral host's rows spread over `salt` buckets
+    instead of one task."""
+    df = _docs(spark, [(i, "t", "viral") for i in range(50)]) \
+        .withColumnRenamed("source", "host")
+    plan = tp.host_cap(df, cap=3, salt=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the phase-1 window keys on the xxhash64 salt bucket (the alias is
+    # resolved away in the physical plan — the expression itself shows)
+    assert "xxhash64" in plan
+    unsalted = tp.host_cap(df, cap=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "xxhash64" not in unsalted
