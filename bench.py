@@ -85,7 +85,7 @@ HEADLINE = [
     "exact_substring_dedup", "embedding_neardup_ivf",
     "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
     # round 6 third wave: crawl-balance cap + Gopher format rules
-    "domain_cap", "gopher_quality",
+    "domain_cap", "gopher_quality", "domain_cap_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -268,6 +268,81 @@ def host_cap(df: DataFrame, *, cap: int, host_col: str = "host",
     return out.drop("_prio").withColumnRenamed("rank", "host_rank")
 
 
+def host_cap_incremental(new_df: DataFrame, seen_rows: DataFrame | None, *,
+                         cap: int, host_col: str = "host",
+                         id_col: str = "doc_id", salt: int | None = None,
+                         checkpoint: bool = True
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl per-host cap (the count-based member of the
+    crawl-loop family): keep a new document iff fewer than `cap` docs
+    of its host were kept before it — in an earlier batch (via
+    `seen_rows`) or earlier in this batch (smaller id = crawl order).
+    First-arrival wins, the rule a live crawl actually wants; the
+    batch `host_cap` is the hash-priority variant for re-runnable
+    offline balance.
+
+    Returns (kept_docs, updated_seen). State rows are
+    fingerprint = host || '|' || md5(id) — one per KEPT doc, so the
+    state is bounded at `cap` rows per host FOREVER (the only family
+    member whose state cannot grow with crawl age per key) and shares
+    the exact loop's 1-column fingerprint-table contract:
+    compact_seen_fps / compact_pending_fps apply unchanged. Hosts must
+    not contain '|' (impossible for RFC hostnames).
+
+    kept_docs carry `host_rank` = the doc's position in its host's
+    overall kept order == its global arrival rank (kept docs are
+    exactly the host's first `cap` arrivals)."""
+    kept, new_rows = _host_cap_incr_core(
+        new_df, seen_rows, cap=cap, host_col=host_col, id_col=id_col,
+        salt=salt, checkpoint=checkpoint)
+    updated = new_rows if seen_rows is None else seen_rows.union(new_rows)
+    return kept, updated
+
+
+def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
+                        cap: int, host_col: str, id_col: str,
+                        salt: int | None, checkpoint: bool
+                        ) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, NEW keep-tally rows) — the per-batch kernel for the
+    streaming pipeline; new_rows is exactly this batch's delta."""
+    from faxe_spark.operators.aggregate import top_k
+
+    prior = None
+    if seen_rows is not None:
+        # <= cap rows per host by construction, so this groupBy is a
+        # bounded count over the (bucketed) state table
+        prior = (seen_rows
+                 .select(F.split_part(F.col("fingerprint"), F.lit("|"),
+                                      F.lit(1)).alias(host_col))
+                 .groupBy(host_col).agg(F.count(F.lit(1)).alias("_prior")))
+    # in-batch arrival rank (id ascending): only ranks <= cap can
+    # survive whatever the prior count is, so the salted two-phase
+    # top-k bounds the per-host sort BEFORE the state join — a viral
+    # host's batch rows spread over `salt` tasks
+    ranked = top_k(new_df, id_col, cap, by=[host_col], bottom=True,
+                   salt=salt)
+    if prior is None:
+        kept = ranked.withColumn("_prior", F.lit(0))
+    else:
+        kept = (ranked.join(prior, host_col, "left")
+                .withColumn("_prior",
+                            F.coalesce(F.col("_prior"), F.lit(0)))
+                .filter(F.col("rank") + F.col("_prior") <= cap))
+    # cast: rank is int, a joined count is long — epochs of a streaming
+    # run must write ONE parquet type for host_rank
+    kept = (kept.withColumn("host_rank",
+                            (F.col("rank") + F.col("_prior")).cast("long"))
+            .drop("rank", "_prior"))
+    if checkpoint:
+        # the kept subtree feeds both outputs; materialize once (lazily)
+        # — same lineage contract as dedup_incremental
+        kept = kept.localCheckpoint(eager=False)
+    new_rows = kept.select(
+        F.concat(F.col(host_col), F.lit("|"),
+                 F.md5(F.col(id_col).cast("string"))).alias("fingerprint"))
+    return kept, new_rows
+
+
 def plan_mixture(df: DataFrame, targets: dict[str, float], *,
                  domain_col: str = "source", text_col: str = "text",
                  token_col: str | None = None,

@@ -3307,6 +3307,49 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "stop_hits", "gopher_pass")
 
 
+@register(
+    "domain_cap_incr_batches",
+    """
+    WITH h AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             CASE WHEN doc_id % 4 > 0 THEN 'viral.example.com'
+                  ELSE lower(source) || '.example.com' END AS host
+      FROM documents),
+    r AS (
+      SELECT doc_id, b + 1 AS batch, host,
+             row_number() OVER (PARTITION BY host ORDER BY b, doc_id)
+               AS host_rank
+      FROM h)
+    SELECT batch, doc_id, host, host_rank FROM r WHERE host_rank <= 8
+    """,
+    doc="continuous-crawl per-host cap across arrival batches "
+        "(host_cap_incremental folded over a doc_id % 3 split): keep a "
+        "doc iff fewer than 8 of its host were kept before it — "
+        "first-arrival rule, so the kept set is exactly each host's "
+        "first 8 arrivals under (batch, doc_id) order, which the "
+        "oracle's row_number states directly; state = one fingerprint "
+        "row per kept doc, bounded at cap rows/host forever",
+)
+def domain_cap_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    host = (F.when(F.col("doc_id") % 4 > 0, F.lit("viral.example.com"))
+            .otherwise(F.concat(F.lower(F.col("source")),
+                                F.lit(".example.com"))))
+    d = d.withColumn("host", host)
+    seen = None
+    outs = []
+    for b in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == b)
+        kept, seen = tp_ops.host_cap_incremental(
+            batch, seen, cap=8, salt=8)
+        outs.append(kept.select(F.lit(b + 1).alias("batch"), "doc_id",
+                                "host", "host_rank"))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -3373,6 +3416,12 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fix needs its fresh row) and ivfpq_full_probe (sole in-window
 # exerciser of the r6-fixed _argmin_sq_dist kernel) stay. 39 returning
 # + 2 kept + 9 new = 50.
+# domain_cap_incr_batches (registered after the window filled) starts
+# DEFERRED: every in-window entry either has no driver row at all (the
+# 9 new) or a last hard row from r4 that would go 2 rounds stale if
+# bumped — a brand-new query with a local-gate row only
+# (tests/test_oracle.py runs ALL entries) is the lesser evidence gap.
+# It takes an in-window slot at the r7 rotation.
 _DEFERRED_THIS_ROUND = [
     "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
     "win_event_rolling", "count_change", "change_detect", "collect_unique",
@@ -3388,6 +3437,7 @@ _DEFERRED_THIS_ROUND = [
     "url_normalize", "lm_novelty", "ann_ivf_topk", "pq_adc_full_probe",
     "ann_topk", "dedup_clusters", "dedup_minhash_lsh",
     "dedup_incremental_batches", "trainprep_pipeline",
+    "domain_cap_incr_batches",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

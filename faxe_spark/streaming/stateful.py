@@ -775,6 +775,37 @@ def simhash_dedup_pipeline(df: DataFrame, *, bucket_table: str | None,
         available_now=available_now)
 
 
+def host_cap_pipeline(df: DataFrame, *, bucket_table: str | None,
+                      out_dir: str, pending_dir: str,
+                      checkpoint_dir: str, cap: int,
+                      host_col: str = "host", id_col: str = "doc_id",
+                      salt: int | None = None,
+                      available_now: bool = True):
+    """Streaming per-host crawl cap — the count-based member of the
+    bucket-table crawl loop: a document is kept iff fewer than `cap`
+    docs of its host were kept before it (earlier run via the
+    compacted `bucket_table`, earlier epoch via the pending directory,
+    smaller id in-batch). State rows are fingerprint =
+    host || '|' || md5(id), ONE PER KEPT DOC — bounded at `cap` rows
+    per host forever, the tightest state bound in the family — and
+    share the exact loop's 1-column contract, so
+    compact_pending_fps(spark, pending_dir, bucket_table) folds them
+    unchanged. Operational loop: run -> stop -> compact -> clear
+    pending -> restart from the SAME checkpoint."""
+    from faxe_spark.operators.trainprep import _host_cap_incr_core
+
+    def kernel(batch_df, seen):
+        return _host_cap_incr_core(
+            batch_df, seen, cap=cap, host_col=host_col, id_col=id_col,
+            salt=salt, checkpoint=True)
+
+    return _bucket_dedup_pipeline(
+        df, kernel=kernel, cols=("fingerprint",),
+        bucket_table=bucket_table, out_dir=out_dir,
+        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
+        available_now=available_now)
+
+
 def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,
                              out_dir: str, pending_dir: str,
                              checkpoint_dir: str,

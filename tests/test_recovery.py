@@ -562,3 +562,58 @@ def test_embedding_dedup_pipeline_restart(spark, tmp_path):
         assert lists.select("vec_id").distinct().count() == 5
     finally:
         annix.drop_ann_index(spark, name)
+
+
+def test_host_cap_pipeline_within_run_and_across_restart(spark, tmp_path):
+    """Streaming per-host crawl cap: a host reaching its cap in an
+    EARLIER micro-batch blocks later in-run arrivals via the pending
+    epochs, and after stop -> compact -> restart the compacted table
+    enforces the same count — while hosts below cap keep admitting."""
+    import shutil
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import host_cap_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "host_cap_tally_e2e"
+    schema = "doc_id long, text string, host string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = host_cap_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, cap=2, salt=4)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", [(1, "t", "v"), (2, "t", "v"), (3, "t", "v"),
+                    (10, "t", "a")])          # v hits cap=2 in-batch
+        feed("b2", [(4, "t", "v"),            # blocked via pending count
+                    (11, "t", "a")])          # a reaches cap
+        run_once()
+        got_a = {r.doc_id: r.host_rank
+                 for r in spark.read.parquet(out).collect()}
+        assert got_a == {1: 1, 2: 2, 10: 1, 11: 2}, got_a
+
+        compact_pending_fps(spark, pending, tbl)
+        shutil.rmtree(pending)
+
+        feed("b3", [(5, "t", "v"), (12, "t", "a"),  # both at cap via table
+                    (20, "t", "b")])               # fresh host admits
+        run_once()
+        got_b = {r.doc_id: r.host_rank
+                 for r in spark.read.parquet(out).collect()}
+        assert got_b == {1: 1, 2: 2, 10: 1, 11: 2, 20: 1}, got_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")

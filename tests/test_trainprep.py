@@ -658,3 +658,46 @@ def test_host_cap_salted_spreads_hot_host(spark):
     unsalted = tp.host_cap(df, cap=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "xxhash64" not in unsalted
+
+
+# -- incremental per-host cap (round 6) ---------------------------------------
+
+def test_host_cap_incremental_arrival_rule_and_state_bound(spark):
+    """Folding the kernel over arrival batches keeps EXACTLY each
+    host's first `cap` arrivals under (batch, id) order, host_rank is
+    the global arrival rank, the salted lane agrees bit-for-bit, and
+    the seen state never exceeds cap rows per host."""
+    batches = [
+        [(1, "t", "v"), (2, "t", "v"), (3, "t", "v"), (10, "t", "a")],
+        [(4, "t", "v"), (11, "t", "a")],
+        [(5, "t", "v"), (12, "t", "a"), (20, "t", "b")],
+    ]
+    for salt in (None, 4):
+        seen = None
+        got = {}
+        for rows in batches:
+            df = _docs(spark, rows).withColumnRenamed("source", "host")
+            kept, seen = tp.host_cap_incremental(df, seen, cap=2,
+                                                 salt=salt)
+            got.update({r.doc_id: (r.host, r.host_rank)
+                        for r in kept.collect()})
+        # v: first 2 arrivals are 1, 2; a: 10, 11; b: 20
+        assert got == {1: ("v", 1), 2: ("v", 2),
+                       10: ("a", 1), 11: ("a", 2), 20: ("b", 1)}, got
+        state = [r.fingerprint.split("|")[0] for r in seen.collect()]
+        assert len(state) == len(got)
+        from collections import Counter
+        assert max(Counter(state).values()) <= 2
+
+
+def test_host_cap_incremental_single_batch_matches_arrival_order(spark):
+    """One batch with seen=None == keep the cap smallest ids per host."""
+    rows = [(i, "t", "h%d" % (i % 3)) for i in range(30)]
+    df = _docs(spark, rows).withColumnRenamed("source", "host")
+    kept, _ = tp.host_cap_incremental(df, None, cap=4)
+    got = {(r.doc_id, r.host_rank) for r in kept.collect()}
+    want = set()
+    for h in range(3):
+        ids = sorted(i for i, _, hh in rows if hh == "h%d" % h)
+        want |= {(i, rk + 1) for rk, i in enumerate(ids[:4])}
+    assert got == want

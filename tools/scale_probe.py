@@ -60,7 +60,7 @@ PROBE_QUERIES = [
     "ann_index_reuse", "dedup_minhash_incr_batches",
     "dedup_simhash_incr_batches", "exact_substring_dedup", "embedding_neardup_ivf",
     "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
-    "domain_cap", "gopher_quality",
+    "domain_cap", "gopher_quality", "domain_cap_incr_batches",
 ]
 
 
