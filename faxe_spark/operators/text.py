@@ -165,7 +165,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text", *,
     whole-stage codegen; regex constructs are the portable subset
     (classes, anchors, alternation) so Java regex and RE2/DuckDB agree.
     """
-    c = F.col(text_col)
+    # NULL text evaluates as the empty doc: every rule fails closed
+    # (gopher_pass False), never a NULL flag a downstream filter would
+    # silently drop or keep depending on its polarity
+    c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     w = tokens(c)
     n_words = F.size(w)
     safe_n = F.greatest(n_words, F.lit(1))

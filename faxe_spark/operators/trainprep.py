@@ -307,24 +307,33 @@ def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
     streaming pipeline; new_rows is exactly this batch's delta."""
     from faxe_spark.operators.aggregate import top_k
 
+    # NULL host ranks/counts/fingerprints as '' via an internal key:
+    # a NULL would make the state fingerprint NULL (distinct collapses
+    # kept docs -> prior under-counts) AND fall out of the prior
+    # equi-join (cap never enforced) — the same silent-loss class the
+    # exact loop's NULL-text coalesce fixed. The caller's host column
+    # passes through untouched.
+    hk = "_hk"
+    new_df = new_df.withColumn(
+        hk, F.coalesce(F.col(host_col).cast("string"), F.lit("")))
     prior = None
     if seen_rows is not None:
         # <= cap rows per host by construction, so this groupBy is a
         # bounded count over the (bucketed) state table
         prior = (seen_rows
                  .select(F.split_part(F.col("fingerprint"), F.lit("|"),
-                                      F.lit(1)).alias(host_col))
-                 .groupBy(host_col).agg(F.count(F.lit(1)).alias("_prior")))
+                                      F.lit(1)).alias(hk))
+                 .groupBy(hk).agg(F.count(F.lit(1)).alias("_prior")))
     # in-batch arrival rank (id ascending): only ranks <= cap can
     # survive whatever the prior count is, so the salted two-phase
     # top-k bounds the per-host sort BEFORE the state join — a viral
     # host's batch rows spread over `salt` tasks
-    ranked = top_k(new_df, id_col, cap, by=[host_col], bottom=True,
+    ranked = top_k(new_df, id_col, cap, by=[hk], bottom=True,
                    salt=salt)
     if prior is None:
         kept = ranked.withColumn("_prior", F.lit(0))
     else:
-        kept = (ranked.join(prior, host_col, "left")
+        kept = (ranked.join(prior, hk, "left")
                 .withColumn("_prior",
                             F.coalesce(F.col("_prior"), F.lit(0)))
                 .filter(F.col("rank") + F.col("_prior") <= cap))
@@ -338,9 +347,9 @@ def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
         # — same lineage contract as dedup_incremental
         kept = kept.localCheckpoint(eager=False)
     new_rows = kept.select(
-        F.concat(F.col(host_col), F.lit("|"),
+        F.concat(F.col(hk), F.lit("|"),
                  F.md5(F.col(id_col).cast("string"))).alias("fingerprint"))
-    return kept, new_rows
+    return kept.drop(hk), new_rows
 
 
 def plan_mixture(df: DataFrame, targets: dict[str, float], *,

@@ -701,3 +701,23 @@ def test_host_cap_incremental_single_batch_matches_arrival_order(spark):
         ids = sorted(i for i, _, hh in rows if hh == "h%d" % h)
         want |= {(i, rk + 1) for rk, i in enumerate(ids[:4])}
     assert got == want
+
+
+def test_host_cap_incremental_null_host(spark):
+    """NULL hosts count as one '' host: the cap is ENFORCED across
+    batches for them too (a NULL fingerprint would both collapse the
+    tally under distinct and fall out of the prior equi-join)."""
+    b1 = _docs(spark, [(1, "t", None), (2, "t", None), (3, "t", None)]) \
+        .withColumnRenamed("source", "host")
+    b2 = _docs(spark, [(4, "t", None)]).withColumnRenamed("source", "host")
+    kept1, seen = tp.host_cap_incremental(b1, None, cap=2)
+    kept2, seen = tp.host_cap_incremental(b2, seen, cap=2)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+    assert kept2.count() == 0
+    assert seen.count() == 2 and kept1.columns[-1] == "host_rank"
+
+
+def test_gopher_rules_null_text_fails_closed(spark):
+    df = _docs(spark, [(1, None, "s")])
+    r = text_ops.gopher_rules(df).collect()[0]
+    assert r.gopher_pass is False and r.stop_hits == 0
