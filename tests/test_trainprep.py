@@ -721,3 +721,38 @@ def test_gopher_rules_null_text_fails_closed(spark):
     df = _docs(spark, [(1, None, "s")])
     r = text_ops.gopher_rules(df).collect()[0]
     assert r.gopher_pass is False and r.stop_hits == 0
+
+
+def test_host_cap_incremental_fold_property(spark):
+    """Property (hypothesis): for ANY doc->host assignment, ANY batch
+    split, and ANY cap, folding the kernel over the batches in order
+    keeps EXACTLY each host's first `cap` arrivals under (batch, id)
+    order — i.e. incrementality never changes the answer."""
+    from hypothesis import given, settings, strategies as st
+
+    assign = st.lists(
+        st.tuples(st.sampled_from("vwx"),       # host
+                  st.integers(0, 2)),           # batch index
+        min_size=1, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(assign, st.integers(1, 3))
+    def prop(rows, cap):
+        docs = [(i, h, b) for i, (h, b) in enumerate(rows)]
+        seen, got = None, {}
+        for b in range(3):
+            batch = [(i, "t", h) for i, h, bb in docs if bb == b]
+            if not batch:
+                continue
+            df = _docs(spark, batch).withColumnRenamed("source", "host")
+            kept, seen = tp.host_cap_incremental(df, seen, cap=cap)
+            got.update({r.doc_id: r.host_rank for r in kept.collect()})
+        want = {}
+        tally = {}
+        for i, h, b in sorted(docs, key=lambda d: (d[2], d[0])):
+            tally[h] = tally.get(h, 0) + 1
+            if tally[h] <= cap:
+                want[i] = tally[h]
+        assert got == want
+
+    prop()
