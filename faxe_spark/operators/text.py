@@ -2,10 +2,15 @@
 
 Everything here is pure Column expressions (JVM-side, whole-stage
 codegen) — at 100 TB these run inside the parquet scan stage with zero
-shuffles. No Python UDFs anywhere.
+shuffles — except the two operations Spark SQL genuinely cannot
+express (Unicode normalization, mojibake repair), which run as
+Arrow-batched pandas UDFs: still scan-stage projections, never
+row-at-a-time Python.
 
-Determinism contract: every function is reproducible in ANSI SQL (the
-DuckDB oracles in registry.py replicate the exact formulas).
+Determinism contract: every Column-expression function is reproducible
+in ANSI SQL (the DuckDB oracles in registry.py replicate the exact
+formulas); normalize_unicode is parity-pinned against DuckDB's
+nfc_normalize in tests, and fix_mojibake is a deterministic fixpoint.
 """
 
 from __future__ import annotations
@@ -224,6 +229,87 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         (F.col("dup_word_frac") <= max_dup_word)
         & (F.col("dup_2gram_frac") <= max_dup_2gram))
     return out.drop("_w")
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text", *,
+                      form: str = "NFC",
+                      out_col: str = "text_nfc") -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the step BEFORE any
+    fingerprint/shingle dedup on a web corpus: 'café' composed and
+    'café' decomposed must hash identically or every dedup layer
+    silently treats them as distinct documents.
+
+    Spark SQL has no normalization builtin, so this is the sanctioned
+    slow path done right: an Arrow-batched pandas UDF over
+    stdlib unicodedata (deterministic, version-pinned by the Python
+    runtime — the same everywhere a fleet runs one image), never a
+    row-at-a-time Python UDF. Still a scan-stage projection: no
+    shuffle, composes with pushdown/pruning. NULL passes through as
+    NULL (unknown text is not the same as empty text here — the
+    fail-closed coalesce belongs to the consumer, as in gopher_rules).
+
+    Cross-engine parity is pytest-pinned against DuckDB's
+    nfc_normalize() (tests/test_trainprep.py)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local pd name — the legacy
+    # (fn, returnType) form is Series->Series scalar by definition
+    _norm = pandas_udf(
+        lambda s: s.map(lambda v: v if v is None
+                        else unicodedata.normalize(form, v)), "string")
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# Mojibake repair: UTF-8 bytes mis-decoded as Latin-1/cp1252 show up as
+# 'Ã©' for 'é', 'â€™' for a right quote, etc. The repair is the exact
+# inverse (re-encode latin-1, re-decode utf-8) applied ONLY when it
+# round-trips cleanly AND strictly reduces the tell-tale lead bytes —
+# never a lossy guess (ftfy's core heuristic, public).
+_MOJIBAKE_TELLS = ("Ã", "Â", "â€", "Ã¢")
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text", *,
+                 out_col: str = "text_fixed",
+                 max_passes: int = 3) -> DataFrame:
+    """Repair UTF-8-as-Latin-1 double-encoding damage ('Ã©' -> 'é'),
+    up to `max_passes` nested layers (double-mojibake happens when two
+    systems mis-decode in sequence). Conservative by construction: a
+    pass applies only if the latin-1 re-encode round-trips as valid
+    UTF-8 and the result still contains fewer tell bytes; text without
+    tells is returned untouched (the common case costs one substring
+    scan per batch). Arrow-batched pandas UDF; scan-stage, no shuffle.
+    Deterministic — repeated runs are a fixpoint (idempotence is
+    pytest-pinned)."""
+    from pyspark.sql.functions import pandas_udf
+
+    tells = _MOJIBAKE_TELLS
+
+    def _fix_one(v):
+        if v is None or not any(t in v for t in tells):
+            return v
+        cur = v
+        for _ in range(max_passes):
+            try:
+                cand = cur.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+            if cand == cur:
+                break
+            cur = cand
+            if not any(t in cur for t in tells):
+                break
+        return cur
+
+    _fix = pandas_udf(lambda s: s.map(_fix_one), "string")
+
+    return df.withColumn(out_col, _fix(F.col(text_col)))
 
 
 # PII patterns, deliberately regex-portable (Java regex == RE2 == DuckDB

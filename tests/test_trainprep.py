@@ -756,3 +756,74 @@ def test_host_cap_incremental_fold_property(spark):
         assert got == want
 
     prop()
+
+
+# -- unicode normalization + mojibake repair (round 6) ------------------------
+
+def test_normalize_unicode_matches_duckdb_nfc(spark):
+    """Cross-engine parity: stdlib unicodedata NFC == DuckDB's
+    nfc_normalize on composed/decomposed/mixed inputs — the contract
+    that makes NFC-then-fingerprint reproducible across engines."""
+    import duckdb
+    cases = [
+        "café composed vs café",     # e + combining acute
+        "Ångström Å",          # ring/diaeresis + ANGSTROM SIGN
+        "ﬁle fi ligature stays in NFC",    # NFC must NOT decompose fi
+        "plain ascii unchanged",
+        "há̧cek stacking marks",
+    ]
+    df = _docs(spark, [(i, t, "s") for i, t in enumerate(cases)])
+    got = {r.doc_id: r.text_nfc
+           for r in text_ops.normalize_unicode(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    # NULL passes through
+    ndf = _docs(spark, [(9, None, "s")])
+    assert text_ops.normalize_unicode(ndf).collect()[0].text_nfc is None
+
+
+def test_normalize_unicode_changes_fingerprint_story(spark):
+    """The reason the op exists: composed and decomposed spellings
+    fingerprint apart raw, together after NFC."""
+    df = _docs(spark, [(1, "café menu", "s"),
+                       (2, "café menu", "s")])
+    out = text_ops.normalize_unicode(df).select(
+        "doc_id",
+        text_ops.fingerprint(F.col("text")).alias("raw_fp"),
+        text_ops.fingerprint(F.col("text_nfc")).alias("nfc_fp")).collect()
+    raw = {r.doc_id: r.raw_fp for r in out}
+    nfc = {r.doc_id: r.nfc_fp for r in out}
+    assert raw[1] != raw[2] and nfc[1] == nfc[2]
+
+
+def test_fix_mojibake_crafted_and_idempotent(spark):
+    plain = "just normal text with an em dash — kept"
+    single = "café ’quote’".encode("utf-8").decode("latin-1")
+    double = single.encode("utf-8").decode("latin-1")
+    genuine = "Ã is a real letter: São Paulo Ångström"
+    df = _docs(spark, [(1, plain, "s"), (2, single, "s"),
+                       (3, double, "s"), (4, genuine, "s"),
+                       (5, None, "s")])
+    out = {r.doc_id: r.text_fixed
+           for r in text_ops.fix_mojibake(df).collect()}
+    assert out[1] == plain
+    assert out[2] == "café ’quote’"
+    assert out[3] == "café ’quote’"   # two layers unwound
+    assert out[5] is None
+    # genuine Ã text: the latin-1 re-encode of 'Ã is' is not valid
+    # UTF-8, so the conservative gate leaves it alone
+    assert out[4] == genuine
+    # idempotence: a second pass changes nothing
+    df2 = _docs(spark, [(k, v, "s") for k, v in out.items()])
+    out2 = {r.doc_id: r.text_fixed
+            for r in text_ops.fix_mojibake(df2).collect()}
+    assert out2 == out
+
+
+def test_unicode_ops_are_scan_stage_only(spark):
+    df = _docs(spark, [(1, "café", "s")])
+    for op in (text_ops.normalize_unicode, text_ops.fix_mojibake):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "ArrowEvalPython" in plan
