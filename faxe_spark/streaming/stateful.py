@@ -941,6 +941,84 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
     return writer.start()
 
 
+def crawl_pipeline(df: DataFrame, *, cap: int,
+                   tables: dict, out_dir: str, pending_root: str,
+                   checkpoint_dir: str,
+                   host_col: str = "host", id_col: str = "doc_id",
+                   text_col: str = "text", span_words: int = 10,
+                   salt: int | None = None,
+                   available_now: bool = True):
+    """The WHOLE crawl loop as one stream: per-host cap -> exact dedup
+    -> duplicated-span scrubbing, three stages with three independent
+    state families inside ONE foreachBatch (one checkpoint, one
+    restart story). Stage order is deliberate: the politeness/budget
+    cap counts FETCHES from a host (duplicates included), dedup then
+    drops exact replays, and surviving docs leave SCRUBBED of any
+    span an earlier document already carried.
+
+    `tables` maps stage -> bucketed table name (or None before the
+    first compaction): {"cap": ..., "fps": ..., "grams": ...}. Pending
+    deltas land epoch-idempotently under
+    `pending_root`/{cap,fps,grams}/epoch=N; between runs compact each
+    with compact_pending_fps(spark, f"{pending_root}/<stage>",
+    tables[<stage>]) — all three families share the 1-column
+    fingerprint-table contract, so the compaction helper applies
+    unchanged to each. Docs land in `out_dir` with the original
+    columns minus `text`, plus host_rank / n_tokens / n_removed /
+    clean_text."""
+    from faxe_spark.operators.dedup import dedup_incremental
+    from faxe_spark.operators.text import (_substring_scrub_core,
+                                           normalize_text)
+    from faxe_spark.operators.trainprep import _host_cap_incr_core
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    def _seen(spark, stage, epoch_id):
+        seen = None
+        tbl = tables.get(stage)
+        if tbl is not None and spark.catalog.tableExists(tbl):
+            seen = spark.table(tbl).select("fingerprint")
+        try:
+            pend = (spark.read.parquet(f"{pending_root}/{stage}")
+                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                    .select("fingerprint"))
+            seen = pend if seen is None else seen.union(pend)
+        except AnalysisException:
+            pass                       # no pending epochs yet
+        return seen
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        capped, cap_rows = _host_cap_incr_core(
+            batch_df, _seen(spark, "cap", epoch_id), cap=cap,
+            host_col=host_col, id_col=id_col, salt=salt, checkpoint=True)
+        fresh, _ = dedup_incremental(
+            capped, _seen(spark, "fps", epoch_id),
+            text_col=text_col, id_col=id_col)
+        # the fresh docs' fingerprints ARE the fps delta (batch-internal
+        # dups collapsed to one row, cross-batch replays anti-joined out)
+        fp = F.md5(normalize_text(
+            F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
+        fps_delta = fresh.select(fp.alias("fingerprint"))
+        scrubbed, gram_rows = _substring_scrub_core(
+            fresh, _seen(spark, "grams", epoch_id),
+            text_col=text_col, id_col=id_col, span_words=span_words)
+        out = fresh.drop(text_col).join(scrubbed, id_col)
+        (out.write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+        for stage, rows in (("cap", cap_rows), ("fps", fps_delta),
+                            ("grams", gram_rows)):
+            (rows.write.mode("overwrite")
+             .parquet(f"{pending_root}/{stage}/epoch={epoch_id}"))
+
+    writer = (df.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bucket_dedup_pipeline(df: DataFrame, *, kernel, cols: tuple,
                            bucket_table: str | None, out_dir: str,
                            pending_dir: str, checkpoint_dir: str,

@@ -617,3 +617,67 @@ def test_host_cap_pipeline_within_run_and_across_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_crawl_pipeline_composed_three_state_families(spark, tmp_path):
+    """The full crawl loop in ONE stream: per-host cap, exact dedup and
+    span scrubbing each enforce their own state across micro-batches
+    (pending epochs) AND across a restart (three compacted tables)."""
+    import shutil
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import crawl_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    root = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tables = {"cap": "crawl_cap_e2e", "fps": "crawl_fps_e2e",
+              "grams": "crawl_grams_e2e"}
+    schema = "doc_id long, text string, host string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = crawl_pipeline(
+            stream, cap=2, tables=tables, out_dir=out,
+            pending_root=root, checkpoint_dir=ck, span_words=3)
+        q.awaitTermination(180)
+        q.stop()
+
+    try:
+        feed("b1", [(1, "alpha beta gamma delta", "v"),
+                    (2, "alpha beta gamma delta", "v"),  # exact dup of 1
+                    (3, "whatever text here now", "v"),  # v over cap
+                    (10, "totally different words entirely", "a")])
+        feed("b2", [(4, "fresh v content here", "v"),    # v at cap (1+2 kept)
+                    (11, "totally different words entirely", "a"),  # replay
+                    (12, "zz yy alpha beta gamma qq", "b")])  # shared span
+        run_once()
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(got) == {1, 10, 12}, set(got)
+        assert got[1].clean_text == "alpha beta gamma delta"
+        assert got[12].clean_text == "zz yy qq"       # span cut via pending
+        assert got[12].n_removed == 3
+
+        for stage, tbl in tables.items():
+            compact_pending_fps(spark, f"{root}/{stage}", tbl)
+        shutil.rmtree(root)
+
+        feed("b3", [(5, "more v text arriving", "v"),   # blocked: cap table
+                    (13, "zz yy alpha beta gamma qq", "b"),  # blocked: fps table
+                    (14, "pp beta gamma delta rr", "c")])    # scrubbed: gram table
+        run_once()
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(got) == {1, 10, 12, 14}, set(got)
+        assert got[14].clean_text == "pp rr"
+        assert got[14].n_removed == 3
+    finally:
+        for tbl in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
