@@ -94,6 +94,19 @@ def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
     long-running loops should periodically collapse it with
     compact_seen_fps, which rewrites the set as a bucketed table —
     constant-depth plan AND a shuffle-free anti-join from then on."""
+    fresh, new_fps = _dedup_incr_core(new_df, seen_fps,
+                                      text_col=text_col, id_col=id_col,
+                                      checkpoint=checkpoint)
+    updated = new_fps if seen_fps is None else seen_fps.union(new_fps)
+    return fresh, updated
+
+
+def _dedup_incr_core(new_df: DataFrame, seen_fps: DataFrame | None, *,
+                     text_col: str, id_col: str,
+                     checkpoint: bool) -> tuple[DataFrame, DataFrame]:
+    """(fresh_docs, NEW fingerprints) — the per-batch kernel; new_fps
+    is exactly this batch's delta (one row per fresh doc), so a
+    streaming pipeline can land it without re-hashing the text."""
     # NULL text fingerprints as the empty doc (a NULL key would fall
     # out of every equi-join = silent data loss); the internal column
     # is _fp so a caller's own 'fingerprint' column (text_features
@@ -119,8 +132,7 @@ def dedup_incremental(new_df: DataFrame, seen_fps: DataFrame | None, *,
         batch_unique = batch_unique.localCheckpoint(eager=False)
     fresh = batch_unique.select("_r.*")
     new_fps = batch_unique.select(F.col("_fp").alias("fingerprint"))
-    updated = new_fps if seen_fps is None else seen_fps.union(new_fps)
-    return fresh, updated
+    return fresh, new_fps
 
 
 def compact_seen_fps(seen_fps: DataFrame, table: str = "seen_fingerprints",

@@ -175,9 +175,12 @@ def gopher_rules(df: DataFrame, text_col: str = "text", *,
     # silently drop or keep depending on its polarity
     c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     w = tokens(c)
-    n_words = F.size(w)
-    safe_n = F.greatest(n_words, F.lit(1))
-    mean_wl = (F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / safe_n)
+    # split('') returns [''] — report 0 words for an all-whitespace doc,
+    # not 1 (review find: downstream token accounting reads this column)
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)) \
+        .otherwise(F.size(w))
+    safe_n = F.greatest(F.size(w), F.lit(1))
+    mean_wl = avg_word_len(c)
     symbols = F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.")) \
         + F.regexp_count(c, F.lit("…"))
     lines = F.split(c, "\n")
@@ -271,8 +274,9 @@ def normalize_unicode(df: DataFrame, text_col: str = "text", *,
 # 'Ã©' for 'é', 'â€™' for a right quote, etc. The repair is the exact
 # inverse (re-encode latin-1, re-decode utf-8) applied ONLY when it
 # round-trips cleanly AND strictly reduces the tell-tale lead bytes —
-# never a lossy guess (ftfy's core heuristic, public).
-_MOJIBAKE_TELLS = ("Ã", "Â", "â€", "Ã¢")
+# never a lossy guess (ftfy's core heuristic, public). 'â€' is not
+# covered by 'Ã'/'Â' (it is the cp1252 face of UTF-8 punctuation).
+_MOJIBAKE_TELLS = ("Ã", "Â", "â€")
 
 
 def fix_mojibake(df: DataFrame, text_col: str = "text", *,
@@ -291,19 +295,27 @@ def fix_mojibake(df: DataFrame, text_col: str = "text", *,
 
     tells = _MOJIBAKE_TELLS
 
+    def _n_tells(s):
+        return sum(s.count(t) for t in tells)
+
     def _fix_one(v):
-        if v is None or not any(t in v for t in tells):
+        if v is None:
             return v
-        cur = v
+        cur, n = v, _n_tells(v)
+        if n == 0:
+            return v
         for _ in range(max_passes):
             try:
                 cand = cur.encode("latin-1").decode("utf-8")
             except (UnicodeEncodeError, UnicodeDecodeError):
                 break
-            if cand == cur:
+            # the documented conservatism gate: a pass must strictly
+            # reduce the tell count, or the text wasn't mojibake
+            cand_n = _n_tells(cand)
+            if cand == cur or cand_n >= n:
                 break
-            cur = cand
-            if not any(t in cur for t in tells):
+            cur, n = cand, cand_n
+            if n == 0:
                 break
         return cur
 

@@ -244,12 +244,14 @@ def host_cap(df: DataFrame, *, cap: int, host_col: str = "host",
              salt: int | None = None) -> DataFrame:
     """Per-host document cap — the crawl-balance stage (CCNet /
     RefinedWeb-style): bound any single registered domain's
-    contribution to the corpus by keeping the `cap` highest-priority
-    documents per host. Priority defaults to md5(id), i.e. exact
-    deterministic hash-priority sampling: the kept subset is a pure
-    function of the ids, so re-runs, backfills and a DuckDB oracle all
-    agree with no RNG coordination across 1000 executors — and unlike
-    a rate filter (mix_sample) the cap is EXACT per host.
+    contribution to the corpus by keeping, per host, the `cap` docs
+    with the SMALLEST priority value (ascending sort key — pass e.g.
+    a negated quality score to keep best-first). Priority defaults to
+    md5(id), i.e. exact deterministic hash-priority sampling: the kept
+    subset is a pure function of the ids, so re-runs, backfills and a
+    DuckDB oracle all agree with no RNG coordination across 1000
+    executors — and unlike a rate filter (mix_sample) the cap is EXACT
+    per host.
 
     Scale shape: a plain window over host is the classic skew cliff —
     one viral domain that owns 10% of a 100 TB crawl lands on one
@@ -316,6 +318,19 @@ def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
     hk = "_hk"
     new_df = new_df.withColumn(
         hk, F.coalesce(F.col(host_col).cast("string"), F.lit("")))
+    if seen_rows is not None:
+        # replay guard (review find): a RE-DELIVERED already-kept doc
+        # must not be kept again — it would emit a duplicate state row
+        # that compaction's distinct() later collapses, re-opening the
+        # host's quota and duplicating a host_rank. Anti-join on the
+        # doc's would-be fingerprint against the bounded state.
+        refp = F.concat(F.col(hk), F.lit("|"),
+                        F.md5(F.col(id_col).cast("string")))
+        new_df = (new_df.withColumn("_refp", refp)
+                  .join(seen_rows.withColumnRenamed("fingerprint",
+                                                    "_refp"),
+                        "_refp", "left_anti")
+                  .drop("_refp"))
     prior = None
     if seen_rows is not None:
         # <= cap rows per host by construction, so this groupBy is a

@@ -3250,7 +3250,7 @@ _GOPHER_STOP_SQL = " + ".join(
              ({_GOPHER_STOP_SQL}) AS stop_hits
       FROM m)
     SELECT doc_id,
-           len(w) AS n_words,
+           CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(w) END AS n_words,
            round(length(regexp_replace(trim(t), '\\s+', '', 'g')) / nw, 4)
              AS mean_word_len,
            round((len(regexp_extract_all(t, '#'))

@@ -966,40 +966,23 @@ def crawl_pipeline(df: DataFrame, *, cap: int,
     unchanged to each. Docs land in `out_dir` with the original
     columns minus `text`, plus host_rank / n_tokens / n_removed /
     clean_text."""
-    from faxe_spark.operators.dedup import dedup_incremental
-    from faxe_spark.operators.text import (_substring_scrub_core,
-                                           normalize_text)
+    from faxe_spark.operators.dedup import _dedup_incr_core
+    from faxe_spark.operators.text import _substring_scrub_core
     from faxe_spark.operators.trainprep import _host_cap_incr_core
-    import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
 
     def _seen(spark, stage, epoch_id):
-        seen = None
-        tbl = tables.get(stage)
-        if tbl is not None and spark.catalog.tableExists(tbl):
-            seen = spark.table(tbl).select("fingerprint")
-        try:
-            pend = (spark.read.parquet(f"{pending_root}/{stage}")
-                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                    .select("fingerprint"))
-            seen = pend if seen is None else seen.union(pend)
-        except AnalysisException:
-            pass                       # no pending epochs yet
-        return seen
+        return _seen_state(spark, tables.get(stage),
+                           f"{pending_root}/{stage}", epoch_id,
+                           ["fingerprint"])
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         capped, cap_rows = _host_cap_incr_core(
             batch_df, _seen(spark, "cap", epoch_id), cap=cap,
             host_col=host_col, id_col=id_col, salt=salt, checkpoint=True)
-        fresh, _ = dedup_incremental(
+        fresh, fps_delta = _dedup_incr_core(
             capped, _seen(spark, "fps", epoch_id),
-            text_col=text_col, id_col=id_col)
-        # the fresh docs' fingerprints ARE the fps delta (batch-internal
-        # dups collapsed to one row, cross-batch replays anti-joined out)
-        fp = F.md5(normalize_text(
-            F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
-        fps_delta = fresh.select(fp.alias("fingerprint"))
+            text_col=text_col, id_col=id_col, checkpoint=True)
         scrubbed, gram_rows = _substring_scrub_core(
             fresh, _seen(spark, "grams", epoch_id),
             text_col=text_col, id_col=id_col, span_words=span_words)
@@ -1019,37 +1002,48 @@ def crawl_pipeline(df: DataFrame, *, cap: int,
     return writer.start()
 
 
+def _seen_state(spark, bucket_table: str | None, pending_dir: str,
+                epoch_id: int, cols: list):
+    """seen = compacted table ∪ STRICTLY earlier pending epochs — the
+    one definition of crawl-loop state assembly (shared by
+    _bucket_dedup_pipeline and crawl_pipeline; the at-least-once-
+    critical `epoch < epoch_id` filter must not fork). STRICTLY
+    earlier: a replayed epoch must not see its own failed attempt's
+    rows, or every doc in the batch would collide with itself and be
+    dropped (data loss on the at-least-once path). The filter is
+    partition pruning on the epoch= directory layout."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    seen = None
+    if bucket_table is not None and spark.catalog.tableExists(
+            bucket_table):
+        seen = spark.table(bucket_table).select(*cols)
+    try:
+        pend = (spark.read.parquet(pending_dir)
+                .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                .select(*cols))
+        seen = pend if seen is None else seen.union(pend)
+    except AnalysisException:
+        pass                           # no pending epochs yet
+    return seen
+
+
 def _bucket_dedup_pipeline(df: DataFrame, *, kernel, cols: tuple,
                            bucket_table: str | None, out_dir: str,
                            pending_dir: str, checkpoint_dir: str,
                            available_now: bool):
     """Shared foreachBatch loop for the bucket-set crawl dedups:
-    seen = compacted table ∪ STRICTLY earlier pending epochs, kernel
-    returns (fresh, new_rows), both land epoch-idempotently. `cols`
-    are the bucket-row columns the kernel expects on the seen side."""
-    import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
-
+    seen = compacted table ∪ STRICTLY earlier pending epochs (see
+    _seen_state), kernel returns (fresh, new_rows), both land
+    epoch-idempotently. `cols` are the bucket-row columns the kernel
+    expects on the seen side."""
     cols = list(cols)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        seen = None
-        if bucket_table is not None and spark.catalog.tableExists(
-                bucket_table):
-            seen = spark.table(bucket_table).select(*cols)
-        try:
-            # STRICTLY earlier epochs: a replayed epoch must not see its
-            # own failed attempt's buckets, or every doc in the batch
-            # would collide with itself and be dropped (data loss on
-            # the at-least-once path). The filter is partition pruning
-            # on the epoch= directory layout.
-            pend = (spark.read.parquet(pending_dir)
-                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                    .select(*cols))
-            seen = pend if seen is None else seen.union(pend)
-        except AnalysisException:
-            pass                       # no pending epochs yet
+        seen = _seen_state(spark, bucket_table, pending_dir, epoch_id,
+                           cols)
         fresh, new_rows = kernel(batch_df, seen)
         (fresh.write.mode("overwrite")
          .parquet(f"{out_dir}/epoch={epoch_id}"))

@@ -827,3 +827,24 @@ def test_unicode_ops_are_scan_stage_only(spark):
     for op in (text_ops.normalize_unicode, text_ops.fix_mojibake):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+def test_host_cap_incremental_replay_guard(spark):
+    """Review find: a RE-DELIVERED already-kept doc must not be kept
+    again (it would emit a duplicate state row that compaction's
+    distinct() collapses, re-opening the quota and duplicating a
+    host_rank)."""
+    b1 = _docs(spark, [(1, "t", "v"), (9, "t", "v")]) \
+        .withColumnRenamed("source", "host")
+    b2 = _docs(spark, [(1, "t", "v"),            # replay of kept doc 1
+                       (2, "t", "v")]) \
+        .withColumnRenamed("source", "host")
+    kept1, seen = tp.host_cap_incremental(b1, None, cap=3)
+    kept2, seen = tp.host_cap_incremental(b2, seen, cap=3)
+    assert {r.doc_id for r in kept1.collect()} == {1, 9}
+    # doc 1 is NOT re-emitted; doc 2 takes rank 3 (2 prior + 1)
+    assert {(r.doc_id, r.host_rank)
+            for r in kept2.collect()} == {(2, 3)}
+    # state holds exactly one row per kept doc — no duplicates
+    fps = [r.fingerprint for r in seen.collect()]
+    assert len(fps) == 3 and len(set(fps)) == 3
