@@ -761,3 +761,32 @@ def test_dedup_stream_beyond_horizon_replay_is_fresh(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_horizon").collect()}
     assert got == {1, 2, 3, 5}
+
+
+def test_unicode_and_gopher_ops_run_on_streams(spark, tmp_path):
+    """Round-6 text additions on a readStream: gopher_rules is a
+    stateless Column expression and the two Arrow-batched pandas UDFs
+    (normalize_unicode, fix_mojibake) are per-row projections — all
+    three run unchanged on a stream, no streaming variants needed."""
+    import datetime
+
+    from faxe_spark.operators import text as text_ops
+
+    schema = "doc_id long, text string, ts timestamp"
+    moji = "café".encode("utf-8").decode("latin-1")
+    _write_rows(spark, tmp_path, "b1", [
+        (1, "cafe\u0301 menu", datetime.datetime(2024, 1, 1)),  # decomposed
+        (2, moji, datetime.datetime(2024, 1, 1)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = spark.readStream.schema(read_schema).parquet(str(tmp_path) + "/*")
+    out = text_ops.fix_mojibake(
+        text_ops.normalize_unicode(text_ops.gopher_rules(stream)))
+    q = (out.writeStream.format("memory").queryName("textops_u")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in
+            spark.sql("SELECT * FROM textops_u").collect()}
+    assert rows[1].text_nfc == "caf\u00e9 menu"   # NFC composed
+    assert rows[1].gopher_pass is False              # 2 words < 50
+    assert rows[2].text_fixed == "café"         # mojibake unwound

@@ -848,3 +848,15 @@ def test_host_cap_incremental_replay_guard(spark):
     # state holds exactly one row per kept doc — no duplicates
     fps = [r.fingerprint for r in seen.collect()]
     assert len(fps) == 3 and len(set(fps)) == 3
+
+
+def test_host_cap_priority_col_ascending_contract(spark):
+    """priority_col is an ASCENDING sort key (smallest kept): keeping
+    best-first means passing a negated score — pinned here so the
+    contract can't silently invert."""
+    rows = [(i, "t", "h") for i in range(10)]
+    df = _docs(spark, rows).withColumnRenamed("source", "host") \
+        .withColumn("neg_quality", -F.col("doc_id"))
+    kept = tp.host_cap(df, cap=3, priority_col="neg_quality")
+    # highest doc_id == highest quality == smallest neg_quality
+    assert {r.doc_id for r in kept.collect()} == {9, 8, 7}
