@@ -100,3 +100,72 @@ def test_pil_lane_decodes_png(spark):
     row = mm.decode_image_features(df, fake=False).collect()[0]
     assert (row.width, row.height) == (8, 4)
     assert row.mean_intensity == pytest.approx(1.0, abs=0.02)
+
+
+# -- audio lane (round 6) -----------------------------------------------------
+
+def _wav_bytes(sr=8000, ch=1, amp=16384, n=800, period=8, sampwidth=2):
+    """Synthetic square-wave WAV: known amplitude -> rms == peak ==
+    amp/32768 exactly, zcr == 2/period exactly."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        half = period // 2
+        samples = [amp if (i // half) % 2 == 0 else -amp for i in range(n)]
+        frames = b"".join(struct.pack("<" + "h" * ch, *([s] * ch))
+                          for s in samples)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_real_lane_decodes_wav(spark):
+    import pytest as pt
+
+    wav = _wav_bytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in
+            mm.decode_audio_features(df, fake=False).collect()}
+    r = rows[1]
+    assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 800)
+    assert r.duration_s == pt.approx(0.1)
+    assert r.rms == pt.approx(16384 / 32768.0)
+    assert r.peak == pt.approx(16384 / 32768.0)
+    assert r.zcr == pt.approx(2 / 8, abs=0.01)
+    # junk payload -> NULL features, batch survives
+    assert rows[2].sample_rate is None and rows[2].rms is None
+
+
+def test_audio_real_lane_stereo_downmix(spark):
+    wav = _wav_bytes(ch=2)
+    df = spark.createDataFrame([(1, bytearray(wav))],
+                               "doc_id long, payload binary")
+    r = mm.decode_audio_features(df, fake=False).collect()[0]
+    assert r.channels == 2 and r.n_samples == 800
+    # identical channels downmix to the same square wave
+    import pytest as pt
+    assert r.rms == pt.approx(16384 / 32768.0)
+
+
+def test_audio_fake_lane_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(b"payload-%d" % i)) for i in range(5)],
+        "doc_id long, payload binary")
+    a = sorted(map(tuple, mm.decode_audio_features(df, fake=True).collect()))
+    b = sorted(map(tuple, mm.decode_audio_features(df, fake=True).collect()))
+    assert a == b and len(a) == 5
+    assert all(8000 <= r[1] < 48000 for r in a)
+
+
+def test_audio_metadata_sniffs_riff(spark):
+    df = spark.createDataFrame([(1, bytearray(_wav_bytes()))],
+                               "doc_id long, payload binary")
+    r = mm.binary_metadata(df).collect()[0]
+    assert r.format == "riff" and r.n_bytes > 44
