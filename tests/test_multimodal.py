@@ -169,3 +169,32 @@ def test_audio_metadata_sniffs_riff(spark):
                                "doc_id long, payload binary")
     r = mm.binary_metadata(df).collect()[0]
     assert r.format == "riff" and r.n_bytes > 44
+
+
+# -- video frame features (round 6) --------------------------------------------
+
+def test_frame_features_fake_lane_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(b"video-bytes-%d" % i * 10)) for i in range(3)],
+        "doc_id long, payload binary")
+    out = mm.extract_frame_features(df, n_frames=4, fake=True)
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == 12                      # 3 docs x 4 frames
+    again = sorted(map(tuple,
+                       mm.extract_frame_features(df, n_frames=4,
+                                                 fake=True).collect()))
+    assert rows == again
+    # offsets are the uniform stride frame_sample_offsets computes
+    per_doc = [r for r in rows if r[0] == 0]
+    size = len(b"video-bytes-0" * 10)
+    assert [r[2] for r in per_doc] == [k * size // 4 for k in range(4)]
+    assert all(0.0 <= r[3] <= 1.0 for r in rows)
+
+
+def test_frame_features_real_lane_is_explicit_stub(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "doc_id long, payload binary")
+    with pt.raises(Exception, match="codec"):
+        mm.extract_frame_features(df, fake=False).collect()
