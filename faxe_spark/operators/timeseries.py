@@ -1,0 +1,117 @@
+"""Time-series subsequence similarity search.
+
+The IoT-side similarity capability (reference domain: "find past
+windows that look like this anomaly"): slide a length-m window over
+each key's ordered value series, z-normalize every subsequence, and
+rank by Euclidean distance to a z-normalized query pattern — the
+UCR-suite / Matrix-Profile distance (public; Rakthanmanon et al.
+KDD 2012), which equals sqrt(2m(1-corr)) and is scale/offset
+invariant.
+
+Scale shape at 100 TB: ONE shuffle (partition by key for the ordered
+window), subsequence build + z-norm + scoring all pure JVM array
+expressions inside the window stage (collect_list over a bounded
+rowsBetween window, zip_with/aggregate folds — no Python, no
+explode), the query pattern rides in the plan as a literal array
+(driver-side z-norm of a tiny list), and the final top-k uses the
+exact two-phase salted form so an ungrouped global top-k never
+single-task sorts the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _znorm_expr(arr: Column, m: int) -> Column:
+    """z-normalize an array<double> of known length m as a pure
+    expression; a flat (zero-variance) window normalizes to all-zeros
+    (the UCR convention — flat matches flat at distance 0)."""
+    mean = F.aggregate(arr, F.lit(0.0),
+                       lambda a, x: a + x) / F.lit(float(m))
+    var = (F.aggregate(arr, F.lit(0.0),
+                       lambda a, x: a + x * x) / F.lit(float(m))
+           - mean * mean)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return F.when(
+        std <= F.lit(1e-12),
+        F.transform(arr, lambda x: F.lit(0.0)),
+    ).otherwise(F.transform(arr, lambda x: (x - mean) / std))
+
+
+def subsequences(df: DataFrame, *, key_col: str, ts_col: str,
+                 value_col: str, m: int,
+                 tiebreak: str | None = None) -> DataFrame:
+    """(key, end_ts, seq) — every length-m subsequence of each key's
+    value series in (ts, tiebreak) order. One shuffle (the per-key
+    window partition); the array is built by collect_list over a
+    BOUNDED rowsBetween window, so state per row is m values, never
+    the whole series."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(m - 1), Window.currentRow))
+    out = df.select(
+        key_col,
+        F.col(ts_col).alias("end_ts"),
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+        .alias("seq"))
+    return out.filter(F.size("seq") == m)
+
+
+def znorm_query(pattern: Sequence[float]) -> list[float]:
+    """Driver-side z-norm of the (tiny, config-sized) query pattern."""
+    m = len(pattern)
+    mean = sum(pattern) / m
+    var = sum(x * x for x in pattern) / m - mean * mean
+    std = math.sqrt(max(var, 0.0))
+    if std <= 1e-12:
+        return [0.0] * m
+    return [(x - mean) / std for x in pattern]
+
+
+def subsequence_topk(df: DataFrame, pattern: Sequence[float], *,
+                     key_col: str, ts_col: str, value_col: str,
+                     k: int = 10, per_key: bool = False,
+                     tiebreak: str | None = None,
+                     salt: int | None = None) -> DataFrame:
+    """Top-k subsequences most similar to `pattern` under z-normalized
+    Euclidean distance (scale/offset invariant: a sensor reporting the
+    same shape at a different gain/baseline still matches).
+
+    per_key=False ranks globally across all keys — pass `salt` there,
+    since an unsalted global top-k is a one-task sort at scale;
+    per_key=True returns each key's k best windows.
+
+    Returns (key, end_ts, dist, rank). Ties broken by (end_ts, key)
+    so the result is deterministic."""
+    from faxe_spark.operators.aggregate import top_k
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak)
+    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    dist = F.sqrt(F.greatest(
+        F.aggregate(F.zip_with(F.col("_z"), q,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+        F.lit(0.0)))
+    scored = z.select(key_col, "end_ts",
+                      F.round(dist, 10).alias("dist"))
+    # deterministic order: dist, then end_ts; the rank tiebreak column
+    # must be unique per row, so tie on a composite
+    scored = scored.withColumn(
+        "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
+                           F.col(key_col).cast("string")))
+    by = [key_col] if per_key else []
+    out = top_k(scored, "dist", k, by=by, bottom=True, tiebreak="_tb",
+                salt=salt)
+    return out.drop("_tb")

@@ -1,0 +1,113 @@
+"""Subsequence similarity search (operators/timeseries.py): planted
+patterns, z-norm invariance, a numpy reference oracle, and the plan
+shape (one shuffle, JVM-only scoring)."""
+
+import datetime
+import math
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from faxe_spark.operators import timeseries as ts
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        rows, "sensor string, ts timestamp, value double, eid long")
+
+
+def _t(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+
+def _np_topk(rows, pattern, k):
+    """Reference implementation: numpy sliding windows, z-norm, L2."""
+    import numpy as np
+
+    qp = np.asarray(ts.znorm_query(pattern))
+    m = len(pattern)
+    best = []
+    by_key = {}
+    for key, t, v, _ in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        by_key.setdefault(key, []).append((t, v))
+    for key, seq in by_key.items():
+        vals = np.asarray([v for _, v in seq])
+        for i in range(m - 1, len(vals)):
+            w = vals[i - m + 1:i + 1]
+            std = w.std()
+            z = (w - w.mean()) / std if std > 1e-12 else np.zeros(m)
+            d = float(np.sqrt(((z - qp) ** 2).sum()))
+            best.append((round(d, 10), seq[i][0], key))
+    best.sort()
+    return best[:k]
+
+
+def test_subsequence_topk_finds_planted_pattern(spark):
+    """A scaled+shifted copy of the query pattern hides inside noise;
+    z-norm distance must rank it first at distance ~0."""
+    pattern = [0.0, 1.0, 4.0, 1.0, 0.0]
+    base = [5.0, 5.5, 4.8, 5.2, 4.9, 5.1, 5.0, 4.7, 5.3, 5.0]
+    planted = [100.0 + 7.0 * x for x in pattern]          # gain 7, offset 100
+    vals = base + planted + base
+    rows = [("s1", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.subsequence_topk(_series(spark, rows), pattern,
+                              key_col="sensor", ts_col="ts",
+                              value_col="value", k=1, tiebreak="eid")
+    r = out.collect()[0]
+    assert r.dist == pytest.approx(0.0, abs=1e-9)
+    # the planted window ends at index len(base)+4
+    assert r.end_ts == _t(len(base) + len(pattern) - 1)
+
+
+def test_subsequence_topk_matches_numpy_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"s{j}", _t(i), rng.uniform(-5, 5), i * 10 + j)
+            for j in range(3) for i in range(40)]
+    pattern = [1.0, -2.0, 3.0, 0.5]
+    got = ts.subsequence_topk(_series(spark, rows), pattern,
+                              key_col="sensor", ts_col="ts",
+                              value_col="value", k=7, tiebreak="eid",
+                              salt=4)
+    got_rows = [(r.dist, r.end_ts, r.sensor, r.rank)
+                for r in got.collect()]
+    want = _np_topk(rows, pattern, 7)
+    assert [(round(d, 6), t, s) for d, t, s, _ in got_rows] == \
+        [(round(d, 6), t, s) for d, t, s in want]
+    assert [r[3] for r in got_rows] == list(range(1, 8))
+
+
+def test_subsequence_topk_per_key(spark):
+    rows = [("a", _t(i), float(i % 4), i) for i in range(12)] + \
+           [("b", _t(i), float(-(i % 4)), 100 + i) for i in range(12)]
+    out = ts.subsequence_topk(_series(spark, rows), [0.0, 1.0, 2.0],
+                              key_col="sensor", ts_col="ts",
+                              value_col="value", k=2, per_key=True,
+                              tiebreak="eid")
+    got = {(r.sensor, r.rank) for r in out.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
+
+
+def test_flat_windows_and_flat_query(spark):
+    """Zero-variance windows z-norm to zeros (UCR convention): a flat
+    query matches a flat window at distance exactly 0."""
+    rows = [("s", _t(i), 7.0, i) for i in range(6)]
+    out = ts.subsequence_topk(_series(spark, rows), [3.0, 3.0, 3.0],
+                              key_col="sensor", ts_col="ts",
+                              value_col="value", k=1, tiebreak="eid")
+    assert out.collect()[0].dist == 0.0
+
+
+def test_subsequence_plan_one_shuffle_no_python(spark):
+    rows = [("s", _t(i), float(i), i) for i in range(10)]
+    plan = ts.subsequence_topk(_series(spark, rows), [1.0, 2.0, 3.0],
+                               key_col="sensor", ts_col="ts",
+                               value_col="value", k=3,
+                               tiebreak="eid")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # shuffles: the per-key window partition + the (tiny, k-row) top-k
+    # rank — the SCORING itself adds none
+    assert plan.count("Exchange hashpartitioning") <= 1
