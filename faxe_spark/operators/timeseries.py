@@ -75,6 +75,66 @@ def znorm_query(pattern: Sequence[float]) -> list[float]:
     return [(x - mean) / std for x in pattern]
 
 
+def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
+               value_col: str, m: int, k: int = 3,
+               exclusion: int | None = None, min_corr: float = -1.0,
+               per_key: bool = True, tiebreak: str | None = None,
+               salt: int | None = None) -> DataFrame:
+    """Motif discovery (Matrix-Profile shape, Yeh et al. ICDM 2016
+    public definition): the top-k most similar PAIRS of length-m
+    windows within each series, under z-normalized correlation —
+    repeated behavior a key exhibits ("this machine does this exact
+    thing twice a day"). Trivial matches are removed by the standard
+    exclusion zone: pairs closer than `exclusion` positions (default
+    m, i.e. overlapping windows) don't count.
+
+    Composition, not new machinery: z-normed subsequences ARE unit-
+    shape vectors whose cosine IS the correlation, so the pair search
+    reuses cosine_pairs' blocked float64-GEMM tile kernel with the
+    series key as the tile partition — pair cost is per-key O(n_k^2)
+    tiles, never cross-key. `min_corr` prunes tile output at scale
+    (motifs are high-correlation by definition; -1.0 keeps exactness).
+    Returns (key, end_ts_a, end_ts_b, corr, dist, rank); dist is the
+    UCR z-distance sqrt(2m(1-corr))."""
+    from faxe_spark.operators.aggregate import top_k
+    from faxe_spark.operators.similarity import cosine_pairs
+
+    exclusion = m if exclusion is None else exclusion
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak)
+    w = Window.partitionBy(key_col).orderBy(F.col("end_ts").asc())
+    # the tile kernel wants NUMERIC ids: a deterministic 64-bit hash of
+    # (key, position) — unique w.h.p. at any realistic per-key length
+    z = (subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+         .withColumn("_rn", F.row_number().over(w))
+         .withColumn("_sid", F.xxhash64(F.col(key_col), F.col("_rn"))))
+    meta = z.select("_sid", F.col(key_col).alias("_k"), "_rn", "end_ts")
+    pairs = cosine_pairs(z.select("_sid", key_col, "_z"), min_corr,
+                         id_col="_sid", vec_col="_z",
+                         block_col=key_col)
+    a = meta.withColumnRenamed("_sid", "id_a") \
+        .withColumnRenamed("_rn", "_rn_a").withColumnRenamed("end_ts", "end_ts_a")
+    b = meta.select(F.col("_sid").alias("id_b"),
+                    F.col("_rn").alias("_rn_b"),
+                    F.col("end_ts").alias("end_ts_b"))
+    joined = (pairs.join(a, "id_a").join(b, "id_b")
+              .filter(F.abs(F.col("_rn_a") - F.col("_rn_b"))
+                      >= exclusion))
+    dist = F.sqrt(F.greatest(
+        F.lit(2.0 * m) * (F.lit(1.0) - F.col("cosine")), F.lit(0.0)))
+    scored = joined.select(
+        F.col("_k").alias(key_col), "end_ts_a", "end_ts_b",
+        F.round(F.col("cosine"), 10).alias("corr"),
+        F.round(dist, 10).alias("dist"))
+    scored = scored.withColumn(
+        "_tb", F.concat_ws("|", F.col("end_ts_a").cast("string"),
+                           F.col("end_ts_b").cast("string"),
+                           F.col(key_col).cast("string")))
+    by = [key_col] if per_key else []
+    out = top_k(scored, "corr", k, by=by, tiebreak="_tb", salt=salt)
+    return out.drop("_tb")
+
+
 def subsequence_topk(df: DataFrame, pattern: Sequence[float], *,
                      key_col: str, ts_col: str, value_col: str,
                      k: int = 10, per_key: bool = False,

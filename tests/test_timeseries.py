@@ -111,3 +111,57 @@ def test_subsequence_plan_one_shuffle_no_python(spark):
     # shuffles: the per-key window partition + the (tiny, k-row) top-k
     # rank — the SCORING itself adds none
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# -- motif discovery -----------------------------------------------------------
+
+def test_motif_topk_finds_planted_repeat(spark):
+    """The same shape planted twice (different gain/offset) far apart
+    in a noisy series must be the top motif at corr ~1; overlapping
+    windows are excluded by the zone."""
+    import random
+
+    rng = random.Random(5)
+    shape = [0.0, 2.0, 5.0, 2.0, 0.0]
+    vals = [rng.uniform(-1, 1) for _ in range(12)]
+    i_a = len(vals) + len(shape) - 1                   # end index of copy A
+    vals += [10 + 3 * x for x in shape]
+    vals += [rng.uniform(-1, 1) for _ in range(12)]
+    i_b = len(vals) + len(shape) - 1
+    vals += [-5 + 0.5 * x for x in shape]
+    vals += [rng.uniform(-1, 1) for _ in range(12)]
+    rows = [("s1", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                        ts_col="ts", value_col="value", m=len(shape),
+                        k=1, tiebreak="eid")
+    r = out.collect()[0]
+    assert r.corr == pytest.approx(1.0, abs=1e-9)
+    assert r.dist == pytest.approx(0.0, abs=1e-6)
+    assert {r.end_ts_a, r.end_ts_b} == {_t(i_a), _t(i_b)}
+
+
+def test_motif_exclusion_zone_blocks_trivial_matches(spark):
+    """A smooth ramp's neighboring windows correlate ~1 but sit inside
+    the exclusion zone; with the zone at m no same-window-overlap pair
+    may appear."""
+    rows = [("s", _t(i), float(i) + (0.1 if i % 2 else 0.0), i)
+            for i in range(20)]
+    m = 4
+    out = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                        ts_col="ts", value_col="value", m=m, k=5,
+                        tiebreak="eid")
+    for r in out.collect():
+        d = abs((r.end_ts_a - r.end_ts_b).total_seconds())
+        assert d >= m, (r.end_ts_a, r.end_ts_b)
+
+
+def test_motif_pairs_stay_within_key(spark):
+    """Identical series under two keys: every motif pair is within one
+    key (the tile partition), never across."""
+    rows = [(s, _t(i), float((i * 7) % 5), i + (0 if s == "a" else 50))
+            for s in ("a", "b") for i in range(15)]
+    out = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                        ts_col="ts", value_col="value", m=3, k=2,
+                        tiebreak="eid")
+    got = {(r.sensor, r.rank) for r in out.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
