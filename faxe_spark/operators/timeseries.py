@@ -97,9 +97,30 @@ def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
     Returns (key, end_ts_a, end_ts_b, corr, dist, rank); dist is the
     UCR z-distance sqrt(2m(1-corr))."""
     from faxe_spark.operators.aggregate import top_k
+
+    scored = _window_pairs(df, key_col=key_col, ts_col=ts_col,
+                           value_col=value_col, m=m,
+                           exclusion=m if exclusion is None else exclusion,
+                           min_corr=min_corr, tiebreak=tiebreak)
+    scored = scored.withColumn(
+        "_tb", F.concat_ws("|", F.col("end_ts_a").cast("string"),
+                           F.col("end_ts_b").cast("string"),
+                           F.col(key_col).cast("string")))
+    by = [key_col] if per_key else []
+    out = top_k(scored, "corr", k, by=by, tiebreak="_tb", salt=salt)
+    return out.drop("_tb")
+
+
+def _window_pairs(df: DataFrame, *, key_col: str, ts_col: str,
+                  value_col: str, m: int, exclusion: int,
+                  min_corr: float, tiebreak: str | None) -> DataFrame:
+    """(key, end_ts_a, end_ts_b, corr, dist) for every within-key
+    window pair outside the exclusion zone — the shared engine of
+    motif_topk and discord_topk: z-normed subsequences fed through
+    cosine_pairs' blocked GEMM tile kernel, the series key as the tile
+    partition (per-key O(n_k^2) tiles, never cross-key)."""
     from faxe_spark.operators.similarity import cosine_pairs
 
-    exclusion = m if exclusion is None else exclusion
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
     w = Window.partitionBy(key_col).orderBy(F.col("end_ts").asc())
@@ -122,16 +143,50 @@ def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
                       >= exclusion))
     dist = F.sqrt(F.greatest(
         F.lit(2.0 * m) * (F.lit(1.0) - F.col("cosine")), F.lit(0.0)))
-    scored = joined.select(
+    return joined.select(
         F.col("_k").alias(key_col), "end_ts_a", "end_ts_b",
         F.round(F.col("cosine"), 10).alias("corr"),
         F.round(dist, 10).alias("dist"))
-    scored = scored.withColumn(
-        "_tb", F.concat_ws("|", F.col("end_ts_a").cast("string"),
-                           F.col("end_ts_b").cast("string"),
+
+
+def discord_topk(df: DataFrame, *, key_col: str, ts_col: str,
+                 value_col: str, m: int, k: int = 3,
+                 exclusion: int | None = None, per_key: bool = True,
+                 tiebreak: str | None = None,
+                 salt: int | None = None) -> DataFrame:
+    """Discord detection (the Matrix-Profile anomaly definition,
+    Yeh et al. ICDM 2016): the k windows whose NEAREST non-trivial
+    neighbor is FARTHEST — the subsequences least like anything else
+    the series ever does. The complement of motif_topk on the same
+    pair engine; no correlation pruning is possible here (a discord's
+    nearest neighbor may be arbitrarily dissimilar — that is the
+    point), so this is per-key O(n_k^2) by definition, like the other
+    all-pairs-by-definition ops (tiled GEMM, per-key partitioned).
+
+    Returns (key, end_ts, nn_corr, nn_dist, rank): nn_dist is the
+    distance to the window's nearest neighbor, ranked descending.
+    Windows with no eligible neighbor (series shorter than
+    m + exclusion) don't appear."""
+    from faxe_spark.operators.aggregate import top_k
+
+    pairs = _window_pairs(df, key_col=key_col, ts_col=ts_col,
+                          value_col=value_col, m=m,
+                          exclusion=m if exclusion is None else exclusion,
+                          min_corr=-1.0, tiebreak=tiebreak)
+    # each pair serves both directions: focal window a with neighbor b
+    # and vice versa; nearest neighbor = max corr
+    focal = pairs.select(key_col, F.col("end_ts_a").alias("end_ts"),
+                         "corr", "dist").unionByName(
+        pairs.select(key_col, F.col("end_ts_b").alias("end_ts"),
+                     "corr", "dist"))
+    nn = (focal.groupBy(key_col, "end_ts")
+          .agg(F.max("corr").alias("nn_corr"),
+               F.min("dist").alias("nn_dist")))
+    nn = nn.withColumn(
+        "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
                            F.col(key_col).cast("string")))
     by = [key_col] if per_key else []
-    out = top_k(scored, "corr", k, by=by, tiebreak="_tb", salt=salt)
+    out = top_k(nn, "nn_dist", k, by=by, tiebreak="_tb", salt=salt)
     return out.drop("_tb")
 
 

@@ -165,3 +165,41 @@ def test_motif_pairs_stay_within_key(spark):
                         tiebreak="eid")
     got = {(r.sensor, r.rank) for r in out.collect()}
     assert got == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
+
+
+# -- discord detection ----------------------------------------------------------
+
+def test_discord_topk_finds_corrupted_window(spark):
+    """A clean periodic series with ONE corrupted stretch: the discord
+    (window least like anything else) must cover the corruption."""
+    m = 4
+    vals = [float(i % 4) for i in range(40)]
+    vals[21] = 40.0                       # the anomaly
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.discord_topk(_series(spark, rows), key_col="sensor",
+                          ts_col="ts", value_col="value", m=m, k=1,
+                          tiebreak="eid")
+    r = out.collect()[0]
+    # windows ending at 21..24 contain the spike; the top discord must
+    # be one of them
+    assert _t(21) <= r.end_ts <= _t(21 + m - 1), r.end_ts
+    assert r.rank == 1 and r.nn_dist > 0.0
+
+
+def test_discord_vs_motif_are_complements(spark):
+    """On a series that repeats a shape exactly, the motif pair's
+    windows have nn_dist ~0 — they can never rank above a genuinely
+    unique window in the discord ordering."""
+    shape = [0.0, 3.0, 1.0, 2.0]
+    vals = shape * 3 + [9.0, -7.0, 5.0, -1.0]          # unique tail
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    motif = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                          ts_col="ts", value_col="value", m=4, k=1,
+                          tiebreak="eid").collect()[0]
+    assert motif.corr == pytest.approx(1.0, abs=1e-9)
+    discords = ts.discord_topk(_series(spark, rows), key_col="sensor",
+                               ts_col="ts", value_col="value", m=4,
+                               k=3, tiebreak="eid").collect()
+    motif_windows = {motif.end_ts_a, motif.end_ts_b}
+    assert discords[0].end_ts not in motif_windows
+    assert discords[0].nn_dist > 0.1
