@@ -153,23 +153,28 @@ def _wav_features(b: bytes):
 
     import numpy as np
 
+    # review find: a truncated data chunk can leave readframes with a
+    # buffer that is not a multiple of the sample/frame size — frombuffer
+    # and reshape raise ValueError, which must be junk-tolerated exactly
+    # like a malformed header
     try:
         with wave.open(io.BytesIO(b)) as w:
             sr, ch = w.getframerate(), w.getnchannels()
             sw, n = w.getsampwidth(), w.getnframes()
             raw = w.readframes(n)
-    except (wave.Error, EOFError):
+        if sw == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif sw == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, "u1").astype(np.float64)
+                 - 128.0) / 128.0
+        elif sw == 4:
+            x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+        else:
+            return None
+        if ch > 1 and x.size:
+            x = x.reshape(-1, ch).mean(axis=1)
+    except (wave.Error, EOFError, ValueError):
         return None
-    if sw == 2:
-        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-    elif sw == 1:  # 8-bit WAV is unsigned
-        x = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
-    else:
-        return None
-    if ch > 1 and x.size:
-        x = x.reshape(-1, ch).mean(axis=1)
     ns = int(x.size)
     rms = float(np.sqrt(np.mean(x * x))) if ns else 0.0
     peak = float(np.max(np.abs(x))) if ns else 0.0
@@ -199,7 +204,8 @@ def decode_audio_features(df: DataFrame, *, id_col: str = "doc_id",
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if fake:
-                digests = [hashlib.md5(bytes(b)).hexdigest()
+                digests = [hashlib.md5(b"" if b is None
+                                        else bytes(b)).hexdigest()
                            for b in pdf[payload_col]]
                 n = [int(d[8:12], 16) + 1 for d in digests]
                 sr = [8000 + int(d[0:4], 16) % 40000 for d in digests]
@@ -217,7 +223,7 @@ def decode_audio_features(df: DataFrame, *, id_col: str = "doc_id",
             rows = {k: [] for k in ("sample_rate", "channels", "n_samples",
                                     "duration_s", "rms", "peak", "zcr")}
             for b in pdf[payload_col]:
-                f = _wav_features(bytes(b))
+                f = None if b is None else _wav_features(bytes(b))
                 vals = f if f is not None else (None,) * 7
                 for k, v in zip(rows, vals):
                     rows[k].append(v)
@@ -276,7 +282,7 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
         for pdf in it:
             ids, idxs, offs, means = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(b)
+                raw = b"" if b is None else bytes(b)
                 for k in range(n_frames):
                     off = (k * len(raw)) // n_frames
                     d = hashlib.md5(raw + k.to_bytes(4, "big")).hexdigest()

@@ -173,12 +173,16 @@ def gopher_rules(df: DataFrame, text_col: str = "text", *,
     # NULL text evaluates as the empty doc: every rule fails closed
     # (gopher_pass False), never a NULL flag a downstream filter would
     # silently drop or keep depending on its polarity
-    c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    # NULL -> empty doc; then strip ALL whitespace at the edges before
+    # tokenizing (review find: trim() strips ASCII spaces only, so a
+    # tab/newline-only doc would still count words and a leading \t
+    # would add a phantom empty token to every ratio denominator)
+    c0 = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    c = F.regexp_replace(c0, r"^\s+|\s+$", "")
     w = tokens(c)
     # split('') returns [''] — report 0 words for an all-whitespace doc,
     # not 1 (review find: downstream token accounting reads this column)
-    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)) \
-        .otherwise(F.size(w))
+    n_words = F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(w))
     safe_n = F.greatest(F.size(w), F.lit(1))
     mean_wl = avg_word_len(c)
     symbols = F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.")) \

@@ -30,49 +30,69 @@ from pyspark.sql import Column, DataFrame, Window
 def _znorm_expr(arr: Column, m: int) -> Column:
     """z-normalize an array<double> of known length m as a pure
     expression; a flat (zero-variance) window normalizes to all-zeros
-    (the UCR convention — flat matches flat at distance 0)."""
-    mean = F.aggregate(arr, F.lit(0.0),
+    (the UCR convention — flat matches flat at distance 0).
+
+    Numerically STABLE (review find): the fold runs on values shifted
+    by the window's first element, so E[y^2]-mean(y)^2 never
+    catastrophically cancels for series with a large baseline (a
+    counter around 1e8 with variance ~1 would otherwise see two ~1e16
+    terms whose difference drowns in ulps). Shifting by a constant
+    changes neither variance nor the z-scores."""
+    x0 = F.element_at(arr, 1)
+    sh = F.transform(arr, lambda x: x - x0)
+    mean = F.aggregate(sh, F.lit(0.0),
                        lambda a, x: a + x) / F.lit(float(m))
-    var = (F.aggregate(arr, F.lit(0.0),
+    var = (F.aggregate(sh, F.lit(0.0),
                        lambda a, x: a + x * x) / F.lit(float(m))
            - mean * mean)
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     return F.when(
         std <= F.lit(1e-12),
         F.transform(arr, lambda x: F.lit(0.0)),
-    ).otherwise(F.transform(arr, lambda x: (x - mean) / std))
+    ).otherwise(F.transform(sh, lambda y: (y - mean) / std))
 
 
 def subsequences(df: DataFrame, *, key_col: str, ts_col: str,
                  value_col: str, m: int,
-                 tiebreak: str | None = None) -> DataFrame:
-    """(key, end_ts, seq) — every length-m subsequence of each key's
-    value series in (ts, tiebreak) order. One shuffle (the per-key
-    window partition); the array is built by collect_list over a
-    BOUNDED rowsBetween window, so state per row is m values, never
-    the whole series."""
+                 tiebreak: str | None = None,
+                 with_pos: bool = False) -> DataFrame:
+    """(key, end_ts, seq[, pos]) — every length-m subsequence of each
+    key's value series in (ts, tiebreak) order. One shuffle (the
+    per-key window partition); the array is built by collect_list over
+    a BOUNDED rowsBetween window, so state per row is m values, never
+    the whole series.
+
+    `pos` (with_pos=True) is the end row's position in the RAW series
+    — assigned before the size filter, so windows invalidated by NULL
+    values (collect_list skips NULLs; a short window is dropped) leave
+    a gap in pos instead of silently compressing their neighbors
+    together (the exclusion-zone geometry downstream stays true)."""
     order = [F.col(ts_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
     w = (Window.partitionBy(key_col).orderBy(*order)
          .rowsBetween(-(m - 1), Window.currentRow))
-    out = df.select(
-        key_col,
-        F.col(ts_col).alias("end_ts"),
-        F.collect_list(F.col(value_col).cast("double")).over(w)
-        .alias("seq"))
-    return out.filter(F.size("seq") == m)
+    cols = [F.col(key_col),
+            F.col(ts_col).alias("end_ts"),
+            F.collect_list(F.col(value_col).cast("double")).over(w)
+            .alias("seq")]
+    if with_pos:
+        wr = Window.partitionBy(key_col).orderBy(*order)
+        cols.append(F.row_number().over(wr).alias("pos"))
+    return df.select(*cols).filter(F.size("seq") == m)
 
 
 def znorm_query(pattern: Sequence[float]) -> list[float]:
-    """Driver-side z-norm of the (tiny, config-sized) query pattern."""
+    """Driver-side z-norm of the (tiny, config-sized) query pattern —
+    same shifted-fold stability as _znorm_expr."""
     m = len(pattern)
-    mean = sum(pattern) / m
-    var = sum(x * x for x in pattern) / m - mean * mean
+    sh = [x - pattern[0] for x in pattern]
+    mean = sum(sh) / m
+    var = sum(y * y for y in sh) / m - mean * mean
     std = math.sqrt(max(var, 0.0))
     if std <= 1e-12:
         return [0.0] * m
-    return [(x - mean) / std for x in pattern]
+    return [(y - mean) / std for y in sh]
 
 
 def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
@@ -98,53 +118,92 @@ def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
     UCR z-distance sqrt(2m(1-corr))."""
     from faxe_spark.operators.aggregate import top_k
 
-    scored = _window_pairs(df, key_col=key_col, ts_col=ts_col,
-                           value_col=value_col, m=m,
+    z = _windows_z(df, key_col=key_col, ts_col=ts_col,
+                   value_col=value_col, m=m, tiebreak=tiebreak)
+    scored = _window_pairs(z, key_col=key_col, m=m,
                            exclusion=m if exclusion is None else exclusion,
-                           min_corr=min_corr, tiebreak=tiebreak)
+                           min_corr=min_corr)
     scored = scored.withColumn(
-        "_tb", F.concat_ws("|", F.col("end_ts_a").cast("string"),
-                           F.col("end_ts_b").cast("string"),
+        "_tb", F.concat_ws("|", F.col("pos_a").cast("string"),
+                           F.col("pos_b").cast("string"),
                            F.col(key_col).cast("string")))
     by = [key_col] if per_key else []
-    out = top_k(scored, "corr", k, by=by, tiebreak="_tb", salt=salt)
+    out = top_k(scored.drop("pos_a", "pos_b"), "corr", k, by=by,
+                tiebreak="_tb", salt=salt)
     return out.drop("_tb")
 
 
-def _window_pairs(df: DataFrame, *, key_col: str, ts_col: str,
-                  value_col: str, m: int, exclusion: int,
-                  min_corr: float, tiebreak: str | None) -> DataFrame:
-    """(key, end_ts_a, end_ts_b, corr, dist) for every within-key
-    window pair outside the exclusion zone — the shared engine of
-    motif_topk and discord_topk: z-normed subsequences fed through
-    cosine_pairs' blocked GEMM tile kernel, the series key as the tile
-    partition (per-key O(n_k^2) tiles, never cross-key)."""
+def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
+               value_col: str, m: int, tiebreak: str | None) -> DataFrame:
+    """(key, end_ts, pos, _z, _flat, _sid) — z-normed windows with
+    their RAW-series position (NULL-invalidated windows leave a pos
+    gap, never a compression — review find), a flat flag (zero
+    variance — the GEMM kernel's cosine would be 0/0 NaN for the
+    all-zero z-vector), and a deterministic numeric id for the tile
+    kernel (xxhash64 of (key, pos); pos is (ts, tiebreak)-ordered, so
+    duplicate timestamps stay deterministic when a tiebreak is given)."""
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak,
+                        with_pos=True)
+    flat = F.aggregate(
+        F.col("seq"), F.lit(0.0),
+        lambda a, x: a + F.abs(x - F.element_at(F.col("seq"), 1))
+    ) <= F.lit(1e-12)
+    return (subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+            .withColumn("_flat", flat)
+            .withColumn("_sid", F.xxhash64(F.col(key_col), F.col("pos")))
+            .drop("seq"))
+
+
+def _window_pairs(z: DataFrame, *, key_col: str, m: int,
+                  exclusion: int, min_corr: float) -> DataFrame:
+    """(key, end_ts_a, end_ts_b, pos_a, pos_b, corr, dist) for every
+    within-key window pair outside the exclusion zone — the shared
+    engine of motif_topk and discord_topk over _windows_z output.
+
+    Non-flat windows pair through cosine_pairs' blocked GEMM tile
+    kernel (series key = tile partition: per-key O(n_k^2) tiles, never
+    cross-key). FLAT windows are handled outside the kernel (their
+    zero z-vector would score NaN and silently vanish — review find):
+    flat-flat pairs at corr 1 / dist 0 per the UCR convention, via a
+    per-key self-join of the (usually tiny) flat subset; a flat and a
+    non-flat window have undefined correlation and produce NO pair —
+    discord_topk floors them instead."""
     from faxe_spark.operators.similarity import cosine_pairs
 
-    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
-                        value_col=value_col, m=m, tiebreak=tiebreak)
-    w = Window.partitionBy(key_col).orderBy(F.col("end_ts").asc())
-    # the tile kernel wants NUMERIC ids: a deterministic 64-bit hash of
-    # (key, position) — unique w.h.p. at any realistic per-key length
-    z = (subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-         .withColumn("_rn", F.row_number().over(w))
-         .withColumn("_sid", F.xxhash64(F.col(key_col), F.col("_rn"))))
-    meta = z.select("_sid", F.col(key_col).alias("_k"), "_rn", "end_ts")
-    pairs = cosine_pairs(z.select("_sid", key_col, "_z"), min_corr,
+    meta = z.select("_sid", F.col(key_col).alias("_k"), "pos", "end_ts")
+    nonflat = z.filter(~F.col("_flat"))
+    pairs = cosine_pairs(nonflat.select("_sid", key_col, "_z"), min_corr,
                          id_col="_sid", vec_col="_z",
                          block_col=key_col)
     a = meta.withColumnRenamed("_sid", "id_a") \
-        .withColumnRenamed("_rn", "_rn_a").withColumnRenamed("end_ts", "end_ts_a")
+        .withColumnRenamed("pos", "pos_a").withColumnRenamed("end_ts", "end_ts_a")
     b = meta.select(F.col("_sid").alias("id_b"),
-                    F.col("_rn").alias("_rn_b"),
+                    F.col("pos").alias("pos_b"),
                     F.col("end_ts").alias("end_ts_b"))
     joined = (pairs.join(a, "id_a").join(b, "id_b")
-              .filter(F.abs(F.col("_rn_a") - F.col("_rn_b"))
-                      >= exclusion))
+              .select("_k", "end_ts_a", "end_ts_b", "pos_a", "pos_b",
+                      F.col("cosine")))
+    fl = z.filter(F.col("_flat")).select(
+        F.col(key_col).alias("_k"), F.col("pos"), F.col("end_ts"))
+    flat_pairs = (fl.alias("fa").join(
+        fl.alias("fb"),
+        (F.col("fa._k") == F.col("fb._k"))
+        & (F.col("fa.pos") < F.col("fb.pos")))
+        .select(F.col("fa._k").alias("_k"),
+                F.col("fa.end_ts").alias("end_ts_a"),
+                F.col("fb.end_ts").alias("end_ts_b"),
+                F.col("fa.pos").alias("pos_a"),
+                F.col("fb.pos").alias("pos_b"),
+                F.lit(1.0).alias("cosine")))
+    joined = joined.unionByName(flat_pairs)
+    joined = joined.filter(F.abs(F.col("pos_a") - F.col("pos_b"))
+                           >= exclusion)
     dist = F.sqrt(F.greatest(
         F.lit(2.0 * m) * (F.lit(1.0) - F.col("cosine")), F.lit(0.0)))
     return joined.select(
         F.col("_k").alias(key_col), "end_ts_a", "end_ts_b",
+        "pos_a", "pos_b",
         F.round(F.col("cosine"), 10).alias("corr"),
         F.round(dist, 10).alias("dist"))
 
@@ -165,28 +224,53 @@ def discord_topk(df: DataFrame, *, key_col: str, ts_col: str,
 
     Returns (key, end_ts, nn_corr, nn_dist, rank): nn_dist is the
     distance to the window's nearest neighbor, ranked descending.
-    Windows with no eligible neighbor (series shorter than
-    m + exclusion) don't appear."""
+    Windows with no ELIGIBLE neighbor (none beyond the exclusion zone
+    — series shorter than m + exclusion) don't appear; an eligible
+    window whose correlation is UNDEFINED against every eligible
+    neighbor (a lone flat window among non-flat ones — the classic
+    stuck sensor) is floored at nn_corr = -1 / nn_dist = sqrt(4m), the
+    maximum z-distance, so it surfaces as the top discord instead of
+    silently vanishing (review find)."""
     from faxe_spark.operators.aggregate import top_k
 
-    pairs = _window_pairs(df, key_col=key_col, ts_col=ts_col,
-                          value_col=value_col, m=m,
-                          exclusion=m if exclusion is None else exclusion,
-                          min_corr=-1.0, tiebreak=tiebreak)
+    excl = m if exclusion is None else exclusion
+    z = _windows_z(df, key_col=key_col, ts_col=ts_col,
+                   value_col=value_col, m=m, tiebreak=tiebreak)
+    pairs = _window_pairs(z, key_col=key_col, m=m, exclusion=excl,
+                          min_corr=-1.0)
     # each pair serves both directions: focal window a with neighbor b
-    # and vice versa; nearest neighbor = max corr
-    focal = pairs.select(key_col, F.col("end_ts_a").alias("end_ts"),
+    # and vice versa; nearest neighbor = max corr. Group by POSITION
+    # (unique per window even under duplicate timestamps).
+    focal = pairs.select(key_col, F.col("pos_a").alias("pos"),
+                         F.col("end_ts_a").alias("end_ts"),
                          "corr", "dist").unionByName(
-        pairs.select(key_col, F.col("end_ts_b").alias("end_ts"),
+        pairs.select(key_col, F.col("pos_b").alias("pos"),
+                     F.col("end_ts_b").alias("end_ts"),
                      "corr", "dist"))
-    nn = (focal.groupBy(key_col, "end_ts")
-          .agg(F.max("corr").alias("nn_corr"),
+    nn = (focal.groupBy(key_col, "pos")
+          .agg(F.max("end_ts").alias("end_ts"),
+               F.max("corr").alias("nn_corr"),
                F.min("dist").alias("nn_dist")))
+    # eligibility: some other window exists beyond the zone (pos range
+    # per key is enough — positions are raw-series, gaps included)
+    wk = Window.partitionBy(key_col)
+    eligible = (z.withColumn("_pmin", F.min("pos").over(wk))
+                .withColumn("_pmax", F.max("pos").over(wk))
+                .filter((F.col("pos") - F.col("_pmin") >= excl)
+                        | (F.col("_pmax") - F.col("pos") >= excl))
+                .select(key_col, "pos", "end_ts"))
+    floored = (eligible.join(nn.select(key_col, "pos"),
+                             [key_col, "pos"], "left_anti")
+               .withColumn("nn_corr", F.lit(-1.0))
+               .withColumn("nn_dist",
+                           F.round(F.lit(math.sqrt(4.0 * m)), 10)))
+    nn = nn.unionByName(floored)
     nn = nn.withColumn(
-        "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
+        "_tb", F.concat_ws("|", F.col("pos").cast("string"),
                            F.col(key_col).cast("string")))
     by = [key_col] if per_key else []
-    out = top_k(nn, "nn_dist", k, by=by, tiebreak="_tb", salt=salt)
+    out = top_k(nn.drop("pos"), "nn_dist", k, by=by, tiebreak="_tb",
+                salt=salt)
     return out.drop("_tb")
 
 

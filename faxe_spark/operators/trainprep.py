@@ -334,8 +334,13 @@ def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
     prior = None
     if seen_rows is not None:
         # <= cap rows per host by construction, so this groupBy is a
-        # bounded count over the (bucketed) state table
-        prior = (seen_rows
+        # bounded count over the (bucketed) state table. distinct
+        # first (review find): unlike the anti-join families, a COUNT
+        # is duplicate-sensitive — a crash between compaction's table
+        # RENAME and clearing the pending dir leaves absorbed epochs
+        # behind, and table ∪ leftover-pending would double-count every
+        # kept doc, silently closing host quotas early.
+        prior = (seen_rows.select("fingerprint").distinct()
                  .select(F.split_part(F.col("fingerprint"), F.lit("|"),
                                       F.lit(1)).alias(hk))
                  .groupBy(hk).agg(F.count(F.lit(1)).alias("_prior")))
@@ -361,9 +366,13 @@ def _host_cap_incr_core(new_df: DataFrame, seen_rows: DataFrame | None, *,
         # the kept subtree feeds both outputs; materialize once (lazily)
         # — same lineage contract as dedup_incremental
         kept = kept.localCheckpoint(eager=False)
+    # distinct: a batch carrying the same (host, id) twice would emit
+    # duplicate state rows (the count path above is duplicate-hardened,
+    # but the state contract is one row per kept doc)
     new_rows = kept.select(
         F.concat(F.col(hk), F.lit("|"),
-                 F.md5(F.col(id_col).cast("string"))).alias("fingerprint"))
+                 F.md5(F.col(id_col).cast("string")))
+        .alias("fingerprint")).distinct()
     return kept.drop(hk), new_rows
 
 

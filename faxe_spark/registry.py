@@ -3238,7 +3238,10 @@ _GOPHER_STOP_SQL = " + ".join(
 @register(
     "gopher_quality",
     f"""
-    WITH a AS (SELECT doc_id, {_GOPHER_AUG} AS t FROM documents),
+    WITH a0 AS (SELECT doc_id, {_GOPHER_AUG} AS t0 FROM documents),
+    a AS (SELECT doc_id,
+                 regexp_replace(t0, '^\\s+|\\s+$', '', 'g') AS t
+          FROM a0),
     m AS (
       SELECT doc_id, t,
              string_split_regex(trim(t), '\\s+') AS w,
@@ -3250,7 +3253,7 @@ _GOPHER_STOP_SQL = " + ".join(
              ({_GOPHER_STOP_SQL}) AS stop_hits
       FROM m)
     SELECT doc_id,
-           CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(w) END AS n_words,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END AS n_words,
            round(length(regexp_replace(trim(t), '\\s+', '', 'g')) / nw, 4)
              AS mean_word_len,
            round((len(regexp_extract_all(t, '#'))

@@ -203,3 +203,86 @@ def test_discord_vs_motif_are_complements(spark):
     motif_windows = {motif.end_ts_a, motif.end_ts_b}
     assert discords[0].end_ts not in motif_windows
     assert discords[0].nn_dist > 0.1
+
+
+# -- review-fix pins ------------------------------------------------------------
+
+def test_discord_surfaces_stuck_flat_sensor(spark):
+    """Review find: a stuck-flat stretch among varying data must be the
+    TOP discord (floored at max z-distance), not silently vanish on a
+    NaN cosine."""
+    m = 4
+    vals = [float((i * 3) % 7) for i in range(30)]
+    vals[14:14 + m] = [5.0] * m           # stuck sensor: one flat window
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.discord_topk(_series(spark, rows), key_col="sensor",
+                          ts_col="ts", value_col="value", m=m, k=1,
+                          tiebreak="eid")
+    r = out.collect()[0]
+    assert r.end_ts == _t(14 + m - 1)
+    assert r.nn_corr == -1.0
+    assert r.nn_dist == pytest.approx(math.sqrt(4.0 * m))
+
+
+def test_motif_matches_flat_stretches(spark):
+    """Two far-apart flat stretches: flat matches flat at corr 1
+    (the _znorm_expr UCR convention must survive the pair kernel)."""
+    import random
+
+    rng = random.Random(3)
+    m = 3
+    noise = lambda n: [rng.uniform(-9, 9) for _ in range(n)]  # noqa: E731
+    vals = noise(10) + [7.0] * m + noise(10) + [42.0] * m + noise(6)
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                        ts_col="ts", value_col="value", m=m, k=1,
+                        tiebreak="eid")
+    r = out.collect()[0]
+    assert r.corr == 1.0 and r.dist == 0.0
+    assert {r.end_ts_a, r.end_ts_b} == {_t(10 + m - 1), _t(23 + m - 1)}
+
+
+def test_znorm_large_baseline_stability(spark):
+    """Review find: E[x^2]-mean^2 on a 1e8 baseline with variance ~1
+    catastrophically cancels; the shifted fold must rank the planted
+    copy first at dist ~0."""
+    pattern = [0.0, 1.0, 3.0, 1.0]
+    base = 1.0e8
+    vals = [base + float((i * 7) % 5) for i in range(12)]
+    vals += [base + 2.0 * x for x in pattern]
+    vals += [base + float((i * 3) % 4) for i in range(12)]
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    out = ts.subsequence_topk(_series(spark, rows), pattern,
+                              key_col="sensor", ts_col="ts",
+                              value_col="value", k=1, tiebreak="eid")
+    r = out.collect()[0]
+    assert r.dist == pytest.approx(0.0, abs=1e-5)
+    assert r.end_ts == _t(12 + len(pattern) - 1)
+
+
+def test_null_values_leave_position_gaps(spark):
+    """Review find: a NULL reading invalidates the windows spanning it
+    (size filter) but must NOT compress positions — windows on either
+    side of the gap keep their true raw-series separation, so the
+    exclusion zone never wrongly eats their pair."""
+    m = 3
+    shape = [1.0, 5.0, 2.0]
+    vals = shape + [None] + shape + [0.0, 9.0, 4.0, 8.0]
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    # the two shape windows end at raw positions 3 and 7 (1-based):
+    # |7-3| = 4 >= exclusion m=3 — only true with raw positions
+    # (compressed numbering would put them 3 apart too... use
+    # subsequences directly to pin the gap)
+    subs = ts.subsequences(_series(spark, rows), key_col="sensor",
+                           ts_col="ts", value_col="value", m=m,
+                           tiebreak="eid", with_pos=True)
+    pos = {r.pos for r in subs.collect()}
+    # windows whose 3 values straddle the NULL at index 3 are dropped:
+    # surviving end positions are 3 (first shape) and 7.. (post-gap)
+    assert 3 in pos and 7 in pos and 4 not in pos and 5 not in pos
+    out = ts.motif_topk(_series(spark, rows), key_col="sensor",
+                        ts_col="ts", value_col="value", m=m, k=1,
+                        tiebreak="eid")
+    r = out.collect()[0]
+    assert r.corr == pytest.approx(1.0, abs=1e-9)
+    assert {r.end_ts_a, r.end_ts_b} == {_t(2), _t(6)}
