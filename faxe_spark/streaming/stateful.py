@@ -568,6 +568,83 @@ def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> D
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def subsequence_match_stream(df: DataFrame, pattern, *, key_col: str,
+                             ts_col: str = "ts",
+                             value_col: str = "value",
+                             max_dist: float = 0.5) -> DataFrame:
+    """Streaming shape alerting — the streaming lane of
+    operators.timeseries.subsequence_topk: emit (key, end_ts_ms, dist)
+    whenever the last m readings of a key match the query pattern
+    within `max_dist` under z-normalized Euclidean distance
+    (scale/offset invariant, shifted-fold stable like the batch op).
+
+    State per key is EXACTLY the last m-1 (ts, value) readings — the
+    partial window a shape straddling a micro-batch boundary needs;
+    each batch's rows are appended in (ts) order and every window
+    ending at a new row is scored (numpy sliding view, Arrow-batched).
+    Late rows older than the carried tail are appended as they arrive
+    (the documented policy: bound disorder upstream with a watermark,
+    as the win_time/session lanes do)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType
+
+    from faxe_spark.operators.timeseries import znorm_query
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    q = np.asarray(znorm_query(pattern))
+
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("end_ts_ms", LongType()),
+        StructField("dist", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("ts_tail", ArrayType(LongType())),
+        StructField("val_tail", ArrayType(DoubleType())),
+    ])
+
+    def _zn(w: "np.ndarray") -> "np.ndarray":
+        y = w - w[0]
+        mu = y.mean()
+        var = (y * y).mean() - mu * mu
+        std = math.sqrt(max(var, 0.0))
+        if std <= 1e-12:
+            return np.zeros_like(y)
+        return (y - mu) / std
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        ts_tail, val_tail = state.get if state.exists else ([], [])
+        ts_tail, val_tail = list(ts_tail), list(val_tail)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            new_ts = [int(t.value // 1_000_000) for t in pdf[ts_col]]
+            new_vals = [float(v) for v in pdf[value_col]]
+            carried = len(val_tail)
+            ts_all = ts_tail + new_ts
+            vals = np.asarray(val_tail + new_vals)
+            for end in range(max(carried, m - 1), len(vals)):
+                w = vals[end - m + 1:end + 1]
+                d = float(np.sqrt(((_zn(w) - q) ** 2).sum()))
+                if d <= max_dist:
+                    rows.append((str(key[0]), ts_all[end], round(d, 10)))
+            # plain-Python floats: numpy scalars don't survive the
+            # state-store pickle
+            ts_tail = ts_all[max(0, len(ts_all) - (m - 1)):]
+            val_tail = [float(v) for v in vals[max(0, len(vals) - (m - 1)):]]
+        state.update((ts_tail, val_tail))
+        yield pd.DataFrame(rows, columns=["key", "end_ts_ms", "dist"])
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def dedup_exact_stream(df: DataFrame, *, text_col: str = "text",
                        ts_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:

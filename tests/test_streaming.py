@@ -790,3 +790,91 @@ def test_unicode_and_gopher_ops_run_on_streams(spark, tmp_path):
     assert rows[1].text_nfc == "caf\u00e9 menu"   # NFC composed
     assert rows[1].gopher_pass is False              # 2 words < 50
     assert rows[2].text_fixed == "café"         # mojibake unwound
+
+
+def test_subsequence_match_stream_across_batch_boundary(spark, tmp_path):
+    """Streaming shape alerting: a planted pattern SPLIT across two
+    micro-batches is detected — the per-key state carries exactly the
+    last m-1 readings, so the window straddling the boundary scores."""
+    import datetime
+
+    from faxe_spark.streaming.stateful import subsequence_match_stream
+
+    def t(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+    pattern = [0.0, 2.0, 5.0, 2.0, 0.0]
+    schema = "sensor string, ts timestamp, value double"
+    noise1 = [4.0, -3.0, 1.5, -0.5, 2.2, -4.1]
+    # plant gain-3/offset-50 copy with its first 3 points in batch 1
+    planted = [50.0 + 3.0 * x for x in pattern]
+    b1_vals = noise1 + planted[:3]
+    b2_vals = planted[3:] + [9.9, -8.8]
+    _write_rows(spark, tmp_path / "src", "b1",
+                [("s1", t(i), v) for i, v in enumerate(b1_vals)], schema)
+    _write_rows(spark, tmp_path / "src", "b2",
+                [("s1", t(len(b1_vals) + i), v)
+                 for i, v in enumerate(b2_vals)], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "src" / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "src") + "/*"))
+    out = subsequence_match_stream(stream, pattern, key_col="sensor",
+                                   max_dist=0.01)
+    q = (out.writeStream.format("memory").queryName("seqmatch_s")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM seqmatch_s").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r.key == "s1" and r.dist == pytest.approx(0.0, abs=1e-9)
+    # the match ends at the planted copy's last element
+    end_i = len(noise1) + len(pattern) - 1
+    assert r.end_ts_ms == int(t(end_i).timestamp() * 1000)
+
+
+def test_subsequence_match_stream_state_survives_restart(spark, tmp_path):
+    """The m-1 tail persists in the state store: stop after the first
+    half of a planted shape, restart on the same checkpoint with the
+    second half, and the straddling window still fires."""
+    import datetime
+
+    from faxe_spark.streaming.stateful import subsequence_match_stream
+
+    def t(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+    pattern = [1.0, 4.0, 2.0, 6.0]
+    schema = "sensor string, ts timestamp, value double"
+    planted = [10 + 2 * x for x in pattern]
+    ck = str(tmp_path / "ck")
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        read_schema = spark.read.parquet(str(tmp_path / "src" / "b1")).schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(tmp_path / "src") + "/*"))
+        out = subsequence_match_stream(stream, pattern, key_col="sensor",
+                                       max_dist=0.01)
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(120)
+
+    _write_rows(spark, tmp_path / "src", "b1",
+                [("s1", t(0), -3.0), ("s1", t(1), planted[0]),
+                 ("s1", t(2), planted[1])], schema)
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0
+
+    _write_rows(spark, tmp_path / "src", "b2",
+                [("s1", t(3), planted[2]), ("s1", t(4), planted[3])],
+                schema)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].dist == pytest.approx(0.0, abs=1e-9)
+    assert rows[0].end_ts_ms == int(t(4).timestamp() * 1000)
