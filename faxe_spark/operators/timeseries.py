@@ -133,6 +133,114 @@ def motif_topk(df: DataFrame, *, key_col: str, ts_col: str,
     return out.drop("_tb")
 
 
+# N(0,1) quantile breakpoints for SAX alphabets 2..8 (Lin et al. 2003,
+# "A Symbolic Representation of Time Series" — public constants): value
+# v maps to the number of breakpoints below it.
+_SAX_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.4307, 0.4307],
+    4: [-0.6745, 0.0, 0.6745],
+    5: [-0.8416, -0.2533, 0.2533, 0.8416],
+    6: [-0.9674, -0.4307, 0.0, 0.4307, 0.9674],
+    7: [-1.0676, -0.5659, -0.1800, 0.1800, 0.5659, 1.0676],
+    8: [-1.1503, -0.6745, -0.3186, 0.0, 0.3186, 0.6745, 1.1503],
+}
+
+
+def _sax_word_expr(z: Column, m: int, w: int, alphabet: int) -> Column:
+    """PAA (w segment means over a length-m z-normed array) quantized
+    to SAX symbols via the N(0,1) breakpoints, concatenated to one
+    word string — a pure Column expression."""
+    if m % w != 0:
+        raise ValueError(f"w={w} must divide m={m}")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of "
+                         f"{sorted(_SAX_BREAKPOINTS)}")
+    seg = m // w
+    bps = _SAX_BREAKPOINTS[alphabet]
+
+    def sym(val: Column) -> Column:
+        idx = None
+        for bp in bps:
+            step = F.when(val > F.lit(bp), 1).otherwise(0)
+            idx = step if idx is None else idx + step
+        return idx.cast("string")
+
+    parts = []
+    for j in range(w):
+        s = F.aggregate(F.slice(z, j * seg + 1, seg), F.lit(0.0),
+                        lambda a, x: a + x) / F.lit(float(seg))
+        parts.append(sym(s))
+    return F.concat_ws("", *parts)
+
+
+def sax_word_of(pattern: Sequence[float], *, w: int,
+                alphabet: int = 4) -> str:
+    """Driver-side SAX word of a query pattern (z-norm -> PAA ->
+    symbols), matching _sax_word_expr exactly."""
+    zq = znorm_query(pattern)
+    m = len(zq)
+    if m % w != 0:
+        raise ValueError(f"w={w} must divide m={m}")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of "
+                         f"{sorted(_SAX_BREAKPOINTS)}")
+    seg = m // w
+    bps = _SAX_BREAKPOINTS[alphabet]
+    out = []
+    for j in range(w):
+        v = sum(zq[j * seg:(j + 1) * seg]) / seg
+        out.append(str(sum(1 for bp in bps if v > bp)))
+    return "".join(out)
+
+
+def subsequence_topk_sax(df: DataFrame, pattern: Sequence[float], *,
+                         key_col: str, ts_col: str, value_col: str,
+                         k: int = 10, w: int = 4, alphabet: int = 4,
+                         per_key: bool = False,
+                         tiebreak: str | None = None,
+                         salt: int | None = None) -> DataFrame:
+    """The SCALE path for subsequence_topk — same relationship IVF has
+    to brute-force ANN: candidate generation by SAX word equality (a
+    scan-stage filter against the query's literal word — no shuffle,
+    no index build), exact z-distance scoring ONLY on the candidates,
+    then the salted top-k. Recall is approximate (a true neighbor
+    whose PAA crosses a breakpoint lands in another bucket — the
+    LSH-style trade); coarser w/alphabet widen the bucket toward
+    recall, finer ones cut candidates toward throughput. Windows
+    z-similar to the query share its word with high probability, and
+    at 100 TB the exact scorer sees a bucket, not the corpus.
+
+    Returns (key, end_ts, dist, rank) like the exact op, plus
+    `n_candidates` is observable as the pre-top-k row count."""
+    from faxe_spark.operators.aggregate import top_k
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    word = sax_word_of(pattern, w=w, alphabet=alphabet)
+    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak)
+    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    cand = z.filter(
+        _sax_word_expr(F.col("_z"), m, w, alphabet) == F.lit(word))
+    dist = F.sqrt(F.greatest(
+        F.aggregate(F.zip_with(F.col("_z"), q,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+        F.lit(0.0)))
+    scored = cand.select(key_col, "end_ts",
+                         F.round(dist, 10).alias("dist"))
+    scored = scored.withColumn(
+        "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
+                           F.col(key_col).cast("string")))
+    by = [key_col] if per_key else []
+    out = top_k(scored, "dist", k, by=by, bottom=True, tiebreak="_tb",
+                salt=salt)
+    return out.drop("_tb")
+
+
 def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
                value_col: str, m: int, tiebreak: str | None) -> DataFrame:
     """(key, end_ts, pos, _z, _flat, _sid) — z-normed windows with

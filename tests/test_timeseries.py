@@ -286,3 +286,64 @@ def test_null_values_leave_position_gaps(spark):
     r = out.collect()[0]
     assert r.corr == pytest.approx(1.0, abs=1e-9)
     assert {r.end_ts_a, r.end_ts_b} == {_t(2), _t(6)}
+
+
+# -- SAX scale path -------------------------------------------------------------
+
+def test_sax_word_spark_matches_driver(spark):
+    """_sax_word_expr and sax_word_of implement ONE formula: every
+    window's Spark-side word equals the driver-side word of its values."""
+    import random
+
+    rng = random.Random(9)
+    rows = [("s", _t(i), rng.uniform(-5, 5), i) for i in range(30)]
+    m, w, a = 8, 4, 4
+    subs = ts.subsequences(_series(spark, rows), key_col="sensor",
+                           ts_col="ts", value_col="value", m=m,
+                           tiebreak="eid")
+    got = (subs.withColumn("_z", ts._znorm_expr(F.col("seq"), m))
+           .select("end_ts", "seq",
+                   ts._sax_word_expr(F.col("_z"), m, w, a).alias("word"))
+           .collect())
+    assert len(got) == 30 - m + 1
+    for r in got:
+        assert r.word == ts.sax_word_of(list(r.seq), w=w, alphabet=a), r
+
+
+def test_sax_topk_finds_planted_and_prunes(spark):
+    """The planted scaled/shifted copy shares the query's SAX word (it
+    z-normalizes identically), so the scale path finds it at dist ~0 —
+    while scoring only the word's bucket, not the corpus."""
+    import random
+
+    rng = random.Random(13)
+    pattern = [0.0, 1.0, 4.0, 1.0, 0.0, -2.0, -1.0, 3.0]
+    vals = [rng.uniform(-6, 6) for _ in range(150)]
+    plant_at = 80
+    for i, x in enumerate(pattern):
+        vals[plant_at + i] = 20.0 + 2.5 * x
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    df = _series(spark, rows)
+    out = ts.subsequence_topk_sax(df, pattern, key_col="sensor",
+                                  ts_col="ts", value_col="value",
+                                  k=1, w=4, alphabet=4, tiebreak="eid")
+    r = out.collect()[0]
+    assert r.dist == pytest.approx(0.0, abs=1e-9)
+    assert r.end_ts == _t(plant_at + len(pattern) - 1)
+    # pruning: the bucket is a strict subset of all windows
+    m = len(pattern)
+    subs = ts.subsequences(df, key_col="sensor", ts_col="ts",
+                           value_col="value", m=m, tiebreak="eid")
+    z = subs.withColumn("_z", ts._znorm_expr(F.col("seq"), m))
+    word = ts.sax_word_of(pattern, w=4, alphabet=4)
+    n_cand = z.filter(
+        ts._sax_word_expr(F.col("_z"), m, 4, 4) == word).count()
+    n_all = subs.count()
+    assert 1 <= n_cand < n_all / 2, (n_cand, n_all)
+
+
+def test_sax_validates_params(spark):
+    with pytest.raises(ValueError, match="must divide"):
+        ts.sax_word_of([1.0, 2.0, 3.0], w=2)
+    with pytest.raises(ValueError, match="alphabet"):
+        ts.sax_word_of([1.0, 2.0, 3.0, 4.0], w=2, alphabet=99)
