@@ -200,38 +200,52 @@ def subsequence_topk_sax(df: DataFrame, pattern: Sequence[float], *,
                          per_key: bool = False,
                          tiebreak: str | None = None,
                          salt: int | None = None) -> DataFrame:
-    """The SCALE path for subsequence_topk — same relationship IVF has
-    to brute-force ANN: candidate generation by SAX word equality (a
-    scan-stage filter against the query's literal word — no shuffle,
-    no index build), exact z-distance scoring ONLY on the candidates,
-    then the salted top-k. Recall is approximate (a true neighbor
-    whose PAA crosses a breakpoint lands in another bucket — the
-    LSH-style trade); coarser w/alphabet widen the bucket toward
-    recall, finer ones cut candidates toward throughput. Windows
-    z-similar to the query share its word with high probability, and
-    at 100 TB the exact scorer sees a bucket, not the corpus.
+    """SAX-pruned variant of subsequence_topk: candidates are the
+    windows sharing the query's SAX word (one literal string compare
+    per window — Catalyst drops the distance fold for everything
+    else), exact z-distance scores only the bucket, then the salted
+    top-k runs over a bucket-sized input.
 
-    Returns (key, end_ts, dist, rank) like the exact op, plus
-    `n_candidates` is observable as the pre-top-k row count."""
-    from faxe_spark.operators.aggregate import top_k
+    WHAT IT PRUNES, HONESTLY (review find): the per-key shuffle, the
+    window build and the z-norm fold are SHARED with the exact path —
+    this op removes the distance fold on non-candidates and shrinks
+    the top-k's input from the corpus to the bucket. The 100 TB win
+    comes from persisting the (key, end_ts, word) table once (the ANN
+    index-lifecycle pattern) and filtering it per query — the word
+    column is what makes that table possible. Recall is approximate
+    (a true neighbor whose PAA crosses a breakpoint lands in another
+    bucket — the LSH-style trade); coarser w/alphabet widen the
+    bucket toward recall.
 
+    Returns (key, end_ts, dist, rank) like the exact op."""
     m = len(pattern)
     if m < 2:
         raise ValueError("pattern needs at least 2 points")
     word = sax_word_of(pattern, w=w, alphabet=alphabet)
-    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
     z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
     cand = z.filter(
         _sax_word_expr(F.col("_z"), m, w, alphabet) == F.lit(word))
+    return _score_topk(cand, pattern, key_col=key_col, k=k,
+                       per_key=per_key, salt=salt)
+
+
+def _score_topk(z: DataFrame, pattern: Sequence[float], *, key_col: str,
+                k: int, per_key: bool, salt: int | None) -> DataFrame:
+    """Shared scoring tail of subsequence_topk and its SAX variant:
+    exact z-distance to the (driver-z-normed) pattern over a `_z`
+    column, deterministic (end_ts, key) tiebreak, salted top-k."""
+    from faxe_spark.operators.aggregate import top_k
+
+    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
     dist = F.sqrt(F.greatest(
         F.aggregate(F.zip_with(F.col("_z"), q,
                                lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, x: acc + x),
         F.lit(0.0)))
-    scored = cand.select(key_col, "end_ts",
-                         F.round(dist, 10).alias("dist"))
+    scored = z.select(key_col, "end_ts",
+                      F.round(dist, 10).alias("dist"))
     scored = scored.withColumn(
         "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
                            F.col(key_col).cast("string")))
@@ -397,28 +411,11 @@ def subsequence_topk(df: DataFrame, pattern: Sequence[float], *,
 
     Returns (key, end_ts, dist, rank). Ties broken by (end_ts, key)
     so the result is deterministic."""
-    from faxe_spark.operators.aggregate import top_k
-
     m = len(pattern)
     if m < 2:
         raise ValueError("pattern needs at least 2 points")
-    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
     z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-    dist = F.sqrt(F.greatest(
-        F.aggregate(F.zip_with(F.col("_z"), q,
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x),
-        F.lit(0.0)))
-    scored = z.select(key_col, "end_ts",
-                      F.round(dist, 10).alias("dist"))
-    # deterministic order: dist, then end_ts; the rank tiebreak column
-    # must be unique per row, so tie on a composite
-    scored = scored.withColumn(
-        "_tb", F.concat_ws("|", F.col("end_ts").cast("string"),
-                           F.col(key_col).cast("string")))
-    by = [key_col] if per_key else []
-    out = top_k(scored, "dist", k, by=by, bottom=True, tiebreak="_tb",
-                salt=salt)
-    return out.drop("_tb")
+    return _score_topk(z, pattern, key_col=key_col, k=k,
+                       per_key=per_key, salt=salt)

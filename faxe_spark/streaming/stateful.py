@@ -585,8 +585,6 @@ def subsequence_match_stream(df: DataFrame, pattern, *, key_col: str,
     Late rows older than the carried tail are appended as they arrive
     (the documented policy: bound disorder upstream with a watermark,
     as the win_time/session lanes do)."""
-    import math
-
     import numpy as np
     from pyspark.sql.types import ArrayType
 
@@ -607,36 +605,47 @@ def subsequence_match_stream(df: DataFrame, pattern, *, key_col: str,
         StructField("val_tail", ArrayType(DoubleType())),
     ])
 
-    def _zn(w: "np.ndarray") -> "np.ndarray":
-        y = w - w[0]
-        mu = y.mean()
-        var = (y * y).mean() - mu * mu
-        std = math.sqrt(max(var, 0.0))
-        if std <= 1e-12:
-            return np.zeros_like(y)
-        return (y - mu) / std
-
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         ts_tail, val_tail = state.get if state.exists else ([], [])
         ts_tail, val_tail = list(ts_tail), list(val_tail)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # materialize ALL Arrow chunks first (review find): a large
+        # group spans several pdfs delivered in arbitrary order, so
+        # per-chunk sorting + tail trimming would score windows over
+        # jumbled values; one concat + one sort restores batch order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col)
             new_ts = [int(t.value // 1_000_000) for t in pdf[ts_col]]
-            new_vals = [float(v) for v in pdf[value_col]]
             carried = len(val_tail)
             ts_all = ts_tail + new_ts
-            vals = np.asarray(val_tail + new_vals)
-            for end in range(max(carried, m - 1), len(vals)):
-                w = vals[end - m + 1:end + 1]
-                d = float(np.sqrt(((_zn(w) - q) ** 2).sum()))
-                if d <= max_dist:
-                    rows.append((str(key[0]), ts_all[end], round(d, 10)))
+            vals = np.asarray(
+                val_tail + [float(v) for v in pdf[value_col]],
+                dtype=np.float64)
+            if len(vals) >= m:
+                # one vectorized pass over every window (the sliding
+                # view is a stride trick — no copy), shifted-fold
+                # z-norm exactly like the batch op
+                W = np.lib.stride_tricks.sliding_window_view(vals, m)
+                Y = W - W[:, :1]
+                mu = Y.mean(axis=1)
+                var = (Y * Y).mean(axis=1) - mu * mu
+                std = np.sqrt(np.maximum(var, 0.0))
+                ok = std > 1e-12
+                Z = np.zeros_like(Y)
+                Z[ok] = ((Y[ok] - mu[ok, None]) / std[ok, None])
+                D = np.sqrt(((Z - q[None, :]) ** 2).sum(axis=1))
+                for end in range(max(carried, m - 1), len(vals)):
+                    d = float(D[end - m + 1])
+                    if d <= max_dist:
+                        rows.append((str(key[0]), ts_all[end],
+                                     round(d, 10)))
             # plain-Python floats: numpy scalars don't survive the
             # state-store pickle
             ts_tail = ts_all[max(0, len(ts_all) - (m - 1)):]
-            val_tail = [float(v) for v in vals[max(0, len(vals) - (m - 1)):]]
+            val_tail = [float(v)
+                        for v in vals[max(0, len(vals) - (m - 1)):]]
         state.update((ts_tail, val_tail))
         yield pd.DataFrame(rows, columns=["key", "end_ts_ms", "dist"])
 
