@@ -347,3 +347,28 @@ def test_sax_validates_params(spark):
         ts.sax_word_of([1.0, 2.0, 3.0], w=2)
     with pytest.raises(ValueError, match="alphabet"):
         ts.sax_word_of([1.0, 2.0, 3.0, 4.0], w=2, alphabet=99)
+
+
+def test_sax_word_affine_invariant(spark):
+    """Property (hypothesis): the SAX word — like every z-normalized
+    quantity here — is invariant under positive affine transforms of
+    the series (gain/offset): the whole family's scale/offset-
+    invariance contract in one pin."""
+    from hypothesis import given, settings, strategies as st
+
+    vals_s = st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=8, max_size=8).filter(lambda v: max(v) - min(v) > 1e-3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(vals_s,
+           st.floats(min_value=0.1, max_value=50, allow_nan=False),
+           st.floats(min_value=-1000, max_value=1000, allow_nan=False))
+    def prop(vals, gain, offset):
+        w1 = ts.sax_word_of(vals, w=4, alphabet=4)
+        w2 = ts.sax_word_of([gain * v + offset for v in vals],
+                            w=4, alphabet=4)
+        assert w1 == w2
+
+    prop()
