@@ -878,3 +878,51 @@ def test_subsequence_match_stream_state_survives_restart(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].dist == pytest.approx(0.0, abs=1e-9)
     assert rows[0].end_ts_ms == int(t(4).timestamp() * 1000)
+
+
+def test_subsequence_match_stream_equals_batch_reference(spark, tmp_path):
+    """Cross-lane equivalence: the streaming matcher's detections over
+    an arbitrary micro-batch split equal the batch op's windows under
+    the same threshold — same z-norm, same distances, same windows."""
+    import datetime
+    import random
+
+    from faxe_spark.operators import timeseries as tso
+    from faxe_spark.streaming.stateful import subsequence_match_stream
+
+    def t(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+    rng = random.Random(21)
+    pattern = [1.0, -1.0, 2.0, 0.0, -2.0]
+    vals = [rng.uniform(-4, 4) for _ in range(60)]
+    # two planted copies at different gain/offset
+    for at, (g, o) in ((15, (2.0, 30.0)), (40, (0.5, -7.0))):
+        for i, x in enumerate(pattern):
+            vals[at + i] = o + g * x
+    rows = [("s1", t(i), v) for i, v in enumerate(vals)]
+    schema = "sensor string, ts timestamp, value double"
+    # arbitrary uneven micro-batch split: 13 / 27 / 20
+    for name, lo, hi in (("b1", 0, 13), ("b2", 13, 40), ("b3", 40, 60)):
+        _write_rows(spark, tmp_path / "src", name, rows[lo:hi], schema)
+
+    read_schema = spark.read.parquet(str(tmp_path / "src" / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "src") + "/*"))
+    max_dist = 0.35
+    out = subsequence_match_stream(stream, pattern, key_col="sensor",
+                                   max_dist=max_dist)
+    q = (out.writeStream.format("memory").queryName("seqmatch_eq")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    got = {(r.end_ts_ms, r.dist) for r in
+           spark.sql("SELECT * FROM seqmatch_eq").collect()}
+
+    batch = tso.subsequence_topk(
+        spark.createDataFrame(rows, schema), pattern, key_col="sensor",
+        ts_col="ts", value_col="value", k=len(vals), tiebreak=None)
+    want = {(int(r.end_ts.timestamp() * 1000), r.dist)
+            for r in batch.collect() if r.dist <= max_dist}
+    assert got == want and len(want) >= 2
