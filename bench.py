@@ -86,6 +86,9 @@ HEADLINE = [
     "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
     # round 6 third wave: crawl-balance cap + Gopher format rules
     "domain_cap", "gopher_quality", "domain_cap_incr_batches",
+    # round 7: the Matrix-Profile trio + SAX scale paths
+    "ts_subsequence_topk", "ts_motif_topk", "ts_discord_topk",
+    "ts_sax_topk", "sax_index_reuse",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -181,10 +184,12 @@ def main() -> None:
     load_start = load_max
     # load guard (r3 win_event_rolling false +54% was concurrent-load
     # noise): a min-of-N taken under external load is not a steady-state
-    # number — wait for the 1-min loadavg to drop below cores/4 before
-    # each query, give up after 120 s and annotate instead of blocking
-    # the driver forever.
-    load_ceiling = cpus / 4
+    # number — wait for the 1-min loadavg to drop below the ceiling
+    # before each query, give up after 120 s and annotate instead of
+    # blocking the driver forever. VERDICT r6 #4 tightened the ceiling
+    # to ~6 (two consecutive rounds blamed the round's single >1.25x
+    # mover on load at a near-8 loadavg — make that state impossible).
+    load_ceiling = min(cpus / 4, 6.0)
     for name in names:
         deadline = time.monotonic() + 120
         while os.getloadavg()[0] > load_ceiling and time.monotonic() < deadline:
@@ -208,7 +213,7 @@ def main() -> None:
 
     _record_plan_hashes(plan_hashes, sf)
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -221,7 +226,21 @@ def main() -> None:
         "loadavg": {"start": round(load_start, 2), "max": round(load_max, 2),
                     "ceiling": round(load_ceiling, 2)},
         "result_rows": result_rows,
-    }))
+    }
+    line = json.dumps(payload)
+    # durable record (VERDICT r6 #3: the driver's tail capture kept only
+    # 17/51 of the r6 timings — BENCH_r06.json has parsed:null). The
+    # latest full payload lives in BENCH_LOCAL.json; every run appends
+    # to BENCH_LEDGER.jsonl so cross-round drift stays attributable
+    # from the repo alone.
+    here = os.path.dirname(os.path.abspath(__file__))
+    stamped = dict(payload, wall_time=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(stamped, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    with open(os.path.join(here, "BENCH_LEDGER.jsonl"), "a") as fh:
+        fh.write(json.dumps(stamped) + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,32 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+_CENTROID_BC: dict = {}
+
+
+def _centroid_broadcast(sc, centroids):
+    """Content-keyed cached broadcast of a (small) centroid matrix.
+
+    ADVICE r6: assign_lists/assign_probes called inside a continuous
+    foreachBatch loop created one sparkContext.broadcast per
+    micro-batch, never destroyed — a long non-availableNow run
+    accumulated broadcasts on the driver and executors. Keying by
+    (application, matrix bytes) makes every epoch of a crawl loop
+    reuse ONE broadcast per trained quantizer; the cache is bounded by
+    the number of distinct trained quantizers in the session (index
+    builds), not by epochs. Entries are not destroy()ed — a lazy plan
+    built in an earlier epoch may still reference one."""
+    import hashlib
+
+    key = (sc.applicationId, centroids.shape,
+           hashlib.sha1(centroids.tobytes()).hexdigest())
+    bc = _CENTROID_BC.get(key)
+    if bc is None:
+        bc = sc.broadcast(centroids)
+        _CENTROID_BC[key] = bc
+    return bc
+
+
 def quantize_vec(c: Column, scale: int = 1_000_000) -> Column:
     """float array -> bigint array (floor(x * scale)). Integer dot
     products are order-independent and engine-exact — the determinism
@@ -246,7 +272,7 @@ def assign_lists(corpus: DataFrame, centroids, *, id_col: str,
     (id_col, _cid int)."""
     import numpy as np
 
-    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    bc = _centroid_broadcast(corpus.sparkSession.sparkContext, centroids)
 
     def assign(batches):
         import pandas as pd
@@ -469,7 +495,7 @@ def assign_probes(corpus: DataFrame, centroids, *, id_col: str,
     centroid id), so _cid is bit-identical to the single-list path."""
     import numpy as np
 
-    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    bc = _centroid_broadcast(corpus.sparkSession.sparkContext, centroids)
 
     def assign(batches):
         import pandas as pd

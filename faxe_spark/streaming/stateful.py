@@ -568,6 +568,20 @@ def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> D
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Round like Spark's F.round on a double — HALF_UP over the EXACT
+    binary value (Java `new BigDecimal(double)`; Python's
+    `Decimal(float)` is the same exact conversion) — NOT Python's
+    round (banker's). ADVICE r6: the pinned cross-lane
+    streaming==batch dist equality could diverge at exact half-way
+    values when the stream lane used round()."""
+    import decimal
+
+    return float(decimal.Decimal(x).quantize(
+        decimal.Decimal(1).scaleb(-digits),
+        rounding=decimal.ROUND_HALF_UP))
+
+
 def subsequence_match_stream(df: DataFrame, pattern, *, key_col: str,
                              ts_col: str = "ts",
                              value_col: str = "value",
@@ -640,7 +654,7 @@ def subsequence_match_stream(df: DataFrame, pattern, *, key_col: str,
                     d = float(D[end - m + 1])
                     if d <= max_dist:
                         rows.append((str(key[0]), ts_all[end],
-                                     round(d, 10)))
+                                     _round_half_up(d, 10)))
             # plain-Python floats: numpy scalars don't survive the
             # state-store pickle
             ts_tail = ts_all[max(0, len(ts_all) - (m - 1)):]
@@ -1056,8 +1070,17 @@ def crawl_pipeline(df: DataFrame, *, cap: int,
     from faxe_spark.operators.text import _substring_scrub_core
     from faxe_spark.operators.trainprep import _host_cap_incr_core
 
+    # ADVICE r6: tables.get(stage) turned a typoed/missing key into
+    # seen=None, silently resetting that stage's cross-run state
+    # (quota/dedup/scrub) on every restart — fail loudly instead.
+    if set(tables) != {"cap", "fps", "grams"}:
+        raise ValueError(
+            "crawl_pipeline: `tables` keys must be exactly "
+            "{'cap','fps','grams'} (value None before the first "
+            f"compaction); got {sorted(tables)}")
+
     def _seen(spark, stage, epoch_id):
-        return _seen_state(spark, tables.get(stage),
+        return _seen_state(spark, tables[stage],
                            f"{pending_root}/{stage}", epoch_id,
                            ["fingerprint"])
 
