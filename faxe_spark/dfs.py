@@ -1690,6 +1690,45 @@ class DFSCompiler:
         df, (field,) = self._materialize_paths(df, [field])
         return ops.count_change(df, field, by=self.group_keys, alias=alias)
 
+    # -- time-series similarity (beyond the reference surface — the
+    #    Matrix-Profile family, mirrored from the Flow builder): the
+    #    series key is the upstream group_by key, ts is the event time.
+    def _ts_series_key(self, node_name: str) -> str:
+        if len(self.group_keys) != 1:
+            raise ValueError(
+                f"{node_name} needs exactly one group_by key upstream "
+                f"as the series key; got {self.group_keys or 'none'}")
+        return self.group_keys[0]
+
+    def node_subsequence_topk(self, df, node: NodeCall) -> DataFrame:
+        pattern = [float(x) for x in
+                   (node.params.get("pattern") or list(node.args))]
+        field = node.params.get("field", ["value"])[0]
+        k = int(node.params.get("k", [10])[0])
+        df, (field,) = self._materialize_paths(df, [field])
+        return ops.subsequence_topk(
+            df, pattern, key_col=self._ts_series_key("subsequence_topk"),
+            ts_col="ts", value_col=field, k=k,
+            per_key="per_key" in node.params)
+
+    def node_motif_topk(self, df, node: NodeCall) -> DataFrame:
+        m = int(node.args[0] if node.args else node.params["m"][0])
+        field = node.params.get("field", ["value"])[0]
+        k = int(node.params.get("k", [3])[0])
+        df, (field,) = self._materialize_paths(df, [field])
+        return ops.motif_topk(
+            df, key_col=self._ts_series_key("motif_topk"), ts_col="ts",
+            value_col=field, m=m, k=k)
+
+    def node_discord_topk(self, df, node: NodeCall) -> DataFrame:
+        m = int(node.args[0] if node.args else node.params["m"][0])
+        field = node.params.get("field", ["value"])[0]
+        k = int(node.params.get("k", [3])[0])
+        df, (field,) = self._materialize_paths(df, [field])
+        return ops.discord_topk(
+            df, key_col=self._ts_series_key("discord_topk"), ts_col="ts",
+            value_col=field, m=m, k=k)
+
     def node_shift(self, df, node: NodeCall) -> DataFrame:
         off = node.params.get("offset", [("duration", "-30s")])[0]
         off = off[1] if isinstance(off, tuple) else off

@@ -205,6 +205,65 @@ class Flow:
             return df
         return self._push("group_union", "any", "same", apply)
 
+    # -- time-series similarity (operators/timeseries.py): the Matrix-
+    #    Profile family on the product surface (VERDICT r6 #7). The
+    #    series key comes from the flow's group_by (exactly one key),
+    #    the timestamp from event_time — same contract as sample/diff.
+    def _ts_key(self) -> str:
+        if len(self._group_keys) != 1:
+            raise FlowBuildError(
+                "time-series nodes need exactly one group_by key as the "
+                f"series key; flow has {self._group_keys or 'none'} — "
+                "add .group_by('<key>') before the node")
+        return self._group_keys[0]
+
+    def subsequence_topk(self, pattern, *, value: str = "value",
+                         k: int = 10, per_key: bool = False, **kw) -> "Flow":
+        """Top-k windows nearest `pattern` under z-normalized distance
+        (UCR); per_key=False ranks globally — pass salt there."""
+        _check_kwargs("subsequence_topk", kw, {"tiebreak", "salt"})
+        return self._push(
+            "subsequence_topk", "point", "point",
+            lambda df, f: ops.subsequence_topk(
+                df, pattern, key_col=f._ts_key(), ts_col=f._event_time,
+                value_col=value, k=k, per_key=per_key, **kw))
+
+    def subsequence_topk_sax(self, pattern, *, value: str = "value",
+                             k: int = 10, w: int = 4, alphabet: int = 4,
+                             per_key: bool = False, **kw) -> "Flow":
+        """SAX-pruned subsequence_topk (the scale path: score only the
+        query word's bucket)."""
+        _check_kwargs("subsequence_topk_sax", kw, {"tiebreak", "salt"})
+        return self._push(
+            "subsequence_topk_sax", "point", "point",
+            lambda df, f: ops.subsequence_topk_sax(
+                df, pattern, key_col=f._ts_key(), ts_col=f._event_time,
+                value_col=value, k=k, w=w, alphabet=alphabet,
+                per_key=per_key, **kw))
+
+    def motif_topk(self, *, m: int, value: str = "value", k: int = 3,
+                   per_key: bool = True, **kw) -> "Flow":
+        """Top-k most-correlated window pairs per series (Matrix-Profile
+        motifs) outside the exclusion zone."""
+        _check_kwargs("motif_topk", kw,
+                      {"exclusion", "min_corr", "tiebreak", "salt"})
+        return self._push(
+            "motif_topk", "point", "point",
+            lambda df, f: ops.motif_topk(
+                df, key_col=f._ts_key(), ts_col=f._event_time,
+                value_col=value, m=m, k=k, per_key=per_key, **kw))
+
+    def discord_topk(self, *, m: int, value: str = "value", k: int = 3,
+                     per_key: bool = True, **kw) -> "Flow":
+        """Top-k windows whose nearest neighbor is farthest (Matrix-
+        Profile discords — the anomaly lane)."""
+        _check_kwargs("discord_topk", kw, {"exclusion", "tiebreak", "salt"})
+        return self._push(
+            "discord_topk", "point", "point",
+            lambda df, f: ops.discord_topk(
+                df, key_col=f._ts_key(), ts_col=f._event_time,
+                value_col=value, m=m, k=k, per_key=per_key, **kw))
+
     # -- aggregation: batch -> point --------------------------------------
     def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
         def apply(df, f):

@@ -34,6 +34,14 @@ def state_change_stream(df: DataFrame, *, key_col: str, state_col: str,
     The boolean is computed upstream with ordinary expressions (the
     `lambda` of the reference); this operator only owns the cross-batch
     transition memory.
+
+    Late-data policy (documented, golden-pinned): rows are processed in
+    (ts) order WITHIN a micro-batch, but ACROSS batches in arrival
+    order — a transition row arriving one batch late folds into the
+    run that is current at arrival (last-write-wins; it never rewrites
+    an already-emitted transition retroactively, and it DOES count into
+    the current run's n_in_prev_run). Bound disorder upstream with a
+    watermark when cross-batch order matters.
     """
     out_schema = StructType([
         StructField("key", LongType()),

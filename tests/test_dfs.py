@@ -799,3 +799,39 @@ a
     finally:
         srv.stop()
         con.close()
+
+
+def test_dfs_timeseries_nodes(spark):
+    """The Matrix-Profile family on the DFS text surface (VERDICT r6
+    #7): a corpus-style script compiles and equals the direct op."""
+    from faxe_spark.operators import timeseries as ts
+    from faxe_spark.tables import load_table
+
+    script = """
+    |parquet('events')
+    |group_by('user_id')
+    |subsequence_topk()
+    .pattern(0.0, 1.0, 3.0, 1.0)
+    .k(5)
+    """
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = ts.subsequence_topk(ev, [0.0, 1.0, 3.0, 1.0],
+                               key_col="user_id", ts_col="ts",
+                               value_col="value", k=5)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    dis = DFSCompiler(spark, tables_dir=SF_SMOKE).run("""
+    |parquet('events')
+    |group_by('user_id')
+    |discord_topk(4)
+    .k(1)
+    """)
+    assert set(dis.columns) == {"user_id", "end_ts", "nn_corr",
+                                "nn_dist", "rank"}
+    assert dis.count() > 0
+
+    with pytest.raises(ValueError, match="series key"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('events')\n|motif_topk(4)")

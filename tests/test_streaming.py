@@ -926,3 +926,86 @@ def test_subsequence_match_stream_equals_batch_reference(spark, tmp_path):
     want = {(int(r.end_ts.timestamp() * 1000), r.dist)
             for r in batch.collect() if r.dist <= max_dist}
     assert got == want and len(want) >= 2
+
+
+def test_state_change_stream_late_transition_golden(spark, tmp_path):
+    """Late-data golden (VERDICT r6 #8): a state row arriving one
+    micro-batch LATE (ts older than rows already processed) folds into
+    the run current at arrival — no retroactive transition, but it DOES
+    count into n_in_prev_run of the next transition (the documented
+    arrival-order / last-write-wins policy)."""
+    from faxe_spark.streaming.stateful import state_change_stream
+
+    schema = "user_id long, in_state boolean, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        (1, False, _late_t(10, 0)),
+        (1, False, _late_t(10, 1)),
+        (1, True, _late_t(10, 5)),     # transition: run 2 opens
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        (1, True, _late_t(10, 2)),     # LATE row: same state as current
+    ], schema)
+    _write_rows(spark, tmp_path, "b3", [
+        (1, False, _late_t(10, 6)),    # transition: run 3 opens
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = state_change_stream(stream, key_col="user_id",
+                              state_col="in_state", ts_col="ts")
+    _run_available_now(out, "sc_late")
+    got = sorted((r.run_id, r.ts_ms, r.in_state, r.n_in_prev_run)
+                 for r in spark.sql("SELECT * FROM sc_late").collect())
+
+    def ms(h, m):
+        return int(_late_t(h, m).timestamp() * 1000)
+
+    assert got == [
+        (1, ms(10, 0), False, 0),   # first row: run 1 opens
+        (2, ms(10, 5), True, 2),    # F-run had 2 rows
+        # run 3 opens at 10:06; run 2 counted the ON-TIME 10:05 row AND
+        # the LATE 10:02 row -> n_in_prev_run = 2 (the late row folded
+        # into the current run; no retro transition was emitted)
+        (3, ms(10, 6), False, 2),
+    ]
+
+
+def test_subsequence_match_stream_late_row_golden(spark, tmp_path):
+    """Late-data golden (VERDICT r6 #8): a value row arriving one
+    micro-batch late is APPENDED to the carried series in arrival
+    order (the documented policy) — the windows it forms carry ITS
+    timestamp as end_ts even though older rows follow it in event
+    time."""
+    from faxe_spark.streaming.stateful import subsequence_match_stream
+
+    schema = "sensor string, value double, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [
+        ("s", 1.0, _late_t(10, 0)),
+        ("s", 2.0, _late_t(10, 1)),
+        ("s", 3.0, _late_t(10, 2)),   # ramp completes: match @10:02
+    ], schema)
+    _write_rows(spark, tmp_path, "b2", [
+        ("s", 4.0, _late_t(10, 1, 30)),  # LATE (before 10:02)
+        ("s", 5.0, _late_t(10, 4)),
+    ], schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = subsequence_match_stream(stream, [1.0, 2.0, 3.0],
+                                   key_col="sensor", ts_col="ts",
+                                   value_col="value", max_dist=1e-9)
+    _run_available_now(out, "sm_late")
+    got = sorted((r.end_ts_ms, r.dist)
+                 for r in spark.sql("SELECT * FROM sm_late").collect())
+
+    def ms(h, m, s=0):
+        return int(_late_t(h, m, s).timestamp() * 1000)
+
+    # arrival-order series: 1,2,3 | 4(late ts 10:01:30), 5(ts 10:04) —
+    # every consecutive triple is a perfect ramp; the late row's window
+    # ends at ITS OWN (older) timestamp
+    assert got == [
+        (ms(10, 1, 30), 0.0),   # window (2,3,4) — end_ts is the late ts
+        (ms(10, 2), 0.0),       # window (1,2,3) from batch 1
+        (ms(10, 4), 0.0),       # window (3,4,5)
+    ]

@@ -61,6 +61,13 @@ PROBE_QUERIES = [
     "dedup_simhash_incr_batches", "exact_substring_dedup", "embedding_neardup_ivf",
     "substring_scrub_incr_batches", "embedding_neardup_incr_batches",
     "domain_cap", "gopher_quality", "domain_cap_incr_batches",
+    # round 7: Matrix-Profile trio + SAX (motif/discord are per-key
+    # O(n_k^2) BY DEFINITION — the events replication rule grows the
+    # number of users, not per-user series length, so their pair count
+    # scales ~R x and wall should too; sax/index probes check the
+    # bucket-pruned and partition-pruned query paths stay ~flat-ish)
+    "ts_subsequence_topk", "ts_motif_topk", "ts_discord_topk",
+    "ts_sax_topk", "sax_index_reuse",
 ]
 
 
