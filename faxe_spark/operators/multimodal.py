@@ -265,33 +265,50 @@ def _avi_raw_frames(b: bytes):
     when the payload is not such an AVI (junk, or a compressed fourcc
     that genuinely needs PyAV/ffmpeg — that gap stays documented).
 
-    RIFF is a public container spec; this walks the chunk tree
-    iteratively (LIST chunks recurse one level via an explicit stack),
-    so a malformed size field can't overflow anything — slices clamp."""
+    RIFF is a public container spec; this walks the chunk tree in
+    DOCUMENT order (recursion capped — review find: a LIFO stack
+    visited an audio stream's strl before the video's, so an MP3
+    strf latched garbage into width/comp and a decodable video with an
+    audio track read as compressed), only accepts a strf that follows
+    a 'vids' strh, and every slice/unpack clamps to the bytes actually
+    present — a truncated or hostile size field yields None (the NULL
+    row), never a struct.error out of the Arrow worker (review find).
+    Frames are returned as (payload_offset, start, end) spans; the
+    caller slices only the frames it samples (review find: eager
+    copies doubled per-document memory)."""
     import struct
 
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     width = height = bits = comp = None
-    frames: list[tuple[int, bytes]] = []
-    stack = [(12, len(b))]
-    while stack:
-        pos, end = stack.pop()
+    in_vids = False
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        nonlocal width, height, bits, comp, in_vids
+        if depth > 16:
+            return
         while pos + 8 <= end:
             fourcc = b[pos:pos + 4]
             size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
             data_start = pos + 8
-            data_end = min(data_start + size, len(b))
+            data_end = min(data_start + size, len(b), end)
             if fourcc == b"LIST":
-                stack.append((data_start + 4, data_end))
-            elif fourcc == b"strf" and size >= 20 and width is None:
+                walk(data_start + 4, data_end, depth + 1)
+            elif fourcc == b"strh" and data_end - data_start >= 4:
+                in_vids = b[data_start:data_start + 4] == b"vids"
+            elif (fourcc == b"strf" and in_vids and width is None
+                  and data_end - data_start >= 20):
                 _, w, h, _, bc, cp = struct.unpack(
                     "<IiiHHI", b[data_start:data_start + 20])
                 width, height, bits, comp = w, h, bc, cp
-            elif fourcc[2:4] in (b"db", b"dc") and size > 0:
-                frames.append((data_start, b[data_start:data_end]))
+            elif fourcc[2:4] in (b"db", b"dc") and data_end > data_start:
+                frames.append((data_start, data_end))
             pos = data_start + size + (size & 1)
-    if not frames or not width or not height or comp != 0 or bits != 24:
+
+    walk(12, len(b), 0)
+    if (not frames or not width or width <= 0 or not height
+            or comp != 0 or bits != 24):
         return None
     return int(width), abs(int(height)), frames
 
@@ -333,11 +350,12 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
         stride = ((width * 3 + 3) // 4) * 4
         out = []
         for k in range(n_frames):
-            off, data = frames[(k * len(frames)) // n_frames]
-            if len(data) < stride * height:
+            off, end = frames[(k * len(frames)) // n_frames]
+            if end - off < stride * height:
                 out.append((off, None))
                 continue
-            px = (np.frombuffer(data[:stride * height], dtype=np.uint8)
+            px = (np.frombuffer(raw[off:off + stride * height],
+                                dtype=np.uint8)
                   .reshape(height, stride)[:, :width * 3])
             out.append((off, float(px.mean() / 255.0)))
         return out

@@ -76,13 +76,18 @@ def _centroid_broadcast(sc, centroids):
     reuse ONE broadcast per trained quantizer; the cache is bounded by
     the number of distinct trained quantizers in the session (index
     builds), not by epochs. Entries are not destroy()ed — a lazy plan
-    built in an earlier epoch may still reference one."""
+    built in an earlier epoch may still reference one — but entries of
+    STOPPED SparkContexts (different applicationId) are dropped on
+    insert, so a long-lived process cycling sessions doesn't pin dead
+    apps' matrices (review find)."""
     import hashlib
 
     key = (sc.applicationId, centroids.shape,
            hashlib.sha1(centroids.tobytes()).hexdigest())
     bc = _CENTROID_BC.get(key)
     if bc is None:
+        for stale in [k for k in _CENTROID_BC if k[0] != sc.applicationId]:
+            del _CENTROID_BC[stale]
         bc = sc.broadcast(centroids)
         _CENTROID_BC[key] = bc
     return bc

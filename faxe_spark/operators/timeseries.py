@@ -48,16 +48,6 @@ def _shifted_stats(arr: Column, m: int) -> tuple[Column, Column, Column]:
     return sh, mean, std
 
 
-def _flat_expr(arr: Column, m: int) -> Column:
-    """True iff _znorm_expr would zero this window — SAME std test
-    (ADVICE r6: a near-flat window with std <= 1e-12 but
-    sum(|x-x0|) > 1e-12 previously passed the old sum-of-absolute-
-    deviations flat test, entered the GEMM kernel with an all-zero
-    z-vector, scored NaN, and silently dropped from the pair set)."""
-    _, _, std = _shifted_stats(arr, m)
-    return std <= F.lit(1e-12)
-
-
 def _znorm_expr(arr: Column, m: int) -> Column:
     """z-normalize an array<double> of known length m as a pure
     expression; a flat (zero-variance) window normalizes to all-zeros
@@ -271,6 +261,21 @@ class SaxIndex:
         return f"{self.name}_words"
 
 
+def _sax_words_df(df: DataFrame, *, key_col: str, ts_col: str,
+                  value_col: str, m: int, w: int, alphabet: int,
+                  tiebreak: str | None) -> DataFrame:
+    """(key, end_ts, _z, word) rows — THE word-table row shape, shared
+    by build and add so their consistency contract (build(A)+add(B) ==
+    build(A∪B)) is structural, not copy-paste discipline (review
+    find)."""
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak)
+    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    return z.select(key_col, "end_ts", "_z",
+                    _sax_word_expr(F.col("_z"), m, w, alphabet)
+                    .alias("word"))
+
+
 def build_sax_index(spark, df: DataFrame, *, name: str, key_col: str,
                     ts_col: str, value_col: str, m: int, w: int = 4,
                     alphabet: int = 4,
@@ -285,12 +290,9 @@ def build_sax_index(spark, df: DataFrame, *, name: str, key_col: str,
 
     # validate w/alphabet up front (same errors as the one-shot op)
     sax_word_of([float(i) for i in range(m)], w=w, alphabet=alphabet)
-    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
-                        value_col=value_col, m=m, tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-    words = z.select(key_col, "end_ts", "_z",
-                     _sax_word_expr(F.col("_z"), m, w, alphabet)
-                     .alias("word"))
+    words = _sax_words_df(df, key_col=key_col, ts_col=ts_col,
+                          value_col=value_col, m=m, w=w,
+                          alphabet=alphabet, tiebreak=tiebreak)
     (words.write.mode("overwrite").partitionBy("word")
      .parquet(_table_path(spark, f"{name}_words")))
     (spark.createDataFrame([(key_col, int(m), int(w), int(alphabet))],
@@ -322,13 +324,9 @@ def add_to_sax_index(spark, index: SaxIndex, df: DataFrame, *,
     like the streaming matcher's carried state)."""
     from faxe_spark.operators.ann_index import _table_path
 
-    subs = subsequences(df, key_col=index.key_col, ts_col=ts_col,
-                        value_col=value_col, m=index.m,
-                        tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), index.m))
-    words = z.select(index.key_col, "end_ts", "_z",
-                     _sax_word_expr(F.col("_z"), index.m, index.w,
-                                    index.alphabet).alias("word"))
+    words = _sax_words_df(df, key_col=index.key_col, ts_col=ts_col,
+                          value_col=value_col, m=index.m, w=index.w,
+                          alphabet=index.alphabet, tiebreak=tiebreak)
     (words.write.mode("append").partitionBy("word")
      .parquet(_table_path(spark, f"{index.name}_words")))
 
@@ -399,8 +397,15 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak,
                         with_pos=True)
+    # _flat derived from _z, not re-folded from seq (review find: the
+    # two higher-order folds aren't CSE'd): _z is all-zero IFF the
+    # z-norm took the std<=1e-12 branch — a non-flat window always has
+    # at least one |z_i| >= ~1 (max deviation >= std by definition),
+    # so the sum-of-squares test can't false-positive.
+    flat = F.aggregate(F.col("_z"), F.lit(0.0),
+                       lambda a, x: a + x * x) <= F.lit(0.0)
     return (subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-            .withColumn("_flat", _flat_expr(F.col("seq"), m))
+            .withColumn("_flat", flat)
             .withColumn("_sid", F.xxhash64(F.col(key_col), F.col("pos")))
             .drop("seq"))
 
@@ -499,31 +504,40 @@ def discord_topk(df: DataFrame, *, key_col: str, ts_col: str,
                           min_corr=-1.0)
     # each pair serves both directions: focal window a with neighbor b
     # and vice versa; nearest neighbor = max corr. Group by POSITION
-    # (unique per window even under duplicate timestamps).
-    focal = pairs.select(key_col, F.col("pos_a").alias("pos"),
-                         F.col("end_ts_a").alias("end_ts"),
-                         "corr", "dist").unionByName(
-        pairs.select(key_col, F.col("pos_b").alias("pos"),
-                     F.col("end_ts_b").alias("end_ts"),
-                     "corr", "dist"))
+    # (unique per window even under duplicate timestamps). One explode
+    # instead of a self-union (r7 plan audit: every extra reference to
+    # `pairs` re-runs the window build + GEMM kernel subtree — the
+    # first form cost 21 shuffles, this one 8).
+    focal = (pairs.select(key_col, F.explode(F.array(
+        F.struct(F.col("pos_a").alias("pos"),
+                 F.col("end_ts_a").alias("end_ts"),
+                 F.col("corr"), F.col("dist")),
+        F.struct(F.col("pos_b").alias("pos"),
+                 F.col("end_ts_b").alias("end_ts"),
+                 F.col("corr"), F.col("dist")))).alias("_f"))
+        .select(key_col, "_f.pos", "_f.end_ts", "_f.corr", "_f.dist"))
     nn = (focal.groupBy(key_col, "pos")
-          .agg(F.max("end_ts").alias("end_ts"),
-               F.max("corr").alias("nn_corr"),
+          .agg(F.max("corr").alias("nn_corr"),
                F.min("dist").alias("nn_dist")))
     # eligibility: some other window exists beyond the zone (pos range
-    # per key is enough — positions are raw-series, gaps included)
+    # per key is enough — positions are raw-series, gaps included).
+    # LEFT join + coalesce floors the no-pair windows (a lone flat among
+    # non-flats) in ONE reference to nn instead of anti-join + union;
+    # nn ⊆ eligible always (a window with a beyond-zone pair is at
+    # least `excl` from one end of its key's pos range by definition).
     wk = Window.partitionBy(key_col)
     eligible = (z.withColumn("_pmin", F.min("pos").over(wk))
                 .withColumn("_pmax", F.max("pos").over(wk))
                 .filter((F.col("pos") - F.col("_pmin") >= excl)
                         | (F.col("_pmax") - F.col("pos") >= excl))
                 .select(key_col, "pos", "end_ts"))
-    floored = (eligible.join(nn.select(key_col, "pos"),
-                             [key_col, "pos"], "left_anti")
-               .withColumn("nn_corr", F.lit(-1.0))
-               .withColumn("nn_dist",
-                           F.round(F.lit(math.sqrt(4.0 * m)), 10)))
-    nn = nn.unionByName(floored)
+    nn = (eligible.join(nn, [key_col, "pos"], "left")
+          .select(key_col, "pos", "end_ts",
+                  F.coalesce(F.col("nn_corr"), F.lit(-1.0))
+                  .alias("nn_corr"),
+                  F.coalesce(F.col("nn_dist"),
+                             F.round(F.lit(math.sqrt(4.0 * m)), 10))
+                  .alias("nn_dist")))
     nn = nn.withColumn(
         "_tb", F.concat_ws("|", F.col("pos").cast("string"),
                            F.col(key_col).cast("string")))

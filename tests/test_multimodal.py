@@ -191,11 +191,13 @@ def test_frame_features_fake_lane_shape_and_determinism(spark):
     assert all(0.0 <= r[3] <= 1.0 for r in rows)
 
 
-def _make_avi(frames, width, height):
+def _make_avi(frames, width, height, audio_first=False):
     """Build a minimal UNCOMPRESSED AVI (RIFF + BITMAPINFOHEADER,
     biCompression=0, 24 bpp, '00db' DIB chunks) in pure Python —
     frames is a list of np.uint8 arrays (height, width, 3) in BGR.
-    Rows are 4-byte aligned per the DIB spec."""
+    Rows are 4-byte aligned per the DIB spec. audio_first=True
+    prepends an 'auds' strl (WAVEFORMATEX-shaped strf) BEFORE the
+    video strl — the layout that poisoned the pre-review parser."""
     import struct
 
     import numpy as np
@@ -215,8 +217,16 @@ def _make_avi(frames, width, height):
             + struct.pack("<10I", 0, 0, 0, 1, 25, 0, len(frames), 0, 0, 0))
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        stride * height, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strls = b""
+    if audio_first:
+        astrh = (b"auds" + b"\x00" * 4 + struct.pack("<I", 0)
+                 + struct.pack("<10I", 0, 0, 0, 1, 44100, 0, 0, 0, 0, 0))
+        # WAVEFORMATEX for MP3: 30 bytes, passes a naive >=20 check
+        astrf = struct.pack("<HHIIHHH", 0x0055, 2, 44100, 16000, 1, 0, 12)
+        astrf += b"\x00" * 12
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+    strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_frames = b""
     for fr in frames:
         dib = np.zeros((height, stride), dtype=np.uint8)
@@ -276,3 +286,36 @@ def test_frame_features_real_lane_nulls_junk_and_compressed(spark):
     rows = mm.extract_frame_features(df, n_frames=3, fake=False).collect()
     assert len(rows) == 6
     assert all(r.mean_intensity is None for r in rows)
+
+
+def test_frame_features_real_lane_audio_track_and_hostile_payloads(spark):
+    """Review finds: (a) an AVI whose AUDIO strl precedes the video
+    strl must still decode (the strf gate keys on the 'vids' strh, not
+    arrival order); (b) truncated/hostile headers — a declared strf
+    size with fewer bytes present, a negative biWidth — yield NULL
+    rows, never a struct/numpy error out of the Arrow worker."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.full((2, 2, 3), 100, dtype=np.uint8)]
+    with_audio = _make_avi(frames, 2, 2, audio_first=True)
+    # truncated strf: header declares 40 bytes, payload ends after 5
+    good = _make_avi(frames, 2, 2)
+    cut_at = good.index(b"strf") + 8 + 5
+    truncated = good[:cut_at]
+    # negative width
+    neg = bytearray(good)
+    strf_at = good.index(b"strf") + 8
+    neg[strf_at + 4:strf_at + 8] = struct.pack("<i", -2)
+    df = spark.createDataFrame(
+        [(1, bytearray(with_audio)), (2, bytearray(truncated)),
+         (3, bytearray(neg))],
+        "doc_id long, payload binary")
+    rows = mm.extract_frame_features(df, n_frames=2, fake=False).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.mean_intensity)
+    assert by_doc[1] == pytest.approx([100 / 255.0] * 2)   # decoded
+    assert by_doc[2] == [None, None]
+    assert by_doc[3] == [None, None]
