@@ -248,3 +248,29 @@ def test_state_salted_lane_null_states_and_ts(spark):
     plain = run(None)
     for s in (2, 5, 16):
         assert run(s) == plain, f"salt={s} diverges on NULL states/ts"
+
+
+def test_bucketed_events_eliminate_timeseries_shuffle(spark):
+    """The time-series family's ONE shuffle is the per-key window
+    partition — over an events table bucketed by the series key it
+    disappears entirely (the pay-once-at-ingest story at 100 TB: a
+    deployment that buckets its hypertable by sensor runs every
+    subsequence/motif/discord window build shuffle-free)."""
+    from faxe_spark.operators import timeseries as ts
+    from faxe_spark.plans import count_exchanges, formatted_plan
+    from faxe_spark.tables import load_table, stage_bucketed
+
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        b = stage_bucketed(
+            spark, ev.select("event_id", "ts", "user_id", "value"),
+            "b_ev_ts", bucket_by="user_id", buckets=8)
+        out = ts.subsequences(b, key_col="user_id", ts_col="ts",
+                              value_col="value", m=4, tiebreak="event_id")
+        assert count_exchanges(out) == 0, formatted_plan(out)
+        plain = ts.subsequences(ev, key_col="user_id", ts_col="ts",
+                                value_col="value", m=4,
+                                tiebreak="event_id")
+        assert count_exchanges(plain) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_ev_ts")
