@@ -441,13 +441,48 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         nb = F.lit(max(1, math.ceil(n / block_size)))
     q = (q.withColumn("_nb", nb)
          .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_nb")).cast("int")))
+
     # one row per (vector, partner block): group (i,j) receives exactly
-    # the vectors of blocks i and j, each once.
-    tagged = (q.select("_id", "_v", "_c", *part,
+    # the vectors of blocks i and j, each once. A single-block
+    # partition contributes exactly one row (sequence(0,0)).
+    tagged = (q.select("_id", "_v", "_c", "_nb", *part,
                        F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
                        .alias("_t"))
               .withColumn("_gi", F.least("_c", "_t"))
               .withColumn("_gj", F.greatest("_c", "_t")))
+    pack_col = part[0] if part else None
+    if part:
+        # SMALL-KEY PACKING (r7): a partition that fits ONE block would
+        # otherwise become its own Arrow group — an IoT-shaped corpus
+        # (millions of short series keys) pays per-group applyInPandas
+        # overhead n_keys times for tiny GEMMs. Single-block keys keep
+        # their one tagged row but regroup under (_pc=NULL, _gi=pack
+        # bucket, _gj=-1): ~4x-parallelism hash buckets, each scored
+        # per REAL key inside the tile fn with IDENTICAL arithmetic
+        # (drop_duplicates + sort by id, float64 GEMM, triu) —
+        # pair-for-pair equal to the per-key tile, pinned by
+        # tests/test_similarity_ivf.py. One groupBy, one subtree: the
+        # first (two-lane union) form recomputed the whole upstream
+        # window-build per lane. Bucket count follows the same sizing
+        # rule as every shuffle in the plan (shuffle.partitions scales
+        # with the deployment). _gj=-1 can't collide: real block
+        # indexes are non-negative, so a genuinely-NULL big partition
+        # still lands in its own (NULL, gi, gj>=0) group.
+        spark_ = corpus.sparkSession
+        npack = 4 * int(spark_.conf.get("spark.sql.shuffle.partitions"))
+        is_small = F.col("_nb") == 1
+        pack = F.pmod(F.xxhash64(F.col(pack_col).cast("string")),
+                      F.lit(npack)).cast("int")
+        tagged = (tagged
+                  .withColumn("_pc", F.when(is_small, F.lit(None))
+                              .otherwise(F.col(pack_col)))
+                  .withColumn("_gi", F.when(is_small, pack)
+                              .otherwise(F.col("_gi")))
+                  .withColumn("_gj", F.when(is_small, F.lit(-1))
+                              .otherwise(F.col("_gj"))))
+        group_cols = ["_pc", "_gi", "_gj"]
+    else:
+        group_cols = ["_gi", "_gj"]
 
     def tile(key, pdf):
         import numpy as np
@@ -462,6 +497,30 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             norms_y = np.sqrt((Y * Y).sum(axis=1))
             return dots / np.outer(norms_x, norms_y)
 
+        if j == -1:
+            # packed bucket of single-block partitions: score each
+            # REAL partition separately (dropna=False: a NULL small
+            # partition is still a partition)
+            outs = []
+            for _, g in pdf.groupby(pack_col, sort=False, dropna=False):
+                sub = g.drop_duplicates("_id").sort_values("_id")
+                if len(sub) < 2:
+                    continue
+                ids = sub["_id"].to_numpy()
+                X = np.stack(sub["_v"].to_numpy()).astype(np.float64)
+                cos = score(X, X)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                keep = cos[ia, ib] >= thr
+                if keep.any():
+                    outs.append(pd.DataFrame(
+                        {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                         "cosine": cos[ia[keep], ib[keep]]}))
+            if not outs:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "cosine": pd.Series([], dtype="float64")})
+            return pd.concat(outs)
         if i == j:
             sub = pdf.drop_duplicates("_id").sort_values("_id")
             ids = sub["_id"].to_numpy()
@@ -486,7 +545,7 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         hi = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
 
-    return (tagged.groupBy(*part, "_gi", "_gj")
+    return (tagged.groupBy(*group_cols)
             .applyInPandas(tile, "id_a long, id_b long, cosine double"))
 
 

@@ -274,3 +274,48 @@ def test_pairs_ivf_probe_monotone_and_within_cluster_complete(spark):
     assert got[1] <= got[4] <= got[8] == brute
     assert len(got[4]) > len(got[1]), \
         "multi-probe found no boundary-straddling pairs on this corpus"
+
+
+def test_cosine_pairs_small_key_packing_equivalence(spark):
+    """r7 packed small-key lane: a mixed corpus — one partition bigger
+    than block_size (tiled lane) plus many single-block partitions
+    (packed lane) — produces pair-for-pair the SAME result as the
+    pure-Column formulation (block_size=None), and as the same call
+    before packing existed (per-key arithmetic is identical)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import similarity as sim
+
+    rng = random.Random(17)
+    rows = []
+    vid = 0
+    # 12 vectors in the big partition (block_size=8 -> 2 blocks),
+    # 6 small partitions of 2-4 vectors each (single block)
+    for part, n in [("big", 12)] + [(f"p{i}", 2 + i % 3) for i in range(6)]:
+        for _ in range(n):
+            rows.append((vid, part,
+                         [rng.uniform(-1, 1) for _ in range(8)]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp string, embedding array<double>")
+    got = sim.cosine_pairs(df, -1.0, id_col="vec_id",
+                           vec_col="embedding", block_size=8,
+                           block_col="grp")
+    want = sim.cosine_pairs(df, -1.0, id_col="vec_id",
+                            vec_col="embedding", block_size=None,
+                            block_col="grp")
+    k = lambda d: sorted(                                # noqa: E731
+        (r.id_a, r.id_b, round(r.cosine, 9)) for r in d.collect())
+    assert k(got) == k(want)
+    assert len(k(got)) == (12 * 11) // 2 + sum(
+        (n * (n - 1)) // 2 for n in (2, 3, 4, 2, 3, 4))
+    # plan shape: ONE FlatMapGroupsInPandas and ONE pass over the
+    # upstream subtree — packed and tiled groups share a single
+    # groupBy (the first two-lane form recomputed the upstream per
+    # lane). AQE's plan string repeats the tree under
+    # '== Initial Plan ==' — count only the final section.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FlatMapGroupsInPandas") == 1, plan
