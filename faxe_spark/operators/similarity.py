@@ -430,9 +430,15 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         # tile grid sized PER PARTITION — a global grid would replicate
         # every vector ceil(n_total/block_size) times and emit mostly
         # empty tiles, defeating the sum(n_c^2) scale path. The count
-        # table is one row per partition value (cluster ids: bounded),
-        # so it broadcasts.
-        counts = corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n"))
+        # table is one row per partition value (cluster ids / series
+        # keys: bounded relative to rows), so it broadcasts. EAGER
+        # localCheckpoint: both the broadcast join AND the packed-lane
+        # sizing aggregate below read it, and without the barrier each
+        # reference re-ran the whole upstream (for the time-series
+        # callers that upstream is the window build + z-norm — the
+        # 3rd-pass form measured 7.4 s vs 5.5 s on ts_motif_topk).
+        counts = (corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n"))
+                  .localCheckpoint())
         q = q.join(F.broadcast(counts), list(part))
         nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
             .cast("int")
@@ -457,19 +463,25 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         # (millions of short series keys) pays per-group applyInPandas
         # overhead n_keys times for tiny GEMMs. Single-block keys keep
         # their one tagged row but regroup under (_pc=NULL, _gi=pack
-        # bucket, _gj=-1): ~4x-parallelism hash buckets, each scored
-        # per REAL key inside the tile fn with IDENTICAL arithmetic
-        # (drop_duplicates + sort by id, float64 GEMM, triu) —
-        # pair-for-pair equal to the per-key tile, pinned by
+        # bucket, _gj=-1), each bucket scored per REAL key inside the
+        # tile fn with IDENTICAL arithmetic (the shared _self_pairs
+        # helper) — pair-for-pair equal to the per-key tile, pinned by
         # tests/test_similarity_ivf.py. One groupBy, one subtree: the
         # first (two-lane union) form recomputed the whole upstream
-        # window-build per lane. Bucket count follows the same sizing
-        # rule as every shuffle in the plan (shuffle.partitions scales
-        # with the deployment). _gj=-1 can't collide: real block
-        # indexes are non-negative, so a genuinely-NULL big partition
-        # still lands in its own (NULL, gi, gj>=0) group.
-        spark_ = corpus.sparkSession
-        npack = 4 * int(spark_.conf.get("spark.sql.shuffle.partitions"))
+        # window-build per lane. The bucket count sizes each packed
+        # group to ~block_size rows — the SAME per-group memory bound
+        # the tiled lane enforces (2nd review pass: a parallelism-based
+        # count left group size O(small_rows/npack), unbounded at the
+        # exact millions-of-keys scale this lane exists for); the
+        # one-row aggregate over `counts` that computes it is the part
+        # lane's analog of the no-part branch's corpus.count() probe.
+        # _gj=-1 can't collide with tiled groups (real block indexes
+        # are non-negative). NULL partition values never pair in
+        # EITHER lane (the counts equi-join and the pure-Column lane's
+        # equi-self-join both drop them — consistent semantics).
+        small_rows = (counts.filter(F.col("_n") <= block_size)
+                      .agg(F.sum("_n")).collect()[0][0]) or 0
+        npack = max(1, math.ceil(small_rows / block_size))
         is_small = F.col("_nb") == 1
         pack = F.pmod(F.xxhash64(F.col(pack_col).cast("string")),
                       F.lit(npack)).cast("int")
@@ -497,39 +509,34 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             norms_y = np.sqrt((Y * Y).sum(axis=1))
             return dots / np.outer(norms_x, norms_y)
 
-        if j == -1:
-            # packed bucket of single-block partitions: score each
-            # REAL partition separately (dropna=False: a NULL small
-            # partition is still a partition)
-            outs = []
-            for _, g in pdf.groupby(pack_col, sort=False, dropna=False):
-                sub = g.drop_duplicates("_id").sort_values("_id")
-                if len(sub) < 2:
-                    continue
-                ids = sub["_id"].to_numpy()
-                X = np.stack(sub["_v"].to_numpy()).astype(np.float64)
-                cos = score(X, X)
-                ia, ib = np.triu_indices(len(ids), k=1)
-                keep = cos[ia, ib] >= thr
-                if keep.any():
-                    outs.append(pd.DataFrame(
-                        {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                         "cosine": cos[ia[keep], ib[keep]]}))
-            if not outs:
-                return pd.DataFrame(
-                    {"id_a": pd.Series([], dtype="int64"),
-                     "id_b": pd.Series([], dtype="int64"),
-                     "cosine": pd.Series([], dtype="float64")})
-            return pd.concat(outs)
-        if i == j:
-            sub = pdf.drop_duplicates("_id").sort_values("_id")
+        def self_pairs(sub):
+            # the ONE self-pair arithmetic, shared by the diagonal
+            # tile and the packed per-key loop (2nd review pass: two
+            # copies would have to stay bit-identical by discipline)
+            sub = sub.drop_duplicates("_id").sort_values("_id")
+            if len(sub) < 2:
+                return None
             ids = sub["_id"].to_numpy()
             X = np.stack(sub["_v"].to_numpy()).astype(np.float64)
             cos = score(X, X)
             ia, ib = np.triu_indices(len(ids), k=1)
             keep = cos[ia, ib] >= thr
-            return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+            return pd.DataFrame({"id_a": ids[ia[keep]],
+                                 "id_b": ids[ib[keep]],
                                  "cosine": cos[ia[keep], ib[keep]]})
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")})
+        if j == -1:
+            # packed bucket of single-block partitions: score each
+            # REAL partition separately
+            outs = [r for _, g in pdf.groupby(pack_col, sort=False)
+                    if (r := self_pairs(g)) is not None]
+            return pd.concat(outs) if outs else empty
+        if i == j:
+            return self_pairs(pdf) if len(pdf) > 1 else empty
         left = pdf[pdf["_c"] == i]
         right = pdf[pdf["_c"] == j]
         if left.empty or right.empty:
