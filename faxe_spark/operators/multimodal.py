@@ -261,9 +261,10 @@ def _avi_raw_frames(b: bytes):
     biCompression=0, 24 bpp DIB frames in '00db'/'00dc' chunks) with
     the stdlib alone — the in-container REAL video lane (VERDICT r6
     #9: one actually-decoded frame beyond the fake lane). Returns
-    (width, height, [(payload_byte_offset, frame_bytes), ...]) or None
-    when the payload is not such an AVI (junk, or a compressed fourcc
-    that genuinely needs PyAV/ffmpeg — that gap stays documented).
+    (width, height, [(start, end) byte spans, ...]) — one span per
+    frame chunk's payload bytes — or None when the payload is not
+    such an AVI (junk, or a compressed fourcc that genuinely needs
+    PyAV/ffmpeg — that gap stays documented).
 
     RIFF is a public container spec; this walks the chunk tree in
     DOCUMENT order (recursion capped — review find: a LIFO stack
@@ -273,19 +274,26 @@ def _avi_raw_frames(b: bytes):
     a 'vids' strh, and every slice/unpack clamps to the bytes actually
     present — a truncated or hostile size field yields None (the NULL
     row), never a struct.error out of the Arrow worker (review find).
-    Frames are returned as (payload_offset, start, end) spans; the
-    caller slices only the frames it samples (review find: eager
-    copies doubled per-document memory)."""
+    Frame chunks are matched BY STREAM NUMBER (ADVICE r7: the 2-digit
+    '##db'/'##dc' prefix must equal the vids stream's index among the
+    strh headers — a two-stream file, or one whose video is not
+    stream 0, would otherwise mix the other stream's chunks in and
+    score them with the wrong geometry); spans are returned unsliced
+    and the caller copies only the frames it samples (review find:
+    eager copies doubled per-document memory)."""
     import struct
 
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     width = height = bits = comp = None
     in_vids = False
-    frames: list[tuple[int, int]] = []
+    strh_seen = 0
+    vids_stream = None  # index of the FIRST 'vids' stream among strh
+    raw: list[tuple[bytes, int, int]] = []  # (##-prefix, start, end)
 
     def walk(pos: int, end: int, depth: int) -> None:
-        nonlocal width, height, bits, comp, in_vids
+        nonlocal width, height, bits, comp, in_vids, strh_seen, \
+            vids_stream
         if depth > 16:
             return
         while pos + 8 <= end:
@@ -296,17 +304,25 @@ def _avi_raw_frames(b: bytes):
             if fourcc == b"LIST":
                 walk(data_start + 4, data_end, depth + 1)
             elif fourcc == b"strh" and data_end - data_start >= 4:
-                in_vids = b[data_start:data_start + 4] == b"vids"
+                in_vids = (b[data_start:data_start + 4] == b"vids"
+                           and vids_stream is None)
+                if in_vids:
+                    vids_stream = strh_seen
+                strh_seen += 1
             elif (fourcc == b"strf" and in_vids and width is None
                   and data_end - data_start >= 20):
                 _, w, h, _, bc, cp = struct.unpack(
                     "<IiiHHI", b[data_start:data_start + 20])
                 width, height, bits, comp = w, h, bc, cp
             elif fourcc[2:4] in (b"db", b"dc") and data_end > data_start:
-                frames.append((data_start, data_end))
+                raw.append((fourcc[0:2], data_start, data_end))
             pos = data_start + size + (size & 1)
 
     walk(12, len(b), 0)
+    if vids_stream is None:
+        return None
+    want = b"%02d" % vids_stream
+    frames = [(s, e) for p, s, e in raw if p == want]
     if (not frames or not width or width <= 0 or not height
             or comp != 0 or bits != 24):
         return None

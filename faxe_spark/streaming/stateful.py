@@ -577,15 +577,19 @@ def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> D
 
 
 def _round_half_up(x: float, digits: int) -> float:
-    """Round like Spark's F.round on a double — HALF_UP over the EXACT
-    binary value (Java `new BigDecimal(double)`; Python's
-    `Decimal(float)` is the same exact conversion) — NOT Python's
-    round (banker's). ADVICE r6: the pinned cross-lane
-    streaming==batch dist equality could diverge at exact half-way
-    values when the stream lane used round()."""
+    """Round like Spark's F.round on a double: HALF_UP over the
+    SHORTEST-ROUNDTRIP decimal repr of the double (Spark calls
+    `BigDecimal.valueOf(double)` = `Double.toString`, and Python's
+    `repr(float)` is the same shortest-roundtrip algorithm) — NOT
+    Python's round (banker's) and NOT Decimal(x) (the exact binary
+    expansion: ADVICE r7 verified F.round(1.5e-10, 10) == 2e-10 on
+    PySpark 4.1.2 while the exact-binary form returns 1e-10, because
+    the binary double nearest 1.5e-10 sits just below the halfway
+    point). Pinned against a live F.round in
+    tests/test_streaming.py::test_round_half_up_matches_f_round."""
     import decimal
 
-    return float(decimal.Decimal(x).quantize(
+    return float(decimal.Decimal(repr(x)).quantize(
         decimal.Decimal(1).scaleb(-digits),
         rounding=decimal.ROUND_HALF_UP))
 

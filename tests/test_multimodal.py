@@ -227,11 +227,15 @@ def _make_avi(frames, width, height, audio_first=False):
         strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
     strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    # frame chunks carry the VIDEO stream's index (##db): stream 1
+    # when an audio strl precedes it — the real AVI layout (ADVICE r7:
+    # the parser must match chunks by stream number, not accept all)
+    vid_prefix = b"01" if audio_first else b"00"
     movi_frames = b""
     for fr in frames:
         dib = np.zeros((height, stride), dtype=np.uint8)
         dib[:, :width * 3] = fr.reshape(height, width * 3)
-        movi_frames += chunk(b"00db", dib.tobytes())
+        movi_frames += chunk(vid_prefix + b"db", dib.tobytes())
     movi = lst(b"movi", movi_frames)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
@@ -319,3 +323,46 @@ def test_frame_features_real_lane_audio_track_and_hostile_payloads(spark):
     assert by_doc[1] == pytest.approx([100 / 255.0] * 2)   # decoded
     assert by_doc[2] == [None, None]
     assert by_doc[3] == [None, None]
+
+
+def test_frame_features_real_lane_matches_frames_by_stream_number(spark):
+    """ADVICE r7: frame chunks are accepted ONLY when their 2-digit
+    stream prefix matches the vids stream's strh index. An audio-first
+    AVI (video = stream 1) whose movi ALSO carries a rogue '00dc'
+    chunk (the audio stream's) must decode exactly the '01db' frames —
+    the rogue chunk, interleaved FIRST, would otherwise be scored with
+    the video geometry."""
+    import numpy as np
+
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    frames = [np.full((2, 2, 3), 50, dtype=np.uint8),
+              np.full((2, 2, 3), 200, dtype=np.uint8)]
+    payload = _make_avi(frames, 2, 2, audio_first=True)
+    # splice a rogue audio-stream chunk at the head of movi
+    movi_at = payload.index(b"movi") + 4
+    rogue = b"00dc" + (16).to_bytes(4, "little") + b"\xff" * 16
+    spliced = bytearray(payload[:movi_at] + rogue + payload[movi_at:])
+    # patch the two enclosing RIFF/LIST sizes
+    import struct
+    riff_sz = struct.unpack("<I", spliced[4:8])[0]
+    spliced[4:8] = struct.pack("<I", riff_sz + len(rogue))
+    movi_list_at = payload.rindex(b"LIST", 0, movi_at)
+    movi_sz = struct.unpack("<I", payload[movi_list_at + 4:movi_list_at + 8])[0]
+    spliced[movi_list_at + 4:movi_list_at + 8] = \
+        struct.pack("<I", movi_sz + len(rogue))
+
+    parsed = _avi_raw_frames(bytes(spliced))
+    assert parsed is not None
+    w, h, spans = parsed
+    assert (w, h) == (2, 2) and len(spans) == 2
+    for (s, e) in spans:
+        assert spliced[s - 8:s - 4] == b"01db"
+
+    df = spark.createDataFrame([(1, spliced)],
+                               "doc_id long, payload binary")
+    rows = sorted(map(tuple,
+                      mm.extract_frame_features(df, n_frames=2,
+                                                fake=False).collect()))
+    assert [r[3] for r in rows] == pytest.approx(
+        [50 / 255.0, 200 / 255.0], abs=1e-12)

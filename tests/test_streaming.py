@@ -1009,3 +1009,26 @@ def test_subsequence_match_stream_late_row_golden(spark, tmp_path):
         (ms(10, 2), 0.0),       # window (1,2,3) from batch 1
         (ms(10, 4), 0.0),       # window (3,4,5)
     ]
+
+
+def test_round_half_up_matches_f_round(spark):
+    """Pin (ADVICE r7, medium): the stream lane's _round_half_up must
+    equal a LIVE F.round on doubles at digits=10, including the exact
+    values where the previous Decimal(x) (exact-binary) form diverged
+    (1.5e-10 -> Spark says 2e-10; exact-binary said 1e-10, because the
+    nearest double to 1.5e-10 sits just below the decimal halfway
+    point). Spark rounds the shortest-roundtrip decimal repr
+    (BigDecimal.valueOf) — Python's repr(float) is the same algorithm.
+    """
+    import pyspark.sql.functions as F
+
+    from faxe_spark.streaming.stateful import _round_half_up
+
+    vals = [1.5e-10, 2.5e-10, 3.5e-10, 4.5e-10, 1.23456789015e-2,
+            0.12345678905, 7.0710678118654755, 0.0, -1.5e-10,
+            1.4142135623730951, 2.675e-9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double") \
+        .select("x", F.round("x", 10).alias("r"))
+    spark_r = {r.x: r.r for r in df.collect()}
+    for v in vals:
+        assert _round_half_up(v, 10) == spark_r[v], v
