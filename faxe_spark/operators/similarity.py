@@ -382,7 +382,9 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 def cosine_pairs(corpus: DataFrame, threshold: float, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  block_size: int | None = 1024,
-                 block_col: str | None = None) -> DataFrame:
+                 block_col: str | None = None,
+                 emit_block: bool = False,
+                 pair_finisher=None) -> DataFrame:
     """Exact all-pairs cosine >= threshold (embedding near-dup), over
     integer-quantized vectors (engine-reproducible, see quantize_vec).
 
@@ -407,8 +409,30 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     block_col: optional partition column — pairs are only generated
     WITHIN equal block_col values (the SemDeDup within-cluster lane).
     The tile grid simply gains the partition as a third grouping key;
-    with k balanced partitions pair cost drops n^2 -> k*(n/k)^2."""
+    with k balanced partitions pair cost drops n^2 -> k*(n/k)^2.
+
+    emit_block=True (requires block_col) adds the pair's block_col
+    value to the output — lets a caller whose ids are only unique
+    WITHIN a block (the time-series per-key window positions) skip a
+    join back to the corpus for it (VERDICT r7: those joins re-ran or
+    re-shuffled the whole window-build subtree per reference).
+
+    pair_finisher (blocked lane only, requires block_col): a callable
+    pd.DataFrame[id_a, id_b, cosine] -> same columns, applied to each
+    SINGLE-BLOCK pair frame inside the tile kernel BEFORE Arrow
+    transfer. The 100 TB lever for consumers that reduce the pair
+    stream anyway: an O(n_k^2)-pair tile emits only what the reduction
+    keeps (a per-key top-k, a per-window max — anything distributive
+    over a partition of the pair set), instead of serializing every
+    pair out of the Python worker and shuffling it. The callable MUST
+    be exactness-preserving for its consumer — it sees every pair of
+    one block value exactly once across all tiles of that block."""
     part = [block_col] if block_col else []
+    if emit_block and not block_col:
+        raise ValueError("emit_block requires block_col")
+    if pair_finisher is not None and (not block_col or block_size is None):
+        raise ValueError("pair_finisher requires block_col and the "
+                         "blocked (block_size=int) lane")
     if block_size is None:
         cols = [F.col(id_col), quantize_vec(F.col(vec_col)).alias("_vq"), *part]
         a = corpus.select(*cols).withColumnRenamed(id_col, "id_a") \
@@ -418,8 +442,10 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         cond = F.col("id_a") < F.col("id_b")
         pairs = (a.join(b, [*part], "inner").filter(cond) if part
                  else a.join(b, cond))
+        keep = [*part] if emit_block else []
         return (pairs.select("id_a", "id_b",
-                             cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"))
+                             cosine_quantized(F.col("_va"), F.col("_vb")).alias("cosine"),
+                             *keep)
                 .filter(F.col("cosine") >= threshold))
 
     import math
@@ -431,14 +457,26 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         # every vector ceil(n_total/block_size) times and emit mostly
         # empty tiles, defeating the sum(n_c^2) scale path. The count
         # table is one row per partition value (cluster ids / series
-        # keys: bounded relative to rows), so it broadcasts. EAGER
-        # localCheckpoint: both the broadcast join AND the packed-lane
-        # sizing aggregate below read it, and without the barrier each
-        # reference re-ran the whole upstream (for the time-series
-        # callers that upstream is the window build + z-norm — the
-        # 3rd-pass form measured 7.4 s vs 5.5 s on ts_motif_topk).
+        # keys: bounded relative to rows), so it broadcasts. BARRIER
+        # (lazy localCheckpoint, materialized by the small_rows collect
+        # below): both the broadcast join AND the packed-lane sizing
+        # aggregate read it, and without the barrier each reference
+        # re-ran the whole upstream (for the time-series callers that
+        # upstream is the window build + z-norm — the 3rd-pass form
+        # measured 7.4 s vs 5.5 s on ts_motif_topk). eager=False, not
+        # the r7 eager form (ADVICE r7: eager ran cluster work at
+        # plan-BUILD time even if the result was never executed); not
+        # DataFrame.persist either — the CacheManager dedupes identical
+        # plans ACROSS calls, so a repeated one-shot cosine_pairs call
+        # would silently read a stale-looking shared cache and a
+        # min-of-N bench would measure the cache, not the query.
+        # Documented trade (ADVICE r7): checkpoint blocks are
+        # executor-local and non-replicated with truncated lineage — an
+        # executor loss after materialization fails the job instead of
+        # recomputing (counts is one tiny row per partition value, so
+        # the re-run cost is the job retry, not the barrier itself).
         counts = (corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         q = q.join(F.broadcast(counts), list(part))
         nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
             .cast("int")
@@ -509,7 +547,15 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             norms_y = np.sqrt((Y * Y).sum(axis=1))
             return dots / np.outer(norms_x, norms_y)
 
-        def self_pairs(sub):
+        def with_block(out, blk):
+            if pair_finisher is not None and len(out):
+                out = pair_finisher(out)
+            if emit_block:
+                out = out.copy()
+                out[block_col] = blk
+            return out
+
+        def self_pairs(sub, blk=None):
             # the ONE self-pair arithmetic, shared by the diagonal
             # tile and the packed per-key loop (2nd review pass: two
             # copies would have to stay bit-identical by discipline)
@@ -521,26 +567,31 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             cos = score(X, X)
             ia, ib = np.triu_indices(len(ids), k=1)
             keep = cos[ia, ib] >= thr
-            return pd.DataFrame({"id_a": ids[ia[keep]],
-                                 "id_b": ids[ib[keep]],
-                                 "cosine": cos[ia[keep], ib[keep]]})
+            return with_block(
+                pd.DataFrame({"id_a": ids[ia[keep]],
+                              "id_b": ids[ib[keep]],
+                              "cosine": cos[ia[keep], ib[keep]]}), blk)
 
         empty = pd.DataFrame(
             {"id_a": pd.Series([], dtype="int64"),
              "id_b": pd.Series([], dtype="int64"),
              "cosine": pd.Series([], dtype="float64")})
+        if emit_block:
+            empty[block_col] = pd.Series([], dtype=pdf.dtypes[pack_col])
         if j == -1:
             # packed bucket of single-block partitions: score each
-            # REAL partition separately
-            outs = [r for _, g in pdf.groupby(pack_col, sort=False)
-                    if (r := self_pairs(g)) is not None]
+            # REAL partition separately (the block value is per
+            # SUB-GROUP here — the group key's _pc is NULL)
+            outs = [r for b, g in pdf.groupby(pack_col, sort=False)
+                    if (r := self_pairs(g, b)) is not None]
             return pd.concat(outs) if outs else empty
         if i == j:
-            return self_pairs(pdf) if len(pdf) > 1 else empty
+            return (self_pairs(pdf, key[0]) if len(pdf) > 1
+                    else empty)
         left = pdf[pdf["_c"] == i]
         right = pdf[pdf["_c"] == j]
         if left.empty or right.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         lid = left["_id"].to_numpy()
         rid = right["_id"].to_numpy()
         X = np.stack(left["_v"].to_numpy()).astype(np.float64)
@@ -550,10 +601,16 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         a_ids, b_ids = lid[ia], rid[ib]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
+        return with_block(
+            pd.DataFrame({"id_a": lo, "id_b": hi,
+                          "cosine": cos[ia, ib]}), key[0])
 
+    out_schema = "id_a long, id_b long, cosine double"
+    if emit_block:
+        btype = corpus.schema[block_col].dataType.simpleString()
+        out_schema += f", {block_col} {btype}"
     return (tagged.groupBy(*group_cols)
-            .applyInPandas(tile, "id_a long, id_b long, cosine double"))
+            .applyInPandas(tile, out_schema))
 
 
 def assign_probes(corpus: DataFrame, centroids, *, id_col: str,

@@ -242,7 +242,10 @@ def test_motif_matches_flat_stretches(spark):
     out = ts.motif_topk(_series(spark, rows), key_col="sensor",
                         ts_col="ts", value_col="value", m=m, k=3,
                         tiebreak="eid")
-    got = out.collect()
+    # sort by rank: a DataFrame result is unordered (the r8 end_ts
+    # lookup joins scramble the incidental rank order collect() used
+    # to see)
+    got = sorted(out.collect(), key=lambda r: r.rank)
     assert got[0].corr == 1.0
     flat_pair = [r for r in got
                  if {r.end_ts_a, r.end_ts_b}
@@ -514,3 +517,83 @@ def test_sax_word_affine_invariant(spark):
         assert w1 == w2
 
     prop()
+
+
+def test_finisher_exact_across_tile_boundaries(spark):
+    """r8 kernel finishers (motif per-tile top-k, discord per-tile NN
+    partials) must be EXACT across tile boundaries: 1500 windows of
+    one key span two 1024-blocks (diagonal + cross tiles), so every
+    reduction here combines partials from multiple tiles. Reference =
+    numpy brute force over the full z-normed pair set with the same
+    exclusion/flat semantics and the same rounding."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    m = 4
+    n = 1503
+    vals = [rng.uniform(-5, 5) for _ in range(n)]
+    vals[200:200 + m] = vals[900:900 + m]      # planted exact repeat
+    vals[400:400 + m] = [3.3] * m              # a flat stretch
+    vals[1300:1300 + m] = [8.8] * m            # a far-apart flat
+    rows = [("s", _t(i), v, i) for i, v in enumerate(vals)]
+    df = _series(spark, rows)
+
+    # numpy reference: z-vectors + sentinel, all pairs, excl = m
+    arr = np.asarray(vals)
+    Z = []
+    for i in range(m - 1, n):
+        w = arr[i - m + 1:i + 1]
+        sh = w - w[0]
+        mean, var = sh.mean(), max(sh.var(), 0.0)
+        std = math.sqrt(var)
+        flat = std <= 1e-12
+        z = np.zeros(m) if flat else (sh - mean) / std
+        Z.append((i + 1, flat, np.append(z, 1.0 if flat else 0.0)))
+    qv = np.floor(np.stack([z for _, _, z in Z]) * 1e6)  # quantize_vec
+    norms = np.sqrt((qv * qv).sum(axis=1))
+    cos = (qv @ qv.T) / np.outer(norms, norms)
+    poss = np.asarray([p for p, _, _ in Z])
+    flats = np.asarray([f for _, f, _ in Z])
+    ii, jj = np.triu_indices(len(Z), k=1)
+    keep = (flats[ii] == flats[jj]) & (poss[jj] - poss[ii] >= m)
+    pi, pj, pc = poss[ii[keep]], poss[jj[keep]], cos[ii[keep], jj[keep]]
+
+    # motif: expected top-3 by (round(corr,10) desc, (pos_a,pos_b) asc
+    # as strings — the op's tiebreak)
+    order = sorted(range(len(pc)),
+                   key=lambda t: (-round(pc[t], 10),
+                                  f"{pi[t]}|{pj[t]}|s"))
+    want = [(int(pi[t]), int(pj[t]), round(float(pc[t]), 10))
+            for t in order[:3]]
+    got = sorted(ts.motif_topk(df, key_col="sensor", ts_col="ts",
+                               value_col="value", m=m, k=3,
+                               tiebreak="eid").collect(),
+                 key=lambda r: r.rank)
+    # map end_ts back to pos: ts index i <-> pos i+1
+    got_pairs = [(int(r.end_ts_a.timestamp()
+                      - _t(0).timestamp()) + 1,
+                  int(r.end_ts_b.timestamp()
+                      - _t(0).timestamp()) + 1, r.corr) for r in got]
+    assert got_pairs == want
+    assert want[0][2] == 1.0   # the planted repeat or flat pair wins
+
+    # discord: expected top-2 by nn_dist desc (= min nn corr)
+    best = {}
+    for a, b, c in zip(pi, pj, pc):
+        best[a] = max(best.get(a, -np.inf), c)
+        best[b] = max(best.get(b, -np.inf), c)
+    pmin, pmax = poss.min(), poss.max()
+    elig = [p for p in poss if p - pmin >= m or pmax - p >= m]
+    dn = sorted(
+        ((round(math.sqrt(max(2.0 * m * (1.0 - best[p]), 0.0)), 10), p)
+         for p in elig), key=lambda t: (-t[0], f"{t[1]}|s"))
+    want_d = [(p, d) for d, p in dn[:2]]
+    got_d = sorted(ts.discord_topk(df, key_col="sensor", ts_col="ts",
+                                   value_col="value", m=m, k=2,
+                                   tiebreak="eid").collect(),
+                   key=lambda r: r.rank)
+    got_d = [(int(r.end_ts.timestamp() - _t(0).timestamp()) + 1,
+              r.nn_dist) for r in got_d]
+    assert got_d == want_d
