@@ -823,24 +823,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float, *,
         X = np.array([r[1] for r in samp], dtype=np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
-        bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-
-        def assign(batches):
-            import pandas as pd
-
-            C = bc.value
-            half = 0.5 * (C * C).sum(axis=1)
-            for pdf in batches:
-                V = np.array(list(pdf["_cv"]), dtype=np.float64)
-                V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
-                                1e-12)
-                cid = np.argmax(V @ C.T - half[None, :], axis=1)
-                yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
-
-        id_type = corpus.schema[id_col].dataType.simpleString()
-        assigned = (corpus
-                    .select(id_col, _as_double(F.col(vec_col)).alias("_cv"))
-                    .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
+        # ONE assignment kernel (VERDICT r7 #7): route through
+        # assign_lists — same GEMM argmax, and its content-keyed
+        # broadcast cache instead of a fresh uncached broadcast (the
+        # exact leak pattern ADVICE r6 #4 fixed elsewhere)
+        assigned = assign_lists(
+            corpus.select(id_col, _as_double(F.col(vec_col)).alias("_cv")),
+            centroids, id_col=id_col)
         clustered = corpus.join(assigned, id_col)
         pairs = cosine_pairs(clustered, threshold, id_col=id_col,
                              vec_col=vec_col, block_size=block_size,

@@ -1945,6 +1945,43 @@ def image_features_fake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         payload_col="payload", fake=True)
 
 
+@register(
+    "video_frames_fake",
+    """
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L, k
+      FROM documents, unnest([0, 1, 2, 3]) AS t(k)
+    ),
+    h AS (
+      SELECT doc_id, k, L,
+             md5(text || chr(0) || chr(0) || chr(0)
+                      || chr(CAST(k AS INT))) AS d
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_index,
+           CAST(k AS BIGINT) * L // 4 AS byte_offset,
+           CAST(list_sum(list_transform(range(1, 5),
+                  p -> (strpos('0123456789abcdef', substr(d, p, 1)) - 1)
+                       * (16 ** (4 - p)))) AS BIGINT) / 65535.0
+             AS mean_intensity
+    FROM h
+    """,
+    doc="multimodal: video frame sampling via mapInPandas — the 1:n "
+        "row explosion, uniform-stride byte offsets and Arrow batching "
+        "are real; the frame decode is the deterministic md5 fake "
+        "(VERDICT r7 #4 — the real uncompressed-AVI lane is pytest-"
+        "pinned in tests/test_multimodal.py; frames multiply rows "
+        "map-side BEFORE any shuffle, so per-frame ops partition on "
+        "(doc, frame) for free at 100 TB)",
+)
+def video_frames_fake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = mm_ops.attach_binary(d, "text", "payload")
+    return mm_ops.extract_frame_features(d, n_frames=4, id_col="doc_id",
+                                         payload_col="payload", fake=True)
+
+
 # ---------------------------------------------------------------------------
 # Coverage wave 4: remaining stats, sliding windows, lookups, defaults
 # ---------------------------------------------------------------------------
