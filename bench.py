@@ -89,6 +89,8 @@ HEADLINE = [
     # round 7: the Matrix-Profile trio + SAX scale paths
     "ts_subsequence_topk", "ts_motif_topk", "ts_discord_topk",
     "ts_sax_topk", "sax_index_reuse",
+    # round 8: the frame-explosion lane (VERDICT r7 #4)
+    "video_frames_fake",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

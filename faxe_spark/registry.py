@@ -3798,27 +3798,65 @@ def sax_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALL entries) stays the backstop.
 # Window: 45 returning (44 r5-row + domain_cap_incr_batches) + 5 new
 # = 50. Deferred: 50 r6-green + 4 slipped = 54.
+#
+# Round-8 rotation — REFRESH-DEBT BUDGET, stated explicitly per
+# VERDICT r7 #5 (registry 105 entries, window 50, so every rotation
+# must leave 55 unscored; debt arithmetic below):
+#   demand on the 50 slots:
+#     4  slipped r5-row entries (tpch_q6 / stats_extra / collect_table
+#        / dedup_simhash_pairs) — promised r8-FIRST (VERDICT r7 #2),
+#        honored: they are in-window this round, refreshed first.
+#     1  new entry (video_frames_fake — VERDICT r7 #4 ordered the
+#        addition; additions this round CAPPED at exactly this one).
+#     2  r7-green entries KEPT in-window: ts_motif_topk and
+#        ts_discord_topk — their pair engine was REWORKED this round
+#        (lazy-checkpoint barrier, id-encoded meta, in-kernel
+#        pair_finisher reductions); changed code needs a fresh hard
+#        driver row more than an untouched kernel needs a refresh,
+#        and no sibling exercises the new kernel paths.
+#     50 r6-row entries due their refresh.
+#   57 > 50: 7 r6-row entries slip to 2-rounds-stale at r8 close —
+#   above the <=4 target VERDICT r7 #5 set; the overage is exactly
+#   the 2 slots spent on the reworked Matrix-Profile queries plus the
+#   ordered addition, a deliberate trade recorded here rather than
+#   silently deferring touched code. The 7 slips are chosen so each
+#   kernel has an IN-WINDOW sibling this round, and they are
+#   r9-first:
+#     where_filter   (where+agg scan      <- tpch_q6 in window)
+#     sample_nth     (sampling kernel     <- sample_per_period in window)
+#     time_diff      (diff.py kernel      <- time_elapsed_batch in window)
+#     dist_count     (stats family        <- stats_extra in window)
+#     first_last     (stats family        <- stats_extra in window)
+#     array_explode  (path/explode kernel <- path_split in window)
+#     top_bottom     (salted top_k kernel <- ts_motif_topk in window,
+#                     same aggregate.top_k two-phase form)
+#   All 7 are multi-round green (r1-r6) with code untouched this
+#   round; the local all-entries oracle gate (tests/test_oracle.py +
+#   the /verify driver sim, 103 hash-green this round) remains the
+#   backstop.
+# Window: 4 slipped-r5 + 43 r6-row + video_frames_fake + ts_motif_topk
+# + ts_discord_topk = 50. Deferred: 48 r7-green + 7 slipped = 55.
 _DEFERRED_THIS_ROUND = [
-    # --- the 50 r6-green entries (r6 hard rows; defer one round) ---
-    "where_filter", "eval_project", "case_when_bucket",
-    "percentile_exact", "batch_by_count", "value_diff", "time_diff",
-    "sample_nth", "first_last", "combine_enrich", "interval_join",
-    "union_streams", "top_bottom", "dist_count", "array_explode",
-    "path_split", "token_count", "text_quality", "lang_id",
-    "dedup_minhash_incr_batches", "dedup_ngram_jaccard",
-    "dedup_simhash_incr_batches", "ann_lsh_topk", "ann_ivf_full_probe",
-    "ivfpq_full_probe", "ann_index_reuse", "embedding_neardup",
-    "embedding_neardup_ivf", "embedding_neardup_incr_batches",
-    "lookup_enrich", "sample_per_period", "group_by_lambda",
-    "dfs_script_pipeline", "state_change_bulk", "lambda_showcase",
-    "deadman_gaps", "triggered_timeout", "fields_to_array",
-    "time_elapsed_batch", "win_clock_batch", "repetition_quality",
-    "pack_chunked", "pack_greedy", "boilerplate_chunks",
-    "domain_mix_sample", "exact_substring_dedup",
-    "substring_scrub_incr_batches", "semantic_dedup", "domain_cap",
-    "gopher_quality",
-    # --- the 4 slipped r5-row entries (rationale above; r8-first) ---
-    "tpch_q6", "stats_extra", "collect_table", "dedup_simhash_pairs",
+    # --- 48 of the 50 r7-green entries (defer one round; ts_motif_topk
+    #     and ts_discord_topk stay for fresh rows on reworked code) ---
+    "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
+    "win_event_rolling", "count_change", "change_detect",
+    "collect_unique", "asof_join_nearest", "asof_join_merge",
+    "tpch_q3", "tpch_q5", "tpch_q4", "state_count_duration",
+    "state_change", "state_sequence", "collect_fields",
+    "collect_table_aged", "extract_json", "dedup_exact",
+    "dedup_incremental_batches", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_topk", "jsonsize_batch", "time_shift", "training_pipeline",
+    "dedup_clusters", "ann_ivf_topk", "pq_adc_full_probe",
+    "multimodal_meta", "image_features_fake", "statistics_node",
+    "sliding_window", "win_time_fill_period", "default_rename_extract",
+    "decontaminate", "pii_scrub", "html_extract", "dup_spans",
+    "quality_classifier", "trainprep_pipeline", "url_normalize",
+    "lm_novelty", "domain_cap_incr_batches", "ts_subsequence_topk",
+    "ts_sax_topk", "sax_index_reuse",
+    # --- the 7 slipped r6-row entries (rationale above; r9-first) ---
+    "where_filter", "sample_nth", "time_diff", "dist_count",
+    "first_last", "array_explode", "top_bottom",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \
