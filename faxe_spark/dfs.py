@@ -1729,6 +1729,28 @@ class DFSCompiler:
             df, key_col=self._ts_series_key("discord_topk"), ts_col="ts",
             value_col=field, m=m, k=k)
 
+    def node_subsequence_match(self, df, node: NodeCall) -> DataFrame:
+        """Shape alerting (VERDICT r7 #6, mirroring node_deadman's
+        two-lane form): on a streaming input, the stateful matcher
+        (state per key = the m-1 reading tail); on batch, the exact
+        analog. `pattern(...)` is the shape, `max_dist` the alert
+        threshold — pipe into any sink node for the alarm."""
+        pattern = [float(x) for x in
+                   (node.params.get("pattern") or list(node.args))]
+        field = node.params.get("field", ["value"])[0]
+        max_dist = float(self._val(node.params.get("max_dist", [0.5])[0]))
+        key = self._ts_series_key("subsequence_match")
+        if df.isStreaming:
+            from faxe_spark.streaming.stateful import \
+                subsequence_match_stream
+            return subsequence_match_stream(
+                df, pattern, key_col=key, ts_col="ts", value_col=field,
+                max_dist=max_dist)
+        df, (field,) = self._materialize_paths(df, [field])
+        return ops.subsequence_match(
+            df, pattern, key_col=key, ts_col="ts", value_col=field,
+            max_dist=max_dist)
+
     def node_shift(self, df, node: NodeCall) -> DataFrame:
         off = node.params.get("offset", [("duration", "-30s")])[0]
         off = off[1] if isinstance(off, tuple) else off

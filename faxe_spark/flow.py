@@ -264,6 +264,32 @@ class Flow:
                 df, key_col=f._ts_key(), ts_col=f._event_time,
                 value_col=value, m=m, k=k, per_key=per_key, **kw))
 
+    def match_pattern(self, pattern, *, value: str = "value",
+                      max_dist: float = 0.5, **kw) -> "Flow":
+        """Shape ALERTING (VERDICT r7 #6): emit (key, end_ts_ms, dist)
+        for every window within `max_dist` of the pattern under
+        z-normalized distance. On a stream_source build_stream this is
+        the stateful matcher (streaming.stateful.subsequence_match_
+        stream — state per key is exactly the m-1 reading tail, shapes
+        straddling micro-batch boundaries included); on a batch build
+        it is the exact batch analog, pinned equal cross-lane. Chain
+        a sink for the alert: .match_pattern([...]) then write the
+        result to http_post/mqtt_publish like any deadman alarm."""
+        _check_kwargs("match_pattern", kw, {"tiebreak"})
+
+        def apply(df, f):
+            if df.isStreaming:
+                from faxe_spark.streaming.stateful import \
+                    subsequence_match_stream
+                return subsequence_match_stream(
+                    df, pattern, key_col=f._ts_key(),
+                    ts_col=f._event_time, value_col=value,
+                    max_dist=max_dist)
+            return ops.subsequence_match(
+                df, pattern, key_col=f._ts_key(), ts_col=f._event_time,
+                value_col=value, max_dist=max_dist, **kw)
+        return self._push("match_pattern", "point", "point", apply)
+
     # -- aggregation: batch -> point --------------------------------------
     def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
         def apply(df, f):
@@ -302,7 +328,7 @@ class Flow:
     _STREAM_SAFE = frozenset({
         "where", "eval", "set", "default", "keep", "delete", "rename",
         "case", "if", "group_by", "win_time", "win_session", "aggregate",
-        "group_union",
+        "group_union", "match_pattern",
     })
 
     def build_stream(self, spark: SparkSession, *, watermark: str = "0s",

@@ -40,7 +40,8 @@ from faxe_spark.operators.state import (
 )
 from faxe_spark.operators.collect import collect_unique, collect_fields, collect_table
 from faxe_spark.operators.timeseries import (
-    subsequence_topk, subsequence_topk_sax, motif_topk, discord_topk,
+    subsequence_topk, subsequence_topk_sax, subsequence_match,
+    motif_topk, discord_topk,
     build_sax_index, load_sax_index, add_to_sax_index, query_sax_index,
     drop_sax_index,
 )
@@ -60,7 +61,7 @@ __all__ = [
     "state_change_bulk", "state_count_duration", "deadman_gaps",
     "triggered_timeout_gaps",
     "collect_unique", "collect_fields", "collect_table",
-    "subsequence_topk", "subsequence_topk_sax", "motif_topk",
-    "discord_topk", "build_sax_index", "load_sax_index",
+    "subsequence_topk", "subsequence_topk_sax", "subsequence_match",
+    "motif_topk", "discord_topk", "build_sax_index", "load_sax_index",
     "add_to_sax_index", "query_sax_index", "drop_sax_index",
 ]

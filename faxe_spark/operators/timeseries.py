@@ -692,3 +692,36 @@ def subsequence_topk(df: DataFrame, pattern: Sequence[float], *,
     z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
     return _score_topk(z, pattern, key_col=key_col, k=k,
                        per_key=per_key, salt=salt)
+
+
+def subsequence_match(df: DataFrame, pattern: Sequence[float], *,
+                      key_col: str, ts_col: str, value_col: str,
+                      max_dist: float = 0.5,
+                      tiebreak: str | None = None) -> DataFrame:
+    """ALL windows within `max_dist` of the pattern — the batch analog
+    of streaming.stateful.subsequence_match_stream (the shape-alerting
+    lane), with the stream lane's exact output contract:
+    (key string, end_ts_ms long, dist double), dist rounded to 10
+    digits with the same HALF_UP rule F.round applies. The cross-lane
+    pin (tests/test_flow.py) asserts batch build == stream build on
+    the same rows.
+
+    Same one-shuffle plan as subsequence_topk (per-key window build +
+    JVM distance fold); the threshold filter replaces the salted
+    top-k, so output is match-proportional and needs no rank stage."""
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    subs = subsequences(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, m=m, tiebreak=tiebreak)
+    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
+    dist = F.sqrt(F.greatest(
+        F.aggregate(F.zip_with(F.col("_z"), q,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+        F.lit(0.0)))
+    return (z.select(F.col(key_col).cast("string").alias("key"),
+                     F.unix_millis("end_ts").alias("end_ts_ms"),
+                     F.round(dist, 10).alias("dist"))
+            .filter(F.col("dist") <= F.lit(max_dist)))

@@ -835,3 +835,33 @@ def test_dfs_timeseries_nodes(spark):
     with pytest.raises(ValueError, match="series key"):
         DFSCompiler(spark, tables_dir=SF_SMOKE).run(
             "|parquet('events')\n|motif_topk(4)")
+
+
+def test_dfs_subsequence_match_node(spark):
+    """VERDICT r7 #6: the shape-alerting matcher on the DFS text
+    surface — a corpus-style script compiles to the exact batch analog
+    (the streaming branch of the same node is pinned equal to this
+    lane by tests/test_flow.py's build_stream round-trip)."""
+    from faxe_spark.operators import timeseries as ts
+    from faxe_spark.tables import load_table
+
+    script = """
+    |parquet('events')
+    |group_by('user_id')
+    |subsequence_match()
+    .pattern(0.0, 1.0, 3.0, 1.0)
+    .max_dist(2.5)
+    """
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run(script)
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = ts.subsequence_match(ev, [0.0, 1.0, 3.0, 1.0],
+                                key_col="user_id", ts_col="ts",
+                                value_col="value", max_dist=2.5)
+    assert out.columns == ["key", "end_ts_ms", "dist"]
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert out.count() > 0
+
+    with pytest.raises(ValueError, match="series key"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('events')\n|subsequence_match()\n.pattern(1.0, 2.0)")

@@ -271,3 +271,59 @@ def test_flow_timeseries_sax_matches_direct(spark):
                                    w=2, alphabet=4, tiebreak="event_id")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_flow_match_pattern_batch_equals_stream(spark, tmp_path):
+    """VERDICT r7 #6: the shape matcher on the builder surface. The
+    SAME Flow (group_by + match_pattern) compiles to the exact batch
+    analog under build() and to the stateful matcher under
+    build_stream(); on in-order rows the two lanes emit identical
+    (key, end_ts_ms, dist) alerts."""
+    import datetime
+
+    from faxe_spark.operators import timeseries as ts
+    from faxe_spark.tables import load_table
+
+    def t(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+    series = {"s0": [5.0, 1.0, 2.0, 3.0, 9.0],     # exact ramp inside
+              "s1": [0.0, 2.0, 4.0, 6.0, 1.0]}     # scaled ramp (z-equal)
+    rows = [(s, v, t(i)) for s, vs in series.items()
+            for i, v in enumerate(vs)]
+    rows.sort(key=lambda r: r[2])  # both series straddle the batch split
+    schema = "sensor string, value double, ts timestamp"
+    pattern = [1.0, 2.0, 3.0]
+
+    batch_df = spark.createDataFrame(rows, schema)
+    got_batch = (Flow.dataframe_source(batch_df, event_time="ts")
+                 .group_by("sensor")
+                 .match_pattern(pattern, max_dist=0.6)
+                 .build(spark))
+    want = ts.subsequence_match(batch_df, pattern, key_col="sensor",
+                                ts_col="ts", value_col="value",
+                                max_dist=0.6)
+    assert sorted(map(tuple, got_batch.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got_batch.columns == ["key", "end_ts_ms", "dist"]
+
+    # stream lane: two micro-batches, availableNow, memory sink
+    spark.createDataFrame(rows[:6], schema).repartition(1).write.parquet(
+        str(tmp_path / "b1"))
+    spark.createDataFrame(rows[6:], schema).repartition(1).write.parquet(
+        str(tmp_path / "b2"))
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path) + "/*"))
+    out = (Flow.stream_source(stream, event_time="ts")
+           .group_by("sensor")
+           .match_pattern(pattern, max_dist=0.6)
+           .build_stream(spark))
+    q = (out.writeStream.format("memory").queryName("flow_match")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_stream = sorted(map(tuple,
+                            spark.sql("SELECT * FROM flow_match").collect()))
+    assert got_stream == sorted(map(tuple, got_batch.collect()))
+    assert len(got_stream) >= 1
