@@ -681,3 +681,37 @@ def test_crawl_pipeline_composed_three_state_families(spark, tmp_path):
         for tbl in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_host_cap_pipeline_late_arrival_golden(spark, tmp_path):
+    """Late-data golden (VERDICT r7 #9): the cap stage admits by
+    ARRIVAL epoch (compacted table < pending epoch < in-batch id) —
+    a document arriving in a LATER micro-batch competes there, so a
+    host already at cap drops it even when its id would have beaten
+    the kept docs had it arrived on time. No retroactive displacement:
+    the kept set from earlier epochs is immutable."""
+    from faxe_spark.streaming.stateful import host_cap_pipeline
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string, host string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    feed("b1", [(5, "t", "v"), (7, "t", "v")])     # v reaches cap=2
+    feed("b2", [(1, "t", "v"),                     # LATE: smaller id, too late
+                (20, "t", "b")])                   # fresh host admits
+    read_schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    q = host_cap_pipeline(
+        stream, bucket_table=None, out_dir=out,
+        pending_dir=str(tmp_path / "pending"),
+        checkpoint_dir=str(tmp_path / "ck"), cap=2, salt=4)
+    q.awaitTermination(120)
+    q.stop()
+    got = {r.doc_id: r.host_rank for r in spark.read.parquet(out).collect()}
+    # doc 1 is ABSENT: host v was capped by the earlier epoch's 5 and 7
+    assert got == {5: 1, 7: 2, 20: 1}, got

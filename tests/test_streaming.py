@@ -1032,3 +1032,44 @@ def test_round_half_up_matches_f_round(spark):
     spark_r = {r.x: r.r for r in df.collect()}
     for v in vals:
         assert _round_half_up(v, 10) == spark_r[v], v
+
+
+def test_collect_full_stream_late_row_golden(spark, tmp_path):
+    """Late-data golden (VERDICT r7 #9): collect's buffer folds rows
+    in ARRIVAL order — a late-arriving update (event time older than
+    the buffered point) still applies, carries ITS OWN older ts_ms
+    outward, and moves the buffer's ts BACKWARD; no reordering, no
+    retroactive replay (the documented policy: bound disorder upstream
+    with a watermark where it matters)."""
+    import json
+
+    from faxe_spark.streaming.stateful import collect_full_stream
+
+    schema = "k string, v double, w double, ts timestamp"
+    _write_rows(spark, tmp_path, "b1", [("k", 1.0, None, _late_t(10, 5))],
+                schema)
+    _write_rows(spark, tmp_path, "b2", [("k", 2.0, 9.0, _late_t(10, 2))],
+                schema)  # LATE: older than the buffered 10:05
+    _write_rows(spark, tmp_path, "b3", [("k", 3.0, None, _late_t(10, 6))],
+                schema)
+    read_schema = spark.read.parquet(str(tmp_path / "b1")).schema
+    stream = (spark.readStream.schema(read_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = collect_full_stream(stream, key_col="k",
+                              payload_cols=["v", "w"],
+                              update_when=True, update_mode="merge")
+    _run_available_now(out, "collect_late")
+    got = [(r.ts_ms, r.action, json.loads(r.payload))
+           for r in spark.sql("SELECT * FROM collect_late "
+                              "ORDER BY ts_ms, action").collect()]
+
+    def ms(h, m):
+        return int(_late_t(h, m).timestamp() * 1000)
+
+    assert sorted(got) == sorted([
+        (ms(10, 5), "add", {"v": 1.0}),
+        # the late row UPDATES the newer buffer (arrival order) and its
+        # own older ts rides out; merge keeps its w over the old point
+        (ms(10, 2), "update", {"v": 2.0, "w": 9.0}),
+        (ms(10, 6), "update", {"v": 3.0, "w": 9.0}),
+    ])
