@@ -1740,13 +1740,15 @@ class DFSCompiler:
         field = node.params.get("field", ["value"])[0]
         max_dist = float(self._val(node.params.get("max_dist", [0.5])[0]))
         key = self._ts_series_key("subsequence_match")
+        # materialize dot-path fields in BOTH lanes (pure column
+        # exprs — they compile on a streaming DataFrame too)
+        df, (field,) = self._materialize_paths(df, [field])
         if df.isStreaming:
             from faxe_spark.streaming.stateful import \
                 subsequence_match_stream
             return subsequence_match_stream(
                 df, pattern, key_col=key, ts_col="ts", value_col=field,
                 max_dist=max_dist)
-        df, (field,) = self._materialize_paths(df, [field])
         return ops.subsequence_match(
             df, pattern, key_col=key, ts_col="ts", value_col=field,
             max_dist=max_dist)

@@ -274,7 +274,10 @@ class Flow:
         straddling micro-batch boundaries included); on a batch build
         it is the exact batch analog, pinned equal cross-lane. Chain
         a sink for the alert: .match_pattern([...]) then write the
-        result to http_post/mqtt_publish like any deadman alarm."""
+        result to http_post/mqtt_publish like any deadman alarm.
+        `tiebreak` orders duplicate timestamps in the BATCH lane only —
+        the stream lane's order is arrival within each micro-batch
+        (sorted by ts per batch, the matcher's documented policy)."""
         _check_kwargs("match_pattern", kw, {"tiebreak"})
 
         def apply(df, f):

@@ -3832,8 +3832,8 @@ def sax_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                     same aggregate.top_k two-phase form)
 #   All 7 are multi-round green (r1-r6) with code untouched this
 #   round; the local all-entries oracle gate (tests/test_oracle.py +
-#   the /verify driver sim, 103 hash-green this round) remains the
-#   backstop.
+#   the fresh-process driver sim, 104 hash-green this round) remains
+#   the backstop.
 # Window: 4 slipped-r5 + 43 r6-row + video_frames_fake + ts_motif_topk
 # + ts_discord_topk = 50. Deferred: 48 r7-green + 7 slipped = 55.
 _DEFERRED_THIS_ROUND = [
