@@ -418,15 +418,19 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     re-shuffled the whole window-build subtree per reference).
 
     pair_finisher (blocked lane only, requires block_col): a callable
-    pd.DataFrame[id_a, id_b, cosine] -> same columns, applied to each
-    SINGLE-BLOCK pair frame inside the tile kernel BEFORE Arrow
-    transfer. The 100 TB lever for consumers that reduce the pair
-    stream anyway: an O(n_k^2)-pair tile emits only what the reduction
-    keeps (a per-key top-k, a per-window max — anything distributive
-    over a partition of the pair set), instead of serializing every
-    pair out of the Python worker and shuffling it. The callable MUST
-    be exactness-preserving for its consumer — it sees every pair of
-    one block value exactly once across all tiles of that block."""
+    (id_a, id_b, cosine) -> (id_a, id_b, cosine) over ALIGNED numpy
+    arrays of ONE block value's pairs, applied inside the tile kernel
+    BEFORE the pandas frame is built or Arrow-transferred (the array
+    contract keeps the per-key segment loop of the packed lane free
+    of pandas — r8 micro-bench: frame-per-key cost dominated the
+    bucket at the IoT shape). The 100 TB lever for consumers that
+    reduce the pair stream anyway: an O(n_k^2)-pair tile emits only
+    what the reduction keeps (a per-key top-k, a per-window max —
+    anything distributive over a partition of the pair set), instead
+    of serializing every pair out of the Python worker and shuffling
+    it. The callable MUST be exactness-preserving for its consumer —
+    it sees every pair of one block value exactly once across all
+    tiles of that block, always with id_a < id_b."""
     part = [block_col] if block_col else []
     if emit_block and not block_col:
         raise ValueError("emit_block requires block_col")
@@ -547,30 +551,28 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             norms_y = np.sqrt((Y * Y).sum(axis=1))
             return dots / np.outer(norms_x, norms_y)
 
-        def with_block(out, blk):
-            if pair_finisher is not None and len(out):
-                out = pair_finisher(out)
-            if emit_block:
-                out = out.copy()
-                out[block_col] = blk
-            return out
-
-        def self_pairs(sub, blk=None):
+        def self_pairs_np(ids, X):
             # the ONE self-pair arithmetic, shared by the diagonal
-            # tile and the packed per-key loop (2nd review pass: two
-            # copies would have to stay bit-identical by discipline)
-            sub = sub.drop_duplicates("_id").sort_values("_id")
-            if len(sub) < 2:
-                return None
-            ids = sub["_id"].to_numpy()
-            X = np.stack(sub["_v"].to_numpy()).astype(np.float64)
+            # tile and the packed per-key segment loop (2nd review
+            # pass r7: two copies would have to stay bit-identical by
+            # discipline). ids must be sorted unique; returns
+            # upper-triangle (id_a < id_b) thresholded arrays.
             cos = score(X, X)
             ia, ib = np.triu_indices(len(ids), k=1)
             keep = cos[ia, ib] >= thr
-            return with_block(
-                pd.DataFrame({"id_a": ids[ia[keep]],
-                              "id_b": ids[ib[keep]],
-                              "cosine": cos[ia[keep], ib[keep]]}), blk)
+            return ids[ia[keep]], ids[ib[keep]], cos[ia[keep], ib[keep]]
+
+        def emit(ida, idb, cos, blk):
+            # finisher (numpy contract) then the ONE frame build per
+            # tile group — r8 3rd wave: the packed lane used to build
+            # a pandas frame PER KEY, which dominated the bucket at
+            # the IoT shape (micro-bench: 24.7 -> 4.7 ms/bucket)
+            if pair_finisher is not None and len(cos):
+                ida, idb, cos = pair_finisher(ida, idb, cos)
+            out = pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": cos})
+            if emit_block:
+                out[block_col] = blk
+            return out
 
         empty = pd.DataFrame(
             {"id_a": pd.Series([], dtype="int64"),
@@ -579,15 +581,57 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         if emit_block:
             empty[block_col] = pd.Series([], dtype=pdf.dtypes[pack_col])
         if j == -1:
-            # packed bucket of single-block partitions: score each
-            # REAL partition separately (the block value is per
-            # SUB-GROUP here — the group key's _pc is NULL)
-            outs = [r for b, g in pdf.groupby(pack_col, sort=False)
-                    if (r := self_pairs(g, b)) is not None]
-            return pd.concat(outs) if outs else empty
+            # packed bucket of single-block partitions: ONE stack +
+            # stable (key, id) sort for the whole bucket, then a
+            # numpy-only per-key segment loop — identical per-key
+            # arithmetic (self_pairs_np), none of the per-key pandas
+            # (groupby / drop_duplicates / frame build) the r7 form
+            # paid n_keys times
+            ids_all = pdf["_id"].to_numpy()
+            keys_all = pdf[pack_col].to_numpy()
+            order = np.lexsort((ids_all, keys_all))  # stable
+            ids_all, keys_all = ids_all[order], keys_all[order]
+            X_all = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+            # keep-first dedup of (key, id) — matches the r7
+            # drop_duplicates semantics (stable sort preserves input
+            # order among equals)
+            uniq = np.r_[True, (keys_all[1:] != keys_all[:-1])
+                         | (ids_all[1:] != ids_all[:-1])]
+            ids_all, keys_all, X_all = (ids_all[uniq], keys_all[uniq],
+                                        X_all[uniq])
+            cuts = np.flatnonzero(np.r_[True, keys_all[1:] != keys_all[:-1],
+                                        True])
+            outs = []
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                if e - s < 2:
+                    continue
+                ida, idb, cos = self_pairs_np(ids_all[s:e], X_all[s:e])
+                if pair_finisher is not None and len(cos):
+                    ida, idb, cos = pair_finisher(ida, idb, cos)
+                if len(cos):
+                    outs.append((ida, idb, cos,
+                                 np.full(len(cos), keys_all[s])))
+            if not outs:
+                return empty
+            out = pd.DataFrame({
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "cosine": np.concatenate([o[2] for o in outs])})
+            if emit_block:
+                out[block_col] = np.concatenate([o[3] for o in outs])
+            return out
         if i == j:
-            return (self_pairs(pdf, key[0]) if len(pdf) > 1
-                    else empty)
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["_id"].to_numpy()
+            order = np.lexsort((ids,))
+            ids = ids[order]
+            uniq = np.r_[True, ids[1:] != ids[:-1]]
+            ids = ids[uniq]
+            if len(ids) < 2:
+                return empty
+            X = np.stack(pdf["_v"].to_numpy()[order][uniq]).astype(np.float64)
+            return emit(*self_pairs_np(ids, X), key[0])
         left = pdf[pdf["_c"] == i]
         right = pdf[pdf["_c"] == j]
         if left.empty or right.empty:
@@ -601,9 +645,7 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         a_ids, b_ids = lid[ia], rid[ib]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
-        return with_block(
-            pd.DataFrame({"id_a": lo, "id_b": hi,
-                          "cosine": cos[ia, ib]}), key[0])
+        return emit(lo, hi, cos[ia, ib], key[0])
 
     out_schema = "id_a long, id_b long, cosine double"
     if emit_block:

@@ -471,19 +471,17 @@ def _motif_tile_finisher(k: int, exclusion: int):
     emits ~k rows instead of O(block_size^2) (VERDICT r8 profile:
     serializing 27.7M pairs out of the Python worker + the string-
     tiebreak partial sort was 85% of the query's CPU at x10)."""
-    def fin(pdf):
+    def fin(ida, idb, cos):
         import numpy as np
 
-        ida = pdf["id_a"].to_numpy()
-        idb = pdf["id_b"].to_numpy()
         mask = (((ida & 1) == (idb & 1))
                 & ((idb >> 1) - (ida >> 1) >= exclusion))
-        pdf = pdf[mask]
-        if len(pdf) > k:
-            cos = pdf["cosine"].to_numpy()
+        ida, idb, cos = ida[mask], idb[mask], cos[mask]
+        if len(cos) > k:
             kth = np.partition(cos, -k)[-k]
-            pdf = pdf[cos >= kth - 1e-9]
-        return pdf
+            keep = cos >= kth - 1e-9
+            ida, idb, cos = ida[keep], idb[keep], cos[keep]
+        return ida, idb, cos
     return fin
 
 
@@ -495,24 +493,20 @@ def _discord_tile_finisher(exclusion: int):
     distributive over any partition of the pair set, so groupBy(max)
     downstream reconstructs the exact nearest neighbor. Tile output
     drops from O(block_size^2) pairs to <= 2*block_size partials."""
-    def fin(pdf):
+    def fin(ida, idb, cos):
         import numpy as np
-        import pandas as pd
 
-        ida = pdf["id_a"].to_numpy()
-        idb = pdf["id_b"].to_numpy()
-        cos = pdf["cosine"].to_numpy()
         mask = (((ida & 1) == (idb & 1))
                 & ((idb >> 1) - (ida >> 1) >= exclusion))
         ida, idb, cos = ida[mask], idb[mask], cos[mask]
         if not len(ida):
-            return pdf.iloc[0:0]
+            return ida, idb, cos
         ids = np.concatenate([ida, idb])
         cs = np.concatenate([cos, cos])
         uniq, inv = np.unique(ids, return_inverse=True)
         best = np.full(len(uniq), -np.inf)
         np.maximum.at(best, inv, cs)
-        return pd.DataFrame({"id_a": uniq, "id_b": uniq, "cosine": best})
+        return uniq, uniq, best
     return fin
 
 
