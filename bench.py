@@ -91,6 +91,8 @@ HEADLINE = [
     "ts_sax_topk", "sax_index_reuse",
     # round 8: the frame-explosion lane (VERDICT r7 #4)
     "video_frames_fake",
+    # round 8 post-closing: DSIR selection + deterministic shard layout
+    "dsir_resample", "global_shuffle_shard",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -35,7 +35,7 @@ from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
 from faxe_spark.operators.dedup import shingle_rows
-from faxe_spark.operators.text import token_count
+from faxe_spark.operators.text import ngram_array, token_count, words
 
 
 def decontaminate(train_df: DataFrame, bench_df: DataFrame, *,
@@ -407,6 +407,191 @@ def plan_mixture(df: DataFrame, targets: dict[str, float], *,
         total_budget = int(min(census[d] / s for d, s in shares.items()))
     return {d: min(1.0, (s * total_budget) / max(census[d], 1))
             for d, s in shares.items()}
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023 — public method) and
+# the deterministic global shuffle/shard writer: the two corpus-to-
+# training-run steps after mixture fitting.
+# ---------------------------------------------------------------------------
+
+
+def _feature_bucket(feat, *, buckets: int, seed: str):
+    """Hashed-feature bucket id in [0, buckets) — the same md5-prefix
+    device as hashed_token_weight (engine-portable: '0x'||hex parse on
+    the DuckDB side), so the n-gram feature space matches the quality
+    classifier's."""
+    return (F.conv(F.substring(F.md5(F.concat(feat, F.lit(seed))), 1, 8),
+                   16, 10).cast("bigint") % buckets)
+
+
+def _doc_features(df: DataFrame, text_col: str):
+    """(df+_w, feats expr): unigram + word-bigram feature array — the
+    DSIR paper's feature space, identical to hashed_linear_score's."""
+    d = df.withColumn("_w", words(F.col(text_col)))
+    return d, F.concat(F.col("_w"), ngram_array(2))
+
+
+def dsir_weights(raw_df: DataFrame, target_df: DataFrame, *,
+                 text_col: str = "text", buckets: int = 256,
+                 seed: str = "dsir", scale: int = 1_000_000) -> DataFrame:
+    """Per-bucket DSIR importance weights: (bucket, lam) for ALL
+    `buckets` ids, lam = round(scale * log-likelihood-ratio) of the
+    hashed unigram+bigram bag-of-ngrams models with add-1 smoothing:
+
+        lam_b = round(scale * (ln(t_b+1) - ln(T+B)
+                               - ln(r_b+1) + ln(R+B)))
+
+    (t/r = bucket counts in target/raw, T/R their totals, B=buckets).
+    A document's importance weight log(p_target/p_raw) is then the SUM
+    of lam over its features (dsir_score) — held as INTEGERS so the
+    per-doc accumulation is order-free and engine-exact; only the B-row
+    weight table ever touches ln().
+
+    Scale shape: each corpus contributes one map-side-combined count
+    aggregation whose shuffle volume is <= buckets rows per partition
+    — the 100 TB pass is two scans (raw + target; the target is
+    benchmark-sized in practice). The weight table itself is B rows."""
+    spark = raw_df.sparkSession
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        d, feats = _doc_features(df, text_col)
+        return (d.select(F.explode(feats).alias("_f"))
+                .select(_feature_bucket(F.col("_f"), buckets=buckets,
+                                        seed=seed).alias("bucket"))
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias(alias)))
+
+    rc = bucket_counts(raw_df, "_rc")
+    tc = bucket_counts(target_df, "_tc")
+    spine = spark.range(buckets).select(F.col("id").alias("bucket"))
+    j = (spine.join(rc, "bucket", "left").join(tc, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("_rc", F.lit(0)).alias("_rc"),
+                 F.coalesce("_tc", F.lit(0)).alias("_tc")))
+    tot = j.agg(F.sum("_rc").alias("_rr"), F.sum("_tc").alias("_tt"))
+    j = j.crossJoin(F.broadcast(tot))  # B rows x 1 row — bounded
+    lam = F.round(
+        F.lit(float(scale))
+        * (F.log(F.col("_tc") + F.lit(1.0))
+           - F.log(F.col("_tt") + F.lit(float(buckets)))
+           - F.log(F.col("_rc") + F.lit(1.0))
+           + F.log(F.col("_rr") + F.lit(float(buckets)))), 0)
+    return j.select("bucket", lam.cast("bigint").alias("lam"))
+
+
+def dsir_score(df: DataFrame, weights: dict[int, int], *,
+               text_col: str = "text", buckets: int = 256,
+               seed: str = "dsir", scale: int = 1_000_000) -> DataFrame:
+    """Annotate every document with its DSIR importance:
+    score_sum (integer sum of bucket weights over the doc's features),
+    n_features, and score = score_sum / (scale * max(n_features, 1))
+    — mean-pooled log-likelihood ratio, one final division like
+    hashed_linear_score so the double is engine-reproducible.
+
+    `weights` is the COLLECTED dsir_weights table ({bucket: lam},
+    exactly `buckets` entries — bounded by contract, the broadcast-LUT
+    pattern of the ANN query batches). It rides the plan as a literal
+    map, so scoring is a pure scan-stage fold: zero shuffles, no
+    Python — at 100 TB this annotates during the scan like the other
+    text ops."""
+    if set(weights) != set(range(buckets)):
+        raise ValueError(
+            f"weights must cover all {buckets} buckets exactly, got "
+            f"{len(weights)} keys (pass dsir_weights(...).collect() "
+            f"rows) — a missing bucket would NULL-poison score_sum")
+    m = F.create_map(*[c for b in sorted(weights)
+                       for c in (F.lit(int(b)).cast("bigint"),
+                                 F.lit(int(weights[b])).cast("bigint"))])
+    d, feats = _doc_features(df, text_col)
+    lam_sum = F.aggregate(
+        F.transform(feats,
+                    lambda f: F.element_at(m, _feature_bucket(
+                        f, buckets=buckets, seed=seed))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_feat = F.size("_w") + F.greatest(F.size("_w") - 1, F.lit(0))
+    return (d.withColumn("score_sum", lam_sum)
+            .withColumn("n_features", n_feat.cast("long"))
+            .withColumn("score",
+                        (F.col("score_sum")
+                         / (F.lit(float(scale))
+                            * F.greatest("n_features", F.lit(1))))
+                        .cast("double"))
+            .drop("_w"))
+
+
+def dsir_resample(raw_df: DataFrame, target_df: DataFrame, *, k: int,
+                  text_col: str = "text", buckets: int = 256,
+                  seed: str = "dsir", scale: int = 1_000_000,
+                  id_col: str = "doc_id",
+                  salt: int | None = None) -> DataFrame:
+    """DSIR selection: keep the k raw documents whose hashed-ngram
+    importance weight (see dsir_weights) is highest — the paper's
+    resampling step made deterministic (top-k by score with an id
+    tiebreak) so re-runs, backfills and the DuckDB oracle agree. Pass
+    `salt` at scale: an unsalted global top-k is a one-task sort.
+
+    Returns the selected rows with score_sum / n_features / score /
+    rank. The weight table is collected driver-side (`buckets` rows —
+    bounded by contract) and re-enters the plan as a literal map, so
+    the selection pass is scan + salted top-k: no join, no extra
+    shuffle of the corpus."""
+    from faxe_spark.operators.aggregate import top_k
+
+    w = {int(r["bucket"]): int(r["lam"])
+         for r in dsir_weights(raw_df, target_df, text_col=text_col,
+                               buckets=buckets, seed=seed,
+                               scale=scale).collect()}
+    scored = dsir_score(raw_df, w, text_col=text_col, buckets=buckets,
+                        seed=seed, scale=scale)
+    scored = scored.withColumn("_tb", F.col(id_col).cast("string"))
+    out = top_k(scored, "score", k, tiebreak="_tb", salt=salt)
+    return out.drop("_tb")
+
+
+def shard_assign(df: DataFrame, *, n_shards: int, id_col: str = "doc_id",
+                 seed: str = "shuffle", keep_hash: bool = False) -> DataFrame:
+    """Deterministic global shuffle: assign every row a `shard` in
+    [0, n_shards) and a `shard_pos` (its position in the shard's
+    shuffled order) — the final layout step before training reads the
+    corpus. Both are pure functions of (id, seed): shard = md5-prefix
+    hash of the id, order = the full md5 hex (a seeded pseudo-random
+    permutation), so re-runs, resumed writes and a SQL oracle all
+    agree with no RNG state to coordinate across 1000 executors, and a
+    different `seed` yields an independent epoch-level reshuffle.
+
+    Scale shape: ONE shuffle (hash-partition by shard) and a per-shard
+    sort for the position — pick n_shards at or above the cluster's
+    write parallelism (the 100 TB norm is thousands of shards), so
+    "one task per shard" IS the writer's natural layout, not a cliff.
+    `id_col` should be unique (the corpus primary key): duplicate ids
+    collide to one hash and make their relative order unspecified."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    d = df.withColumn(
+        "_h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))))
+    d = d.withColumn(
+        "shard",
+        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                            F.col(id_col).asc())
+    d = d.withColumn("shard_pos", F.row_number().over(w))
+    return d if keep_hash else d.drop("_h")
+
+
+def write_shards(df: DataFrame, path: str, *, n_shards: int,
+                 id_col: str = "doc_id", seed: str = "shuffle") -> None:
+    """Materialize the deterministic global shuffle as parquet
+    partitioned by shard, rows inside each file in shuffle order —
+    the layout a training loader streams sequentially. Single shuffle:
+    the shard_pos window already hash-partitions by shard, and the
+    sort + partitionBy writer run on that partitioning (plan-tested)."""
+    a = shard_assign(df, n_shards=n_shards, id_col=id_col, seed=seed,
+                     keep_hash=True)
+    (a.sortWithinPartitions("shard", "_h", id_col)
+     .drop("_h")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
 
 
 def pack_stats(packed: DataFrame, *, budget: int,

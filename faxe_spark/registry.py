@@ -3707,6 +3707,101 @@ def sax_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "dist", "rank")
 
 
+# --- round-8 post-closing additions: DSIR importance resampling + the
+# deterministic global shuffle/shard layout (trainprep.py). Registered
+# DEFERRED (the domain_cap_incr_batches r6 precedent): the r8 scoring
+# window was already budgeted and closed when these landed, so they
+# hold local-gate + driver-sim green rows now and take in-window slots
+# at the r9 rotation.
+
+_DSIR_SRC = "('src0','src1','src2','src3')"
+
+
+@register(
+    "dsir_resample",
+    f"""
+    WITH w AS (SELECT doc_id, source, {_TOKS} AS wl FROM documents),
+    g AS (SELECT doc_id, source, wl,
+            list_transform(generate_series(1, greatest(len(wl)-1, 0)),
+                           i -> wl[i] || ' ' || wl[i+1]) AS g2 FROM w),
+    f AS (SELECT doc_id, source, unnest(list_concat(wl, g2)) AS f FROM g),
+    fb AS (SELECT doc_id, source,
+             (('0x' || substr(md5(f || 'dsir'), 1, 8))::BIGINT % 256)
+               AS bucket
+           FROM f),
+    rc AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+    tcc AS (SELECT bucket, count(*) AS tc FROM fb
+            WHERE source IN {_DSIR_SRC} GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM fb) AS rr,
+                   (SELECT count(*) FROM fb
+                    WHERE source IN {_DSIR_SRC}) AS tt),
+    spine AS (SELECT range AS bucket FROM range(256)),
+    lam AS (SELECT spine.bucket,
+              CAST(round(1000000.0 * (ln(coalesce(tcc.tc, 0) + 1.0)
+                                      - ln(tt + 256.0)
+                                      - ln(coalesce(rc.rc, 0) + 1.0)
+                                      + ln(rr + 256.0))) AS BIGINT) AS lam
+            FROM spine LEFT JOIN rc ON spine.bucket = rc.bucket
+                       LEFT JOIN tcc ON spine.bucket = tcc.bucket, tot),
+    sc AS (SELECT doc_id, CAST(sum(lam) AS BIGINT) AS score_sum
+           FROM fb JOIN lam USING (bucket) GROUP BY doc_id),
+    nf AS (SELECT doc_id,
+             CAST(len(wl) + greatest(len(wl)-1, 0) AS BIGINT) AS n_features
+           FROM w),
+    s AS (SELECT sc.doc_id, score_sum, n_features,
+            CAST(score_sum AS DOUBLE) / (1000000.0 * greatest(n_features, 1))
+              AS score
+          FROM sc JOIN nf USING (doc_id)),
+    r AS (SELECT *, CAST(row_number() OVER (
+            ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS INT) AS rank
+          FROM s)
+    SELECT doc_id, score_sum, n_features, score, rank FROM r WHERE rank <= 50
+    """,
+    doc="DSIR importance resampling (Xie et al. NeurIPS'23, public): "
+        "keep the 50 docs whose hashed unigram+bigram log-likelihood "
+        "ratio vs the src0-src3 target corpus is highest. Integer "
+        "bucket weights (round(1e6*ln-ratio), add-1 smoothing) make "
+        "the per-doc accumulation order-free and engine-exact; ln() "
+        "only ever touches the 256-row weight table. Scoring is a "
+        "scan-stage fold over a literal weight map (plan-tested "
+        "shuffle-free); the two count passes shuffle <=256 rows per "
+        "partition; selection is the salted exact top-k",
+)
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    out = tp_ops.dsir_resample(d, tgt, k=50, salt=8)
+    return out.select("doc_id", "score_sum", "n_features", "score", "rank")
+
+
+@register(
+    "global_shuffle_shard",
+    """
+    WITH h AS (SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS hh
+               FROM documents),
+    s AS (SELECT doc_id, hh,
+            (('0x' || substr(hh, 1, 8))::BIGINT % 8) AS shard FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY hh, doc_id) AS INT) AS shard_pos
+    FROM s
+    """,
+    doc="deterministic global shuffle + shard layout (trainprep."
+        "shard_assign): shard = md5-prefix hash of the id, intra-shard "
+        "order = the full md5 hex — a seeded pseudo-random permutation "
+        "that re-runs, resumed writes and the oracle reproduce with no "
+        "RNG coordination; a different seed is an independent epoch "
+        "reshuffle. One shuffle + per-shard sort; write_shards "
+        "materializes it partitioned-by-shard in the same single "
+        "shuffle (plan-tested)",
+)
+def global_shuffle_shard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tp_ops.shard_assign(d, n_shards=8)
+    return out.select("doc_id", "shard", "shard_pos")
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -3836,6 +3931,16 @@ def sax_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   the backstop.
 # Window: 4 slipped-r5 + 43 r6-row + video_frames_fake + ts_motif_topk
 # + ts_discord_topk = 50. Deferred: 48 r7-green + 7 slipped = 55.
+#
+# Post-closing r8 additions (dsir_resample, global_shuffle_shard):
+# registered DEFERRED — the precedent is domain_cap_incr_batches,
+# which registered after the r6 window filled, started deferred, and
+# took its first in-window slot at the r7 rotation. The r8 window
+# stays exactly the 50 budgeted above (the in-window addition cap the
+# VERDICT r7 #5 budget set remains 1 = video_frames_fake); both new
+# entries hold local-gate + fresh-process driver-sim hash rows this
+# round and are r9 window candidates alongside the 7 slips. Registry
+# is now 107 entries / 50 slots — the debt the r9 rotation must state.
 _DEFERRED_THIS_ROUND = [
     # --- 48 of the 50 r7-green entries (defer one round; ts_motif_topk
     #     and ts_discord_topk stay for fresh rows on reworked code) ---
@@ -3857,6 +3962,8 @@ _DEFERRED_THIS_ROUND = [
     # --- the 7 slipped r6-row entries (rationale above; r9-first) ---
     "where_filter", "sample_nth", "time_diff", "dist_count",
     "first_last", "array_explode", "top_bottom",
+    # --- post-closing r8 additions (deferred at birth; see above) ---
+    "dsir_resample", "global_shuffle_shard",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

@@ -860,3 +860,118 @@ def test_host_cap_priority_col_ascending_contract(spark):
     kept = tp.host_cap(df, cap=3, priority_col="neg_quality")
     # highest doc_id == highest quality == smallest neg_quality
     assert {r.doc_id for r in kept.collect()} == {9, 8, 7}
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target corpus's vocabulary outscore docs that
+    don't — the DSIR selection property, on a planted fixture."""
+    raw = _docs(spark, [
+        (1, "dog park walk dog leash park", "web"),
+        (2, "quantum flux capacitor torque vector", "web"),
+        (3, "dog leash walk park dog treat", "web"),
+        (4, "torque flux vector tensor manifold", "web"),
+    ])
+    target = _docs(spark, [
+        (10, "dog walk park leash", "pets"),
+        (11, "dog treat park walk leash dog", "pets"),
+    ])
+    out = {r.doc_id: r.score
+           for r in tp.dsir_score(
+               raw,
+               {int(w.bucket): int(w.lam)
+                for w in tp.dsir_weights(raw, target).collect()}).collect()}
+    assert min(out[1], out[3]) > max(out[2], out[4])
+    sel = tp.dsir_resample(raw, target, k=2).collect()
+    assert {r.doc_id for r in sel} == {1, 3}
+    assert all(r.rank in (1, 2) for r in sel)
+
+
+def test_dsir_weights_cover_every_bucket(spark):
+    """The weight table always has exactly `buckets` rows (the spine),
+    so a scored doc can never hit a NULL weight; dsir_score rejects a
+    partial dict up front."""
+    raw = _docs(spark, [(1, "a b", "s")])
+    tgt = _docs(spark, [(2, "a", "s")])
+    w = tp.dsir_weights(raw, tgt, buckets=32).collect()
+    assert len(w) == 32 and len({r.bucket for r in w}) == 32
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="buckets"):
+        tp.dsir_score(raw, {0: 1}, buckets=32)
+
+
+def test_dsir_scoring_is_scan_stage_only(spark):
+    """The selection pass's scoring is a pure scan-stage fold over the
+    literal weight map: zero shuffles (the 100 TB contract in the
+    docstring)."""
+    raw = _docs(spark, [(1, "a b c", "s"), (2, "d e", "s")])
+    tgt = _docs(spark, [(3, "a b", "s")])
+    w = {int(r.bucket): int(r.lam)
+         for r in tp.dsir_weights(raw, tgt).collect()}
+    plan = tp.dsir_score(raw, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dsir_empty_text_and_determinism(spark):
+    """Empty/whitespace docs score without crashing (words('') is [''],
+    one feature), and two independent runs agree exactly."""
+    raw = _docs(spark, [(1, "", "s"), (2, "   ", "s"), (3, "a b a", "s")])
+    tgt = _docs(spark, [(4, "a", "s")])
+    a = sorted((r.doc_id, r.score_sum, r.n_features, r.score)
+               for r in tp.dsir_resample(raw, tgt, k=3).collect())
+    b = sorted((r.doc_id, r.score_sum, r.n_features, r.score)
+               for r in tp.dsir_resample(raw, tgt, k=3).collect())
+    assert a == b and len(a) == 3
+    nf = {r.doc_id: r.n_features for r in tp.dsir_score(
+        raw, {int(r.bucket): int(r.lam)
+              for r in tp.dsir_weights(raw, tgt).collect()}).collect()}
+    assert nf[1] == 1 and nf[3] == 5  # 3 words + 2 bigrams
+
+
+# -- deterministic global shuffle / shards -----------------------------------
+
+def test_shard_assign_partition_and_determinism(spark):
+    rows = [(i, f"doc {i}", "s") for i in range(100)]
+    df = _docs(spark, rows)
+    out = tp.shard_assign(df, n_shards=4).collect()
+    assert len(out) == 100                       # a partition, not a sample
+    assert {r.shard for r in out} <= set(range(4))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = tp.shard_assign(df, n_shards=4).collect()
+    assert sorted((r.doc_id, r.shard, r.shard_pos) for r in out) \
+        == sorted((r.doc_id, r.shard, r.shard_pos) for r in again)
+    # a different seed is an independent permutation, not a relabeling
+    other = tp.shard_assign(df, n_shards=4, seed="epoch2").collect()
+    assert sorted((r.doc_id, r.shard) for r in out) \
+        != sorted((r.doc_id, r.shard) for r in other)
+
+
+def test_shard_assign_single_shuffle_plan(spark):
+    """ONE Exchange (the per-shard hash partition) — the docstring's
+    scale contract; the writer's sort adds no second shuffle."""
+    df = _docs(spark, [(i, "t", "s") for i in range(10)])
+    a = tp.shard_assign(df, n_shards=2, keep_hash=True) \
+        .sortWithinPartitions("shard", "_h", "doc_id").drop("_h")
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    rows = [(i, f"text {i}", "s") for i in range(50)]
+    df = _docs(spark, rows)
+    path = str(tmp_path / "shards")
+    tp.write_shards(df, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 50
+    assert sorted(r.doc_id for r in back.collect()) == list(range(50))
+    # shard dirs on disk match the assignment
+    got = {(r.doc_id, int(r.shard)) for r in back.collect()}
+    want = {(r.doc_id, r.shard)
+            for r in tp.shard_assign(df, n_shards=4).collect()}
+    assert got == want

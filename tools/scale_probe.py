@@ -68,6 +68,11 @@ PROBE_QUERIES = [
     # bucket-pruned and partition-pruned query paths stay ~flat-ish)
     "ts_subsequence_topk", "ts_motif_topk", "ts_discord_topk",
     "ts_sax_topk", "sax_index_reuse",
+    # round 8 post-closing: DSIR (B=256-bounded count aggs + scan-stage
+    # fold — should be ~linear; the word-suffix replication rule means
+    # replica vocabularies are disjoint, which only re-spreads bucket
+    # counts) + the one-shuffle shard layout
+    "dsir_resample", "global_shuffle_shard",
 ]
 
 
