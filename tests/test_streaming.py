@@ -1073,3 +1073,32 @@ def test_collect_full_stream_late_row_golden(spark, tmp_path):
         (ms(10, 2), "update", {"v": 2.0, "w": 9.0}),
         (ms(10, 6), "update", {"v": 3.0, "w": 9.0}),
     ])
+
+
+def test_dsir_score_stream_matches_batch(spark):
+    """DSIR scoring on a live stream: the weight map is frozen
+    batch-side (the paper's fit-once contract) and dsir_score is a
+    pure projection — no state, no watermark — so it runs NATIVELY on
+    a streaming frame (the scan-stage claim in streaming form: arriving
+    crawl batches are scored with zero extra machinery). Stream rows
+    must equal the batch op row-for-row."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tgt = docs.filter(F.col("source").isin("src0", "src1"))
+    w = {int(r.bucket): int(r.lam)
+         for r in tp.dsir_weights(docs, tgt).collect()}
+
+    s = stream_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    out = tp.dsir_score(s, w).select(
+        "doc_id", "score_sum", "n_features", "score")
+    _run_available_now(out, "dsir_stream")
+    got = {(r.doc_id, r.score_sum, r.n_features, r.score)
+           for r in spark.sql("SELECT * FROM dsir_stream").collect()}
+
+    want = {(r.doc_id, r.score_sum, r.n_features, r.score)
+            for r in tp.dsir_score(docs, w).select(
+                "doc_id", "score_sum", "n_features", "score").collect()}
+    assert got == want and len(got) > 0
