@@ -22,6 +22,15 @@ after dedup/quality (operators/dedup.py, text.py):
   Inherently sequential per shard -> applyInPandas per shard (Arrow,
   linear scan); shards are independent so the lane scales with shard
   count, the normal layout for epoch-sharded training data.
+
+- dsir_weights/dsir_score/dsir_resample: DSIR importance resampling
+  (Xie et al. NeurIPS 2023) — hashed-ngram bucket models, integer
+  log-ratio weights, scan-stage scoring. dsir_weights_flagged fits
+  both models in ONE corpus scan when the target is a labeled subset.
+
+- shard_assign/write_shards: the deterministic global shuffle into
+  training shards (md5-keyed seeded permutation, one shuffle
+  including the partitioned writer).
 """
 
 from __future__ import annotations
@@ -452,8 +461,9 @@ def dsir_weights(raw_df: DataFrame, target_df: DataFrame, *,
     Scale shape: each corpus contributes one map-side-combined count
     aggregation whose shuffle volume is <= buckets rows per partition
     — the 100 TB pass is two scans (raw + target; the target is
-    benchmark-sized in practice). The weight table itself is B rows."""
-    spark = raw_df.sparkSession
+    benchmark-sized in practice). When the target is a LABELED SUBSET
+    of the raw corpus, use dsir_weights_flagged instead: one scan fits
+    both models. The weight table itself is B rows."""
 
     def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
         d, feats = _doc_features(df, text_col)
@@ -464,13 +474,67 @@ def dsir_weights(raw_df: DataFrame, target_df: DataFrame, *,
 
     rc = bucket_counts(raw_df, "_rc")
     tc = bucket_counts(target_df, "_tc")
-    spine = spark.range(buckets).select(F.col("id").alias("bucket"))
-    j = (spine.join(rc, "bucket", "left").join(tc, "bucket", "left")
+    return _lam_table(raw_df.sparkSession, rc, tc, buckets=buckets,
+                      scale=scale)
+
+
+def dsir_weights_flagged(df: DataFrame, target_flag, *,
+                         text_col: str = "text", buckets: int = 256,
+                         seed: str = "dsir",
+                         scale: int = 1_000_000) -> DataFrame:
+    """dsir_weights for the labeled-subset case (target = the rows of
+    `df` where the boolean `target_flag` column/expression holds, raw =
+    ALL of df): both bucket-count models come out of ONE scan and ONE
+    grouped aggregation — at 100 TB this halves the fit's corpus
+    passes vs the two-DataFrame form. Row-for-row identical to
+    dsir_weights(df, df.filter(target_flag)) (equivalence-pinned)."""
+    flag = F.col(target_flag) if isinstance(target_flag, str) else target_flag
+    d, feats = _doc_features(df, text_col)
+    cnt = (d.select(F.explode(feats).alias("_f"),
+                    F.coalesce(flag, F.lit(False)).alias("_t"))
+           .select(_feature_bucket(F.col("_f"), buckets=buckets,
+                                   seed=seed).alias("bucket"), "_t")
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("_rc"),
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_tc")))
+    spine = _bucket_spine(df.sparkSession, buckets)
+    j = (spine.join(cnt, "bucket", "left")   # ONE agg, joined once
          .select("bucket",
                  F.coalesce("_rc", F.lit(0)).alias("_rc"),
                  F.coalesce("_tc", F.lit(0)).alias("_tc")))
-    tot = j.agg(F.sum("_rc").alias("_rr"), F.sum("_tc").alias("_tt"))
-    j = j.crossJoin(F.broadcast(tot))  # B rows x 1 row — bounded
+    return _lam_tail(j, buckets=buckets, scale=scale)
+
+
+def _bucket_spine(spark, buckets: int) -> DataFrame:
+    return spark.range(buckets).select(F.col("id").alias("bucket"))
+
+
+def _lam_table(spark, rc: DataFrame, tc: DataFrame, *, buckets: int,
+               scale: int) -> DataFrame:
+    """Two-corpus dsir_weights tail: spine-join the (bucket, _rc) /
+    (bucket, _tc) count tables so every bucket has a row."""
+    j = (_bucket_spine(spark, buckets)
+         .join(rc, "bucket", "left").join(tc, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("_rc", F.lit(0)).alias("_rc"),
+                 F.coalesce("_tc", F.lit(0)).alias("_tc")))
+    return _lam_tail(j, buckets=buckets, scale=scale)
+
+
+def _lam_tail(j: DataFrame, *, buckets: int, scale: int) -> DataFrame:
+    """Shared integer-lam formula over a complete (bucket, _rc, _tc)
+    spine — one place, so the flagged and two-corpus fits cannot
+    drift (the _sax_words_df consistency device).
+
+    Totals via a GLOBAL window over the B-row spine, not
+    crossJoin(j.agg(...)): the aggregate form self-references j, and
+    Catalyst re-executes the whole count subtree (scan + explode +
+    agg) for the totals branch — the _windows_z re-execution class,
+    caught by the flagged fit's one-scan plan test. The single-task
+    window is 256 rows, not a corpus."""
+    wall = Window.partitionBy()
+    j = (j.withColumn("_rr", F.sum("_rc").over(wall))
+         .withColumn("_tt", F.sum("_tc").over(wall)))
     lam = F.round(
         F.lit(float(scale))
         * (F.log(F.col("_tc") + F.lit(1.0))
@@ -520,16 +584,21 @@ def dsir_score(df: DataFrame, weights: dict[int, int], *,
             .drop("_w"))
 
 
-def dsir_resample(raw_df: DataFrame, target_df: DataFrame, *, k: int,
-                  text_col: str = "text", buckets: int = 256,
-                  seed: str = "dsir", scale: int = 1_000_000,
-                  id_col: str = "doc_id",
+def dsir_resample(raw_df: DataFrame, target_df: DataFrame | None = None,
+                  *, k: int, target_flag=None, text_col: str = "text",
+                  buckets: int = 256, seed: str = "dsir",
+                  scale: int = 1_000_000, id_col: str = "doc_id",
                   salt: int | None = None) -> DataFrame:
     """DSIR selection: keep the k raw documents whose hashed-ngram
     importance weight (see dsir_weights) is highest — the paper's
     resampling step made deterministic (top-k by score with an id
     tiebreak) so re-runs, backfills and the DuckDB oracle agree. Pass
     `salt` at scale: an unsalted global top-k is a one-task sort.
+
+    The target is EITHER a separate corpus (`target_df` — the paper's
+    usual shape, e.g. Wikipedia) OR a labeled subset of raw
+    (`target_flag`, a boolean column/expression — fit in one corpus
+    scan via dsir_weights_flagged). Exactly one must be given.
 
     Returns the selected rows with score_sum / n_features / score /
     rank. The weight table is collected driver-side (`buckets` rows —
@@ -538,10 +607,14 @@ def dsir_resample(raw_df: DataFrame, target_df: DataFrame, *, k: int,
     shuffle of the corpus."""
     from faxe_spark.operators.aggregate import top_k
 
-    w = {int(r["bucket"]): int(r["lam"])
-         for r in dsir_weights(raw_df, target_df, text_col=text_col,
-                               buckets=buckets, seed=seed,
-                               scale=scale).collect()}
+    if (target_df is None) == (target_flag is None):
+        raise ValueError("pass exactly one of target_df / target_flag")
+    wdf = (dsir_weights_flagged(raw_df, target_flag, text_col=text_col,
+                                buckets=buckets, seed=seed, scale=scale)
+           if target_df is None
+           else dsir_weights(raw_df, target_df, text_col=text_col,
+                             buckets=buckets, seed=seed, scale=scale))
+    w = {int(r["bucket"]): int(r["lam"]) for r in wdf.collect()}
     scored = dsir_score(raw_df, w, text_col=text_col, buckets=buckets,
                         seed=seed, scale=scale)
     scored = scored.withColumn("_tb", F.col(id_col).cast("string"))

@@ -3769,8 +3769,11 @@ _DSIR_SRC = "('src0','src1','src2','src3')"
 )
 def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tgt = d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
-    out = tp_ops.dsir_resample(d, tgt, k=50, salt=8)
+    # target = labeled subset -> the one-scan flagged fit (equivalence
+    # to the two-corpus fit is pytest-pinned)
+    out = tp_ops.dsir_resample(
+        d, k=50, salt=8,
+        target_flag=F.col("source").isin("src0", "src1", "src2", "src3"))
     return out.select("doc_id", "score_sum", "n_features", "score", "rank")
 
 

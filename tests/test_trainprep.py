@@ -975,3 +975,40 @@ def test_write_shards_roundtrip(spark, tmp_path):
     want = {(r.doc_id, r.shard)
             for r in tp.shard_assign(df, n_shards=4).collect()}
     assert got == want
+
+
+def test_dsir_weights_flagged_equals_two_corpus_fit(spark):
+    """dsir_weights_flagged(df, flag) == dsir_weights(df,
+    df.filter(flag)) row-for-row — the one-scan labeled-subset fit
+    cannot drift from the two-corpus definition."""
+    df = _docs(spark, [
+        (1, "dog park walk", "pets"), (2, "flux torque vector", "web"),
+        (3, "dog leash", "pets"), (4, "", "web"),
+    ])
+    flag = F.col("source") == "pets"
+    a = sorted((r.bucket, r.lam)
+               for r in tp.dsir_weights_flagged(df, flag,
+                                                buckets=64).collect())
+    b = sorted((r.bucket, r.lam)
+               for r in tp.dsir_weights(df, df.filter(flag),
+                                        buckets=64).collect())
+    assert a == b and len(a) == 64
+    # the flagged fit reads the corpus ONCE (one scan in the plan)
+    plan = tp.dsir_weights_flagged(df, flag, buckets=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert len(_re.findall(r"Scan ExistingRDD|Scan parquet", plan)) <= 1
+    # dsir_resample demands exactly one target form
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        tp.dsir_resample(df, df, k=1, target_flag=flag)
+    with _pytest.raises(ValueError, match="exactly one"):
+        tp.dsir_resample(df, k=1)
+    # both resample forms select the same rows
+    x = sorted((r.doc_id, r.score_sum, r.rank)
+               for r in tp.dsir_resample(df, target_flag=flag,
+                                         k=2).collect())
+    y = sorted((r.doc_id, r.score_sum, r.rank)
+               for r in tp.dsir_resample(df, df.filter(flag),
+                                         k=2).collect())
+    assert x == y
