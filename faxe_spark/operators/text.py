@@ -551,6 +551,39 @@ def _substring_scrub_core(new_df: DataFrame,
     return cleaned, new_rows
 
 
+def hex_prefix_long(h: Column) -> Column:
+    """First 8 hex digits of an md5-hex column parsed as a BIGINT in
+    [0, 2^32) — THE engine-portable hash device (DuckDB side:
+    ('0x' || substr(h, 1, 8))::BIGINT). One definition, so the quality
+    classifier, the DSIR feature buckets and the shard layout cannot
+    drift apart (review find: three inline copies)."""
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def md5_prefix_long(c: Column, suffix: str = "") -> Column:
+    """hex_prefix_long(md5(c || suffix)) — the seeded form."""
+    h = F.md5(F.concat(c, F.lit(suffix))) if suffix else F.md5(c)
+    return hex_prefix_long(h)
+
+
+def mean_pool_score(df: DataFrame, score_sum: Column, *,
+                    scale: int, words_col: str = "_w") -> DataFrame:
+    """Shared mean-pool tail of hashed_linear_score and trainprep.
+    dsir_score (review find: previously copy-pasted): score_sum, the
+    unigram+bigram feature count n_features = |w| + max(|w|-1, 0), and
+    score = score_sum / (scale * max(n_features, 1)) — integer sums,
+    ONE final division, so the double is engine-reproducible."""
+    n_feat = (F.size(words_col)
+              + F.greatest(F.size(words_col) - 1, F.lit(0)))
+    return (df.withColumn("score_sum", score_sum)
+            .withColumn("n_features", n_feat.cast("long"))
+            .withColumn("score",
+                        (F.col("score_sum")
+                         / (F.lit(float(scale))
+                            * F.greatest("n_features", F.lit(1))))
+                        .cast("double")))
+
+
 def hashed_token_weight(tok: Column, *, seed: str = "q",
                         scale: int = 1000) -> Column:
     """Deterministic integer weight in [-scale, scale] for a token —
@@ -558,9 +591,7 @@ def hashed_token_weight(tok: Column, *, seed: str = "q",
     real fasttext/logistic model swap this for a weights-map lookup;
     the SHAPE of the scorer is what matters for the pipeline). Engine-
     portable: md5 prefix parsed as hex on both sides."""
-    h = F.conv(F.substring(F.md5(F.concat(tok, F.lit(seed))), 1, 8),
-               16, 10).cast("bigint")
-    return (h % (2 * scale + 1)) - scale
+    return (md5_prefix_long(tok, seed) % (2 * scale + 1)) - scale
 
 
 def hashed_linear_score(df: DataFrame, *, text_col: str = "text",
@@ -586,13 +617,7 @@ def hashed_linear_score(df: DataFrame, *, text_col: str = "text",
                     lambda g: hashed_token_weight(g, seed=seed,
                                                   scale=scale).cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    n_feat = F.size("_w") + F.greatest(F.size("_w") - 1, F.lit(0))
-    out = (d.withColumn("score_sum", uni + big)
-           .withColumn("n_features", n_feat.cast("long"))
-           .withColumn("score",
-                       (F.col("score_sum")
-                        / (F.lit(float(scale)) * F.greatest("n_features", F.lit(1))))
-                       .cast("double"))
+    out = (mean_pool_score(d, uni + big, scale=scale)
            .withColumn("keep", F.col("score") > 0))
     return out.drop("_w")
 

@@ -427,18 +427,24 @@ def plan_mixture(df: DataFrame, targets: dict[str, float], *,
 
 
 def _feature_bucket(feat, *, buckets: int, seed: str):
-    """Hashed-feature bucket id in [0, buckets) — the same md5-prefix
-    device as hashed_token_weight (engine-portable: '0x'||hex parse on
-    the DuckDB side), so the n-gram feature space matches the quality
-    classifier's."""
-    return (F.conv(F.substring(F.md5(F.concat(feat, F.lit(seed))), 1, 8),
-                   16, 10).cast("bigint") % buckets)
+    """Hashed-feature bucket id in [0, buckets) — md5_prefix_long, the
+    ONE md5-prefix device shared with hashed_token_weight and the
+    shard layout (engine-portable: '0x'||hex parse on the DuckDB
+    side), so the n-gram feature space matches the quality
+    classifier's by construction."""
+    from faxe_spark.operators.text import md5_prefix_long
+    return md5_prefix_long(feat, seed) % buckets
 
 
 def _doc_features(df: DataFrame, text_col: str):
     """(df+_w, feats expr): unigram + word-bigram feature array — the
-    DSIR paper's feature space, identical to hashed_linear_score's."""
-    d = df.withColumn("_w", words(F.col(text_col)))
+    DSIR paper's feature space, identical to hashed_linear_score's.
+    NULL text scores as empty text (one '' feature, n_features=1) —
+    without the coalesce, words(NULL) NULL-poisons score_sum and
+    F.size returns -1 (review find); the oracles coalesce the same
+    way."""
+    d = df.withColumn(
+        "_w", words(F.coalesce(F.col(text_col), F.lit(""))))
     return d, F.concat(F.col("_w"), ngram_array(2))
 
 
@@ -573,15 +579,8 @@ def dsir_score(df: DataFrame, weights: dict[int, int], *,
                     lambda f: F.element_at(m, _feature_bucket(
                         f, buckets=buckets, seed=seed))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    n_feat = F.size("_w") + F.greatest(F.size("_w") - 1, F.lit(0))
-    return (d.withColumn("score_sum", lam_sum)
-            .withColumn("n_features", n_feat.cast("long"))
-            .withColumn("score",
-                        (F.col("score_sum")
-                         / (F.lit(float(scale))
-                            * F.greatest("n_features", F.lit(1))))
-                        .cast("double"))
-            .drop("_w"))
+    from faxe_spark.operators.text import mean_pool_score
+    return mean_pool_score(d, lam_sum, scale=scale).drop("_w")
 
 
 def dsir_resample(raw_df: DataFrame, target_df: DataFrame | None = None,
@@ -637,20 +636,36 @@ def shard_assign(df: DataFrame, *, n_shards: int, id_col: str = "doc_id",
     sort for the position — pick n_shards at or above the cluster's
     write parallelism (the 100 TB norm is thousands of shards), so
     "one task per shard" IS the writer's natural layout, not a cliff.
-    `id_col` should be unique (the corpus primary key): duplicate ids
-    collide to one hash and make their relative order unspecified."""
+    `id_col` should be unique and non-null (the corpus primary key):
+    duplicate ids — and all NULL ids, which hash as '' (review find:
+    bare concat would NULL-propagate to a shard OUTSIDE [0, n_shards)
+    and a __HIVE_DEFAULT_PARTITION__ dir no loader reads) — collide
+    to one hash and make their relative order unspecified."""
+    from faxe_spark.operators.text import hex_prefix_long
+
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     d = df.withColumn(
-        "_h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))))
-    d = d.withColumn(
-        "shard",
-        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint")
-        % F.lit(n_shards))
+        "_h", F.md5(F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+            F.lit(seed))))
+    d = d.withColumn("shard", hex_prefix_long(F.col("_h"))
+                     % F.lit(n_shards))
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
                                             F.col(id_col).asc())
     d = d.withColumn("shard_pos", F.row_number().over(w))
     return d if keep_hash else d.drop("_h")
+
+
+def _sharded_frame(df: DataFrame, *, n_shards: int, id_col: str,
+                   seed: str) -> DataFrame:
+    """The exact frame write_shards persists (assignment + in-partition
+    shuffle-order sort, hash column still attached) — factored out so
+    the single-shuffle plan test inspects what the writer actually
+    executes, not a hand-rebuilt lookalike (review find)."""
+    a = shard_assign(df, n_shards=n_shards, id_col=id_col, seed=seed,
+                     keep_hash=True)
+    return a.sortWithinPartitions("shard", "_h", id_col)
 
 
 def write_shards(df: DataFrame, path: str, *, n_shards: int,
@@ -659,10 +674,9 @@ def write_shards(df: DataFrame, path: str, *, n_shards: int,
     partitioned by shard, rows inside each file in shuffle order —
     the layout a training loader streams sequentially. Single shuffle:
     the shard_pos window already hash-partitions by shard, and the
-    sort + partitionBy writer run on that partitioning (plan-tested)."""
-    a = shard_assign(df, n_shards=n_shards, id_col=id_col, seed=seed,
-                     keep_hash=True)
-    (a.sortWithinPartitions("shard", "_h", id_col)
+    sort + partitionBy writer run on that partitioning (plan-tested
+    on _sharded_frame, the frame written here)."""
+    (_sharded_frame(df, n_shards=n_shards, id_col=id_col, seed=seed)
      .drop("_h")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 

@@ -3715,12 +3715,17 @@ def sax_index_reuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the r9 rotation.
 
 _DSIR_SRC = "('src0','src1','src2','src3')"
+# NULL text scores as empty text (one '' feature) — the op coalesces
+# the same way (_doc_features, review find)
+_DSIR_NORM = ("trim(regexp_replace(lower(coalesce(text, '')), "
+              "'\\s+', ' ', 'g'))")
+_DSIR_TOKS = f"string_split_regex(trim({_DSIR_NORM}), '\\s+')"
 
 
 @register(
     "dsir_resample",
     f"""
-    WITH w AS (SELECT doc_id, source, {_TOKS} AS wl FROM documents),
+    WITH w AS (SELECT doc_id, source, {_DSIR_TOKS} AS wl FROM documents),
     g AS (SELECT doc_id, source, wl,
             list_transform(generate_series(1, greatest(len(wl)-1, 0)),
                            i -> wl[i] || ' ' || wl[i+1]) AS g2 FROM w),
@@ -3781,7 +3786,8 @@ def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global_shuffle_shard",
     """
     WITH h AS (SELECT doc_id,
-                 md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS hh
+                 md5(coalesce(CAST(doc_id AS VARCHAR), '') || 'shuffle')
+                   AS hh
                FROM documents),
     s AS (SELECT doc_id, hh,
             (('0x' || substr(hh, 1, 8))::BIGINT % 8) AS shard FROM h)

@@ -954,15 +954,17 @@ def test_shard_assign_partition_and_determinism(spark):
 
 def test_shard_assign_single_shuffle_plan(spark):
     """ONE Exchange (the per-shard hash partition) — the docstring's
-    scale contract; the writer's sort adds no second shuffle."""
+    scale contract, asserted on _sharded_frame, the EXACT frame
+    write_shards persists (review find: a hand-rebuilt pipeline would
+    stay green if the writer dropped its sort)."""
     df = _docs(spark, [(i, "t", "s") for i in range(10)])
-    a = tp.shard_assign(df, n_shards=2, keep_hash=True) \
-        .sortWithinPartitions("shard", "_h", "doc_id").drop("_h")
+    a = tp._sharded_frame(df, n_shards=2, id_col="doc_id",
+                          seed="shuffle")
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
 
 
-def test_write_shards_roundtrip(spark, tmp_path):
+def test_write_shards_roundtrip_and_intra_file_order(spark, tmp_path):
     rows = [(i, f"text {i}", "s") for i in range(50)]
     df = _docs(spark, rows)
     path = str(tmp_path / "shards")
@@ -972,9 +974,37 @@ def test_write_shards_roundtrip(spark, tmp_path):
     assert sorted(r.doc_id for r in back.collect()) == list(range(50))
     # shard dirs on disk match the assignment
     got = {(r.doc_id, int(r.shard)) for r in back.collect()}
-    want = {(r.doc_id, r.shard)
-            for r in tp.shard_assign(df, n_shards=4).collect()}
+    assign = tp.shard_assign(df, n_shards=4, keep_hash=True).collect()
+    want = {(r.doc_id, r.shard) for r in assign}
     assert got == want
+    # rows INSIDE each shard dir are in shuffle (_h) order — the
+    # written-layout contract a training loader relies on (review
+    # find: the set compare above can't see a dropped sort)
+    order = {r.doc_id: r._h for r in assign}
+    import os
+    for shard_dir in sorted(os.listdir(path)):
+        if not shard_dir.startswith("shard="):
+            continue
+        docs = [r.doc_id for r in
+                spark.read.parquet(os.path.join(path, shard_dir))
+                .collect()]
+        assert docs == sorted(docs, key=lambda i: (order[i], i))
+
+
+def test_dsir_and_shard_null_edges(spark):
+    """NULL text scores as empty text (n_features=1, non-null score);
+    NULL ids hash as '' and land in a REAL shard in [0, n) — not a
+    NULL shard / __HIVE_DEFAULT_PARTITION__ dir (review finds)."""
+    raw = _docs(spark, [(1, None, "s"), (2, "a b", "s")])
+    tgt = _docs(spark, [(3, "a", "s")])
+    w = {int(r.bucket): int(r.lam)
+         for r in tp.dsir_weights(raw, tgt).collect()}
+    out = {r.doc_id: r for r in tp.dsir_score(raw, w).collect()}
+    assert out[1].n_features == 1
+    assert out[1].score_sum is not None and out[1].score is not None
+    rows = [(None, "t", "s"), (7, "t", "s")]
+    sh = tp.shard_assign(_docs(spark, rows), n_shards=4).collect()
+    assert all(r.shard is not None and 0 <= r.shard < 4 for r in sh)
 
 
 def test_dsir_weights_flagged_equals_two_corpus_fit(spark):
