@@ -26,11 +26,13 @@ after dedup/quality (operators/dedup.py, text.py):
 - dsir_weights/dsir_score/dsir_resample: DSIR importance resampling
   (Xie et al. NeurIPS 2023) — hashed-ngram bucket models, integer
   log-ratio weights, scan-stage scoring. dsir_weights_flagged fits
-  both models in ONE corpus scan when the target is a labeled subset.
+  both models in ONE corpus scan when the target is a labeled subset;
+  save/load_dsir_weights persist the B-row fit (the index lifecycle).
 
 - shard_assign/write_shards: the deterministic global shuffle into
   training shards (md5-keyed seeded permutation, one shuffle
-  including the partitioned writer).
+  including the partitioned writer). split_assign: deterministic
+  train/val/test membership, scan-stage, stable under corpus growth.
 """
 
 from __future__ import annotations
@@ -655,6 +657,74 @@ def shard_assign(df: DataFrame, *, n_shards: int, id_col: str = "doc_id",
                                             F.col(id_col).asc())
     d = d.withColumn("shard_pos", F.row_number().over(w))
     return d if keep_hash else d.drop("_h")
+
+
+def save_dsir_weights(spark, weights_df: DataFrame, *, name: str) -> None:
+    """Persist a dsir_weights table (the AnnIndex/SaxIndex lifecycle
+    applied to the DSIR fit): the expensive corpus pass runs ONCE; any
+    later run — incremental crawl scoring, a backfill, a different
+    selection k — loads the B-row table instead of re-fitting. The
+    table is tiny (`buckets` rows); one file."""
+    from faxe_spark.operators.ann_index import _table_path
+
+    (weights_df.repartition(1).write.mode("overwrite")
+     .parquet(_table_path(spark, f"{name}_dsir")))
+
+
+def load_dsir_weights(spark, *, name: str) -> dict[int, int]:
+    """Rehydrate {bucket: lam} for dsir_score — the shape dsir_score
+    takes, validated there against `buckets`."""
+    from faxe_spark.operators.ann_index import _table_path
+
+    rows = spark.read.parquet(_table_path(spark, f"{name}_dsir")).collect()
+    return {int(r["bucket"]): int(r["lam"]) for r in rows}
+
+
+def drop_dsir_weights(spark, *, name: str) -> None:
+    from faxe_spark.operators.ann_index import _drop
+
+    _drop(spark, f"{name}_dsir")
+
+
+def split_assign(df: DataFrame, splits: dict[str, float], *,
+                 id_col: str = "doc_id", seed: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: a `split` column whose
+    value is drawn from `splits` ({name: fraction}). Fractions must
+    sum to <= 1; when they sum to 1 every row is assigned, when they
+    sum to less the remainder gets split = NULL (a subsampling split —
+    each name receives exactly its fraction, nothing is silently
+    inflated). Pure function of (id, seed) via the md5-prefix device —
+    scan-stage (no shuffle, composes with pushdown), re-runs and
+    backfills agree, and membership is stable under corpus growth: a
+    doc's split never depends on which other docs exist (the property
+    a rate-based sampler has and a count-based splitter lacks)."""
+    from faxe_spark.operators.text import md5_prefix_long
+
+    if not splits or any(v < 0 for v in splits.values()):
+        raise ValueError("splits must be non-empty, fractions >= 0")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split fractions must sum to <= 1")
+    u = md5_prefix_long(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")), seed)
+    names = list(splits)
+    expr, acc = None, 0.0
+    # the last named split takes `otherwise` when the fractions cover
+    # the whole unit interval, so a float-rounded top edge can't leak
+    # a sliver of rows into NULL
+    exact = total >= 1.0 - 1e-9
+    tail_names = names[:-1] if exact else names
+    for nm in tail_names:
+        acc += splits[nm]
+        edge = F.lit(int(acc * (1 << 32)))
+        br = F.when(u < edge, F.lit(nm))
+        expr = br if expr is None else expr.when(u < edge, F.lit(nm))
+    if exact:
+        last = F.lit(names[-1])
+        out = last if expr is None else expr.otherwise(last)
+    else:
+        out = expr.otherwise(F.lit(None).cast("string"))
+    return df.withColumn("split", out)
 
 
 def _sharded_frame(df: DataFrame, *, n_shards: int, id_col: str,

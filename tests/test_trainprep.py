@@ -1042,3 +1042,125 @@ def test_dsir_weights_flagged_equals_two_corpus_fit(spark):
                for r in tp.dsir_resample(df, df.filter(flag),
                                          k=2).collect())
     assert x == y
+
+
+# -- property tests: the Column-expression hash math vs an independent
+# pure-Python replication (hypothesis, bounded examples — the
+# test_scrub_properties.py pattern) ------------------------------------------
+
+import hashlib
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(st.text(alphabet="abcxyz01", min_size=1, max_size=5),
+                  min_size=0, max_size=8).map(" ".join)
+
+
+def _py_norm_words(text):
+    return _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def _py_bucket(feat, seed, buckets):
+    h = hashlib.md5((feat + seed).encode()).hexdigest()
+    return int(h[:8], 16) % buckets
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_WORDS, min_size=1, max_size=5))
+def test_dsir_score_sum_matches_python_replication(spark, texts):
+    """score_sum from the JVM fold == an independent Python md5 walk
+    over the same normalized unigram+bigram features — pins the whole
+    expression chain (normalize, bigram build, bucket hash, map
+    lookup) against a second implementation."""
+    buckets = 16
+    w = {b: (b * 37 - 100) for b in range(buckets)}
+    df = _docs(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    got = {r.doc_id: (r.score_sum, r.n_features)
+           for r in tp.dsir_score(df, w, buckets=buckets).collect()}
+    for i, t in enumerate(texts):
+        ws = _py_norm_words(t)
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        want = sum(w[_py_bucket(f, "dsir", buckets)] for f in feats)
+        assert got[i] == (want, len(feats)), (t, got[i])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=12, unique=True),
+       st.integers(min_value=1, max_value=5))
+def test_shard_assign_matches_python_replication(spark, ids, n):
+    """shard and shard_pos == the independent Python md5 replication
+    (incl. negative ids): shard = prefix-int % n, pos = 1-based rank
+    of (md5hex, id) within the shard."""
+    df = _docs(spark, [(i, "t", "s") for i in ids])
+    got = {r.doc_id: (r.shard, r.shard_pos)
+           for r in tp.shard_assign(df, n_shards=n).collect()}
+    hexes = {i: hashlib.md5((str(i) + "shuffle").encode()).hexdigest()
+             for i in ids}
+    shards = {i: int(hexes[i][:8], 16) % n for i in ids}
+    for i in ids:
+        peers = sorted((hexes[j], j) for j in ids
+                       if shards[j] == shards[i])
+        want_pos = peers.index((hexes[i], i)) + 1
+        assert got[i] == (shards[i], want_pos), (i, got[i])
+
+
+# -- DSIR weight persistence + deterministic splits ---------------------------
+
+def test_dsir_weights_save_load_roundtrip(spark):
+    """Fit once, reuse across runs (the AnnIndex lifecycle): the
+    reloaded dict scores identically to the in-session fit."""
+    raw = _docs(spark, [(1, "a b c", "s"), (2, "d e", "s")])
+    tgt = _docs(spark, [(3, "a b", "s")])
+    wdf = tp.dsir_weights(raw, tgt, buckets=32)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+    tp.save_dsir_weights(spark, wdf, name="t_dsir_rt")
+    try:
+        back = tp.load_dsir_weights(spark, name="t_dsir_rt")
+        assert back == w
+        a = sorted((r.doc_id, r.score_sum) for r in
+                   tp.dsir_score(raw, back, buckets=32).collect())
+        b = sorted((r.doc_id, r.score_sum) for r in
+                   tp.dsir_score(raw, w, buckets=32).collect())
+        assert a == b
+    finally:
+        tp.drop_dsir_weights(spark, name="t_dsir_rt")
+
+
+def test_split_assign_semantics(spark):
+    """Exact cover assigns every row; subsampling cover leaves the
+    remainder NULL; membership is stable under corpus growth (a doc's
+    split is independent of the other docs); scan-stage plan."""
+    rows = [(i, "t", "s") for i in range(400)]
+    df = _docs(spark, rows)
+    full = tp.split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r.doc_id: r.split for r in full.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert None not in got.values()
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 0.7 * 400 < n_train < 0.9 * 400   # ~binomial, wide margin
+    # subsampling: remainder unassigned, named splits keep membership
+    sub = {r.doc_id: r.split for r in
+           tp.split_assign(df, {"train": 0.5}).collect()}
+    assert any(v is None for v in sub.values())
+    assert any(v == "train" for v in sub.values())
+    # growth stability: the same doc keeps its split in a bigger corpus
+    big = tp.split_assign(
+        _docs(spark, [(i, "t", "s") for i in range(800)]),
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    got_big = {r.doc_id: r.split for r in big.collect()}
+    assert all(got_big[i] == got[i] for i in range(400))
+    # single full split + validation errors
+    one = {r.split for r in tp.split_assign(df, {"all": 1.0}).collect()}
+    assert one == {"all"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tp.split_assign(df, {})
+    with _pytest.raises(ValueError):
+        tp.split_assign(df, {"a": 0.7, "b": 0.6})
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
