@@ -336,7 +336,6 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     tests/test_ann_index.py."""
     from pyspark.sql.window import Window
 
-    unit = lambda col: F.transform(col, lambda x: x / _norm(col))  # noqa: E731
     # quantize=True scores the re-rank over integer-quantized vectors
     # (engine-exact, the oracle determinism device); the k-means
     # training/probe stays double — only the OUTPUT cosine must be exact.
@@ -344,9 +343,17 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     cos = cosine_quantized if quantize else cosine
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cv"),
                       prep(F.col(vec_col)).alias("_cvs"))
-    q = queries.select(F.col(id_col).alias(query_id_col),
-                       _as_double(F.col(vec_col)).alias("_qv"),
-                       prep(F.col(vec_col)).alias("_qvs"))
+    # unit-normalize the query ONCE into a column (review find: a
+    # `transform(x / _norm(col))` lambda re-runs the O(dim) norm fold
+    # per ELEMENT per crossJoin row — O(dim^2) per query-centroid pair;
+    # higher-order folds are not CSE'd, same finding as _windows_z).
+    # Same division by the same double -> bit-identical probe ranking.
+    q = (queries.select(F.col(id_col).alias(query_id_col),
+                        _as_double(F.col(vec_col)).alias("_qv"),
+                        prep(F.col(vec_col)).alias("_qvs"))
+         .withColumn("_qn", _norm(F.col("_qv")))
+         .withColumn("_qu", F.transform("_qv", lambda x: x / F.col("_qn")))
+         .drop("_qn"))
 
     # -- train: deterministic hash sample -> driver numpy Lloyd's
     X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
@@ -362,7 +369,7 @@ def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         "_cid int, _cvec array<double>")
     # probe: rank centroids per query by distance on the unit sphere
     probe_d = F.aggregate(
-        F.zip_with(unit(F.col("_qv")), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+        F.zip_with(F.col("_qu"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, v: acc + v)
     wq = Window.partitionBy(query_id_col).orderBy(probe_d.asc(), F.col("_cid"))
     probes = (q.crossJoin(F.broadcast(cent))
@@ -454,6 +461,17 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
 
     import math
 
+    # the blocked lane keys tiles by a LONG id; a silent cast of a
+    # string id would NULL every row and the kernel would detect zero
+    # pairs (review find: semantic_dedup over string doc ids returned
+    # keep=true for exact duplicates). Fail loud instead.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"cosine_pairs blocked lane requires an integer id column; "
+            f"{id_col!r} is {id_type}. Map ids to integers first (e.g. "
+            f"a dense id), or pass block_size=None for the pure-Column "
+            f"lane, which accepts any id type")
     q = corpus.select(F.col(id_col).cast("long").alias("_id"),
                       quantize_vec(F.col(vec_col)).alias("_v"), *part)
     if part:
@@ -856,14 +874,12 @@ def semantic_dedup(corpus: DataFrame, threshold: float, *,
     import numpy as np
 
     if nlist > 1:
-        samp = (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_cv"))
-                .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-                .limit(25_000).collect())
-        samp.sort(key=lambda r: r[0])
-        if not samp:
-            raise ValueError("semantic_dedup: empty corpus")
-        X = np.array([r[1] for r in samp], dtype=np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # ONE trainer-input kernel (review find: this block previously
+        # re-implemented hash_sample_matrix line-for-line — a future
+        # sampling-contract change would have silently diverged this
+        # quantizer from every other trainer in the family)
+        X = hash_sample_matrix(corpus, id_col=id_col, vec_col=vec_col,
+                               what="semantic_dedup")
         centroids = _lloyds(X, k=nlist, iters=max_iter, seed=seed)
         # ONE assignment kernel (VERDICT r7 #7): route through
         # assign_lists — same GEMM argmax, and its content-keyed

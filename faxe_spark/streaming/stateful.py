@@ -127,7 +127,12 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
     equals `remove_value` deletes the key (the `remove` lambda analog).
 
     Emits (key, ts_ms, value, action) with action in add/update/remove —
-    mirroring the reference's added/updated/removed tagging."""
+    mirroring the reference's added/updated/removed tagging. A row
+    whose value is NULL is a NO-OP (review find: NULL previously
+    compared as "not the stored value" and churned add/update rows per
+    NULL arrival — an absent field on a flowdata point carries no
+    update, and NULL-as-stored-value is indistinguishable from
+    no-state in the one-slot schema)."""
     out_schema = StructType([
         StructField("key", LongType()),
         StructField("ts_ms", LongType()),
@@ -142,7 +147,9 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                v = None if v is None else str(v)
+                if v is None:
+                    continue           # absent field: no-op (docstring)
+                v = str(v)
                 ts_ms = int(ts.value // 1_000_000)
                 if remove_value is not None and v == remove_value:
                     if current is not None:
@@ -155,14 +162,17 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
                     current = v
                     rows.append((key[0], ts_ms, v, "update"))
         if current is None:
-            state.remove()
+            if state.exists:
+                state.remove()
         else:
             state.update((current,))
         yield pd.DataFrame(rows, columns=["key", "ts_ms", "value", "action"])
 
+    # NoTimeout (review find): this op registered ProcessingTimeTimeout
+    # but never armed a timer — aging lives in collect_full_stream
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+                                    "append", GroupStateTimeout.NoTimeout))
 
 
 def change_detect_stream(df: DataFrame, *, key_col: str, value_col: str,
@@ -282,11 +292,16 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
       the reference's `__state` root (:253-261).
     - remove_when(new, state) -> bool deletes the key (:243-251);
       include_removed keeps emitting it tagged 'remove' (:265-269).
+      Evaluated BEFORE update_when, matching the reference's order
+      (remove :243-251 precedes update :253-261 — review find: the
+      old elif made remove unreachable under update_when=True).
     - update_mode: 'replace' | 'merge' ({**old, **new}, new wins —
       flowdata:merge_points) | 'merge_reverse' ({**new, **old}).
     - max_age: PROCESSING-time since the key was added; enforced by the
-      per-key state timeout (age_cleanup :340-352) — eviction is silent,
-      like the reference's timer sweep.
+      per-key state timeout (armed to the ABSOLUTE added+max_age
+      deadline, so re-arms can't postpone it) AND a data-path sweep for
+      keys whose steady traffic keeps resetting the timer (age_cleanup
+      :340-352) — eviction is silent, like the reference's timer sweep.
     - max_ts_age: EVENT-time age against the newest ts seen on the key;
       checked on every batch (emit_buffer_cleanup :300-317).
     - emit_every: re-emit the current state row (action='emit') every
@@ -305,8 +320,6 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
     max_age_ms = parse_duration_ms(max_age) if max_age else None
     max_ts_age_ms = parse_duration_ms(max_ts_age) if max_ts_age else None
     emit_ms = parse_duration_ms(emit_every) if emit_every else None
-    timer_ms = min(x for x in (max_age_ms, emit_ms) if x) \
-        if (max_age_ms or emit_ms) else None
     if update_mode not in ("replace", "merge", "merge_reverse"):
         raise ValueError(f"update_mode must be replace/merge/merge_reverse, "
                          f"got {update_mode!r}")
@@ -324,6 +337,20 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
         StructField("removed", BooleanType()),
     ])
 
+    def arm(state, added_ms, now_ms):
+        # timer to the EARLIER of the key's absolute age deadline
+        # (added_ms + max_age — so re-arms on active keys cannot push
+        # eviction out, review find: a flat `timer_ms` from every data
+        # batch meant a continuously-updated key was never age-swept)
+        # and the periodic emit interval
+        cands = []
+        if max_age_ms is not None:
+            cands.append(added_ms + max_age_ms - now_ms)
+        if emit_ms is not None:
+            cands.append(emit_ms)
+        if cands:
+            state.setTimeoutDuration(max(1, min(cands)))
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         cols = ["key", "ts_ms", "payload", "action"]
         now_ms = int(_time.time() * 1000)
@@ -331,17 +358,25 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
         if state.hasTimedOut:
             payload, ts_ms, added_ms, removed = state.get
             rows = []
-            if max_age_ms is not None and now_ms - added_ms > max_age_ms:
+            if max_age_ms is not None and now_ms - added_ms >= max_age_ms:
                 state.remove()  # silent age sweep, like the reference
             else:
                 if emit_ms is not None and not removed:
                     rows.append((kstr, ts_ms, payload, "emit"))
-                state.setTimeoutDuration(timer_ms)
+                arm(state, added_ms, now_ms)
             yield pd.DataFrame(rows, columns=cols)
             return
 
         cur = dict(zip(("payload", "ts_ms", "added_ms", "removed"), state.get)) \
             if state.exists else None
+        # age sweep on the DATA path too (review find: the timeout
+        # never fires for a key that keeps receiving rows — each batch
+        # re-arms the timer — so an active key was never age-evicted;
+        # the reference's age_cleanup sweeps at added+max_age
+        # regardless of activity). Arriving rows then re-add fresh.
+        if (cur is not None and max_age_ms is not None
+                and now_ms - cur["added_ms"] >= max_age_ms):
+            cur = None
         rows = []
         newest = cur["ts_ms"] if cur else 0
         for pdf in pdfs:
@@ -363,6 +398,11 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                                "ts_ms": ts_ms, "added_ms": now_ms, "removed": False}
                         rows.append((kstr, ts_ms, cur["payload"], "add"))
                     continue
+                if remove_when is not None and remove_when(new_fields,
+                                                           st_fields):
+                    rows.append((kstr, ts_ms, cur["payload"], "remove"))
+                    cur = {**cur, "removed": True} if include_removed else None
+                    continue
                 do_update = update_when if isinstance(update_when, bool) \
                     else update_when(new_fields, st_fields)
                 if do_update:
@@ -376,9 +416,6 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                            "ts_ms": ts_ms, "added_ms": cur["added_ms"],
                            "removed": False}
                     rows.append((kstr, ts_ms, cur["payload"], "update"))
-                elif remove_when is not None and remove_when(new_fields, st_fields):
-                    rows.append((kstr, ts_ms, cur["payload"], "remove"))
-                    cur = {**cur, "removed": True} if include_removed else None
         if cur is not None and max_ts_age_ms is not None \
                 and newest - cur["ts_ms"] > max_ts_age_ms:
             if include_removed:
@@ -390,8 +427,7 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
         else:
             state.update((cur["payload"], cur["ts_ms"], cur["added_ms"],
                           cur["removed"]))
-            if timer_ms is not None:
-                state.setTimeoutDuration(timer_ms)
+            arm(state, cur["added_ms"], now_ms)
         yield pd.DataFrame(rows, columns=cols)
 
     return (df.groupBy(key_col)
@@ -412,8 +448,17 @@ def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
     dropped when full=true (inner semantics, maybe_emit :146-149).
 
     Emits (key, ts_ms, a_value, b_value, complete). Per-key state is
-    the pending-row buffer — bounded by the timeout flush, stored in
-    Spark's state store (RocksDB at scale)."""
+    the pending-row buffer; every pending row carries its own ARRIVAL
+    (processing-time) stamp, rows older than the timeout flush on
+    every invocation, and the timer re-arms to the OLDEST pending
+    row's remaining time — review find: the old form re-armed a flat
+    timeout whenever anything was pending, so a key with continuous
+    one-sided traffic never timed out (state grew without bound and
+    full=false partials never flushed). State is therefore bounded at
+    ~timeout's worth of unmatched rows per key, in Spark's state
+    store (RocksDB at scale)."""
+    import time as _time
+
     from faxe_spark.durations import parse_duration_ms
 
     tol_ms = parse_duration_ms(tolerance)
@@ -430,6 +475,7 @@ def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
         StructField("ts", ArrayType(LongType())),
         StructField("src", ArrayType(StringType())),
         StructField("val", ArrayType(DoubleType())),
+        StructField("arr", ArrayType(LongType())),
     ])
 
     def emit_row(key, ts_ms, src, val, partner_val=None, complete=False):
@@ -437,24 +483,45 @@ def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
         b = val if src == "b" else partner_val
         return (key, ts_ms, a, b, complete)
 
+    def park(state, key, kept, flushed, now_ms):
+        """Persist `kept`, flush `flushed` (partial rows unless full),
+        timer to the oldest kept row's remaining time."""
+        rows = [] if full else [
+            emit_row(key, t, s, v) for t, s, v, _arr in flushed]
+        if kept:
+            state.update((tuple(x[0] for x in kept),
+                          tuple(x[1] for x in kept),
+                          tuple(x[2] for x in kept),
+                          tuple(x[3] for x in kept)))
+            oldest = min(x[3] for x in kept)
+            state.setTimeoutDuration(max(1, oldest + timeout_ms - now_ms))
+        elif state.exists:
+            state.remove()
+        return rows
+
+    def split_expired(pend, now_ms):
+        kept = [p for p in pend if now_ms - p[3] < timeout_ms]
+        return kept, [p for p in pend if now_ms - p[3] >= timeout_ms]
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         cols = ["key", "ts_ms", "a_value", "b_value", "complete"]
+        now_ms = int(_time.time() * 1000)
         if state.hasTimedOut:
-            ts_l, src_l, val_l = state.get
-            rows = [] if full else [
-                emit_row(key[0], t, s, v) for t, s, v in zip(ts_l, src_l, val_l)]
-            state.remove()
+            pend = list(zip(*state.get))
+            kept, flushed = split_expired(pend, now_ms)
+            rows = park(state, key[0], kept, flushed, now_ms)
             yield pd.DataFrame(rows, columns=cols)
             return
         pend = list(zip(*state.get)) if state.exists else []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, s, v in zip(pdf[ts_col], pdf[src_col], pdf[value_col]):
-                pend.append((int(ts.value // 1_000_000), str(s), float(v)))
+                pend.append((int(ts.value // 1_000_000), str(s), float(v),
+                             now_ms))
         pend.sort()
         rows, remaining = [], []
         used = [False] * len(pend)
-        for i, (t, s, v) in enumerate(pend):
+        for i, (t, s, v, _arr) in enumerate(pend):
             if used[i]:
                 continue
             # nearest unused opposite-source row within tolerance
@@ -470,14 +537,13 @@ def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
                 rows.append(emit_row(key[0], t, s, v,
                                      partner_val=pend[best][2], complete=True))
             else:
-                remaining.append((t, s, v))
-        if remaining:
-            state.update((tuple(x[0] for x in remaining),
-                          tuple(x[1] for x in remaining),
-                          tuple(x[2] for x in remaining)))
-            state.setTimeoutDuration(timeout_ms)
-        elif state.exists:
-            state.remove()
+                remaining.append((t, s, v, _arr))
+        # lazy expiry on the data path: matching ran first (a partner
+        # arriving in the same batch still pairs), then anything past
+        # the timeout flushes even though fresh one-sided traffic
+        # keeps this key's invocations coming
+        kept, flushed = split_expired(remaining, now_ms)
+        rows += park(state, key[0], kept, flushed, now_ms)
         yield pd.DataFrame(rows, columns=cols)
 
     return (df.groupBy(key_col)
@@ -975,7 +1041,6 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
     construction instead of as an unresolved-column error inside the
     first micro-batch."""
     import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
 
     from faxe_spark.operators import ann_index as annix
     from faxe_spark.operators import similarity as sim
@@ -1006,18 +1071,16 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
             .select(F.col("_cid").alias("_pid"),
                     F.col(id_col).alias("_mid"),
                     F.col("_cvs").alias("_mvs")))
-        try:
-            # STRICTLY earlier epochs — a replayed epoch must not see
-            # its own failed attempt's vectors (each would match
-            # itself at cosine 1.0 and the whole batch would drop)
-            pend = (spark.read.parquet(pending_dir)
-                    .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                    .select(F.col("_cid").alias("_pid"),
+        # STRICTLY earlier epochs via the shared reader (review find:
+        # this lane previously forked the `epoch < epoch_id` filter
+        # inline — the one filter _seen_state's docstring says must
+        # not fork — and swallowed every AnalysisException)
+        pend = _pending_rows(spark, pending_dir, epoch_id)
+        if pend is not None:
+            members = members.union(
+                pend.select(F.col("_cid").alias("_pid"),
                             F.col(id_col).alias("_mid"),
                             F.col("_cvs").alias("_mvs")))
-            members = members.union(pend)
-        except AnalysisException:
-            pass
         hit_old = (sim._range_pairs(
             probers, members, threshold, block_size=block_size,
             id_col="_mid_", query_id_col="_qid_", q_type=q_type)
@@ -1123,30 +1186,49 @@ def crawl_pipeline(df: DataFrame, *, cap: int,
     return writer.start()
 
 
+def _pending_rows(spark, pending_dir: str, epoch_id: int):
+    """STRICTLY-earlier pending epochs (`epoch < epoch_id` — the
+    at-least-once-critical filter, see _seen_state), or None when the
+    pending directory does not exist yet. ONLY the path-not-found case
+    is swallowed (review find: catching every AnalysisException turned
+    a mistyped or unreadable pending path into a SILENT crawl-state
+    reset — the dedup/quota/scrub stages re-admitted duplicates; a
+    broken path must be a loud error, not an empty seen-set)."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    try:
+        pend = spark.read.parquet(pending_dir)
+    except AnalysisException as e:
+        klass = ""
+        get = getattr(e, "getErrorClass", None)
+        if get is not None:
+            klass = get() or ""
+        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(e):
+            return None                # no pending epochs yet
+        raise
+    return pend.filter(F.col("epoch") < F.lit(int(epoch_id)))
+
+
 def _seen_state(spark, bucket_table: str | None, pending_dir: str,
                 epoch_id: int, cols: list):
     """seen = compacted table ∪ STRICTLY earlier pending epochs — the
     one definition of crawl-loop state assembly (shared by
-    _bucket_dedup_pipeline and crawl_pipeline; the at-least-once-
-    critical `epoch < epoch_id` filter must not fork). STRICTLY
-    earlier: a replayed epoch must not see its own failed attempt's
-    rows, or every doc in the batch would collide with itself and be
-    dropped (data loss on the at-least-once path). The filter is
-    partition pruning on the epoch= directory layout."""
-    import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
-
+    _bucket_dedup_pipeline, crawl_pipeline and the embedding lane's
+    pending read via _pending_rows; the at-least-once-critical
+    `epoch < epoch_id` filter must not fork). STRICTLY earlier: a
+    replayed epoch must not see its own failed attempt's rows, or
+    every doc in the batch would collide with itself and be dropped
+    (data loss on the at-least-once path). The filter is partition
+    pruning on the epoch= directory layout."""
     seen = None
     if bucket_table is not None and spark.catalog.tableExists(
             bucket_table):
         seen = spark.table(bucket_table).select(*cols)
-    try:
-        pend = (spark.read.parquet(pending_dir)
-                .filter(F.col("epoch") < F.lit(int(epoch_id)))
-                .select(*cols))
+    pend = _pending_rows(spark, pending_dir, epoch_id)
+    if pend is not None:
+        pend = pend.select(*cols)
         seen = pend if seen is None else seen.union(pend)
-    except AnalysisException:
-        pass                           # no pending epochs yet
     return seen
 
 

@@ -319,3 +319,21 @@ def test_cosine_pairs_small_key_packing_equivalence(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_cosine_pairs_blocked_lane_rejects_string_ids(spark):
+    """Review find: the blocked lane's long cast turned string ids
+    into NULLs and the kernel silently found ZERO pairs (semantic_dedup
+    would keep exact duplicates). It must fail loud instead; the
+    pure-Column lane still accepts any id type."""
+    import pytest as _pytest
+
+    from faxe_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [("doc-1", [1.0, 0.0]), ("doc-2", [1.0, 0.0])],
+        "vec_id string, embedding array<double>")
+    with _pytest.raises(ValueError, match="integer id"):
+        cosine_pairs(df, 0.9)
+    got = cosine_pairs(df, 0.9, block_size=None).collect()
+    assert len(got) == 1 and got[0].cosine == 1.0

@@ -1102,3 +1102,160 @@ def test_dsir_score_stream_matches_batch(spark):
             for r in tp.dsir_score(docs, w).select(
                 "doc_id", "score_sum", "n_features", "score").collect()}
     assert got == want and len(got) > 0
+
+
+def test_join_stream_one_sided_traffic_still_flushes(spark, tmp_path):
+    """Review find: continuous one-sided traffic must NOT starve the
+    missing_timeout flush. Old form re-armed a flat timer whenever
+    anything was pending, so a key streaming only 'a' rows never timed
+    out and state grew without bound; now every pending row carries
+    its arrival stamp and ages out even while new rows keep coming."""
+    import datetime
+    import os
+    import time as _t
+
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.streaming.stateful import join_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    src = str(tmp_path / "js1")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, src string, value double"
+    spark.createDataFrame([(5, t(0), "a", 1.0)], schema) \
+        .repartition(1).write.mode("append").parquet(src)
+    s = stream_parquet(spark, src)
+    out = join_stream(s, key_col="key", src_col="src", value_col="value",
+                      tolerance="1s", missing_timeout="2s", full=False)
+    q = (out.writeStream.format("memory").queryName("js_onesided")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        # keep one-sided traffic flowing while the first row ages out
+        # (rows 100s apart in EVENT time so nothing pairs)
+        deadline = _t.time() + 60
+        i = 0
+        while _t.time() < deadline:
+            n = spark.sql(
+                "SELECT count(*) c FROM js_onesided").collect()[0].c
+            if n >= 1:
+                break
+            i += 1
+            spark.createDataFrame([(5, t(0) + datetime.timedelta(
+                seconds=100 * i), "a", 1.0 + i)], schema) \
+                .repartition(1).write.mode("append").parquet(src)
+            _t.sleep(2)
+        rows = spark.sql("SELECT * FROM js_onesided").collect()
+        assert len(rows) >= 1
+        assert all(r.complete is False and r.b_value is None
+                   for r in rows)
+    finally:
+        q.stop()
+
+
+def test_collect_full_stream_remove_wins_over_update(spark, tmp_path):
+    """Reference order (esp_collect.erl remove :243-251 before update
+    :253-261): with update_when=True a remove_when hit must still
+    delete the key — the old elif made remove unreachable."""
+    import datetime
+    import json
+
+    from faxe_spark.streaming import stream_parquet, collect_full_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = _write_rows(
+        spark, tmp_path, "cfs_rm",
+        [(1, t(0), 1.0, "x"), (1, t(1), 2.0, None),
+         (1, t(2), -9.0, "gone"), (1, t(3), 3.0, None)],
+        "key bigint, ts timestamp, v double, q string")
+    s = stream_parquet(spark, path)
+    out = collect_full_stream(
+        s, key_col="key", payload_cols=["v", "q"],
+        update_when=True,
+        remove_when=lambda new, st: new.get("v", 0) < 0)
+    _run_available_now(out, "cfs_rm")
+    rows = [(json.loads(r.payload), r.action) for r in
+            spark.sql("SELECT * FROM cfs_rm ORDER BY ts_ms").collect()]
+    assert [a for _, a in rows] == ["add", "update", "remove", "add"]
+    assert rows[2][0] == {"v": 2.0}      # removed payload = stored point
+    assert rows[3][0] == {"v": 3.0}      # tombstoned key re-adds
+
+
+def test_collect_stream_null_values_are_noops(spark, tmp_path):
+    """Review find: a NULL value row must neither add, update, nor
+    churn — ('x', NULL, 'x') is ONE add, nothing else."""
+    import datetime
+
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.streaming.stateful import collect_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    path = _write_rows(
+        spark, tmp_path, "cs_null",
+        [(1, t(0), "x"), (1, t(1), None), (1, t(2), "x"), (1, t(3), None)],
+        "key bigint, ts timestamp, v string")
+    s = stream_parquet(spark, path)
+    out = collect_stream(s, key_col="key", value_col="v")
+    _run_available_now(out, "cs_null")
+    rows = [(r.value, r.action) for r in
+            spark.sql("SELECT * FROM cs_null ORDER BY ts_ms").collect()]
+    assert rows == [("x", "add")]
+
+
+def test_pending_rows_only_swallows_path_not_found(spark, tmp_path):
+    """Review find: a broken pending dir must be a LOUD error — only
+    the genuinely-missing-path case means 'no pending epochs yet'."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from faxe_spark.streaming.stateful import _pending_rows
+
+    missing = str(tmp_path / "nope")
+    assert _pending_rows(spark, missing, 3) is None
+    # an EXISTING but unreadable dir (no parquet -> schema inference
+    # fails) raises instead of silently resetting crawl state
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(AnalysisException):
+        _pending_rows(spark, str(empty), 3)
+
+
+def test_collect_full_stream_active_key_age_eviction(spark, tmp_path):
+    """Review find: max_age is PROCESSING time since ADD and must
+    evict even a key that keeps receiving rows (the old flat timer
+    re-armed on every batch and never fired). The evicted key's next
+    row re-adds -> a second 'add' action appears."""
+    import datetime
+    import os
+    import time as _t
+
+    from faxe_spark.streaming import stream_parquet, collect_full_stream
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    src = str(tmp_path / "cfs_age")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, v double"
+    spark.createDataFrame([(1, t(0), 0.0)], schema) \
+        .repartition(1).write.mode("append").parquet(src)
+    s = stream_parquet(spark, src)
+    # update_when=False: arriving rows keep the key ACTIVE but never
+    # change it, isolating the age sweep from update traffic
+    out = collect_full_stream(s, key_col="key", payload_cols=["v"],
+                              update_when=False, max_age="2s")
+    q = (out.writeStream.format("memory").queryName("cfs_age")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 60
+        i = 0
+        while _t.time() < deadline:
+            adds = spark.sql("SELECT count(*) c FROM cfs_age "
+                             "WHERE action = 'add'").collect()[0].c
+            if adds >= 2:
+                break
+            i += 1
+            spark.createDataFrame([(1, t(i), float(i))], schema) \
+                .repartition(1).write.mode("append").parquet(src)
+            _t.sleep(1)
+        adds = [r for r in spark.sql(
+            "SELECT * FROM cfs_age WHERE action = 'add'").collect()]
+        assert len(adds) >= 2    # evicted at added+max_age, re-added
+    finally:
+        q.stop()
