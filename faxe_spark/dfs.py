@@ -1753,6 +1753,61 @@ class DFSCompiler:
             df, pattern, key_col=key, ts_col="ts", value_col=field,
             max_dist=max_dist)
 
+    def node_dsir_resample(self, df, node: NodeCall) -> DataFrame:
+        """Training-corpus DSIR selection on the DFS surface (VERDICT
+        r8 #6): `|dsir_resample(lambda: label == 'wiki').k(1000)` keeps
+        the k docs whose hashed-ngram importance toward the lambda-
+        flagged target subset is highest. Options mirror the library
+        op: .text('text') .id('doc_id') .buckets(256) .seed('dsir')
+        .salt(8)."""
+        from faxe_spark.operators.trainprep import dsir_resample
+
+        src = node.args[0] if node.args else node.params["target"][0]
+        flag = truthy(self._lam(src))
+        kw = {}
+        if "buckets" in node.params:
+            kw["buckets"] = int(self._val(node.params["buckets"][0]))
+        if "seed" in node.params:
+            kw["seed"] = str(self._val(node.params["seed"][0]))
+        if "salt" in node.params:
+            kw["salt"] = int(self._val(node.params["salt"][0]))
+        return dsir_resample(
+            df, target_flag=flag,
+            k=int(self._val(node.params["k"][0])),
+            text_col=node.params.get("text", ["text"])[0],
+            id_col=node.params.get("id", ["doc_id"])[0], **kw)
+
+    def node_shard(self, df, node: NodeCall) -> DataFrame:
+        """Deterministic global shuffle: `|shard(16)` assigns shard +
+        shard_pos via trainprep.shard_assign (one shuffle; shard count
+        = writer parallelism). Options: .id('doc_id') .seed('shuffle')."""
+        from faxe_spark.operators.trainprep import shard_assign
+
+        n = node.args[0] if node.args else node.params["shards"][0]
+        return shard_assign(
+            df, n_shards=int(self._val(n)),
+            id_col=node.params.get("id", ["doc_id"])[0],
+            seed=str(self._val(node.params.get("seed", ["shuffle"])[0])))
+
+    def node_split(self, df, node: NodeCall) -> DataFrame:
+        """Train/val/test assignment: `|split().names('train','val')
+        .fractions(0.9, 0.1)` adds a `split` column via
+        trainprep.split_assign (scan-stage, no shuffle). Options:
+        .id('doc_id') .seed('split')."""
+        from faxe_spark.operators.trainprep import split_assign
+
+        names = [str(self._val(x)) for x in node.params.get("names", [])]
+        fracs = [float(self._val(x))
+                 for x in node.params.get("fractions", [])]
+        if not names or len(names) != len(fracs):
+            raise ValueError(
+                "split needs .names(...) and .fractions(...) of equal "
+                f"length, got {len(names)} names / {len(fracs)} fractions")
+        return split_assign(
+            df, dict(zip(names, fracs)),
+            id_col=node.params.get("id", ["doc_id"])[0],
+            seed=str(self._val(node.params.get("seed", ["split"])[0])))
+
     def node_shift(self, df, node: NodeCall) -> DataFrame:
         off = node.params.get("offset", [("duration", "-30s")])[0]
         off = off[1] if isinstance(off, tuple) else off

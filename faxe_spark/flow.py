@@ -293,6 +293,60 @@ class Flow:
                 value_col=value, max_dist=max_dist, **kw)
         return self._push("match_pattern", "point", "point", apply)
 
+    # -- training-corpus prep (VERDICT r8 #6: the trainprep ops on the
+    #    builder surface, mirroring how match_pattern landed in r8) ------
+    def dsir_resample(self, *, k: int, target, text: str = "text",
+                      id: str = "doc_id", **kw) -> "Flow":
+        """DSIR selection as a flow node: keep the k documents whose
+        hashed-ngram importance weight toward `target` is highest.
+        `target` is EITHER a boolean SQL expression / Column over this
+        flow's rows (the labeled-subset form, fit in one corpus scan)
+        OR a DataFrame (a separate target corpus, the paper's usual
+        shape). Compiles to operators.trainprep.dsir_resample — scan +
+        salted top-k, weights ride the plan as a literal map."""
+        _check_kwargs("dsir_resample", kw,
+                      {"buckets", "seed", "scale", "salt"})
+
+        def apply(df, f):
+            import pyspark.sql.functions as F
+
+            from faxe_spark.operators import trainprep as tp
+            if isinstance(target, DataFrame):
+                return tp.dsir_resample(df, target, k=k, text_col=text,
+                                        id_col=id, **kw)
+            flag = F.expr(target) if isinstance(target, str) else target
+            return tp.dsir_resample(df, target_flag=flag, k=k,
+                                    text_col=text, id_col=id, **kw)
+        return self._push("dsir_resample", "point", "point", apply)
+
+    def shard(self, n_shards: int, *, id: str = "doc_id", **kw) -> "Flow":
+        """Deterministic global shuffle as a flow node: every row gets
+        `shard` in [0, n_shards) and `shard_pos` (its position in the
+        shard's shuffled order) — operators.trainprep.shard_assign's
+        one-shuffle layout; pick n_shards at the writer's parallelism."""
+        _check_kwargs("shard", kw, {"seed", "keep_hash"})
+
+        def apply(df, f):
+            from faxe_spark.operators.trainprep import shard_assign
+            return shard_assign(df, n_shards=n_shards, id_col=id, **kw)
+        return self._push("shard", "point", "point", apply)
+
+    def split(self, *, id: str = "doc_id", seed: str = "split",
+              **fractions) -> "Flow":
+        """Deterministic train/val/test assignment as a flow node:
+        `.split(train=0.9, val=0.05, test=0.05)` adds a `split` column
+        via operators.trainprep.split_assign (scan-stage, no shuffle;
+        fractions summing under 1 leave the remainder split = NULL)."""
+        if not fractions:
+            raise FlowBuildError(
+                "split needs at least one named fraction, e.g. "
+                ".split(train=0.9, val=0.1)")
+
+        def apply(df, f):
+            from faxe_spark.operators.trainprep import split_assign
+            return split_assign(df, dict(fractions), id_col=id, seed=seed)
+        return self._push("split", "point", "point", apply)
+
     # -- aggregation: batch -> point --------------------------------------
     def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
         def apply(df, f):
@@ -332,6 +386,11 @@ class Flow:
         "where", "eval", "set", "default", "keep", "delete", "rename",
         "case", "if", "group_by", "win_time", "win_session", "aggregate",
         "group_union", "match_pattern",
+        # split_assign is a pure scan-stage column expression (no
+        # window/sort/collect) — it compiles on a streaming DataFrame;
+        # shard (row_number window) and dsir_resample (driver-side
+        # weight fit + global top-k) are batch-only by construction.
+        "split",
     })
 
     def build_stream(self, spark: SparkSession, *, watermark: str = "0s",

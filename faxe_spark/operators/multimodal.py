@@ -257,14 +257,16 @@ FRAME_FEATURES_SCHEMA = StructType([
 
 
 def _avi_raw_frames(b: bytes):
-    """Parse an UNCOMPRESSED AVI (RIFF 'AVI ' + BITMAPINFOHEADER with
-    biCompression=0, 24 bpp DIB frames in '00db'/'00dc' chunks) with
-    the stdlib alone — the in-container REAL video lane (VERDICT r6
-    #9: one actually-decoded frame beyond the fake lane). Returns
-    (width, height, [(start, end) byte spans, ...]) — one span per
-    frame chunk's payload bytes — or None when the payload is not
-    such an AVI (junk, or a compressed fourcc that genuinely needs
-    PyAV/ffmpeg — that gap stays documented).
+    """Parse an AVI (RIFF 'AVI ' + BITMAPINFOHEADER; frames in
+    '00db'/'00dc' chunks) with the stdlib alone — the in-container
+    REAL video lane (VERDICT r6 #9: one actually-decoded frame beyond
+    the fake lane). Returns (width, height, [(start, end) byte spans,
+    ...], codec) — codec is 'raw' (biCompression=0, 24 bpp DIB) or
+    'mjpg' (biCompression='MJPG': each span is a standalone JPEG,
+    decoded downstream via PIL when present — VERDICT r8 #7) — or
+    None when the payload is not such an AVI (junk, or any OTHER
+    compressed fourcc, which genuinely needs PyAV/ffmpeg — that gap
+    stays documented).
 
     RIFF is a public container spec; this walks the chunk tree in
     DOCUMENT order (recursion capped — review find: a LIFO stack
@@ -323,10 +325,17 @@ def _avi_raw_frames(b: bytes):
         return None
     want = b"%02d" % vids_stream
     frames = [(s, e) for p, s, e in raw if p == want]
-    if (not frames or not width or width <= 0 or not height
-            or comp != 0 or bits != 24):
+    if not frames or not width or width <= 0 or not height:
         return None
-    return int(width), abs(int(height)), frames
+    # biCompression 'MJPG' (0x47504A4D LE): each frame chunk is a
+    # standalone JPEG — the one compressed fourcc we decode (via PIL
+    # when importable; NULL rows otherwise — VERDICT r8 #7). Any other
+    # compressed fourcc still genuinely needs PyAV/ffmpeg.
+    if comp == 0x47504A4D:
+        return int(width), abs(int(height)), frames, "mjpg"
+    if comp != 0 or bits != 24:
+        return None
+    return int(width), abs(int(height)), frames, "raw"
 
 
 def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
@@ -342,10 +351,14 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
     uniformly across the TRUE frame list, byte_offset is the frame
     chunk's real position in the payload, and mean_intensity is the
     true mean of the frame's pixel bytes (row padding excluded).
-    Payloads that are junk OR carry a compressed fourcc (needs
-    PyAV/ffmpeg on the executors — the documented remaining gap) emit
-    rows with NULL mean_intensity, same convention as the image/audio
-    lanes' junk handling.
+    MJPEG AVIs ('MJPG' fourcc — the supported compressed exception,
+    VERDICT r8 #7) decode per-frame via PIL when it is importable on
+    the executor; without PIL their rows carry NULL mean_intensity
+    (the image lane's optional-PIL contract, real byte_offsets either
+    way). Payloads that are junk OR carry any OTHER compressed fourcc
+    (needs PyAV/ffmpeg on the executors — the documented remaining
+    gap) emit rows with NULL mean_intensity, same convention as the
+    image/audio lanes' junk handling.
 
     fake=True derives per-(payload, offset) pseudo-intensities from
     md5 so the full Spark path — offset arithmetic, Arrow batching,
@@ -357,14 +370,34 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
 
     import numpy as np
 
-    def _real_rows(raw: bytes):
+    def _mjpg_mean(raw: bytes, off: int, end: int, pil):
+        """One JPEG frame's grayscale mean via PIL (the image lane's
+        decoder); None when PIL is absent or the frame is hostile —
+        the image/audio junk-lane contract."""
+        if pil is None:
+            return None
+        import io
+
+        try:
+            with pil.open(io.BytesIO(raw[off:end])) as img:
+                return float(np.asarray(img.convert("L"),
+                                        dtype=np.float64).mean() / 255.0)
+        except Exception:
+            return None
+
+    def _real_rows(raw: bytes, pil):
         parsed = _avi_raw_frames(raw)
         if parsed is None:
             return [((k * len(raw)) // n_frames, None)
                     for k in range(n_frames)]
-        width, height, frames = parsed
-        stride = ((width * 3 + 3) // 4) * 4
+        width, height, frames, codec = parsed
         out = []
+        if codec == "mjpg":
+            for k in range(n_frames):
+                off, end = frames[(k * len(frames)) // n_frames]
+                out.append((off, _mjpg_mean(raw, off, end, pil)))
+            return out
+        stride = ((width * 3 + 3) // 4) * 4
         for k in range(n_frames):
             off, end = frames[(k * len(frames)) // n_frames]
             if end - off < stride * height:
@@ -377,6 +410,12 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
         return out
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PIL resolved EXECUTOR-side once per partition (the image
+        # lane's pattern) — only the MJPEG path consumes it
+        try:
+            from PIL import Image as _pil  # noqa: PLC0415
+        except ImportError:
+            _pil = None
         for pdf in it:
             ids, idxs, offs, means = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
@@ -388,7 +427,7 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
                                  16) / 65535.0)
                             for k in range(n_frames)]
                 else:
-                    rows = _real_rows(raw)
+                    rows = _real_rows(raw, _pil)
                 for k, (off, mean) in enumerate(rows):
                     ids.append(int(i))
                     idxs.append(k)

@@ -464,14 +464,24 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     # the blocked lane keys tiles by a LONG id; a silent cast of a
     # string id would NULL every row and the kernel would detect zero
     # pairs (review find: semantic_dedup over string doc ids returned
-    # keep=true for exact duplicates). Fail loud instead.
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    # keep=true for exact duplicates). Fail loud instead. The test is
+    # "losslessly castable to long" (ADVICE r8: an exact-name whitelist
+    # wrongly rejected decimal(10,0), which casts losslessly), so any
+    # integral type — including decimal(p,0) with p <= 18, which fits
+    # a long — passes; fractional and non-numeric types fail loud.
+    from pyspark.sql.types import DecimalType, IntegralType
+
+    id_dt = corpus.schema[id_col].dataType
+    lossless = isinstance(id_dt, IntegralType) or (
+        isinstance(id_dt, DecimalType) and id_dt.scale == 0
+        and id_dt.precision <= 18)
+    if not lossless:
         raise ValueError(
-            f"cosine_pairs blocked lane requires an integer id column; "
-            f"{id_col!r} is {id_type}. Map ids to integers first (e.g. "
-            f"a dense id), or pass block_size=None for the pure-Column "
-            f"lane, which accepts any id type")
+            f"cosine_pairs blocked lane requires an id column losslessly "
+            f"castable to long; {id_col!r} is {id_dt.simpleString()}. Map "
+            f"ids to integers first (e.g. a dense id), or pass "
+            f"block_size=None for the pure-Column lane, which accepts "
+            f"any id type")
     q = corpus.select(F.col(id_col).cast("long").alias("_id"),
                       quantize_vec(F.col(vec_col)).alias("_v"), *part)
     if part:
@@ -497,8 +507,13 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
         # executor loss after materialization fails the job instead of
         # recomputing (counts is one tiny row per partition value, so
         # the re-run cost is the job retry, not the barrier itself).
-        counts = (corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n"))
-                  .localCheckpoint(eager=False))
+        # Factored through operators.common.barrier; the persist+count
+        # alternative was measured (VERDICT r8 #5, BASELINE.md r9
+        # journal) and lost.
+        from faxe_spark.operators.common import barrier
+
+        counts = barrier(
+            corpus.groupBy(*part).agg(F.count(F.lit(1)).alias("_n")))
         q = q.join(F.broadcast(counts), list(part))
         nb = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size))) \
             .cast("int")

@@ -440,7 +440,9 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
     recomputing. That is the price of not re-running the dominant
     scan+shuffle 3-4x per query at 100 TB; a deployment that cannot
     retry failed jobs should configure a reliable checkpoint dir
-    instead."""
+    instead. (Factored through operators.common.barrier —
+    FAXE_SPARK_BARRIER=persist selects the persist+count alternative
+    the VERDICT r8 #5 A/B measured; see BASELINE.md round-9 journal.)"""
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak,
                         with_pos=True)
@@ -451,10 +453,11 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
     # so the sum-of-squares test can't false-positive.
     flat = F.aggregate(F.col("_z"), F.lit(0.0),
                        lambda a, x: a + x * x) <= F.lit(0.0)
-    return (subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-            .withColumn("_flat", flat)
-            .drop("seq")
-            .localCheckpoint(eager=False))
+    from faxe_spark.operators.common import barrier
+
+    return barrier(subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+                   .withColumn("_flat", flat)
+                   .drop("seq"))
 
 
 def _motif_tile_finisher(k: int, exclusion: int):

@@ -697,7 +697,14 @@ def split_assign(df: DataFrame, splits: dict[str, float], *,
     scan-stage (no shuffle, composes with pushdown), re-runs and
     backfills agree, and membership is stable under corpus growth: a
     doc's split never depends on which other docs exist (the property
-    a rate-based sampler has and a count-based splitter lacks)."""
+    a rate-based sampler has and a count-based splitter lacks).
+
+    `id_col` should be unique and non-null (the corpus primary key):
+    NULL ids hash as '' (same NULL-as-'' device as shard_assign, so
+    they can't NULL-propagate the split to a surprise value) — which
+    means ALL NULL-id rows land in ONE split, colliding with a genuine
+    empty-string id; a corpus with many NULL ids silently skews the
+    split fractions (ADVICE r8)."""
     from faxe_spark.operators.text import md5_prefix_long
 
     if not splits or any(v < 0 for v in splits.values()):

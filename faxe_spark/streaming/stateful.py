@@ -292,9 +292,11 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
       the reference's `__state` root (:253-261).
     - remove_when(new, state) -> bool deletes the key (:243-251);
       include_removed keeps emitting it tagged 'remove' (:265-269).
-      Evaluated BEFORE update_when, matching the reference's order
-      (remove :243-251 precedes update :253-261 — review find: the
-      old elif made remove unreachable under update_when=True).
+      Evaluated only when update_when did NOT fire — the reference's
+      do_process (:186-192) calls maybe_update_state first and
+      maybe_remove only on ChangedBool=false, so update_when=True
+      makes remove unreachable by design (definition order :243-261
+      is NOT dispatch order — ADVICE r8 high).
     - update_mode: 'replace' | 'merge' ({**old, **new}, new wins —
       flowdata:merge_points) | 'merge_reverse' ({**new, **old}).
     - max_age: PROCESSING-time since the key was added; enforced by the
@@ -398,11 +400,6 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                                "ts_ms": ts_ms, "added_ms": now_ms, "removed": False}
                         rows.append((kstr, ts_ms, cur["payload"], "add"))
                     continue
-                if remove_when is not None and remove_when(new_fields,
-                                                           st_fields):
-                    rows.append((kstr, ts_ms, cur["payload"], "remove"))
-                    cur = {**cur, "removed": True} if include_removed else None
-                    continue
                 do_update = update_when if isinstance(update_when, bool) \
                     else update_when(new_fields, st_fields)
                 if do_update:
@@ -416,6 +413,11 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                            "ts_ms": ts_ms, "added_ms": cur["added_ms"],
                            "removed": False}
                     rows.append((kstr, ts_ms, cur["payload"], "update"))
+                    continue
+                if remove_when is not None and remove_when(new_fields,
+                                                           st_fields):
+                    rows.append((kstr, ts_ms, cur["payload"], "remove"))
+                    cur = {**cur, "removed": True} if include_removed else None
         if cur is not None and max_ts_age_ms is not None \
                 and newest - cur["ts_ms"] > max_ts_age_ms:
             if include_removed:

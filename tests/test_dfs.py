@@ -865,3 +865,69 @@ def test_dfs_subsequence_match_node(spark):
     with pytest.raises(ValueError, match="series key"):
         DFSCompiler(spark, tables_dir=SF_SMOKE).run(
             "|parquet('events')\n|subsequence_match()\n.pattern(1.0, 2.0)")
+
+
+def test_dfs_trainprep_nodes_match_direct(spark):
+    """VERDICT r8 #6: dsir_resample / shard / split on the DFS script
+    surface — each compiles to the trainprep library op and matches it
+    row-for-row (the lane-equality contract the r8 match_pattern node
+    set)."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run("""
+    def docs = |parquet('documents')
+
+    docs
+    |dsir_resample(lambda: "lang" == 'en')
+    .k(10)
+    .salt(4)
+    |keep('doc_id', 'score', 'rank')
+    """)
+    want = (tp.dsir_resample(docs, target_flag=F.expr("lang = 'en'"),
+                             k=10, salt=4)
+            .select("doc_id", "score", "rank"))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert out.count() == 10
+
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run("""
+    def docs = |parquet('documents')
+
+    docs
+    |shard(8)
+    .seed('epoch1')
+    |keep('doc_id', 'shard', 'shard_pos')
+    """)
+    want = (tp.shard_assign(docs, n_shards=8, seed="epoch1")
+            .select("doc_id", "shard", "shard_pos"))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    out = DFSCompiler(spark, tables_dir=SF_SMOKE).run("""
+    def docs = |parquet('documents')
+
+    docs
+    |split()
+    .names('train', 'val', 'test')
+    .fractions(0.8, 0.1, 0.1)
+    |keep('doc_id', 'split')
+    """)
+    want = (tp.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "split"))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_dfs_split_validates_names_fractions(spark):
+    with pytest.raises(ValueError, match="equal"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run("""
+        def docs = |parquet('documents')
+
+        docs
+        |split()
+        .names('train', 'val')
+        .fractions(0.8)
+        """)

