@@ -93,6 +93,9 @@ HEADLINE = [
     "video_frames_fake",
     # round 8 post-closing: DSIR selection + deterministic shard layout
     "dsir_resample", "global_shuffle_shard",
+    # round 9: split_assign's oracle row (59 -> 60 queries; totals not
+    # comparable across the boundary without removing it)
+    "corpus_split",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

@@ -3811,6 +3811,34 @@ def global_shuffle_shard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "shard_pos")
 
 
+@register(
+    "corpus_split",
+    """
+    WITH u AS (SELECT doc_id,
+        ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')
+                            || 'split'), 1, 8))::BIGINT AS uu
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN uu < 3435973836 THEN 'train'
+                WHEN uu < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+    doc="deterministic train/val/test assignment (trainprep."
+        "split_assign, 80/10/10): split = md5-prefix hash of the id "
+        "against cumulative fraction edges (int(frac * 2^32) — the "
+        "oracle restates the exact integer edges 3435973836 / "
+        "3865470566). Pure scan-stage column expression: no shuffle, "
+        "composes with pushdown, membership stable under corpus "
+        "growth (a doc's split never depends on which other docs "
+        "exist). On Flow (.split) and DFS (|split()) since r9",
+)
+def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tp_ops.split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -4005,6 +4033,11 @@ _DEFERRED_THIS_ROUND = [
     "asof_join_merge", "sliding_window", "win_time_fill_period",
     "ts_sax_topk", "dedup_incremental_batches", "ann_ivf_topk",
     "state_sequence",
+    # --- mid-r9 addition (deferred at birth per the domain_cap /
+    #     dsir_resample precedent; r10 window candidate): split_assign's
+    #     own oracle row — the last trainprep op without one. Registry
+    #     is now 108 entries / 50 slots. ---
+    "corpus_split",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \
