@@ -93,9 +93,10 @@ HEADLINE = [
     "video_frames_fake",
     # round 8 post-closing: DSIR selection + deterministic shard layout
     "dsir_resample", "global_shuffle_shard",
-    # round 9: split_assign's oracle row (59 -> 60 queries; totals not
-    # comparable across the boundary without removing it)
-    "corpus_split",
+    # round 9: split_assign's oracle row + the append-stable shard
+    # layout (59 -> 61 queries; totals not comparable across the
+    # boundary without removing these)
+    "corpus_split", "shard_append_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

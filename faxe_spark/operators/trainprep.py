@@ -758,6 +758,58 @@ def write_shards(df: DataFrame, path: str, *, n_shards: int,
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 
 
+def shard_append(new_df: DataFrame, shard_counts: DataFrame | None, *,
+                 n_shards: int, id_col: str = "doc_id",
+                 seed: str = "shuffle", checkpoint: bool = True
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Append-stable shard layout for a growing crawl — the
+    crawl-loop-family member of shard_assign: new docs get the SAME
+    deterministic shard (md5-prefix hash of the id) but their
+    shard_pos APPENDS after everything already written — prior count
+    for the shard + the doc's rank among THIS batch's docs in the
+    shard (ordered by the full md5 hex, the same intra-shard shuffle
+    order shard_assign uses).
+
+    Why not re-run shard_assign over the union: its shard_pos is a
+    rank in the GLOBAL md5 order, so every crawl epoch would renumber
+    (and therefore rewrite) every existing shard file. Here existing
+    rows' positions never change — a resumed training reader keeps
+    stable offsets and an epoch append writes only the new tail of
+    each shard. The trade is explicit: the concatenated order is
+    md5-shuffled WITHIN each epoch but epoch-ordered ACROSS epochs
+    (newest data last), which is what an append-only layout means.
+
+    Returns (appended_docs, updated_counts). State = `updated_counts`
+    — exactly n_shards (shard, _cnt) rows FOREVER (bounded by
+    construction, the smallest state in the family); feed it back as
+    `shard_counts` on the next batch. Same NULL-id hazard as
+    shard_assign: NULL ids hash as '' and collide deterministically."""
+    a = shard_assign(new_df, n_shards=n_shards, id_col=id_col, seed=seed)
+    if shard_counts is None:
+        a = a.withColumn("_base", F.lit(0).cast("long"))
+    else:
+        # n_shards rows: always broadcastable
+        a = (a.join(F.broadcast(shard_counts), "shard", "left")
+             .withColumn("_base", F.coalesce(F.col("_cnt"), F.lit(0)))
+             .drop("_cnt"))
+    appended = (a.withColumn(
+        "shard_pos", (F.col("_base") + F.col("shard_pos")).cast("long"))
+        .drop("_base"))
+    if checkpoint:
+        # both outputs read the assignment subtree; materialize once
+        # (lazily) — the family's lineage contract, and without it the
+        # per-epoch fold re-executes every prior epoch's assignment
+        appended = appended.localCheckpoint(eager=False)
+    new_counts = (appended.groupBy("shard")
+                  .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    if shard_counts is None:
+        updated = new_counts
+    else:
+        updated = (shard_counts.unionByName(new_counts)
+                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+    return appended, updated
+
+
 def pack_stats(packed: DataFrame, *, budget: int,
                by: str = "source") -> DataFrame:
     """Shard-level packing efficiency: packs, tokens, fill ratio."""

@@ -3839,6 +3839,44 @@ def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+@register(
+    "shard_append_incr_batches",
+    """
+    WITH h AS (SELECT doc_id, doc_id % 3 AS b,
+            md5(coalesce(CAST(doc_id AS VARCHAR), '') || 'shuffle') AS hh
+          FROM documents),
+    s AS (SELECT doc_id, b, hh,
+            (('0x' || substr(hh, 1, 8))::BIGINT % 8) AS shard FROM h)
+    SELECT b + 1 AS batch, doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY b, hh, doc_id) AS shard_pos
+    FROM s
+    """,
+    doc="append-stable shard layout across crawl epochs "
+        "(trainprep.shard_append folded over a doc_id % 3 split): "
+        "shard = the same md5-prefix hash as shard_assign; shard_pos "
+        "= prior shard count + the doc's md5-order rank within its "
+        "epoch — existing positions NEVER change when an epoch lands "
+        "(re-running shard_assign over the union would renumber and "
+        "rewrite every shard file), which the oracle states directly "
+        "as row_number over (epoch, md5, id). State = n_shards count "
+        "rows forever, the smallest state bound in the crawl family",
+)
+def shard_append_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = None
+    outs = []
+    for b in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == b)
+        appended, counts = tp_ops.shard_append(batch, counts, n_shards=8)
+        outs.append(appended.select(F.lit(b + 1).alias("batch"), "doc_id",
+                                    "shard", "shard_pos"))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring-window rotation
 # ---------------------------------------------------------------------------
@@ -4033,11 +4071,13 @@ _DEFERRED_THIS_ROUND = [
     "asof_join_merge", "sliding_window", "win_time_fill_period",
     "ts_sax_topk", "dedup_incremental_batches", "ann_ivf_topk",
     "state_sequence",
-    # --- mid-r9 addition (deferred at birth per the domain_cap /
-    #     dsir_resample precedent; r10 window candidate): split_assign's
-    #     own oracle row — the last trainprep op without one. Registry
-    #     is now 108 entries / 50 slots. ---
-    "corpus_split",
+    # --- mid-r9 additions (deferred at birth per the domain_cap /
+    #     dsir_resample precedent; r10 window candidates):
+    #     corpus_split = split_assign's own oracle row (the last
+    #     trainprep op without one); shard_append_incr_batches = the
+    #     append-stable shard layout folded over crawl epochs.
+    #     Registry is now 109 entries / 50 slots. ---
+    "corpus_split", "shard_append_incr_batches",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

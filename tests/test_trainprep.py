@@ -1164,3 +1164,67 @@ def test_split_assign_semantics(spark):
         tp.split_assign(df, {"a": 0.7, "b": 0.6})
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shard_append_stability_and_fold(spark):
+    """shard_append (crawl-loop family): epoch-1 positions NEVER
+    change as later epochs land (the append-stability contract
+    re-running shard_assign over the union would break); within each
+    epoch the intra-shard order is the same md5 permutation
+    shard_assign uses; counts state is exactly n_shards rows."""
+    rows = [(i, f"doc {i}", "s") for i in range(60)]
+    epochs = [rows[:20], rows[20:45], rows[45:]]
+
+    # fold all three epochs
+    counts = None
+    folded = {}
+    for ep in epochs:
+        appended, counts = tp.shard_append(_docs(spark, ep), counts,
+                                           n_shards=4)
+        for r in appended.collect():
+            folded[r.doc_id] = (r.shard, r.shard_pos)
+
+    # append stability: epoch-1 alone assigns the SAME positions
+    first, c1 = tp.shard_append(_docs(spark, epochs[0]), None, n_shards=4)
+    for r in first.collect():
+        assert folded[r.doc_id] == (r.shard, r.shard_pos)
+
+    # shard = shard_assign's shard (same hash), positions are a dense
+    # 1..n_k per shard across the whole fold
+    want_shard = {r.doc_id: r.shard
+                  for r in tp.shard_assign(_docs(spark, rows),
+                                           n_shards=4).collect()}
+    by_shard = {}
+    for d, (s, p) in folded.items():
+        assert want_shard[d] == s
+        by_shard.setdefault(s, []).append(p)
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # within-epoch order is the md5 permutation: epoch-1's positions
+    # equal plain shard_assign over epoch 1
+    want1 = {(r.doc_id): (r.shard, r.shard_pos)
+             for r in tp.shard_assign(_docs(spark, epochs[0]),
+                                      n_shards=4).collect()}
+    for r in first.collect():
+        assert want1[r.doc_id] == (r.shard, r.shard_pos)
+
+    # bounded state: n_shards rows forever, totals = docs seen
+    crows = counts.collect()
+    assert len(crows) <= 4
+    assert sum(r._cnt for r in crows) == 60
+
+
+def test_shard_append_null_id_and_empty_epoch(spark):
+    """NULL ids hash as '' (a REAL shard, the shard_assign hazard
+    doc); an empty epoch leaves positions and state untouched."""
+    appended, counts = tp.shard_append(
+        _docs(spark, [(None, "t", "s"), (7, "t", "s")]), None, n_shards=4)
+    rows = appended.collect()
+    assert all(r.shard is not None and 0 <= r.shard < 4 for r in rows)
+
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL")
+    more, counts2 = tp.shard_append(empty, counts, n_shards=4)
+    assert more.count() == 0
+    assert sorted(map(tuple, counts2.collect())) == \
+        sorted(map(tuple, counts.collect()))
