@@ -783,13 +783,37 @@ def shard_append(new_df: DataFrame, shard_counts: DataFrame | None, *,
     — exactly n_shards (shard, _cnt) rows FOREVER (bounded by
     construction, the smallest state in the family); feed it back as
     `shard_counts` on the next batch. Same NULL-id hazard as
-    shard_assign: NULL ids hash as '' and collide deterministically."""
-    a = shard_assign(new_df, n_shards=n_shards, id_col=id_col, seed=seed)
+    shard_assign: NULL ids hash as '' and collide deterministically.
+    Streaming form: streaming.stateful.shard_append_pipeline (epoch =
+    micro-batch; per-shard count rows ride the same pending-dir loop,
+    compacted by SUM via compact_pending_counts)."""
+    appended, delta = _shard_append_core(
+        new_df, shard_counts, n_shards=n_shards, id_col=id_col,
+        seed=seed, checkpoint=checkpoint)
     if shard_counts is None:
+        updated = delta
+    else:
+        updated = (shard_counts.unionByName(delta)
+                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+    return appended, updated
+
+
+def _shard_append_core(new_df: DataFrame, seen_counts: DataFrame | None, *,
+                       n_shards: int, id_col: str, seed: str,
+                       checkpoint: bool) -> tuple[DataFrame, DataFrame]:
+    """(appended_docs, THIS batch's per-shard count delta) — the
+    per-epoch kernel for the streaming pipeline. `seen_counts` may
+    carry several rows per shard (compacted table ∪ earlier pending
+    epochs, the _seen_state union shape): they are summed here, so
+    the caller never pre-aggregates."""
+    a = shard_assign(new_df, n_shards=n_shards, id_col=id_col, seed=seed)
+    if seen_counts is None:
         a = a.withColumn("_base", F.lit(0).cast("long"))
     else:
-        # n_shards rows: always broadcastable
-        a = (a.join(F.broadcast(shard_counts), "shard", "left")
+        # n_shards rows per epoch: tiny, always broadcastable
+        base = seen_counts.groupBy("shard").agg(
+            F.sum("_cnt").alias("_cnt"))
+        a = (a.join(F.broadcast(base), "shard", "left")
              .withColumn("_base", F.coalesce(F.col("_cnt"), F.lit(0)))
              .drop("_cnt"))
     appended = (a.withColumn(
@@ -800,14 +824,9 @@ def shard_append(new_df: DataFrame, shard_counts: DataFrame | None, *,
         # (lazily) — the family's lineage contract, and without it the
         # per-epoch fold re-executes every prior epoch's assignment
         appended = appended.localCheckpoint(eager=False)
-    new_counts = (appended.groupBy("shard")
-                  .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
-    if shard_counts is None:
-        updated = new_counts
-    else:
-        updated = (shard_counts.unionByName(new_counts)
-                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
-    return appended, updated
+    delta = (appended.groupBy("shard")
+             .agg(F.count(F.lit(1)).cast("long").alias("_cnt")))
+    return appended, delta
 
 
 def pack_stats(packed: DataFrame, *, budget: int,

@@ -986,6 +986,82 @@ def host_cap_pipeline(df: DataFrame, *, bucket_table: str | None,
         available_now=available_now)
 
 
+def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
+                          out_dir: str, pending_dir: str,
+                          checkpoint_dir: str, n_shards: int,
+                          id_col: str = "doc_id", seed: str = "shuffle",
+                          available_now: bool = True):
+    """Streaming append-stable shard layout — trainprep.shard_append's
+    place in the bucket-table crawl loop (epoch = micro-batch): each
+    arriving doc gets its deterministic md5-prefix shard and a
+    shard_pos that APPENDS after every position already assigned — by
+    a prior run (the compacted `bucket_table` of per-shard counts), an
+    earlier pending epoch, or its md5-order rank within this epoch.
+    Existing positions never change, so the training reader's offsets
+    stay valid across crawl epochs and restarts.
+
+    State rows are (shard, _cnt) per epoch — n_shards rows per epoch
+    in pending, folded to n_shards rows FOREVER by
+    compact_pending_counts (SUM semantics, not the fingerprint loops'
+    set union; epoch replays overwrite their own epoch dir, so each
+    epoch contributes once). Operational loop: run -> stop ->
+    compact_pending_counts -> clear pending -> restart from the SAME
+    checkpoint."""
+    from faxe_spark.operators.trainprep import _shard_append_core
+
+    def kernel(batch_df, seen):
+        return _shard_append_core(
+            batch_df, seen, n_shards=n_shards, id_col=id_col,
+            seed=seed, checkpoint=True)
+
+    return _bucket_dedup_pipeline(
+        df, kernel=kernel, cols=("shard", "_cnt"),
+        bucket_table=bucket_table, out_dir=out_dir,
+        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
+        available_now=available_now)
+
+
+def compact_pending_counts(spark, pending_dir: str,
+                           table: str = "shard_counts") -> DataFrame:
+    """Fold a shard_append_pipeline run's pending per-shard count rows
+    into the counts table — the between-runs step of the append-stable
+    layout's crawl loop. SUM semantics (the one crawl-loop state that
+    aggregates instead of unioning): pending epochs each carry at most
+    n_shards rows; epoch replays overwrite their epoch=N dir so each
+    epoch lands once; the merged table is n_shards rows forever. A run
+    that produced zero epochs is a no-op (existing table returned, or
+    created empty). Staged-rename like compact_seen_fps: a crash
+    between DROP and RENAME leaves the staged table intact."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    def _write(dframe):
+        stage = f"{table}__stage"
+        dframe.write.mode("overwrite").saveAsTable(stage)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        return spark.table(table)
+
+    try:
+        pending = (spark.read.parquet(pending_dir)
+                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+    except AnalysisException:
+        if spark.catalog.tableExists(table):
+            return spark.table(table)
+        return _write(spark.createDataFrame([], "shard long, _cnt long"))
+    if spark.catalog.tableExists(table):
+        merged = (spark.table(table).unionByName(pending)
+                  .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+    else:
+        merged = pending
+    # the input plan may read the destination table; materialize the
+    # merge before the staged rewrite drops it
+    rows = merged.collect()
+    return _write(spark.createDataFrame(rows, "shard long, _cnt long")
+                  if rows else
+                  spark.createDataFrame([], "shard long, _cnt long"))
+
+
 def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,
                              out_dir: str, pending_dir: str,
                              checkpoint_dir: str,

@@ -715,3 +715,79 @@ def test_host_cap_pipeline_late_arrival_golden(spark, tmp_path):
     got = {r.doc_id: r.host_rank for r in spark.read.parquet(out).collect()}
     # doc 1 is ABSENT: host v was capped by the earlier epoch's 5 and 7
     assert got == {5: 1, 7: 2, 20: 1}, got
+
+
+def test_shard_append_pipeline_within_run_and_across_restart(spark, tmp_path):
+    """Streaming append-stable shard layout: positions assigned in an
+    EARLIER micro-batch are never renumbered by later epochs (pending
+    counts offset them), and after stop -> compact_pending_counts ->
+    restart the compacted n_shards-row table carries the offsets —
+    the whole fold equals the batch shard_append fold, and epoch-1
+    positions equal epoch-1 run alone (the append-stability
+    contract)."""
+    import shutil
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import (compact_pending_counts,
+                                               shard_append_pipeline)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "shard_counts_e2e"
+    schema = "doc_id long, text string"
+    epochs = [[(i, "t") for i in range(10)],
+              [(i, "t") for i in range(10, 25)],
+              [(i, "t") for i in range(25, 30)]]
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = shard_append_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, n_shards=4)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", epochs[0])
+        feed("b2", epochs[1])
+        run_once()
+        compact_pending_counts(spark, pending, tbl)
+        shutil.rmtree(pending)
+        feed("b3", epochs[2])
+        run_once()
+
+        got = {r.doc_id: (r.shard, r.shard_pos)
+               for r in spark.read.parquet(out).collect()}
+
+        # fold equality: the batch op over the same epoch split
+        counts, want = None, {}
+        for ep in epochs:
+            appended, counts = tp.shard_append(
+                spark.createDataFrame(ep, schema), counts, n_shards=4)
+            for r in appended.collect():
+                want[r.doc_id] = (r.shard, r.shard_pos)
+        assert got == want
+
+        # append stability: epoch-1 docs hold the positions epoch-1
+        # alone assigns
+        solo, _ = tp.shard_append(
+            spark.createDataFrame(epochs[0], schema), None, n_shards=4)
+        for r in solo.collect():
+            assert got[r.doc_id] == (r.shard, r.shard_pos)
+
+        # compacted state: bounded at n_shards rows, totals = docs seen
+        # through the compaction point (epochs 1-2)
+        crows = spark.table(tbl).collect()
+        assert len(crows) <= 4
+        assert sum(r._cnt for r in crows) == 25
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
