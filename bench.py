@@ -93,10 +93,11 @@ HEADLINE = [
     "video_frames_fake",
     # round 8 post-closing: DSIR selection + deterministic shard layout
     "dsir_resample", "global_shuffle_shard",
-    # round 9: split_assign's oracle row + the append-stable shard
-    # layout (59 -> 61 queries; totals not comparable across the
-    # boundary without removing these)
+    # round 9: split_assign's oracle row + the two crawl-fold additions
+    # (59 -> 62 queries; totals not comparable across the boundary
+    # without removing these)
     "corpus_split", "shard_append_incr_batches",
+    "dsir_select_incr_batches",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

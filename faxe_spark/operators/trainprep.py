@@ -623,6 +623,43 @@ def dsir_resample(raw_df: DataFrame, target_df: DataFrame | None = None,
     return out.drop("_tb")
 
 
+def dsir_select_incremental(new_df: DataFrame, best: DataFrame | None, *,
+                            weights: dict[int, int], k: int,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", buckets: int = 256,
+                            seed: str = "dsir", scale: int = 1_000_000,
+                            salt: int | None = None,
+                            checkpoint: bool = True) -> DataFrame:
+    """Crawl-epoch DSIR selection under FROZEN weights — the
+    crawl-loop-family member of dsir_resample: the weight table is fit
+    ONCE (dsir_weights / dsir_weights_flagged, persisted via
+    save_dsir_weights) and every arriving epoch is scored against it;
+    the carried state is the current top-k ∪ this epoch's scores,
+    re-ranked. Because ties break on the id, the fold equals the
+    global top-k over everything seen — an epoch can arrive in any
+    split and the selection is the same (pinned in tests and by the
+    registry oracle, which states the global form directly).
+
+    State = exactly k rows forever (id + the three score columns +
+    tiebreak — no text carried), the selection analog of
+    shard_append's n_shards-row bound. Returns the updated best
+    (with rank recomputed); feed it back as `best` next epoch."""
+    from faxe_spark.operators.aggregate import top_k
+
+    scored = dsir_score(new_df, weights, text_col=text_col,
+                        buckets=buckets, seed=seed, scale=scale)
+    scored = (scored.select(id_col, "score_sum", "n_features", "score")
+              .withColumn("_tb", F.col(id_col).cast("string")))
+    pool = scored if best is None else \
+        best.drop("rank").unionByName(scored)
+    out = top_k(pool, "score", k, tiebreak="_tb", salt=salt)
+    if checkpoint:
+        # the fold re-reads the carried best every epoch; without the
+        # barrier epoch N's plan re-executes every prior epoch's scan
+        out = out.localCheckpoint(eager=False)
+    return out
+
+
 def shard_assign(df: DataFrame, *, n_shards: int, id_col: str = "doc_id",
                  seed: str = "shuffle", keep_hash: bool = False) -> DataFrame:
     """Deterministic global shuffle: assign every row a `shard` in

@@ -3722,9 +3722,7 @@ _DSIR_NORM = ("trim(regexp_replace(lower(coalesce(text, '')), "
 _DSIR_TOKS = f"string_split_regex(trim({_DSIR_NORM}), '\\s+')"
 
 
-@register(
-    "dsir_resample",
-    f"""
+_DSIR_TOP50_SQL = f"""
     WITH w AS (SELECT doc_id, source, {_DSIR_TOKS} AS wl FROM documents),
     g AS (SELECT doc_id, source, wl,
             list_transform(generate_series(1, greatest(len(wl)-1, 0)),
@@ -3761,7 +3759,11 @@ _DSIR_TOKS = f"string_split_regex(trim({_DSIR_NORM}), '\\s+')"
             ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS INT) AS rank
           FROM s)
     SELECT doc_id, score_sum, n_features, score, rank FROM r WHERE rank <= 50
-    """,
+    """
+
+@register(
+    "dsir_resample",
+    _DSIR_TOP50_SQL,
     doc="DSIR importance resampling (Xie et al. NeurIPS'23, public): "
         "keep the 50 docs whose hashed unigram+bigram log-likelihood "
         "ratio vs the src0-src3 target corpus is highest. Integer "
@@ -3875,6 +3877,34 @@ def shard_append_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+@register(
+    "dsir_select_incr_batches",
+    _DSIR_TOP50_SQL,
+    doc="crawl-epoch DSIR selection under FROZEN weights "
+        "(trainprep.dsir_select_incremental folded over a doc_id % 3 "
+        "split): the weight table is fit once on the reference corpus "
+        "(the save/load_dsir_weights lifecycle), each epoch is scored "
+        "against it, and the carried state is the current top-50 "
+        "re-ranked with the new arrivals — exactly k rows forever. "
+        "Because ties break on the id, the fold equals the global "
+        "top-k, which is what the oracle states (the same SQL as "
+        "dsir_resample — fold == global is the oracle-checked claim)",
+)
+def dsir_select_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # fit ONCE on the full reference corpus (frozen thereafter — the
+    # crawl epochs below only score)
+    wdf = tp_ops.dsir_weights_flagged(
+        d, F.col("source").isin("src0", "src1", "src2", "src3"))
+    w = {int(r["bucket"]): int(r["lam"]) for r in wdf.collect()}
+    best = None
+    for b in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == b)
+        best = tp_ops.dsir_select_incremental(batch, best, weights=w,
+                                              k=50, salt=8)
+    return best.select("doc_id", "score_sum", "n_features", "score", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -4075,9 +4105,13 @@ _DEFERRED_THIS_ROUND = [
     #     dsir_resample precedent; r10 window candidates):
     #     corpus_split = split_assign's own oracle row (the last
     #     trainprep op without one); shard_append_incr_batches = the
-    #     append-stable shard layout folded over crawl epochs.
-    #     Registry is now 109 entries / 50 slots. ---
+    #     append-stable shard layout folded over crawl epochs;
+    #     dsir_select_incr_batches = frozen-weight DSIR selection
+    #     folded over crawl epochs (fold == global top-k is the
+    #     oracle-checked claim). Registry is now 110 entries /
+    #     50 slots. ---
     "corpus_split", "shard_append_incr_batches",
+    "dsir_select_incr_batches",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

@@ -1228,3 +1228,34 @@ def test_shard_append_null_id_and_empty_epoch(spark):
     assert more.count() == 0
     assert sorted(map(tuple, counts2.collect())) == \
         sorted(map(tuple, counts.collect()))
+
+
+def test_dsir_select_incremental_fold_equals_global(spark):
+    """dsir_select_incremental (crawl-loop family): under frozen
+    weights the fold over ANY epoch split equals dsir_resample's
+    global top-k (id tiebreak makes top-k fold-exact); state is
+    exactly k rows; rank is recomputed at every fold."""
+    rows = [(i, f"word{i % 17} common text {'target ' * (i % 5)}",
+             "tgt" if i % 4 == 0 else "web") for i in range(80)]
+    d = _docs(spark, rows)
+    flag = F.col("source") == "tgt"
+    w = {int(r.bucket): int(r.lam)
+         for r in tp.dsir_weights_flagged(d, flag).collect()}
+
+    want = sorted(
+        (r.doc_id, r.score_sum, r.n_features, r.score, r.rank)
+        for r in tp.dsir_resample(d, target_flag=flag, k=10)
+        .select("doc_id", "score_sum", "n_features", "score", "rank")
+        .collect())
+
+    for split in (2, 3):
+        best = None
+        for b in range(split):
+            batch = d.filter(F.col("doc_id") % split == b)
+            best = tp.dsir_select_incremental(batch, best, weights=w,
+                                              k=10)
+        got_rows = best.collect()
+        assert len(got_rows) == 10                      # k rows of state
+        got = sorted((r.doc_id, r.score_sum, r.n_features, r.score,
+                      r.rank) for r in got_rows)
+        assert got == want, f"split={split}"
