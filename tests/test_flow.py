@@ -388,3 +388,22 @@ def test_flow_split_is_stream_safe(spark, tmp_path):
                 spark.read.parquet(str(tmp_path / "docs")),
                 {"train": 0.9, "val": 0.1}).collect()}
     assert got == want and len(got) == 50
+
+
+def test_flow_dsir_resample_dataframe_target(spark):
+    """The two-corpus DSIR form on the builder: a separate target
+    DataFrame (the paper's usual shape) routes to the target_df lane
+    and equals the direct op."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    target = docs.filter("lang = 'en'").limit(40)
+
+    got = (Flow.parquet_source("documents")
+           .dsir_resample(k=5, target=target)
+           .build(spark, SF_SMOKE))
+    want = tp.dsir_resample(docs, target, k=5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() == 5

@@ -73,6 +73,12 @@ PROBE_QUERIES = [
     # replica vocabularies are disjoint, which only re-spreads bucket
     # counts) + the one-shuffle shard layout
     "dsir_resample", "global_shuffle_shard",
+    # round 9: the crawl-fold additions (split is pure scan-stage;
+    # shard_append adds a broadcast of n_shards count rows per epoch;
+    # dsir_select carries k rows of state per epoch — all should track
+    # their underlying scans ~linearly)
+    "corpus_split", "shard_append_incr_batches",
+    "dsir_select_incr_batches",
 ]
 
 
