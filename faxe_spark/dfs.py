@@ -1803,6 +1803,10 @@ class DFSCompiler:
             raise ValueError(
                 "split needs .names(...) and .fractions(...) of equal "
                 f"length, got {len(names)} names / {len(fracs)} fractions")
+        if len(set(names)) != len(names):
+            # review find: dict(zip(...)) would silently drop the
+            # duplicate's fraction and subsample the corpus instead
+            raise ValueError(f"split names must be unique, got {names}")
         return split_assign(
             df, dict(zip(names, fracs)),
             id_col=node.params.get("id", ["doc_id"])[0],

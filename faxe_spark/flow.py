@@ -331,20 +331,34 @@ class Flow:
             return shard_assign(df, n_shards=n_shards, id_col=id, **kw)
         return self._push("shard", "point", "point", apply)
 
-    def split(self, *, id: str = "doc_id", seed: str = "split",
-              **fractions) -> "Flow":
+    def split(self, splits: dict | None = None, *, id: str = "doc_id",
+              seed: str = "split", **fractions) -> "Flow":
         """Deterministic train/val/test assignment as a flow node:
         `.split(train=0.9, val=0.05, test=0.05)` adds a `split` column
         via operators.trainprep.split_assign (scan-stage, no shuffle;
-        fractions summing under 1 leave the remainder split = NULL)."""
-        if not fractions:
+        fractions summing under 1 leave the remainder split = NULL).
+        Because **fractions is the catch-all, a mistyped OPTION would
+        silently become a split name (review find) — non-numeric
+        values fail loud here, and a split literally named 'id' or
+        'seed' is expressible via the dict form:
+        `.split({"seed": 0.5, "id": 0.5})`."""
+        merged = {**(splits or {}), **fractions}
+        if not merged:
             raise FlowBuildError(
                 "split needs at least one named fraction, e.g. "
                 ".split(train=0.9, val=0.1)")
+        bad = [k for k, v in merged.items()
+               if isinstance(v, bool) or not isinstance(v, (int, float))]
+        if bad:
+            raise FlowBuildError(
+                f"split fractions must be numbers; {bad} are not — a "
+                f"mistyped option lands here (only id=/seed= are "
+                f"options; use the dict form for splits named like "
+                f"them)")
 
         def apply(df, f):
             from faxe_spark.operators.trainprep import split_assign
-            return split_assign(df, dict(fractions), id_col=id, seed=seed)
+            return split_assign(df, merged, id_col=id, seed=seed)
         return self._push("split", "point", "point", apply)
 
     # -- aggregation: batch -> point --------------------------------------

@@ -832,6 +832,13 @@ def shard_append(new_df: DataFrame, shard_counts: DataFrame | None, *,
     else:
         updated = (shard_counts.unionByName(delta)
                    .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+        if checkpoint:
+            # the counts are the value carried FOREVER: without a
+            # barrier each epoch nests another union+groupBy layer and
+            # a long crawl's plan depth grows O(epochs) (review find —
+            # the n_shards-row materialization is the cheapest in the
+            # family)
+            updated = updated.localCheckpoint(eager=False)
     return appended, updated
 
 

@@ -4077,7 +4077,12 @@ def dsir_select_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   local all-entries oracle gate (tests/test_oracle.py + the
 #   fresh-process driver sim) remains the backstop.
 # Window: 7 slips + 2 new + 41 r7-green = 50.
-# Deferred: 50 r8-green + 7 slipped r7-green = 57.
+# Deferred at rotation time: 50 r8-green + 7 slipped r7-green = 57;
+# the 3 mid-r9 additions below (corpus_split, shard_append_incr_
+# batches, dsir_select_incr_batches) registered deferred-at-birth
+# AFTER the rotation, so the final list is 60 and the registry 110 —
+# the arithmetic the r10 rotation must restate is 110 entries /
+# 50 slots / 60 deferred.
 _DEFERRED_THIS_ROUND = [
     # --- the 50 r8-green entries (rotate out fresh, 1 round stale) ---
     "eval_project", "case_when_bucket", "percentile_exact",

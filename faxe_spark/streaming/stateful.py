@@ -1003,22 +1003,56 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     State rows are (shard, _cnt) per epoch — n_shards rows per epoch
     in pending, folded to n_shards rows FOREVER by
     compact_pending_counts (SUM semantics, not the fingerprint loops'
-    set union; epoch replays overwrite their own epoch dir, so each
-    epoch contributes once). Operational loop: run -> stop ->
-    compact_pending_counts -> clear pending -> restart from the SAME
-    checkpoint."""
+    set union). Replay safety differs from the set-union loops in BOTH
+    directions (review find): within a run a replayed epoch recomputes
+    identically and overwrites its own epoch dir; ACROSS the compact
+    boundary an epoch the checkpoint never committed would be summed
+    at compaction and then recomputed after restart — double-counted —
+    so the counts table carries an `_absorbed_through` epoch watermark
+    (same atomic rename as the counts themselves) and a replayed
+    epoch <= the watermark is a NO-OP here (its first attempt's
+    out_dir rows and counts already stand; SUM cannot dedup, so the
+    guard must refuse, where the fingerprint loops' anti-join merely
+    absorbs). Operational loop: run -> stop -> compact_pending_counts
+    -> clear pending (advisory: stale epochs <= the watermark are
+    skipped either way) -> restart from the SAME checkpoint."""
     from faxe_spark.operators.trainprep import _shard_append_core
 
-    def kernel(batch_df, seen):
-        return _shard_append_core(
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        absorbed = _absorbed_through(spark, bucket_table)
+        if absorbed is not None and epoch_id <= absorbed:
+            return  # replay of an already-compacted epoch: stand pat
+        seen = _seen_state(spark, bucket_table, pending_dir, epoch_id,
+                           ["shard", "_cnt"])
+        appended, delta = _shard_append_core(
             batch_df, seen, n_shards=n_shards, id_col=id_col,
             seed=seed, checkpoint=True)
+        (appended.write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+        (delta.write.mode("overwrite")
+         .parquet(f"{pending_dir}/epoch={epoch_id}"))
 
-    return _bucket_dedup_pipeline(
-        df, kernel=kernel, cols=("shard", "_cnt"),
-        bucket_table=bucket_table, out_dir=out_dir,
-        pending_dir=pending_dir, checkpoint_dir=checkpoint_dir,
-        available_now=available_now)
+    writer = (df.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _absorbed_through(spark, table: str | None):
+    """The counts table's epoch watermark: the highest pending epoch a
+    compaction has summed (rides every row — empty/missing table means
+    nothing absorbed)."""
+    if table is None or not spark.catalog.tableExists(table):
+        return None
+    cols = spark.table(table).columns
+    if "_absorbed_through" not in cols:
+        return None
+    row = spark.table(table).selectExpr(
+        "max(_absorbed_through) AS m").collect()[0]
+    return row.m
 
 
 def compact_pending_counts(spark, pending_dir: str,
@@ -1026,14 +1060,23 @@ def compact_pending_counts(spark, pending_dir: str,
     """Fold a shard_append_pipeline run's pending per-shard count rows
     into the counts table — the between-runs step of the append-stable
     layout's crawl loop. SUM semantics (the one crawl-loop state that
-    aggregates instead of unioning): pending epochs each carry at most
-    n_shards rows; epoch replays overwrite their epoch=N dir so each
-    epoch lands once; the merged table is n_shards rows forever. A run
-    that produced zero epochs is a no-op (existing table returned, or
+    aggregates instead of unioning), so unlike the fingerprint
+    compactors a re-delivered row CANNOT be absorbed idempotently —
+    replay safety is an epoch watermark instead (review find): only
+    pending epochs STRICTLY ABOVE the table's `_absorbed_through` are
+    summed, and the new watermark rides every row of the rewritten
+    table, so watermark and counts land in ONE atomic rename (a crash
+    between them cannot split the two). Double-compaction, a crash
+    before clearing pending, and a restart that replays an absorbed
+    epoch (the pipeline's no-op guard reads the same watermark) are
+    all safe. The merged table is n_shards rows forever; a run that
+    produced zero epochs is a no-op (existing table returned, or
     created empty). Staged-rename like compact_seen_fps: a crash
     between DROP and RENAME leaves the staged table intact."""
     import pyspark.sql.functions as F
     from pyspark.errors import AnalysisException
+
+    schema = "shard long, _cnt long, _absorbed_through long"
 
     def _write(dframe):
         stage = f"{table}__stage"
@@ -1042,24 +1085,34 @@ def compact_pending_counts(spark, pending_dir: str,
         spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
         return spark.table(table)
 
+    absorbed = _absorbed_through(spark, table)
     try:
-        pending = (spark.read.parquet(pending_dir)
-                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
+        raw = spark.read.parquet(pending_dir)  # epoch= partition col
+        if absorbed is not None:
+            raw = raw.filter(F.col("epoch") > F.lit(absorbed))
+        agg = raw.agg(F.max("epoch").alias("m")).collect()[0]
+        new_mark = agg.m
+        pending = (raw.groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
     except AnalysisException:
+        new_mark = None
+        pending = None
+    if pending is None or new_mark is None:
+        # nothing new to absorb: keep the table (and its watermark)
         if spark.catalog.tableExists(table):
             return spark.table(table)
-        return _write(spark.createDataFrame([], "shard long, _cnt long"))
+        return _write(spark.createDataFrame([], schema))
     if spark.catalog.tableExists(table):
-        merged = (spark.table(table).unionByName(pending)
+        merged = (spark.table(table).select("shard", "_cnt")
+                  .unionByName(pending)
                   .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
     else:
         merged = pending
+    mark = new_mark if absorbed is None else max(absorbed, new_mark)
     # the input plan may read the destination table; materialize the
     # merge before the staged rewrite drops it
-    rows = merged.collect()
-    return _write(spark.createDataFrame(rows, "shard long, _cnt long")
-                  if rows else
-                  spark.createDataFrame([], "shard long, _cnt long"))
+    rows = [(r.shard, r._cnt, mark) for r in merged.collect()]
+    return _write(spark.createDataFrame(rows, schema) if rows else
+                  spark.createDataFrame([], schema))
 
 
 def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,

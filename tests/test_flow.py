@@ -407,3 +407,16 @@ def test_flow_dsir_resample_dataframe_target(spark):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() == 5
+
+
+def test_flow_split_rejects_non_numeric_fraction(spark):
+    """Review find: **fractions is the catch-all, so a mistyped option
+    (.split(train=0.9, sed='x')) must fail loud at declaration, not
+    as a deep TypeError at build; the dict form expresses splits
+    named like the options."""
+    with pytest.raises(FlowBuildError, match="must be numbers"):
+        Flow.parquet_source("documents").split(train=0.9, sed="x")
+    f = Flow.parquet_source("documents").split({"seed": 0.5, "id": 0.5})
+    df = f.build(spark, SF_SMOKE)
+    assert set(r.split for r in df.select("split").distinct().collect()) \
+        == {"seed", "id"}

@@ -791,3 +791,41 @@ def test_shard_append_pipeline_within_run_and_across_restart(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_compact_pending_counts_watermark_replay_safety(spark, tmp_path):
+    """Review find: SUM state cannot absorb a re-delivered row, so the
+    compaction carries an epoch watermark on every row (one atomic
+    rename with the counts). Double-compacting the same pending dir is
+    a no-op; a stale pending dir left by a crash-before-clear is
+    skipped; and a fresh epoch above the watermark still sums."""
+    from faxe_spark.streaming.stateful import (_absorbed_through,
+                                               compact_pending_counts)
+
+    pending = str(tmp_path / "pending")
+    tbl = "shard_counts_wm"
+
+    def feed(epoch, rows):
+        spark.createDataFrame(rows, "shard long, _cnt long") \
+            .write.mode("overwrite").parquet(f"{pending}/epoch={epoch}")
+
+    try:
+        feed(0, [(0, 3), (1, 2)])
+        feed(1, [(0, 1)])
+        t = compact_pending_counts(spark, pending, tbl)
+        got = {r.shard: r._cnt for r in t.collect()}
+        assert got == {0: 4, 1: 2}
+        assert _absorbed_through(spark, tbl) == 1
+
+        # crash-before-clear: the SAME pending dir compacts again -> no-op
+        t = compact_pending_counts(spark, pending, tbl)
+        assert {r.shard: r._cnt for r in t.collect()} == {0: 4, 1: 2}
+
+        # a fresh epoch above the watermark sums; stale epochs skipped
+        feed(2, [(1, 5)])
+        t = compact_pending_counts(spark, pending, tbl)
+        assert {r.shard: r._cnt for r in t.collect()} == {0: 4, 1: 7}
+        assert _absorbed_through(spark, tbl) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
