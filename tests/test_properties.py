@@ -268,3 +268,37 @@ def test_pack_greedy_property(spark, tokens, budget):
         members = [r for r in out if r.pack_id == pid]
         assert total <= budget or any(
             m.n_tokens > budget for m in members)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_avi_parser_never_raises_on_arbitrary_bytes(payload):
+    """Hostile-input property for the stdlib AVI walker: ANY byte
+    string either parses to (w>0, h>0, non-empty spans within the
+    payload, codec in {raw, mjpg}) or returns None — never an
+    exception out of the Arrow worker (the junk-lane contract)."""
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    parsed = _avi_raw_frames(payload)
+    if parsed is not None:
+        w, h, spans, codec = parsed
+        assert w > 0 and h > 0 and codec in ("raw", "mjpg")
+        assert spans and all(0 <= s <= e <= len(payload)
+                             for s, e in spans)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_avi_parser_never_raises_on_riff_prefixed_bytes(payload):
+    """Same property with a valid RIFF/AVI magic prepended — forces
+    the fuzz INTO the chunk walker instead of bouncing off the magic
+    check (size fields, nested LISTs, strh/strf slicing all see
+    arbitrary bytes)."""
+    from faxe_spark.operators.multimodal import _avi_raw_frames
+
+    b = b"RIFF" + len(payload).to_bytes(4, "little") + b"AVI " + payload
+    parsed = _avi_raw_frames(b)
+    if parsed is not None:
+        w, h, spans, codec = parsed
+        assert w > 0 and h > 0 and codec in ("raw", "mjpg")
+        assert spans and all(0 <= s <= e <= len(b) for s, e in spans)

@@ -1259,3 +1259,21 @@ def test_dsir_select_incremental_fold_equals_global(spark):
         got = sorted((r.doc_id, r.score_sum, r.n_features, r.score,
                       r.rank) for r in got_rows)
         assert got == want, f"split={split}"
+
+
+def test_split_assign_fraction_edges(spark):
+    """Fractions summing over 1 raise; under 1 leaves exactly the
+    remainder NULL; exactly 1 assigns every row (the float-edge
+    otherwise branch — no sliver of NULL from a rounded top edge)."""
+    import pytest as _pytest
+
+    d = _docs(spark, [(i, "t", "s") for i in range(200)])
+    with _pytest.raises(ValueError, match="<= 1"):
+        tp.split_assign(d, {"a": 0.7, "b": 0.5})
+
+    part = tp.split_assign(d, {"train": 0.5}).collect()
+    names = {r.split for r in part}
+    assert names <= {"train", None} and None in names
+
+    full = tp.split_assign(d, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}).collect()
+    assert all(r.split is not None for r in full)
