@@ -829,3 +829,78 @@ def test_compact_pending_counts_watermark_replay_safety(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_shard_append_pipeline_uncommitted_epoch_replay(spark, tmp_path):
+    """The at-least-once boundary the watermark exists for (review
+    find): an epoch whose pending counts landed but whose checkpoint
+    commit did NOT (simulated by deleting the newest commit file) is
+    summed at compaction and then REPLAYED on restart — the pipeline
+    must no-op the replay (positions and counts stand exactly once),
+    and a genuinely new epoch after it still appends correctly."""
+    import glob
+    import os
+    import shutil
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import (compact_pending_counts,
+                                               shard_append_pipeline)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "shard_counts_replay"
+    schema = "doc_id long, text string"
+    epochs = [[(i, "t") for i in range(10)],
+              [(i, "t") for i in range(10, 22)],
+              [(i, "t") for i in range(22, 30)]]
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = shard_append_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, n_shards=4)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", epochs[0])
+        feed("b2", epochs[1])
+        run_once()
+        # crash simulation: the newest epoch's pending rows exist but
+        # its checkpoint commit never landed
+        newest = max(glob.glob(ck + "/commits/*"),
+                     key=lambda p: int(os.path.basename(p)))
+        os.remove(newest)
+        crc = os.path.join(os.path.dirname(newest),
+                           f".{os.path.basename(newest)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        compact_pending_counts(spark, pending, tbl)
+        shutil.rmtree(pending)
+
+        feed("b3", epochs[2])
+        run_once()           # replays the uncommitted epoch -> no-op
+        got = {r.doc_id: (r.shard, r.shard_pos)
+               for r in spark.read.parquet(out).collect()}
+
+        counts, want = None, {}
+        for ep in epochs:
+            appended, counts = tp.shard_append(
+                spark.createDataFrame(ep, schema), counts, n_shards=4)
+            for r in appended.collect():
+                want[r.doc_id] = (r.shard, r.shard_pos)
+        assert got == want          # exactly once, no double-counted base
+
+        crows = spark.table(tbl).collect()
+        assert sum(r._cnt for r in crows) == 22   # epochs 1-2 compacted once
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
