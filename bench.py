@@ -241,7 +241,14 @@ def main() -> None:
     # 17/51 of the r6 timings — BENCH_r06.json has parsed:null). The
     # latest full payload lives in BENCH_LOCAL.json; every run appends
     # to BENCH_LEDGER.jsonl so cross-round drift stays attributable
-    # from the repo alone.
+    # from the repo alone. BENCH_LOCAL means LATEST RUN, nothing more
+    # (VERDICT r9 "what's wrong" #1: the driver running bench.py itself
+    # overwrote the accepted record) — the certified/accepted record
+    # lives in BENCH_RECORD.json, which ONLY an explicit
+    # FAXE_SPARK_BENCH_ACCEPT=1 run rewrites; every payload carries
+    # accepted:true/false so the two files are self-describing.
+    accept = os.environ.get("FAXE_SPARK_BENCH_ACCEPT") == "1"
+    payload["accepted"] = accept
     here = os.path.dirname(os.path.abspath(__file__))
     stamped = dict(payload, wall_time=time.strftime("%Y-%m-%dT%H:%M:%S"))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
@@ -249,6 +256,10 @@ def main() -> None:
         fh.write("\n")
     with open(os.path.join(here, "BENCH_LEDGER.jsonl"), "a") as fh:
         fh.write(json.dumps(stamped) + "\n")
+    if accept:
+        with open(os.path.join(here, "BENCH_RECORD.json"), "w") as fh:
+            json.dump(stamped, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(line)
 
 

@@ -1762,7 +1762,18 @@ class DFSCompiler:
         .salt(8)."""
         from faxe_spark.operators.trainprep import dsir_resample
 
-        src = node.args[0] if node.args else node.params["target"][0]
+        if node.args:
+            src = node.args[0]
+        elif "target" in node.params:
+            src = node.params["target"][0]
+        else:
+            raise ValueError(
+                "dsir_resample needs a target lambda: "
+                "|dsir_resample(lambda: label == 'wiki').k(1000)")
+        if "k" not in node.params:
+            raise ValueError(
+                "dsir_resample needs .k(<count>): "
+                "|dsir_resample(lambda: label == 'wiki').k(1000)")
         flag = truthy(self._lam(src))
         kw = {}
         if "buckets" in node.params:
@@ -1783,7 +1794,14 @@ class DFSCompiler:
         = writer parallelism). Options: .id('doc_id') .seed('shuffle')."""
         from faxe_spark.operators.trainprep import shard_assign
 
-        n = node.args[0] if node.args else node.params["shards"][0]
+        if node.args:
+            n = node.args[0]
+        elif "shards" in node.params:
+            n = node.params["shards"][0]
+        else:
+            raise ValueError(
+                "shard needs a shard count: |shard(16) or "
+                "|shard().shards(16)")
         return shard_assign(
             df, n_shards=int(self._val(n)),
             id_col=node.params.get("id", ["doc_id"])[0],
@@ -1811,6 +1829,85 @@ class DFSCompiler:
             df, dict(zip(names, fracs)),
             id_col=node.params.get("id", ["doc_id"])[0],
             seed=str(self._val(node.params.get("seed", ["split"])[0])))
+
+    def _state_table(self, ref) -> DataFrame:
+        """Resolve a fold node's carried-state option (.counts/.best):
+        a `ref` to a script var / injected source wins; a plain name
+        tries env first, then a parquet table in tables_dir."""
+        from faxe_spark.tables import load_table
+
+        if isinstance(ref, tuple) and ref[0] == "ref":
+            return self.env[ref[1]]
+        name = str(self._val(ref))
+        if name in self.env:
+            return self.env[name]
+        return load_table(self.spark, self.tables_dir, name)
+
+    def node_shard_append(self, df, node: NodeCall) -> DataFrame:
+        """Append-stable shard layout on the DFS surface (VERDICT r9
+        #4): `|shard_append(8)` emits each doc's deterministic shard +
+        a shard_pos appended past everything already written.
+        `.counts('name')` names the carried (shard, _cnt) state from
+        prior epochs — a script var / injected source (env) first,
+        else a parquet table in tables_dir; omit for the first epoch.
+        `.id(...)` `.seed(...)` as shard. The one-epoch member of the
+        trainprep.shard_append fold — the loop itself lives in the
+        library/streaming forms."""
+        from faxe_spark.operators.trainprep import _shard_append_core
+
+        if node.args:
+            n = node.args[0]
+        elif "shards" in node.params:
+            n = node.params["shards"][0]
+        else:
+            raise ValueError(
+                "shard_append needs a shard count: |shard_append(16) "
+                "or |shard_append().shards(16)")
+        counts = None
+        if "counts" in node.params:
+            counts = self._state_table(node.params["counts"][0])
+        appended, _ = _shard_append_core(
+            df, counts, n_shards=int(self._val(n)),
+            id_col=node.params.get("id", ["doc_id"])[0],
+            seed=str(self._val(node.params.get("seed", ["shuffle"])[0])),
+            checkpoint=True)
+        return appended
+
+    def node_dsir_select(self, df, node: NodeCall) -> DataFrame:
+        """Frozen-weight DSIR selection on the DFS surface (VERDICT
+        r9 #4): `|dsir_select().k(100).weights('wiki')` scores docs
+        against the persisted weight table save_dsir_weights wrote
+        under that name and emits the top-k of best ∪ this epoch —
+        the output IS the updated k-row carried state.
+        `.best('name')` names the prior epochs' selection — a script
+        var / injected source (env) first, else a parquet table in
+        tables_dir; omit for the first epoch.
+        `.text/.id/.buckets/.seed/.scale/.salt` as dsir_resample."""
+        from faxe_spark.operators import trainprep as tp
+
+        if "k" not in node.params:
+            raise ValueError(
+                "dsir_select needs .k(<count>): "
+                "|dsir_select().k(100).weights('wiki')")
+        if "weights" not in node.params:
+            raise ValueError(
+                "dsir_select needs .weights('<name>') — a weight "
+                "table persisted via save_dsir_weights")
+        weights = tp.load_dsir_weights(
+            self.spark, name=str(self._val(node.params["weights"][0])))
+        best = None
+        if "best" in node.params:
+            best = self._state_table(node.params["best"][0])
+        kw = {}
+        for opt, cast in (("buckets", int), ("seed", str),
+                          ("scale", int), ("salt", int)):
+            if opt in node.params:
+                kw[opt] = cast(self._val(node.params[opt][0]))
+        return tp.dsir_select_incremental(
+            df, best, weights=weights,
+            k=int(self._val(node.params["k"][0])),
+            text_col=node.params.get("text", ["text"])[0],
+            id_col=node.params.get("id", ["doc_id"])[0], **kw)
 
     def node_shift(self, df, node: NodeCall) -> DataFrame:
         off = node.params.get("offset", [("duration", "-30s")])[0]

@@ -361,6 +361,54 @@ class Flow:
             return split_assign(df, merged, id_col=id, seed=seed)
         return self._push("split", "point", "point", apply)
 
+    def shard_append(self, n_shards: int, *, counts=None,
+                     id: str = "doc_id", seed: str = "shuffle") -> "Flow":
+        """Append-stable shard layout as a flow node (VERDICT r9 #4:
+        the epoch-fold form on the builder surface, carried state as
+        an argument like host_cap_incremental's library shape):
+        `counts` is the (shard, _cnt) state a prior epoch returned —
+        None for the first epoch — and the node emits the appended
+        docs, positions offset past everything already written.
+        The updated state is derivable from the output
+        (`counts ⊎ out.groupBy('shard').count()`) and equals what
+        operators.trainprep.shard_append returns; a long-running crawl
+        loop should use the library tuple form or
+        streaming.stateful.shard_append_pipeline — this node is the
+        one-epoch member of that fold."""
+
+        def apply(df, f):
+            from faxe_spark.operators.trainprep import _shard_append_core
+            appended, _ = _shard_append_core(
+                df, counts, n_shards=n_shards, id_col=id, seed=seed,
+                checkpoint=True)
+            return appended
+        return self._push("shard_append", "point", "point", apply)
+
+    def dsir_select(self, *, k: int, weights, best=None,
+                    text: str = "text", id: str = "doc_id",
+                    **kw) -> "Flow":
+        """Frozen-weight DSIR selection as a flow node (VERDICT r9
+        #4): score this flow's rows against a weight table fit ONCE
+        (`weights` = the {bucket: lam} dict from load_dsir_weights,
+        or a persisted-weights NAME to load at build time) and emit
+        the top-k of `best ∪ this epoch` — the output IS the updated
+        carried state (exactly k rows), so the fold form is the
+        node's natural shape: feed the built result back as `best`
+        next epoch. Fold == global top-k (id tiebreak), the
+        dsir_select_incr_batches oracle claim."""
+        _check_kwargs("dsir_select", kw,
+                      {"buckets", "seed", "scale", "salt"})
+
+        def apply(df, f):
+            from faxe_spark.operators import trainprep as tp
+            w = weights
+            if isinstance(w, str):
+                w = tp.load_dsir_weights(df.sparkSession, name=w)
+            return tp.dsir_select_incremental(
+                df, best, weights=w, k=k, text_col=text, id_col=id,
+                **kw)
+        return self._push("dsir_select", "point", "point", apply)
+
     # -- aggregation: batch -> point --------------------------------------
     def aggregate(self, specs, by: list[str] | None = None, round_to=None) -> "Flow":
         def apply(df, f):

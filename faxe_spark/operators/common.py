@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import os
 import warnings
 
 _warned: set[str] = set()
@@ -22,21 +21,14 @@ def barrier(df):
     deployment that cannot retry should configure a reliable
     checkpoint dir instead.
 
-    FAXE_SPARK_BARRIER=persist switches to the measured alternative
-    (VERDICT r8 #5 A/B): persist(MEMORY_AND_DISK) + an eager count.
-    Lineage is kept (executor loss recomputes), but the CacheManager
-    dedupes identical plans ACROSS calls — repeated one-shot calls
-    read a shared cache entry, which is wrong for an operator call
-    (right only for an explicit index lifecycle) and makes min-of-N
-    benchmarks measure the cache. See BASELINE.md round-9 journal for
-    the measured numbers; the default won."""
-    mode = os.environ.get("FAXE_SPARK_BARRIER", "checkpoint")
-    if mode == "persist":
-        from pyspark import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        return df
+    The persist(MEMORY_AND_DISK)+eager-count alternative was A/B
+    measured (VERDICT r8 #5, BASELINE.md round-9 journal: sf0.1 2.99
+    vs 5.43 s, x10 7.75 vs 11.2 s) and REJECTED — besides losing on
+    wall-clock, the CacheManager dedupes identical plans ACROSS calls
+    (wrong for a one-shot operator call, right only for an explicit
+    index lifecycle) and the un-unpersisted entries leak for the
+    session lifetime (ADVICE r9). The knob that selected it is gone;
+    this docstring is the record."""
     return df.localCheckpoint(eager=False)
 
 

@@ -371,16 +371,20 @@ def extract_frame_features(df: DataFrame, *, n_frames: int = 4,
     import numpy as np
 
     def _mjpg_mean(raw: bytes, off: int, end: int, pil):
-        """One JPEG frame's grayscale mean via PIL (the image lane's
-        decoder); None when PIL is absent or the frame is hostile —
-        the image/audio junk-lane contract."""
+        """One JPEG frame's UNWEIGHTED mean over all RGB channel bytes
+        via PIL — the same convention as the raw-DIB lane's mean of
+        all BGR pixel bytes (review find: PIL 'L' is the luma-weighted
+        0.299/0.587/0.114 mix, so the same visual content encoded raw
+        vs MJPG would read different mean_intensity). None when PIL is
+        absent or the frame is hostile — the image/audio junk-lane
+        contract."""
         if pil is None:
             return None
         import io
 
         try:
             with pil.open(io.BytesIO(raw[off:end])) as img:
-                return float(np.asarray(img.convert("L"),
+                return float(np.asarray(img.convert("RGB"),
                                         dtype=np.float64).mean() / 255.0)
         except Exception:
             return None

@@ -440,9 +440,9 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
     recomputing. That is the price of not re-running the dominant
     scan+shuffle 3-4x per query at 100 TB; a deployment that cannot
     retry failed jobs should configure a reliable checkpoint dir
-    instead. (Factored through operators.common.barrier —
-    FAXE_SPARK_BARRIER=persist selects the persist+count alternative
-    the VERDICT r8 #5 A/B measured; see BASELINE.md round-9 journal.)"""
+    instead. (Factored through operators.common.barrier; the
+    persist+count alternative the VERDICT r8 #5 A/B measured was
+    rejected and removed — see BASELINE.md round-9 journal.)"""
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak,
                         with_pos=True)

@@ -4083,40 +4083,86 @@ def dsir_select_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AFTER the rotation, so the final list is 60 and the registry 110 —
 # the arithmetic the r10 rotation must restate is 110 entries /
 # 50 slots / 60 deferred.
+# Round-10 rotation — and the STALENESS POLICY this registry now runs
+# on (VERDICT r9 #2: the old "<=2 rounds stale" phrase was
+# arithmetically dead at 110 entries / 50 slots — a full refresh
+# cycle is 110/50 = 2.2 rounds even with zero additions, so some
+# entries MUST see a 3rd round between driver rows. The honest
+# contract, stated once here and mirrored in COVERAGE.md):
+#   P1. TOUCHED code gets a fresh driver row the SAME round: any
+#       entry whose kernel changed this round is in-window this
+#       round (ts_motif/discord at r8 are the precedent).
+#   P2. Debt first: entries at 2-rounds-stale, rows-only refreshes,
+#       and never-driver-checked additions take window slots BEFORE
+#       any 1-round-stale refresh.
+#   P3. UNTOUCHED entries may go up to 3 rounds between driver rows
+#       ONLY while an in-window sibling exercises their exact kernel
+#       (named per slip below); the pairing is mandatory, not
+#       best-effort.
+#   P4. Backstop for every out-of-window entry, every round: the
+#       local all-entries oracle gate (tests/test_oracle.py, sf0.01,
+#       in the committed suite) + the fresh-process driver sim.
+#   P5. Additions budget: 0 per round unless a verdict orders one;
+#       any mid-round addition registers deferred-at-birth (the
+#       domain_cap precedent) and is next-round debt under P2.
+#       At 110/50 each +1 stretches the cycle by 0.02 rounds — the
+#       registry is feature-complete; growth needs a reason.
+#
+# r10 arithmetic (registry 110 entries, window 50, deferred 60):
+#   demand on the 50 slots:
+#     10 debt (P2, VERDICT r9 #1, in-window FIRST): the 6 r7-stale
+#        slips (asof_join_merge / sliding_window / win_time_fill_
+#        period / ts_sax_topk / dedup_incremental_batches /
+#        state_sequence) + ann_ivf_topk (rows-only due its hash
+#        refresh) + the 3 never-driver-checked r9 additions
+#        (corpus_split / shard_append_incr_batches /
+#        dsir_select_incr_batches — judge-green at r9).
+#     50 r8-green entries due their refresh.
+#   60 > 50: 10 r8-green entries slip to 2-rounds-stale at r10 close
+#   (r11-first under P2). Chosen per P3 — each slip's exact kernel
+#   has an IN-WINDOW sibling this round:
+#     dedup_simhash_incr_batches (simhash band kernel <- dedup_simhash_pairs)
+#     embedding_neardup_ivf   (IVF-bucketed GEMM   <- embedding_neardup
+#                              + ann_ivf_topk in window)
+#     ann_ivf_full_probe      (IVF probe kernel    <- ann_ivf_topk
+#                              + ivfpq_full_probe in window)
+#     pack_greedy             (packing kernel      <- pack_chunked)
+#     ts_discord_topk         (MP pair engine      <- ts_motif_topk)
+#     stats_extra             (stats-alias family  <- percentile_exact)
+#     time_elapsed_batch      (diff.py kernel      <- value_diff)
+#     substring_scrub_incr_batches (gram-scrub     <- exact_substring_dedup)
+#     win_clock_batch         (win_time kernel     <- sliding_window
+#                              + win_time_fill_period in window)
+#     fields_to_array         (project/path kernel <- path_split)
+#   All 10 are multi-round green with code untouched this round.
+#   Additions this round: 0 (P5 honored).
+# Window: 10 debt + 40 r8-green = 50.
+# Deferred: 50 r9-green (rotate out fresh, 1 round stale) + 10
+# slipped r8-green = 60. Registry stays 110 entries / 50 slots /
+# 60 deferred.
 _DEFERRED_THIS_ROUND = [
-    # --- the 50 r8-green entries (rotate out fresh, 1 round stale) ---
-    "eval_project", "case_when_bucket", "percentile_exact",
-    "batch_by_count", "value_diff", "combine_enrich", "interval_join",
-    "union_streams", "tpch_q6", "collect_table", "path_split",
-    "token_count", "text_quality", "lang_id",
-    "dedup_minhash_incr_batches", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dedup_simhash_incr_batches", "ann_lsh_topk",
-    "ann_ivf_full_probe", "ivfpq_full_probe", "ann_index_reuse",
-    "embedding_neardup", "embedding_neardup_ivf",
-    "embedding_neardup_incr_batches", "video_frames_fake",
-    "stats_extra", "lookup_enrich", "sample_per_period",
-    "group_by_lambda", "dfs_script_pipeline", "state_change_bulk",
-    "lambda_showcase", "deadman_gaps", "triggered_timeout",
-    "fields_to_array", "time_elapsed_batch", "win_clock_batch",
-    "repetition_quality", "pack_chunked", "pack_greedy",
-    "boilerplate_chunks", "domain_mix_sample", "exact_substring_dedup",
-    "substring_scrub_incr_batches", "semantic_dedup", "domain_cap",
-    "gopher_quality", "ts_motif_topk", "ts_discord_topk",
-    # --- the 7 slipped r7-green entries (rationale above; r10-first) ---
-    "asof_join_merge", "sliding_window", "win_time_fill_period",
-    "ts_sax_topk", "dedup_incremental_batches", "ann_ivf_topk",
-    "state_sequence",
-    # --- mid-r9 additions (deferred at birth per the domain_cap /
-    #     dsir_resample precedent; r10 window candidates):
-    #     corpus_split = split_assign's own oracle row (the last
-    #     trainprep op without one); shard_append_incr_batches = the
-    #     append-stable shard layout folded over crawl epochs;
-    #     dsir_select_incr_batches = frozen-weight DSIR selection
-    #     folded over crawl epochs (fold == global top-k is the
-    #     oracle-checked claim). Registry is now 110 entries /
-    #     50 slots. ---
-    "corpus_split", "shard_append_incr_batches",
-    "dsir_select_incr_batches",
+    # --- the 50 r9-green entries (rotate out fresh, 1 round stale) ---
+    "win_time_agg", "where_filter", "aggregate_multi", "tpch_q1",
+    "session_windows", "win_event_rolling", "time_diff", "count_change",
+    "change_detect", "sample_nth", "collect_unique", "first_last",
+    "asof_join_nearest", "tpch_q3", "tpch_q5", "tpch_q4",
+    "state_count_duration", "state_change", "collect_fields",
+    "collect_table_aged", "extract_json", "top_bottom", "dist_count",
+    "array_explode", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_topk", "jsonsize_batch", "time_shift", "training_pipeline",
+    "dedup_clusters", "pq_adc_full_probe", "multimodal_meta",
+    "image_features_fake", "statistics_node", "default_rename_extract",
+    "decontaminate", "pii_scrub", "html_extract", "dup_spans",
+    "quality_classifier", "trainprep_pipeline", "url_normalize",
+    "lm_novelty", "domain_cap_incr_batches", "ts_subsequence_topk",
+    "sax_index_reuse", "dsir_resample", "global_shuffle_shard",
+    # --- the 10 slipped r8-green entries (P3 pairings above;
+    #     r11-first under P2) ---
+    "dedup_simhash_incr_batches", "embedding_neardup_ivf",
+    "ann_ivf_full_probe", "pack_greedy", "ts_discord_topk",
+    "stats_extra", "time_elapsed_batch",
+    "substring_scrub_incr_batches", "win_clock_batch",
+    "fields_to_array",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

@@ -1013,9 +1013,18 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     epoch <= the watermark is a NO-OP here (its first attempt's
     out_dir rows and counts already stand; SUM cannot dedup, so the
     guard must refuse, where the fingerprint loops' anti-join merely
-    absorbs). Operational loop: run -> stop -> compact_pending_counts
-    -> clear pending (advisory: stale epochs <= the watermark are
-    skipped either way) -> restart from the SAME checkpoint."""
+    absorbs). Seen-state assembly is watermark-aware for the same
+    reason (review find): pending epochs <= the watermark are already
+    summed into the counts table, so _seen_state's raw
+    table ∪ all-earlier-pending union would count them TWICE — the
+    seen read here filters pending to `_absorbed_through < epoch <
+    epoch_id`, which makes clearing pending after a compaction
+    genuinely advisory (a crash between compact and clear no longer
+    corrupts new epochs' positions). Operational loop: run -> stop ->
+    compact_pending_counts -> clear pending (advisory: stale epochs
+    <= the watermark are excluded from both the replay guard and the
+    seen assembly) -> restart from the SAME checkpoint."""
+    import pyspark.sql.functions as F
     from faxe_spark.operators.trainprep import _shard_append_core
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1023,8 +1032,18 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
         absorbed = _absorbed_through(spark, bucket_table)
         if absorbed is not None and epoch_id <= absorbed:
             return  # replay of an already-compacted epoch: stand pat
-        seen = _seen_state(spark, bucket_table, pending_dir, epoch_id,
-                           ["shard", "_cnt"])
+        # watermark-aware seen assembly: SUM state cannot tolerate the
+        # set-union loops' harmless double-read of absorbed pending
+        seen = None
+        if bucket_table is not None and spark.catalog.tableExists(
+                bucket_table):
+            seen = spark.table(bucket_table).select("shard", "_cnt")
+        pend = _pending_rows(spark, pending_dir, epoch_id)
+        if pend is not None:
+            if absorbed is not None:
+                pend = pend.filter(F.col("epoch") > F.lit(absorbed))
+            pend = pend.select("shard", "_cnt")
+            seen = pend if seen is None else seen.union(pend)
         appended, delta = _shard_append_core(
             batch_df, seen, n_shards=n_shards, id_col=id_col,
             seed=seed, checkpoint=True)
@@ -1088,12 +1107,25 @@ def compact_pending_counts(spark, pending_dir: str,
     absorbed = _absorbed_through(spark, table)
     try:
         raw = spark.read.parquet(pending_dir)  # epoch= partition col
+    except AnalysisException as e:
+        # ONLY path-not-found means "nothing to absorb" (review find,
+        # mirrors _pending_rows): swallowing every AnalysisException
+        # made a mistyped/unreadable pending dir a silent no-op, and
+        # the documented compact->clear loop would then delete the
+        # REAL pending rows — counts lost permanently.
+        klass = ""
+        get = getattr(e, "getErrorClass", None)
+        if get is not None:
+            klass = get() or ""
+        if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+            raise
+        raw = None
+    if raw is not None:
         if absorbed is not None:
             raw = raw.filter(F.col("epoch") > F.lit(absorbed))
-        agg = raw.agg(F.max("epoch").alias("m")).collect()[0]
-        new_mark = agg.m
-        pending = (raw.groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
-    except AnalysisException:
+        new_mark = raw.agg(F.max("epoch").alias("m")).collect()[0].m
+        pending = raw.groupBy("shard").agg(F.sum("_cnt").alias("_cnt"))
+    else:
         new_mark = None
         pending = None
     if pending is None or new_mark is None:

@@ -931,3 +931,90 @@ def test_dfs_split_validates_names_fractions(spark):
         .names('train', 'val')
         .fractions(0.8)
         """)
+
+
+def test_dfs_fold_nodes_match_library(spark):
+    """VERDICT r9 #4: shard_append / dsir_select on the DFS script
+    surface — carried state rides in via the compiler env (`sources=`)
+    or a script var; each epoch-2 script run equals the library fold."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    e1 = docs.filter("doc_id % 2 = 0")
+    e2 = docs.filter("doc_id % 2 = 1")
+
+    a1, c1 = tp.shard_append(e1, None, n_shards=4)
+    a2, _ = tp.shard_append(e2, c1, n_shards=4)
+
+    out1 = DFSCompiler(spark, tables_dir=SF_SMOKE,
+                       sources={"epoch": e1}).run("""
+    epoch
+    |shard_append(4)
+    |keep('doc_id', 'shard', 'shard_pos')
+    """)
+    out2 = DFSCompiler(spark, tables_dir=SF_SMOKE,
+                       sources={"epoch": e2, "prior_counts": c1}).run("""
+    epoch
+    |shard_append(4)
+    .counts('prior_counts')
+    |keep('doc_id', 'shard', 'shard_pos')
+    """)
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in df.select("doc_id", "shard", "shard_pos").collect())
+    assert key(out1) == key(a1)
+    assert key(out2) == key(a2)
+
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=64)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+    b1 = tp.dsir_select_incremental(e1, None, weights=w, k=10, buckets=64)
+    b2 = tp.dsir_select_incremental(e2, b1, weights=w, k=10, buckets=64)
+    tp.save_dsir_weights(spark, wdf, name="t_dfs_dsel")
+    try:
+        s1 = DFSCompiler(spark, tables_dir=SF_SMOKE,
+                         sources={"epoch": e1}).run("""
+        epoch
+        |dsir_select()
+        .k(10)
+        .weights('t_dfs_dsel')
+        .buckets(64)
+        """)
+        assert sorted(map(tuple, s1.collect())) == \
+            sorted(map(tuple, b1.collect()))
+        s2 = DFSCompiler(spark, tables_dir=SF_SMOKE,
+                         sources={"epoch": e2, "prior_best": b1}).run("""
+        epoch
+        |dsir_select()
+        .k(10)
+        .weights('t_dfs_dsel')
+        .best('prior_best')
+        .buckets(64)
+        """)
+        assert sorted(map(tuple, s2.collect())) == \
+            sorted(map(tuple, b2.collect()))
+    finally:
+        tp.drop_dsir_weights(spark, name="t_dfs_dsel")
+
+    with pytest.raises(ValueError, match="shard count"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n|shard_append()")
+    with pytest.raises(ValueError, match=r"\.weights\("):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n|dsir_select()\n.k(10)")
+
+
+def test_dfs_shard_and_dsir_missing_options_are_loud(spark):
+    """ADVICE r9 (low): missing required options on shard /
+    dsir_resample raise descriptive ValueErrors (node_split's
+    convention), not bare KeyErrors."""
+    with pytest.raises(ValueError, match="shard count"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n|shard()")
+    with pytest.raises(ValueError, match="target lambda"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n|dsir_resample()\n.k(10)")
+    with pytest.raises(ValueError, match=r"\.k\("):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n"
+            "|dsir_resample(lambda: \"lang\" == 'en')")

@@ -361,6 +361,61 @@ def test_flow_trainprep_family_matches_direct(spark):
         sorted(map(tuple, want_p.collect()))
 
 
+def test_flow_fold_nodes_match_library(spark):
+    """VERDICT r9 #4: the crawl-fold ops on the builder surface —
+    `.shard_append` (carried counts as an argument) and `.dsir_select`
+    (output IS the carried state) equal the library fold epoch for
+    epoch."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    e1 = docs.filter("doc_id % 2 = 0")
+    e2 = docs.filter("doc_id % 2 = 1")
+
+    # shard_append: two epochs through the flow lane == library fold
+    a1, c1 = tp.shard_append(e1, None, n_shards=4)
+    a2, _ = tp.shard_append(e2, c1, n_shards=4)
+    g1 = (Flow.dataframe_source(e1).shard_append(4).build(spark))
+    g2 = (Flow.dataframe_source(e2).shard_append(4, counts=c1)
+          .build(spark))
+    key = lambda df: sorted((r.doc_id, r.shard, r.shard_pos)  # noqa: E731
+                            for r in df.select(
+                                "doc_id", "shard", "shard_pos").collect())
+    assert key(g1) == key(a1)
+    assert key(g2) == key(a2)
+
+    # dsir_select: weights by dict AND by persisted name; epoch-2 fold
+    # carries epoch-1's built output as `best`
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=64)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+    b1 = tp.dsir_select_incremental(e1, None, weights=w, k=10, buckets=64)
+    b2 = tp.dsir_select_incremental(e2, b1, weights=w, k=10, buckets=64)
+    f1 = (Flow.dataframe_source(e1)
+          .dsir_select(k=10, weights=w, buckets=64).build(spark))
+    f2 = (Flow.dataframe_source(e2)
+          .dsir_select(k=10, weights=w, best=f1, buckets=64).build(spark))
+    assert sorted(map(tuple, f1.collect())) == \
+        sorted(map(tuple, b1.collect()))
+    assert sorted(map(tuple, f2.collect())) == \
+        sorted(map(tuple, b2.collect()))
+    # fold == global: the two-epoch fold equals one-shot over the union
+    gl = tp.dsir_select_incremental(docs, None, weights=w, k=10,
+                                    buckets=64)
+    assert sorted(map(tuple, f2.collect())) == \
+        sorted(map(tuple, gl.collect()))
+
+    tp.save_dsir_weights(spark, wdf, name="t_flow_dsel")
+    try:
+        fn = (Flow.dataframe_source(e1)
+              .dsir_select(k=10, weights="t_flow_dsel", buckets=64)
+              .build(spark))
+        assert sorted(map(tuple, fn.collect())) == \
+            sorted(map(tuple, b1.collect()))
+    finally:
+        tp.drop_dsir_weights(spark, name="t_flow_dsel")
+
+
 def test_flow_split_is_stream_safe(spark, tmp_path):
     """split is a pure scan-stage column expression, so the SAME flow
     compiles on Structured Streaming and assigns identical splits."""

@@ -793,6 +793,94 @@ def test_shard_append_pipeline_within_run_and_across_restart(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
 
 
+def test_shard_append_pipeline_restart_without_clearing_pending(
+        spark, tmp_path):
+    """ADVICE r9 (high): the crash-before-clear scenario the watermark
+    exists for — compact_pending_counts ran but pending was NOT
+    cleared before restart. The pipeline's seen assembly must filter
+    pending to epochs ABOVE the watermark (already-absorbed epochs are
+    in the counts table); a raw table ∪ all-pending union would count
+    them twice and shift every new epoch's shard_pos base (gaps —
+    fold != global). Same fold-equality oracle as the clean-loop test,
+    minus the rmtree."""
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import (compact_pending_counts,
+                                               shard_append_pipeline)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    ck = str(tmp_path / "ck")
+    tbl = "shard_counts_noclear"
+    schema = "doc_id long, text string"
+    epochs = [[(i, "t") for i in range(10)],
+              [(i, "t") for i in range(10, 25)],
+              [(i, "t") for i in range(25, 30)]]
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = shard_append_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, n_shards=4)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", epochs[0])
+        feed("b2", epochs[1])
+        run_once()
+        compact_pending_counts(spark, pending, tbl)
+        # NO rmtree(pending): absorbed epochs 0-1 still sit in pending
+        feed("b3", epochs[2])
+        run_once()
+
+        got = {r.doc_id: (r.shard, r.shard_pos)
+               for r in spark.read.parquet(out).collect()}
+
+        counts, want = None, {}
+        for ep in epochs:
+            appended, counts = tp.shard_append(
+                spark.createDataFrame(ep, schema), counts, n_shards=4)
+            for r in appended.collect():
+                want[r.doc_id] = (r.shard, r.shard_pos)
+        assert got == want          # no double-counted position base
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_compact_pending_counts_unreadable_dir_is_loud(spark, tmp_path):
+    """ADVICE r9 (medium): only PATH_NOT_FOUND means 'nothing to
+    absorb'. A pending path that exists but is not readable parquet
+    must raise, not silently no-op (the documented compact -> clear
+    loop would then delete the real pending rows)."""
+    import pytest
+
+    from faxe_spark.streaming.stateful import compact_pending_counts
+
+    bad = tmp_path / "pending"
+    bad.mkdir()
+    (bad / "epoch=0").mkdir()
+    (bad / "epoch=0" / "part-0.parquet").write_bytes(b"not parquet")
+    tbl = "shard_counts_loud"
+    try:
+        with pytest.raises(Exception):
+            compact_pending_counts(spark, str(bad), tbl)
+        # genuinely-missing dir is still the quiet no-op lane
+        t = compact_pending_counts(
+            spark, str(tmp_path / "nonexistent"), tbl)
+        assert t.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
 def test_compact_pending_counts_watermark_replay_safety(spark, tmp_path):
     """Review find: SUM state cannot absorb a re-delivered row, so the
     compaction carries an epoch watermark on every row (one atomic
