@@ -236,7 +236,6 @@ def main() -> None:
                     "ceiling": round(load_ceiling, 2)},
         "result_rows": result_rows,
     }
-    line = json.dumps(payload)
     # durable record (VERDICT r6 #3: the driver's tail capture kept only
     # 17/51 of the r6 timings — BENCH_r06.json has parsed:null). The
     # latest full payload lives in BENCH_LOCAL.json; every run appends
@@ -249,6 +248,7 @@ def main() -> None:
     # accepted:true/false so the two files are self-describing.
     accept = os.environ.get("FAXE_SPARK_BENCH_ACCEPT") == "1"
     payload["accepted"] = accept
+    line = json.dumps(payload)
     here = os.path.dirname(os.path.abspath(__file__))
     stamped = dict(payload, wall_time=time.strftime("%Y-%m-%dT%H:%M:%S"))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:

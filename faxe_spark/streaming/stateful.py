@@ -1024,7 +1024,6 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     compact_pending_counts -> clear pending (advisory: stale epochs
     <= the watermark are excluded from both the replay guard and the
     seen assembly) -> restart from the SAME checkpoint."""
-    import pyspark.sql.functions as F
     from faxe_spark.operators.trainprep import _shard_append_core
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1034,16 +1033,8 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
             return  # replay of an already-compacted epoch: stand pat
         # watermark-aware seen assembly: SUM state cannot tolerate the
         # set-union loops' harmless double-read of absorbed pending
-        seen = None
-        if bucket_table is not None and spark.catalog.tableExists(
-                bucket_table):
-            seen = spark.table(bucket_table).select("shard", "_cnt")
-        pend = _pending_rows(spark, pending_dir, epoch_id)
-        if pend is not None:
-            if absorbed is not None:
-                pend = pend.filter(F.col("epoch") > F.lit(absorbed))
-            pend = pend.select("shard", "_cnt")
-            seen = pend if seen is None else seen.union(pend)
+        seen = _seen_state(spark, bucket_table, pending_dir, epoch_id,
+                           ["shard", "_cnt"], above_epoch=absorbed)
         appended, delta = _shard_append_core(
             batch_df, seen, n_shards=n_shards, id_col=id_col,
             seed=seed, checkpoint=True)
@@ -1374,22 +1365,34 @@ def _pending_rows(spark, pending_dir: str, epoch_id: int):
 
 
 def _seen_state(spark, bucket_table: str | None, pending_dir: str,
-                epoch_id: int, cols: list):
+                epoch_id: int, cols: list,
+                above_epoch: int | None = None):
     """seen = compacted table ∪ STRICTLY earlier pending epochs — the
     one definition of crawl-loop state assembly (shared by
-    _bucket_dedup_pipeline, crawl_pipeline and the embedding lane's
-    pending read via _pending_rows; the at-least-once-critical
-    `epoch < epoch_id` filter must not fork). STRICTLY earlier: a
-    replayed epoch must not see its own failed attempt's rows, or
-    every doc in the batch would collide with itself and be dropped
-    (data loss on the at-least-once path). The filter is partition
-    pruning on the epoch= directory layout."""
+    _bucket_dedup_pipeline, crawl_pipeline, shard_append_pipeline and
+    the embedding lane's pending read via _pending_rows; the
+    at-least-once-critical `epoch < epoch_id` filter must not fork).
+    STRICTLY earlier: a replayed epoch must not see its own failed
+    attempt's rows, or every doc in the batch would collide with
+    itself and be dropped (data loss on the at-least-once path).
+
+    `above_epoch` additionally EXCLUDES pending epochs <= that value
+    (ADVICE r9 high): SUM-semantics state (shard_append's counts) is
+    already summed into the compacted table up to its
+    `_absorbed_through` watermark, so re-reading those pending epochs
+    would double-count — where the set-union loops' anti-join merely
+    absorbs the duplicate rows. Set-union callers leave it None.
+    Both filters are partition pruning on the epoch= layout."""
+    import pyspark.sql.functions as F
+
     seen = None
     if bucket_table is not None and spark.catalog.tableExists(
             bucket_table):
         seen = spark.table(bucket_table).select(*cols)
     pend = _pending_rows(spark, pending_dir, epoch_id)
     if pend is not None:
+        if above_epoch is not None:
+            pend = pend.filter(F.col("epoch") > F.lit(int(above_epoch)))
         pend = pend.select(*cols)
         seen = pend if seen is None else seen.union(pend)
     return seen
