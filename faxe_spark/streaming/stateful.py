@@ -1089,11 +1089,7 @@ def compact_pending_counts(spark, pending_dir: str,
     schema = "shard long, _cnt long, _absorbed_through long"
 
     def _write(dframe):
-        stage = f"{table}__stage"
-        dframe.write.mode("overwrite").saveAsTable(stage)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
-        return spark.table(table)
+        return _staged_replace(spark, table, dframe)
 
     absorbed = _absorbed_through(spark, table)
     try:
@@ -1136,6 +1132,83 @@ def compact_pending_counts(spark, pending_dir: str,
     rows = [(r.shard, r._cnt, mark) for r in merged.collect()]
     return _write(spark.createDataFrame(rows, schema) if rows else
                   spark.createDataFrame([], schema))
+
+
+def _staged_replace(spark, table: str, dframe: DataFrame) -> DataFrame:
+    """Atomically replace `table` with `dframe` via the staged-rename
+    device (compact_seen_fps's crash contract): write the stage table,
+    DROP the old, RENAME — a crash between DROP and RENAME leaves the
+    staged table intact for manual recovery, and readers never see a
+    half-written table. `dframe` must NOT read `table` in its plan
+    (materialize first — see the collect() at every call site)."""
+    stage = f"{table}__stage"
+    dframe.write.mode("overwrite").saveAsTable(stage)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    return spark.table(table)
+
+
+def dsir_select_pipeline(df: DataFrame, *, best_table: str,
+                         checkpoint_dir: str, weights: dict[int, int],
+                         k: int, text_col: str = "text",
+                         id_col: str = "doc_id", buckets: int = 256,
+                         seed: str = "dsir", scale: int = 1_000_000,
+                         salt: int | None = None,
+                         available_now: bool = True):
+    """Streaming frozen-weight DSIR selection — dsir_select_
+    incremental's place in the crawl loop (epoch = micro-batch): each
+    arriving epoch is scored against the ONCE-fit weight table
+    (save_dsir_weights / load_dsir_weights) and folded into the
+    running top-k; because ties break on the id, the fold equals the
+    global top-k over everything seen (the library op's contract).
+
+    State = `best_table` ITSELF — exactly k rows + an
+    `_absorbed_through` epoch watermark riding every row, folded
+    FORWARD atomically each epoch (staged saveAsTable + RENAME, the
+    compact_pending_counts device). The only crawl-loop member with
+    NO pending directory and NO between-runs compaction step: its
+    state is k rows by construction, so rewriting the table per epoch
+    costs less than a pending-delta fold, and the operational loop
+    collapses to run -> stop -> restart from the SAME checkpoint.
+
+    Replay safety: a top-k fold is NOT idempotent under replay (the
+    pool would carry a replayed epoch's rows twice, and a duplicated
+    id could hold two of the k slots), so — like shard_append's SUM —
+    a replayed epoch <= the watermark is a no-op; watermark and state
+    land in ONE atomic rename, so a crash between the rename and the
+    checkpoint commit replays the epoch into the guard, not into the
+    fold."""
+    from faxe_spark.operators.trainprep import dsir_select_incremental
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        spark = batch_df.sparkSession
+        absorbed = _absorbed_through(spark, best_table)
+        if absorbed is not None and epoch_id <= absorbed:
+            return  # replay of an already-folded epoch: stand pat
+        best = None
+        if spark.catalog.tableExists(best_table):
+            best = spark.table(best_table).drop("_absorbed_through")
+        new_best = dsir_select_incremental(
+            batch_df, best, weights=weights, k=k, text_col=text_col,
+            id_col=id_col, buckets=buckets, seed=seed, scale=scale,
+            salt=salt, checkpoint=False)
+        marked = new_best.withColumn(
+            "_absorbed_through", F.lit(int(epoch_id)).cast("long"))
+        # k rows: materialize before the staged rewrite drops the
+        # table the fold's plan reads (the compact_pending_counts
+        # hazard, same fix)
+        rows = marked.collect()
+        _staged_replace(spark, best_table,
+                        spark.createDataFrame(rows, marked.schema))
+
+    writer = (df.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def substring_scrub_pipeline(df: DataFrame, *, bucket_table: str | None,

@@ -793,6 +793,136 @@ def test_shard_append_pipeline_within_run_and_across_restart(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
 
 
+def test_dsir_select_pipeline_fold_and_restart(spark, tmp_path):
+    """Streaming frozen-weight DSIR selection (r10: the one crawl-loop
+    member without a streaming form): 2 epochs in run 1, stop, restart
+    with a 3rd — the folded best table equals the library fold AND the
+    global one-shot top-k (fold == global, the id-tiebreak contract);
+    no pending dir and no compaction step exist to operate."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import dsir_select_pipeline
+    from faxe_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=64)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+    epochs = [docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 = 1"),
+              docs.filter("doc_id % 3 = 2")]
+
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck")
+    tbl = "dsir_best_e2e"
+
+    def feed(name, edf):
+        edf.repartition(1).write.parquet(str(src / name))
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = dsir_select_pipeline(
+            stream, best_table=tbl, checkpoint_dir=ck, weights=w,
+            k=20, buckets=64)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        feed("b1", epochs[0])
+        feed("b2", epochs[1])
+        run_once()
+        feed("b3", epochs[2])
+        run_once()
+
+        got = sorted((r.doc_id, r.score, r.rank)
+                     for r in spark.table(tbl).collect())
+
+        best = None
+        for e in epochs:
+            best = tp.dsir_select_incremental(e, best, weights=w, k=20,
+                                              buckets=64)
+        want = sorted((r.doc_id, r.score, r.rank)
+                      for r in best.collect())
+        assert got == want
+
+        gl = tp.dsir_select_incremental(docs, None, weights=w, k=20,
+                                        buckets=64)
+        assert got == sorted((r.doc_id, r.score, r.rank)
+                             for r in gl.collect())
+        assert len(got) == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_dsir_select_pipeline_uncommitted_epoch_replay(spark, tmp_path):
+    """A top-k fold is NOT idempotent under replay (a replayed epoch's
+    rows would sit in the pool twice and a duplicated id could take
+    two of the k slots) — the epoch watermark on the best table makes
+    the replay a no-op: deleting the newest checkpoint commit and
+    restarting must leave the fold == global, with no duplicate ids."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import dsir_select_pipeline
+    from faxe_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=64)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck")
+    tbl = "dsir_best_replay"
+
+    def run_once():
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = dsir_select_pipeline(
+            stream, best_table=tbl, checkpoint_dir=ck, weights=w,
+            k=20, buckets=64)
+        q.awaitTermination(120)
+        q.stop()
+
+    try:
+        docs.filter("doc_id % 3 = 0").repartition(1) \
+            .write.parquet(str(src / "b1"))
+        docs.filter("doc_id % 3 = 1").repartition(1) \
+            .write.parquet(str(src / "b2"))
+        run_once()
+        # crash simulation: the newest epoch folded into the table but
+        # its checkpoint commit never landed
+        newest = max(glob.glob(ck + "/commits/*"),
+                     key=lambda p: int(os.path.basename(p)))
+        os.remove(newest)
+        crc = os.path.join(os.path.dirname(newest),
+                           f".{os.path.basename(newest)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        docs.filter("doc_id % 3 = 2").repartition(1) \
+            .write.parquet(str(src / "b3"))
+        run_once()           # replays the uncommitted epoch -> no-op
+
+        got = sorted((r.doc_id, r.score, r.rank)
+                     for r in spark.table(tbl).collect())
+        ids = [g[0] for g in got]
+        assert len(ids) == len(set(ids)) == 20   # no duplicated slots
+        gl = tp.dsir_select_incremental(docs, None, weights=w, k=20,
+                                        buckets=64)
+        assert got == sorted((r.doc_id, r.score, r.rank)
+                             for r in gl.collect())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
 def test_shard_append_pipeline_restart_without_clearing_pending(
         spark, tmp_path):
     """ADVICE r9 (high): the crash-before-clear scenario the watermark
