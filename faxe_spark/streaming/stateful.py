@@ -1010,10 +1010,13 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     at compaction and then recomputed after restart — double-counted —
     so the counts table carries an `_absorbed_through` epoch watermark
     (same atomic rename as the counts themselves) and a replayed
-    epoch <= the watermark is a NO-OP here (its first attempt's
+    epoch == the watermark is a NO-OP here (its first attempt's
     out_dir rows and counts already stand; SUM cannot dedup, so the
     guard must refuse, where the fingerprint loops' anti-join merely
-    absorbs). Seen-state assembly is watermark-aware for the same
+    absorbs — and an epoch BELOW the watermark raises, see
+    _check_epoch_lineage: on the same checkpoint only the first
+    uncommitted epoch can replay, so a lower epoch proves a foreign
+    checkpoint lineage that would silently drop data). Seen-state assembly is watermark-aware for the same
     reason (review find): pending epochs <= the watermark are already
     summed into the counts table, so _seen_state's raw
     table ∪ all-earlier-pending union would count them TWICE — the
@@ -1029,8 +1032,9 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         absorbed = _absorbed_through(spark, bucket_table)
-        if absorbed is not None and epoch_id <= absorbed:
-            return  # replay of an already-compacted epoch: stand pat
+        _check_epoch_lineage(absorbed, epoch_id, bucket_table)
+        if absorbed is not None and epoch_id == absorbed:
+            return  # replay of the one legitimately-uncommitted epoch
         # watermark-aware seen assembly: SUM state cannot tolerate the
         # set-union loops' harmless double-read of absorbed pending
         seen = _seen_state(spark, bucket_table, pending_dir, epoch_id,
@@ -1049,6 +1053,29 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _check_epoch_lineage(absorbed, epoch_id: int, table: str) -> None:
+    """Loud guard for the watermark-carrying pipelines (shard_append /
+    dsir_select — the two whose folds are NOT idempotent): on the
+    documented same-checkpoint loop, epochs commit sequentially, so a
+    replayed epoch can only be the FIRST uncommitted one — at most
+    equal to the watermark (compaction can absorb nothing later than
+    the epoch that failed to commit). `epoch_id < watermark` therefore
+    PROVES the state table belongs to a different (older) checkpoint
+    lineage — a fresh checkpoint restarted epoch numbering at 0 — and
+    silently no-opping would DROP the new run's early epochs. Refuse
+    instead: resume from the same checkpoint, or drop/rename the
+    state table to start a new crawl."""
+    if absorbed is not None and epoch_id < absorbed:
+        raise ValueError(
+            f"state table '{table}' is absorbed through epoch "
+            f"{absorbed} but this run delivered epoch {epoch_id}: the "
+            "table belongs to a different (older) checkpoint lineage "
+            "(a fresh checkpoint restarts epoch numbering, and epochs "
+            "<= the watermark would silently no-op — data loss). "
+            "Resume from the SAME checkpoint, or drop/rename the "
+            "state table to start a new crawl run")
 
 
 def _absorbed_through(spark, table: str | None):
@@ -1174,10 +1201,12 @@ def dsir_select_pipeline(df: DataFrame, *, best_table: str,
     Replay safety: a top-k fold is NOT idempotent under replay (the
     pool would carry a replayed epoch's rows twice, and a duplicated
     id could hold two of the k slots), so — like shard_append's SUM —
-    a replayed epoch <= the watermark is a no-op; watermark and state
+    a replayed epoch == the watermark is a no-op; watermark and state
     land in ONE atomic rename, so a crash between the rename and the
     checkpoint commit replays the epoch into the guard, not into the
-    fold."""
+    fold. An epoch BELOW the watermark raises
+    (_check_epoch_lineage): it proves a foreign checkpoint lineage
+    whose early epochs would otherwise silently no-op."""
     from faxe_spark.operators.trainprep import dsir_select_incremental
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1185,8 +1214,9 @@ def dsir_select_pipeline(df: DataFrame, *, best_table: str,
 
         spark = batch_df.sparkSession
         absorbed = _absorbed_through(spark, best_table)
-        if absorbed is not None and epoch_id <= absorbed:
-            return  # replay of an already-folded epoch: stand pat
+        _check_epoch_lineage(absorbed, epoch_id, best_table)
+        if absorbed is not None and epoch_id == absorbed:
+            return  # replay of the one legitimately-uncommitted epoch
         best = None
         if spark.catalog.tableExists(best_table):
             best = spark.table(best_table).drop("_absorbed_through")

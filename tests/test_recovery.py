@@ -1011,6 +1011,77 @@ def test_compact_pending_counts_unreadable_dir_is_loud(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
 
 
+def test_watermark_pipelines_refuse_foreign_checkpoint_lineage(
+        spark, tmp_path):
+    """r10 hardening: on the same-checkpoint loop a replayed epoch can
+    only be the FIRST uncommitted one (epochs commit sequentially), so
+    an epoch BELOW the state table's watermark proves the table
+    belongs to an older checkpoint lineage — a fresh checkpoint
+    restarted epoch numbering at 0, and the old <= guard would have
+    silently no-opped (dropped) the new run's early epochs. Both
+    watermark pipelines must refuse loudly instead."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import (compact_pending_counts,
+                                               dsir_select_pipeline,
+                                               shard_append_pipeline)
+    from faxe_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    src = tmp_path / "src"
+    docs.repartition(1).write.parquet(str(src / "b1"))
+    read_schema = spark.read.parquet(str(src / "b1")).schema
+
+    # a counts table absorbed through epoch 2 (an older run's state)
+    pend = str(tmp_path / "old_pending")
+    spark.createDataFrame([(0, 5)], "shard long, _cnt long") \
+        .write.parquet(f"{pend}/epoch=2")
+    tbl = "shard_counts_foreign"
+    best_tbl = "dsir_best_foreign"
+    try:
+        compact_pending_counts(spark, pend, tbl)
+
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+        q = shard_append_pipeline(
+            stream, bucket_table=tbl, out_dir=str(tmp_path / "out"),
+            pending_dir=str(tmp_path / "pending"),
+            checkpoint_dir=str(tmp_path / "ck_fresh"), n_shards=4)
+        with pytest.raises(Exception, match="checkpoint lineage"):
+            q.awaitTermination(120)
+            raise AssertionError("foreign-lineage epoch 0 was accepted")
+        q.stop()
+
+        # dsir_select: a best table watermarked at 2, fresh checkpoint
+        wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"),
+                                      buckets=32)
+        w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+        seed_best = tp.dsir_select_incremental(docs, None, weights=w,
+                                               k=5, buckets=32)
+        marked = seed_best.withColumn("_absorbed_through",
+                                      F.lit(2).cast("long"))
+        marked.write.mode("overwrite").saveAsTable(best_tbl)
+        stream2 = (spark.readStream.schema(read_schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src) + "/*"))
+        q2 = dsir_select_pipeline(
+            stream2, best_table=best_tbl,
+            checkpoint_dir=str(tmp_path / "ck_fresh2"), weights=w,
+            k=5, buckets=32)
+        with pytest.raises(Exception, match="checkpoint lineage"):
+            q2.awaitTermination(120)
+            raise AssertionError("foreign-lineage epoch 0 was accepted")
+        q2.stop()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+        spark.sql(f"DROP TABLE IF EXISTS {best_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {best_tbl}__stage")
+
+
 def test_compact_pending_counts_watermark_replay_safety(spark, tmp_path):
     """Review find: SUM state cannot absorb a re-delivered row, so the
     compaction carries an epoch watermark on every row (one atomic
