@@ -302,3 +302,85 @@ def test_avi_parser_never_raises_on_riff_prefixed_bytes(payload):
         w, h, spans, codec = parsed
         assert w > 0 and h > 0 and codec in ("raw", "mjpg")
         assert spans and all(0 <= s <= e <= len(b) for s, e in spans)
+
+
+# -- crawl-fold properties (r10): random epoch partitions --------------------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(st.integers(0, 10**9), st.integers(0, 2),
+                       min_size=1, max_size=30),
+       st.integers(1, 6))
+def test_shard_append_fold_matches_python_model(spark, id_epochs, n_shards):
+    """Append-stable layout under a RANDOM partition of random ids into
+    up to 3 epochs, against a pure-Python md5 model: shard = md5-prefix
+    hash; shard_pos = docs of the same shard in EARLIER epochs + the
+    doc's md5-hex rank within its own epoch's shard slice. The
+    fixed-split e2e tests pin the loop; this pins the arithmetic for
+    arbitrary splits."""
+    import hashlib
+
+    from faxe_spark.operators import trainprep as tp
+
+    epochs = [[i for i, e in sorted(id_epochs.items()) if e == k]
+              for k in range(3)]
+    epochs = [e for e in epochs if e]
+
+    # pure-python expected fold
+    hexes = {i: hashlib.md5((str(i) + "shuffle").encode()).hexdigest()
+             for i in id_epochs}
+    shard = {i: int(hexes[i][:8], 16) % n_shards for i in id_epochs}
+    base = {s: 0 for s in range(n_shards)}
+    want = {}
+    for ep in epochs:
+        by_shard = {}
+        for i in ep:
+            by_shard.setdefault(shard[i], []).append(i)
+        for s, members in by_shard.items():
+            for rank, i in enumerate(
+                    sorted(members, key=lambda x: (hexes[x], x)), 1):
+                want[i] = (s, base[s] + rank)
+        for s, members in by_shard.items():
+            base[s] += len(members)
+
+    counts, got = None, {}
+    for ep in epochs:
+        df = spark.createDataFrame([(i, "t") for i in ep],
+                                   "doc_id long, text string")
+        appended, counts = tp.shard_append(df, counts,
+                                           n_shards=n_shards)
+        for r in appended.collect():
+            got[r.doc_id] = (r.shard, r.shard_pos)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.dictionaries(st.integers(0, 10**6), st.integers(0, 2),
+                       min_size=1, max_size=24),
+       st.integers(1, 8))
+def test_dsir_select_fold_equals_global_any_partition(spark, id_epochs, k):
+    """fold == global top-k for ANY partition of the corpus into
+    epochs (the dsir_select_incr_batches oracle claim, generalized):
+    whatever order and grouping the crawl delivers, the k selected
+    docs equal the one-shot selection over the union."""
+    from faxe_spark.operators import trainprep as tp
+
+    rows = [(i, f"w{i % 7} w{i % 5} w{i % 3}", "en" if i % 2 else "de")
+            for i in sorted(id_epochs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import pyspark.sql.functions as F
+    wdf = tp.dsir_weights_flagged(df, F.expr("lang = 'en'"), buckets=16)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+
+    best = None
+    for e in range(3):
+        ids = [i for i, ep in id_epochs.items() if ep == e]
+        if not ids:
+            continue
+        edf = df.filter(F.col("doc_id").isin(ids))
+        best = tp.dsir_select_incremental(edf, best, weights=w, k=k,
+                                          buckets=16)
+    gl = tp.dsir_select_incremental(df, None, weights=w, k=k, buckets=16)
+    assert sorted(map(tuple, best.collect())) == \
+        sorted(map(tuple, gl.collect()))
