@@ -1832,12 +1832,25 @@ class DFSCompiler:
 
     def _state_table(self, ref) -> DataFrame:
         """Resolve a fold node's carried-state option (.counts/.best):
-        a `ref` to a script var / injected source wins; a plain name
-        tries env first, then a parquet table in tables_dir."""
+        a `ref` to a script var / injected source wins; a `def` const
+        may hold the table NAME; a plain name tries env first, then a
+        parquet table in tables_dir. Unresolvable refs fail with the
+        node convention's descriptive ValueError, not a bare
+        KeyError (review find)."""
         from faxe_spark.tables import load_table
 
         if isinstance(ref, tuple) and ref[0] == "ref":
-            return self.env[ref[1]]
+            if ref[1] in self.env:
+                return self.env[ref[1]]
+            if ref[1] in self.consts:
+                ref = self.consts[ref[1]]   # const holds the name
+            else:
+                raise ValueError(
+                    f"carried-state ref '{ref[1]}' is neither a "
+                    "script var / injected source nor a def-const "
+                    "naming one — pass .counts('<name>') / "
+                    ".best('<name>') with a source from sources={...}"
+                    " or a parquet table in tables_dir")
         name = str(self._val(ref))
         if name in self.env:
             return self.env[name]

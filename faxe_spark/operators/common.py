@@ -32,6 +32,46 @@ def barrier(df):
     return df.localCheckpoint(eager=False)
 
 
+def is_missing_input(e) -> bool:
+    """True iff an AnalysisException means 'this input has no data
+    files': PATH_NOT_FOUND (the directory does not exist) or
+    UNABLE_TO_INFER_SCHEMA (it exists but holds no data files — e.g.
+    `rm -rf pending/*` cleared the contents but kept the prefix, the
+    normal shape on object stores). Everything else — unreadable
+    files, a mistyped path that exists with junk in it — must stay a
+    LOUD error (review find, twice: swallowing every
+    AnalysisException turned broken crawl-state paths into silent
+    state resets)."""
+    klass = ""
+    get = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None)
+    if get is not None:
+        klass = get() or ""
+    return any(k in klass or k in str(e)
+               for k in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"))
+
+
+def orphan_stage_guard(spark, table: str) -> None:
+    """Loud guard for the staged-rename device (compact_seen_fps /
+    _staged_replace): a crash between DROP and RENAME leaves the
+    destination missing and the state's ONLY copy under
+    `<table>__stage`. Every reader that would treat a missing table
+    as 'no state yet' must call this first — silently starting fresh
+    would re-admit duplicates (fingerprint loops), renumber positions
+    (shard counts) or discard the selection (DSIR best), and the next
+    compaction would overwrite the orphan, destroying the state
+    permanently. Recovery is one catalog op:
+    ALTER TABLE <table>__stage RENAME TO <table>."""
+    if (not spark.catalog.tableExists(table)
+            and spark.catalog.tableExists(f"{table}__stage")):
+        raise RuntimeError(
+            f"state table '{table}' is missing but '{table}__stage' "
+            "exists: a previous staged rewrite crashed between DROP "
+            "and RENAME, and the stage holds the only copy of the "
+            "state. Recover it with: ALTER TABLE "
+            f"{table}__stage RENAME TO {table}")
+
+
 def warn_global_order(node: str) -> None:
     """An ordered window with no partition keys forces every row through
     ONE task — fine for a single device stream (the reference's model),

@@ -197,11 +197,27 @@ def compact_pending_fps(spark, pending_dir: str,
     way."""
     from pyspark.errors import AnalysisException
 
+    from faxe_spark.operators.common import (is_missing_input,
+                                             orphan_stage_guard)
+
     cols = list(cols)
+    if not spark.catalog.tableExists(table):
+        # missing-but-staged = a crashed compaction's DROP/RENAME
+        # window: the stage holds the ONLY copy of the seen set, and
+        # proceeding as a fresh table would overwrite it (review
+        # find) — refuse before any rewrite.
+        orphan_stage_guard(spark, table)
     try:
         pending = (spark.read.parquet(pending_dir)
                    .select(*cols).distinct())
-    except AnalysisException:
+    except AnalysisException as e:
+        # ONLY missing input (path absent / cleared-empty) is a
+        # no-op; a mistyped or unreadable pending dir must raise, or
+        # the documented compact -> clear loop deletes the real
+        # pending fingerprints and the crawl re-admits duplicates
+        # (review find, the compact_pending_counts fix applied here)
+        if not is_missing_input(e):
+            raise
         if spark.catalog.tableExists(table):
             return spark.table(table)
         return compact_seen_fps(

@@ -650,8 +650,12 @@ def dsir_select_incremental(new_df: DataFrame, best: DataFrame | None, *,
                         buckets=buckets, seed=seed, scale=scale)
     scored = (scored.select(id_col, "score_sum", "n_features", "score")
               .withColumn("_tb", F.col(id_col).cast("string")))
+    # drop of a missing column is a no-op: "rank" rides a fed-back
+    # batch result, "_absorbed_through" rides dsir_select_pipeline's
+    # persisted best table (review find: the streaming table must be
+    # feedable to the batch fold without a union-mismatch)
     pool = scored if best is None else \
-        best.drop("rank").unionByName(scored)
+        best.drop("rank", "_absorbed_through").unionByName(scored)
     out = top_k(pool, "score", k, tiebreak="_tb", salt=salt)
     if checkpoint:
         # the fold re-reads the carried best every epoch; without the
@@ -830,7 +834,12 @@ def shard_append(new_df: DataFrame, shard_counts: DataFrame | None, *,
     if shard_counts is None:
         updated = delta
     else:
-        updated = (shard_counts.unionByName(delta)
+        # select: the compacted table carries _absorbed_through
+        # (review find: the streaming loop's state table must be
+        # feedable to the batch fold without a union-mismatch);
+        # _shard_append_core's groupBy-sum side tolerates it already
+        updated = (shard_counts.select("shard", "_cnt")
+                   .unionByName(delta)
                    .groupBy("shard").agg(F.sum("_cnt").alias("_cnt")))
         if checkpoint:
             # the counts are the value carried FOREVER: without a

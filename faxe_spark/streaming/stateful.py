@@ -1066,7 +1066,17 @@ def _check_epoch_lineage(absorbed, epoch_id: int, table: str) -> None:
     lineage — a fresh checkpoint restarted epoch numbering at 0 — and
     silently no-opping would DROP the new run's early epochs. Refuse
     instead: resume from the same checkpoint, or drop/rename the
-    state table to start a new crawl."""
+    state table to start a new crawl.
+
+    Known residual (review find): a foreign table whose watermark is
+    EXACTLY 0 (the old run compacted a single epoch) is
+    indistinguishable from a legitimate replay of uncommitted epoch 0
+    without a run identity in the state schema — that one case still
+    no-ops the fresh run's first epoch. Any longer old run raises on
+    the new run's first epoch, so the blind spot is the single-epoch
+    prior crawl only; the fix (a lineage id column) would break the
+    compact_pending_counts table contract for an edge this narrow,
+    so it is documented instead."""
     if absorbed is not None and epoch_id < absorbed:
         raise ValueError(
             f"state table '{table}' is absorbed through epoch "
@@ -1081,8 +1091,16 @@ def _check_epoch_lineage(absorbed, epoch_id: int, table: str) -> None:
 def _absorbed_through(spark, table: str | None):
     """The counts table's epoch watermark: the highest pending epoch a
     compaction has summed (rides every row — empty/missing table means
-    nothing absorbed)."""
-    if table is None or not spark.catalog.tableExists(table):
+    nothing absorbed). A MISSING table is first checked for an
+    orphaned `__stage` twin (review find: a crash between the staged
+    rewrite's DROP and RENAME leaves the state's only copy under the
+    stage name; treating that as 'no state' would silently reset the
+    fold AND let the next rewrite destroy the orphan)."""
+    if table is None:
+        return None
+    if not spark.catalog.tableExists(table):
+        from faxe_spark.operators.common import orphan_stage_guard
+        orphan_stage_guard(spark, table)
         return None
     cols = spark.table(table).columns
     if "_absorbed_through" not in cols:
@@ -1122,16 +1140,14 @@ def compact_pending_counts(spark, pending_dir: str,
     try:
         raw = spark.read.parquet(pending_dir)  # epoch= partition col
     except AnalysisException as e:
-        # ONLY path-not-found means "nothing to absorb" (review find,
+        # ONLY missing input (path absent, or present-but-empty after
+        # a pending clear) means "nothing to absorb" (review find,
         # mirrors _pending_rows): swallowing every AnalysisException
         # made a mistyped/unreadable pending dir a silent no-op, and
         # the documented compact->clear loop would then delete the
         # REAL pending rows — counts lost permanently.
-        klass = ""
-        get = getattr(e, "getErrorClass", None)
-        if get is not None:
-            klass = get() or ""
-        if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+        from faxe_spark.operators.common import is_missing_input
+        if not is_missing_input(e):
             raise
         raw = None
     if raw is not None:
@@ -1446,22 +1462,21 @@ def crawl_pipeline(df: DataFrame, *, cap: int,
 def _pending_rows(spark, pending_dir: str, epoch_id: int):
     """STRICTLY-earlier pending epochs (`epoch < epoch_id` — the
     at-least-once-critical filter, see _seen_state), or None when the
-    pending directory does not exist yet. ONLY the path-not-found case
-    is swallowed (review find: catching every AnalysisException turned
-    a mistyped or unreadable pending path into a SILENT crawl-state
-    reset — the dedup/quota/scrub stages re-admitted duplicates; a
-    broken path must be a loud error, not an empty seen-set)."""
+    pending directory does not exist yet or is empty. ONLY the
+    missing-input cases are swallowed (common.is_missing_input —
+    review find: catching every AnalysisException turned a mistyped
+    or unreadable pending path into a SILENT crawl-state reset — the
+    dedup/quota/scrub stages re-admitted duplicates; a broken path
+    must be a loud error, not an empty seen-set)."""
     import pyspark.sql.functions as F
     from pyspark.errors import AnalysisException
+
+    from faxe_spark.operators.common import is_missing_input
 
     try:
         pend = spark.read.parquet(pending_dir)
     except AnalysisException as e:
-        klass = ""
-        get = getattr(e, "getErrorClass", None)
-        if get is not None:
-            klass = get() or ""
-        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(e):
+        if is_missing_input(e):
             return None                # no pending epochs yet
         raise
     return pend.filter(F.col("epoch") < F.lit(int(epoch_id)))
@@ -1489,9 +1504,16 @@ def _seen_state(spark, bucket_table: str | None, pending_dir: str,
     import pyspark.sql.functions as F
 
     seen = None
-    if bucket_table is not None and spark.catalog.tableExists(
-            bucket_table):
-        seen = spark.table(bucket_table).select(*cols)
+    if bucket_table is not None:
+        if spark.catalog.tableExists(bucket_table):
+            seen = spark.table(bucket_table).select(*cols)
+        else:
+            # missing-but-staged means a crashed compaction, not a
+            # fresh crawl — starting with seen=None would re-admit
+            # duplicates and the next compaction would overwrite the
+            # orphan (review find)
+            from faxe_spark.operators.common import orphan_stage_guard
+            orphan_stage_guard(spark, bucket_table)
     pend = _pending_rows(spark, pending_dir, epoch_id)
     if pend is not None:
         if above_epoch is not None:

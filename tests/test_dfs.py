@@ -1002,6 +1002,10 @@ def test_dfs_fold_nodes_match_library(spark):
     with pytest.raises(ValueError, match=r"\.weights\("):
         DFSCompiler(spark, tables_dir=SF_SMOKE).run(
             "|parquet('documents')\n|dsir_select()\n.k(10)")
+    # r10 review find: a typo'd carried-state ref fails descriptively
+    with pytest.raises(ValueError, match="carried-state ref"):
+        DFSCompiler(spark, tables_dir=SF_SMOKE).run(
+            "|parquet('documents')\n|shard_append(4)\n.counts(prior)")
 
 
 def test_dfs_shard_and_dsir_missing_options_are_loud(spark):

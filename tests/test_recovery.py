@@ -1082,6 +1082,106 @@ def test_watermark_pipelines_refuse_foreign_checkpoint_lineage(
         spark.sql(f"DROP TABLE IF EXISTS {best_tbl}__stage")
 
 
+def test_orphan_stage_is_loud_not_a_fresh_start(spark, tmp_path):
+    """r10 review find: a crash between the staged rewrite's DROP and
+    RENAME leaves the state's only copy under <table>__stage. Every
+    reader that would treat the missing table as 'no state yet' must
+    raise with the recovery hint instead — silently starting fresh
+    would reset the fold AND let the next rewrite destroy the
+    orphan."""
+    import pytest
+
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import (_absorbed_through,
+                                               _seen_state,
+                                               compact_pending_counts)
+
+    tbl = "orphan_counts"
+    try:
+        # simulate the crash: only the stage table exists
+        spark.createDataFrame([(0, 3, 1)],
+                              "shard long, _cnt long, _absorbed_through long") \
+            .write.mode("overwrite").saveAsTable(f"{tbl}__stage")
+
+        with pytest.raises(RuntimeError, match="RENAME TO"):
+            _absorbed_through(spark, tbl)
+        with pytest.raises(RuntimeError, match="RENAME TO"):
+            _seen_state(spark, tbl, str(tmp_path / "nope"), 5,
+                        ["shard", "_cnt"])
+        with pytest.raises(RuntimeError, match="RENAME TO"):
+            compact_pending_counts(spark, str(tmp_path / "nope"), tbl)
+        with pytest.raises(RuntimeError, match="RENAME TO"):
+            compact_pending_fps(spark, str(tmp_path / "nope"), tbl)
+
+        # the documented recovery makes every reader whole again
+        spark.sql(f"ALTER TABLE {tbl}__stage RENAME TO {tbl}")
+        assert _absorbed_through(spark, tbl) == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_empty_pending_dir_is_nothing_to_absorb(spark, tmp_path):
+    """r10 review find: `rm -rf pending/*` (or an object store keeping
+    the empty prefix) leaves the pending dir present but empty —
+    UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND. All three pending
+    readers must treat it as 'nothing pending', not crash the loop."""
+    from faxe_spark.operators.dedup import compact_pending_fps
+    from faxe_spark.streaming.stateful import (_pending_rows,
+                                               compact_pending_counts)
+
+    empty = tmp_path / "pending"
+    empty.mkdir()
+    tbl_c, tbl_f = "empty_pend_counts", "empty_pend_fps"
+    try:
+        assert _pending_rows(spark, str(empty), 3) is None
+        t = compact_pending_counts(spark, str(empty), tbl_c)
+        assert t.count() == 0
+        t = compact_pending_fps(spark, str(empty), tbl_f)
+        assert t.count() == 0
+    finally:
+        for t in (tbl_c, tbl_f):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__stage")
+
+
+def test_pipeline_state_tables_feed_the_batch_fold(spark, tmp_path):
+    """r10 review find (cross-surface interop): the streaming loops'
+    persisted state tables carry _absorbed_through; feeding them back
+    into the BATCH fold ops (shard_append's counts side,
+    dsir_select_incremental's best side) must not union-mismatch."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    e1 = docs.filter("doc_id % 2 = 0")
+    e2 = docs.filter("doc_id % 2 = 1")
+
+    # counts table as compact_pending_counts writes it (watermark col)
+    _, c1 = tp.shard_append(e1, None, n_shards=4)
+    c1_tbl = c1.withColumn("_absorbed_through", F.lit(0).cast("long"))
+    a2, c2 = tp.shard_append(e2, c1_tbl, n_shards=4)
+    _, c2_plain = tp.shard_append(e2, c1, n_shards=4)
+    assert sorted(map(tuple, c2.collect())) == \
+        sorted(map(tuple, c2_plain.collect()))
+    assert a2.count() == e2.count()
+
+    # best table as dsir_select_pipeline writes it (watermark col)
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=32)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+    b1 = tp.dsir_select_incremental(e1, None, weights=w, k=8, buckets=32)
+    b1_tbl = b1.withColumn("_absorbed_through", F.lit(0).cast("long"))
+    b2 = tp.dsir_select_incremental(e2, b1_tbl, weights=w, k=8,
+                                    buckets=32)
+    b2_plain = tp.dsir_select_incremental(e2, b1, weights=w, k=8,
+                                          buckets=32)
+    assert sorted(map(tuple, b2.collect())) == \
+        sorted(map(tuple, b2_plain.collect()))
+
+
 def test_compact_pending_counts_watermark_replay_safety(spark, tmp_path):
     """Review find: SUM state cannot absorb a re-delivered row, so the
     compaction carries an epoch watermark on every row (one atomic
