@@ -1213,22 +1213,28 @@ def test_collect_stream_null_values_are_noops(spark, tmp_path):
     assert rows == [("x", "add")]
 
 
-def test_pending_rows_only_swallows_path_not_found(spark, tmp_path):
-    """Review find: a broken pending dir must be a LOUD error — only
-    the genuinely-missing-path case means 'no pending epochs yet'."""
+def test_pending_rows_only_swallows_missing_input(spark, tmp_path):
+    """Review find (r9, refined r10): a broken pending dir must be a
+    LOUD error; 'no pending epochs yet' is ONLY a genuinely-missing
+    path or a present-but-empty dir (`rm -rf pending/*` keeps the
+    prefix — UNABLE_TO_INFER_SCHEMA, the r10 refinement). A dir with
+    unreadable files still raises instead of silently resetting crawl
+    state."""
     import pytest as _pytest
-    from pyspark.errors import AnalysisException
 
     from faxe_spark.streaming.stateful import _pending_rows
 
     missing = str(tmp_path / "nope")
     assert _pending_rows(spark, missing, 3) is None
-    # an EXISTING but unreadable dir (no parquet -> schema inference
-    # fails) raises instead of silently resetting crawl state
     empty = tmp_path / "empty"
     empty.mkdir()
-    with _pytest.raises(AnalysisException):
-        _pending_rows(spark, str(empty), 3)
+    assert _pending_rows(spark, str(empty), 3) is None
+    # junk parquet raises (schema inference reads the broken footer)
+    bad = tmp_path / "bad"
+    (bad / "epoch=0").mkdir(parents=True)
+    (bad / "epoch=0" / "part-0.parquet").write_bytes(b"not parquet")
+    with _pytest.raises(Exception):
+        _pending_rows(spark, str(bad), 3)
 
 
 def test_collect_full_stream_active_key_age_eviction(spark, tmp_path):
