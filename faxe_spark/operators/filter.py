@@ -32,6 +32,11 @@ def _ordered_window(by: Iterable[str], ts_col: str, tiebreak: str | None) -> Win
 def sample_nth(df: DataFrame, n: int, *, by: Iterable[str] = (), ts_col: str = "ts",
                tiebreak: str | None = None) -> DataFrame:
     """faxe `sample(rate=N)` (esp_sample.erl:27): pass every Nth item."""
+    if n < 1:
+        # review find (via the stream twin): Spark's integral `% 0`
+        # is NULL, so n=0 silently returned an EMPTY result instead
+        # of erroring
+        raise ValueError(f"sample_nth needs n >= 1, got {n}")
     w = _ordered_window(by, ts_col, tiebreak)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") % n == 0).drop("_rn")
 

@@ -62,8 +62,13 @@ def state_change_stream(df: DataFrame, *, key_col: str, state_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, st in zip(pdf[ts_col], pdf[state_col]):
-                st = bool(st)
-                if last_state is None or st != last_state:
+                # NULL is its own state, not coerced (review find:
+                # bool(None)=False / bool(NaN)=True fabricated phantom
+                # transitions from one absent field) — matches the
+                # batch lane's eqNullSafe treatment; run_id==0 marks
+                # "never seen", so a NULL run survives restarts too
+                st = None if (st is None or st != st) else bool(st)
+                if run_id == 0 or st != last_state:
                     run_id += 1
                     rows.append((key[0], int(ts.value // 1_000_000), st, run_id, run_count))
                     run_count = 1
@@ -147,8 +152,11 @@ def collect_stream(df: DataFrame, *, key_col: str, value_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                if v is None:
-                    continue           # absent field: no-op (docstring)
+                if v is None or v != v:
+                    # absent field: no-op (docstring) — numeric-column
+                    # NULLs arrive as NaN, not None (review find: the
+                    # None-only check stored/emitted the string 'nan')
+                    continue
                 v = str(v)
                 ts_ms = int(ts.value // 1_000_000)
                 if remove_value is not None and v == remove_value:
@@ -195,7 +203,11 @@ def change_detect_stream(df: DataFrame, *, key_col: str, value_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                v = None if v is None else str(v)
+                # NULL (incl. numeric NaN) is a comparable value, kept
+                # as None — the batch lane's eqNullSafe semantics
+                # (review find: str(NaN)='nan' emitted spurious change
+                # rows around every numeric NULL)
+                v = None if (v is None or v != v) else str(v)
                 changed = (v != last) if seen_any else emit_first
                 if changed:
                     rows.append((key[0], int(ts.value // 1_000_000), v))
@@ -228,7 +240,10 @@ def value_diff_stream(df: DataFrame, *, key_col: str, value_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                v = None if v is None else float(v)
+                # numeric NULL arrives as NaN (review find: it passed
+                # the None check, emitted a NaN diff AND poisoned the
+                # next real row's diff via prev=NaN)
+                v = None if (v is None or v != v) else float(v)
                 diff = None
                 if prev is not None and v is not None:
                     diff = (v - prev) if mode == "c-p" else (prev - v)
@@ -247,6 +262,10 @@ def sample_stream(df: DataFrame, *, key_col: str, n: int,
                   ts_col: str = "ts") -> DataFrame:
     """faxe sample every-Nth on a stream (esp_sample.erl): per-key row
     counter in the state store; every n-th row passes."""
+    if n < 1:
+        raise ValueError(f"sample_stream needs n >= 1, got {n} — n=0 "
+                         "would ZeroDivisionError inside the running "
+                         "query (review find)")
     out_schema = StructType([
         StructField("key", LongType()),
         StructField("ts_ms", LongType()),
@@ -337,39 +356,60 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
         StructField("ts_ms", LongType()),
         StructField("added_ms", LongType()),
         StructField("removed", BooleanType()),
+        StructField("last_emit_ms", LongType()),
     ])
+    state_fields = ("payload", "ts_ms", "added_ms", "removed",
+                    "last_emit_ms")
 
-    def arm(state, added_ms, now_ms):
+    def arm(state, added_ms, last_emit_ms, now_ms):
         # timer to the EARLIER of the key's absolute age deadline
-        # (added_ms + max_age — so re-arms on active keys cannot push
-        # eviction out, review find: a flat `timer_ms` from every data
-        # batch meant a continuously-updated key was never age-swept)
-        # and the periodic emit interval
+        # (added_ms + max_age) and the absolute next-emit deadline
+        # (last_emit_ms + emit_every). BOTH are deadlines, not flat
+        # intervals (review find, twice: a flat duration re-armed by
+        # every data batch means steady traffic postpones the sweep /
+        # the periodic emit forever — the reference's emit_timeout is
+        # a free-running timer).
         cands = []
         if max_age_ms is not None:
             cands.append(added_ms + max_age_ms - now_ms)
         if emit_ms is not None:
-            cands.append(emit_ms)
+            cands.append(last_emit_ms + emit_ms - now_ms)
         if cands:
             state.setTimeoutDuration(max(1, min(cands)))
+
+    def _py(v):
+        # numpy scalar -> python scalar (review find: json.dumps hits
+        # default=str on np.int64/np.bool_, silently stringifying
+        # ints/bools in payloads AND in the state dict handed to the
+        # user's update_when/remove_when lambdas, while np.float64 —
+        # a float subclass — stayed numeric; .item() unifies them)
+        return v.item() if hasattr(v, "item") else v
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         cols = ["key", "ts_ms", "payload", "action"]
         now_ms = int(_time.time() * 1000)
         kstr = str(key[0])
         if state.hasTimedOut:
-            payload, ts_ms, added_ms, removed = state.get
+            payload, ts_ms, added_ms, removed, last_emit = state.get
             rows = []
             if max_age_ms is not None and now_ms - added_ms >= max_age_ms:
                 state.remove()  # silent age sweep, like the reference
             else:
-                if emit_ms is not None and not removed:
-                    rows.append((kstr, ts_ms, payload, "emit"))
-                arm(state, added_ms, now_ms)
+                if emit_ms is not None and now_ms - last_emit >= emit_ms:
+                    # tombstones keep emitting tagged 'remove' (the
+                    # include_removed contract, esp_collect :265-269 —
+                    # review find: they were skipped yet kept re-arming
+                    # an immortal timer that never produced a row)
+                    rows.append((kstr, ts_ms, payload,
+                                 "remove" if removed else "emit"))
+                    last_emit = now_ms
+                state.update((payload, ts_ms, added_ms, removed,
+                              last_emit))
+                arm(state, added_ms, last_emit, now_ms)
             yield pd.DataFrame(rows, columns=cols)
             return
 
-        cur = dict(zip(("payload", "ts_ms", "added_ms", "removed"), state.get)) \
+        cur = dict(zip(state_fields, state.get)) \
             if state.exists else None
         # age sweep on the DATA path too (review find: the timeout
         # never fires for a key that keeps receiving rows — each batch
@@ -389,7 +429,7 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                 # a null column is an ABSENT field on the incoming point
                 # (flowdata maps carry no undefined entries) — critical
                 # for merge modes, where absent must not overwrite.
-                new_fields = {c: rec[c] for c in payload_cols
+                new_fields = {c: _py(rec[c]) for c in payload_cols
                               if rec[c] is not None and rec[c] == rec[c]}
                 st_fields = json.loads(cur["payload"]) if cur and not cur["removed"] else None
                 if st_fields is None:
@@ -397,7 +437,8 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                         cur = None  # tombstone: key can be re-added
                     if add_when is None or add_when(new_fields, None):
                         cur = {"payload": json.dumps(new_fields, default=str),
-                               "ts_ms": ts_ms, "added_ms": now_ms, "removed": False}
+                               "ts_ms": ts_ms, "added_ms": now_ms,
+                               "removed": False, "last_emit_ms": now_ms}
                         rows.append((kstr, ts_ms, cur["payload"], "add"))
                     continue
                 do_update = update_when if isinstance(update_when, bool) \
@@ -411,7 +452,8 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                         merged = new_fields
                     cur = {"payload": json.dumps(merged, default=str),
                            "ts_ms": ts_ms, "added_ms": cur["added_ms"],
-                           "removed": False}
+                           "removed": False,
+                           "last_emit_ms": cur["last_emit_ms"]}
                     rows.append((kstr, ts_ms, cur["payload"], "update"))
                     continue
                 if remove_when is not None and remove_when(new_fields,
@@ -428,8 +470,8 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                 state.remove()
         else:
             state.update((cur["payload"], cur["ts_ms"], cur["added_ms"],
-                          cur["removed"]))
-            arm(state, cur["added_ms"], now_ms)
+                          cur["removed"], cur["last_emit_ms"]))
+            arm(state, cur["added_ms"], cur["last_emit_ms"], now_ms)
         yield pd.DataFrame(rows, columns=cols)
 
     return (df.groupBy(key_col)
@@ -518,6 +560,12 @@ def join_stream(df: DataFrame, *, key_col: str, src_col: str, value_col: str,
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, s, v in zip(pdf[ts_col], pdf[src_col], pdf[value_col]):
+                if s is None or s != s or v is None or v != v:
+                    # absent src/value: no-op (review find: str(None)
+                    # buffered an unmatchable 'None'-source row that
+                    # full=false later flushed as an all-NULL partial,
+                    # and float(None) killed the query)
+                    continue
                 pend.append((int(ts.value // 1_000_000), str(s), float(v),
                              now_ms))
         pend.sort()
@@ -563,7 +611,15 @@ def triggered_timeout_stream(df: DataFrame, *, key_col: str, trigger_col: str,
     trigger_col / cancel_col are precomputed booleans (the reference's
     lambdas). Output: (key, armed_ts_ms, fired) — fired=false rows are
     cancellation acks, fired=true rows are the synthetic timeout points.
-    """
+
+    The state carries the arming's absolute processing-time DEADLINE,
+    and every re-arm sets the REMAINING time (review find: re-arming
+    the flat `timeout_ms` on each data batch meant steady unrelated
+    traffic on an armed key postponed the synthetic timeout forever —
+    the same deadline device collect_full_stream's age sweep and
+    join_stream's pending buffer use)."""
+    import time as _time
+
     from faxe_spark.durations import parse_duration_ms
 
     timeout_ms = parse_duration_ms(timeout)
@@ -572,31 +628,39 @@ def triggered_timeout_stream(df: DataFrame, *, key_col: str, trigger_col: str,
         StructField("armed_ts_ms", LongType()),
         StructField("fired", BooleanType()),
     ])
-    state_schema = StructType([StructField("armed_ts_ms", LongType())])
+    state_schema = StructType([StructField("armed_ts_ms", LongType()),
+                               StructField("deadline_ms", LongType())])
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        now_ms = int(_time.time() * 1000)
         if state.hasTimedOut:
-            (armed,) = state.get
+            armed, _deadline = state.get
             state.remove()
             yield pd.DataFrame([(key[0], armed, True)],
                                columns=["key", "armed_ts_ms", "fired"])
             return
-        armed = state.get[0] if state.exists else None
+        armed, deadline = state.get if state.exists else (None, None)
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, trig, cancel in zip(pdf[ts_col], pdf[trigger_col], pdf[cancel_col]):
                 ts_ms = int(ts.value // 1_000_000)
-                if armed is not None and bool(cancel):
+                # null lambda results are False, not phantom actions
+                cancel = (cancel is not None and cancel == cancel
+                          and bool(cancel))
+                trig = trig is not None and trig == trig and bool(trig)
+                if armed is not None and cancel:
                     rows.append((key[0], armed, False))
-                    armed = None
-                elif armed is None and bool(trig):
+                    armed, deadline = None, None
+                elif armed is None and trig:
                     armed = ts_ms
+                    deadline = now_ms + timeout_ms
         if armed is None:
-            state.remove()
+            if state.exists:
+                state.remove()
         else:
-            state.update((armed,))
-            state.setTimeoutDuration(timeout_ms)
+            state.update((armed, deadline))
+            state.setTimeoutDuration(max(1, deadline - now_ms))
         yield pd.DataFrame(rows, columns=["key", "armed_ts_ms", "fired"])
 
     return (df.groupBy(key_col)

@@ -1278,3 +1278,193 @@ def test_collect_full_stream_active_key_age_eviction(spark, tmp_path):
         assert len(adds) >= 2    # evicted at added+max_age, re-added
     finally:
         q.stop()
+
+
+# -- r10 FSM-lane review fixes: pins ----------------------------------------
+
+def _dt(s):
+    import datetime
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_triggered_timeout_not_postponed_by_unrelated_traffic(spark, tmp_path):
+    """r10 review find: the state stores the arming's absolute
+    processing-time deadline, so steady non-trigger/non-cancel rows on
+    an armed key cannot push the synthetic timeout out — with the old
+    flat re-arm, this test's 0.6s-spaced traffic would keep a 2s
+    timeout from ever firing."""
+    import os
+
+    from faxe_spark.streaming.stateful import triggered_timeout_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, trig boolean, cancel boolean"
+
+    def feed(sec, trig):
+        spark.createDataFrame([(1, _dt(sec), trig, False)], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    feed(0, True)                       # arm key 1
+    s = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = triggered_timeout_stream(s, key_col="key", trigger_col="trig",
+                                   cancel_col="cancel", timeout="2s")
+    q = (out.writeStream.format("memory").queryName("tt_deadline")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        fired = 0
+        deadline = time.time() + 30
+        sec = 1
+        while time.time() < deadline and not fired:
+            time.sleep(0.6)
+            feed(sec, False)            # steady unrelated traffic
+            sec += 1
+            fired = spark.sql(
+                "SELECT count(*) c FROM tt_deadline WHERE fired"
+            ).collect()[0].c
+        assert fired > 0, \
+            "steady traffic postponed the deadline-armed timeout"
+    finally:
+        q.stop()
+
+
+def test_collect_full_emit_every_is_free_running(spark, tmp_path):
+    """r10 review find: emit_every is an absolute next-emit deadline
+    (last_emit + interval), so steady NON-updating traffic cannot
+    postpone the periodic 'emit' row — with the old flat re-arm this
+    test's 0.6s-spaced rows would keep a 2s emit timer from ever
+    firing."""
+    import os
+
+    from faxe_spark.streaming import collect_full_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, v double"
+
+    def feed(sec):
+        spark.createDataFrame([(1, _dt(sec), 1.0)], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    feed(0)                              # the 'add'
+    s = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = collect_full_stream(s, key_col="key", payload_cols=["v"],
+                              update_when=False, emit_every="2s")
+    q = (out.writeStream.format("memory").queryName("cfs_freerun")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        emits = 0
+        deadline = time.time() + 30
+        sec = 1
+        while time.time() < deadline and not emits:
+            time.sleep(0.6)
+            feed(sec)                    # keeps the key active
+            sec += 1
+            emits = spark.sql(
+                "SELECT count(*) c FROM cfs_freerun WHERE action='emit'"
+            ).collect()[0].c
+        assert emits > 0, "steady traffic postponed the periodic emit"
+    finally:
+        q.stop()
+
+
+def test_fsm_lanes_numeric_null_semantics(spark, tmp_path):
+    """r10 review finds: numeric NULLs arrive from Arrow as NaN, not
+    None. Pins per lane: value_diff emits a NULL diff for the null row
+    and does NOT poison the next diff; collect treats the null as a
+    no-op; change_detect keeps NULL as a comparable value (the batch
+    lane's eqNullSafe semantics); state_change treats NULL as its own
+    state instead of bool-coercing."""
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.streaming.stateful import (change_detect_stream,
+                                               collect_stream,
+                                               state_change_stream,
+                                               value_diff_stream)
+
+    def run(df_rows, schema, build, name):
+        src = str(tmp_path / name)
+        spark.createDataFrame(df_rows, schema).repartition(1) \
+            .write.parquet(src)
+        out = build(stream_parquet(spark, src))
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    rows = run([(1, _dt(0), 1.0), (1, _dt(1), None), (1, _dt(2), 4.0)],
+               "key bigint, ts timestamp, v double",
+               lambda s: value_diff_stream(s, key_col="key", value_col="v"),
+               "vd_nan")
+    got = sorted((r.ts_ms, r.value, r.value_diff) for r in rows)
+    assert [g[1] for g in got] == [1.0, None, 4.0]
+    assert [g[2] for g in got] == [None, None, 3.0]   # 4-1, not NaN
+
+    rows = run([(1, _dt(0), 5.0), (1, _dt(1), None), (1, _dt(2), 5.0)],
+               "key bigint, ts timestamp, v double",
+               lambda s: collect_stream(s, key_col="key", value_col="v"),
+               "col_nan")
+    assert [(r.value, r.action) for r in rows] == [("5.0", "add")]
+
+    rows = run([(1, _dt(0), 3.0), (1, _dt(1), None), (1, _dt(2), 3.0)],
+               "key bigint, ts timestamp, v double",
+               lambda s: change_detect_stream(s, key_col="key",
+                                              value_col="v"),
+               "cd_nan")
+    assert [r.value for r in sorted(rows, key=lambda r: r.ts_ms)] == \
+        ["3.0", None, "3.0"]             # null IS a value, once per edge
+
+    rows = run([(1, _dt(0), True), (1, _dt(1), None), (1, _dt(2), True)],
+               "key bigint, ts timestamp, st boolean",
+               lambda s: state_change_stream(s, key_col="key",
+                                             state_col="st"),
+               "sc_nan")
+    got = [(r.in_state, r.run_id) for r in
+           sorted(rows, key=lambda r: r.ts_ms)]
+    assert got == [(True, 1), (None, 2), (True, 3)]
+
+
+def test_join_stream_skips_null_src_and_value(spark, tmp_path):
+    """r10 review find: a NULL src/value row is an absent-field no-op —
+    it must neither crash float(None) nor buffer an unmatchable
+    'None'-source row that full=false later flushes as a garbage
+    all-NULL partial."""
+    from faxe_spark.streaming import stream_parquet
+    from faxe_spark.streaming.stateful import join_stream
+
+    src = str(tmp_path / "join_nan")
+    spark.createDataFrame(
+        [(1, _dt(0), "a", 10.0), (1, _dt(0), None, 99.0),
+         (1, _dt(1), "b", None), (1, _dt(0), "b", 20.0)],
+        "key bigint, ts timestamp, src string, value double") \
+        .repartition(1).write.parquet(src)
+    out = join_stream(stream_parquet(spark, src), key_col="key",
+                      src_col="src", value_col="value",
+                      tolerance="5s", missing_timeout="2s", full=False)
+    q = (out.writeStream.format("memory").queryName("join_nan")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT * FROM join_nan").collect()
+    # exactly the one valid pair; no all-NULL garbage partials
+    assert [(r.a_value, r.b_value, r.complete) for r in rows] == \
+        [(10.0, 20.0, True)]
+
+
+def test_sample_n_zero_fails_loud_both_lanes(spark):
+    """r10 review find: n=0 must fail at construction, not as a
+    runtime ZeroDivisionError (stream) or a silently-empty result
+    (batch: Spark's integral % 0 is NULL)."""
+    from faxe_spark.operators.filter import sample_nth
+    from faxe_spark.streaming.stateful import sample_stream
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="n >= 1"):
+        sample_nth(docs, 0, by=["user_id"])
+    with pytest.raises(ValueError, match="n >= 1"):
+        sample_stream(docs, key_col="user_id", n=0)
