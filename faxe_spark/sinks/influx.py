@@ -47,6 +47,16 @@ def encode_value(v, encode_integer: bool = False) -> str | None:
     if isinstance(v, int):
         return f"{v}i" if encode_integer else str(v)
     if isinstance(v, float):
+        import math
+
+        if math.isnan(v) or math.isinf(v):
+            # line protocol has no NaN/Inf literal — `v=nan` 400s the
+            # WHOLE request body on a real endpoint, dropping every
+            # other point in the batch (r11 wire review). The
+            # reference never hits this (Erlang floats have no NaN);
+            # Spark doubles do, so the field filters out like the
+            # map/list cases.
+            return None
         return _format_float(v)
     if isinstance(v, str):
         return v                               # raw, see module doc

@@ -64,6 +64,13 @@ def _bson_elem(key: str, v) -> bytes:
     import datetime
 
     if isinstance(v, datetime.datetime):
+        # BSON 0x09 is UTC ms since epoch; a NAIVE datetime is taken
+        # as UTC (r11 wire review: .timestamp() on a naive value uses
+        # the LOCAL zone, so the same document encoded differently on
+        # differently-configured hosts — mongo_query's deployment
+        # surface)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
         ms = int(v.timestamp() * 1000)
         return b"\x09" + k + struct.pack("<q", ms)
     raise TypeError(f"bson: unsupported type {type(v).__name__}")
@@ -99,7 +106,10 @@ def bson_decode(buf: bytes, pos: int = 0) -> tuple[dict, int]:
             import datetime
 
             (ms,) = struct.unpack_from("<q", buf, pos)
-            doc[key] = datetime.datetime.fromtimestamp(ms / 1000.0)
+            # decode to a NAIVE UTC datetime (see _bson_elem: the pair
+            # round-trips on any host timezone)
+            doc[key] = datetime.datetime.fromtimestamp(
+                ms / 1000.0, tz=datetime.timezone.utc).replace(tzinfo=None)
             pos += 8
         elif t == 0x0A:
             doc[key] = None
@@ -264,10 +274,20 @@ class MongoServer:
     def _handle(self, conn: socket.socket):
         try:
             while not self._stop.is_set():
+                # idle-tolerance ONLY before byte 0 of a message: the
+                # old `recv_exact(16)`-with-timeout-continue could time
+                # out after a PARTIAL header read and silently discard
+                # the consumed bytes — every later message then parsed
+                # desynced (r11 wire review). recv(1) consumes nothing
+                # on timeout; a timeout PAST byte 0 is a broken peer
+                # and drops the connection (outer except).
                 try:
-                    hdr = self._recv_exact(conn, 16)
+                    first = conn.recv(1)
                 except socket.timeout:
                     continue
+                if not first:
+                    break                      # client closed cleanly
+                hdr = first + self._recv_exact(conn, 15)
                 length, rid, _rt, opcode = struct.unpack("<iiii", hdr)
                 body = self._recv_exact(conn, length - 16)
                 if opcode != OP_MSG:

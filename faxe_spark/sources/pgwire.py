@@ -41,6 +41,12 @@ def _msg(tag: bytes, payload: bytes) -> bytes:
 def decode_text(oid: int, text: str):
     if oid == OID_BOOL:
         return text == "t"
+    if oid == OID_BYTEA:
+        # PG hex output format: \x6162... (r11 wire review: the OID
+        # was defined but undecoded — BLOB columns came back as the
+        # raw hex string)
+        return bytes.fromhex(text[2:]) if text.startswith("\\x") \
+            else text.encode()
     if oid in (OID_INT2, OID_INT4, OID_INT8):
         return int(text)
     if oid in (OID_FLOAT4, OID_FLOAT8):
@@ -66,6 +72,8 @@ def decode_text(oid: int, text: str):
 def encode_text(v) -> str:
     if isinstance(v, bool):
         return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -79,6 +87,8 @@ def infer_oid(v) -> int:
 
     if isinstance(v, bool):
         return OID_BOOL
+    if isinstance(v, (bytes, bytearray)):
+        return OID_BYTEA
     if isinstance(v, int):
         return OID_INT8
     if isinstance(v, decimal.Decimal):
@@ -422,6 +432,13 @@ def _spark_type(rows: list[list], i: int) -> str:
     return "string"
 
 
+def quote_ident(name: str) -> str:
+    """Double-quote an SQL identifier (r11 wire review: DataFrame
+    column names are arbitrary — a reserved word or a space broke the
+    INSERT column list; values were already literal-escaped)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def postgre_out_insert(client: PGWireClient, table: str, df,
                        *, batch_size: int = 500) -> int:
     """postgre_out insert path over the wire: multi-row INSERTs in
@@ -430,20 +447,35 @@ def postgre_out_insert(client: PGWireClient, table: str, df,
     written. Driver-side like the one-shot statement; the scale path
     stays jdbc_sink."""
     cols = df.columns
+    collist = ", ".join(quote_ident(c) for c in cols)
     total = 0
     batch: list[str] = []
     for r in df.toLocalIterator():
         batch.append("(" + ", ".join(sql_literal(r[c]) for c in cols) + ")")
         if len(batch) >= batch_size:
-            client.query(f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+            client.query(f"INSERT INTO {table} ({collist}) VALUES "
                          + ", ".join(batch))
             total += len(batch)
             batch = []
     if batch:
-        client.query(f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+        client.query(f"INSERT INTO {table} ({collist}) VALUES "
                      + ", ".join(batch))
         total += len(batch)
     return total
+
+
+def bind_range(query: str, lo, hi) -> str:
+    """Bind $1/$2 placeholders (what time_bucket_query emits) to the
+    range ends as timestamp literals. (?!\d) guards longest-match:
+    plain str.replace corrupted any query that also used higher
+    placeholder numbers — $1 ate the prefix of $10 (r11 wire
+    review)."""
+    import re
+
+    bound = re.sub(r"\$1(?!\d)",
+                   "TIMESTAMP '" + lo.isoformat(sep=" ") + "'", query)
+    return re.sub(r"\$2(?!\d)",
+                  "TIMESTAMP '" + hi.isoformat(sep=" ") + "'", bound)
 
 
 def pg_poll_source(spark, *, host: str, port: int, query: str,
@@ -483,11 +515,7 @@ def pg_poll_source(spark, *, host: str, port: int, query: str,
                 t = t.to_pydatetime()
                 hi = t - datetime.timedelta(milliseconds=offset_ms)
                 lo = hi - datetime.timedelta(milliseconds=period_ms)
-                bound = (query
-                         .replace("$1", "TIMESTAMP '"
-                                  + lo.isoformat(sep=" ") + "'")
-                         .replace("$2", "TIMESTAMP '"
-                                  + hi.isoformat(sep=" ") + "'"))
+                bound = bind_range(query, lo, hi)
                 try:
                     client = PGWireClient(host, port, user=user,
                                           database=database)
@@ -534,6 +562,7 @@ def postgre_out_exactly_once(client: PGWireClient, table: str, df, *,
     txn_table is a new stream and needs a new scope."""
     e = (f"{scope}|{epoch}" if scope else str(epoch)).replace("'", "''")
     cols = df.columns
+    collist = ", ".join(quote_ident(c) for c in cols)
     already = client.query(
         f"SELECT count(*) AS n FROM {txn_table} WHERE epoch = '{e}'")
     if already[1][0][0]:
@@ -545,7 +574,7 @@ def postgre_out_exactly_once(client: PGWireClient, table: str, df, *,
         def flush():
             if batch:
                 client.query(
-                    f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+                    f"INSERT INTO {table} ({collist}) VALUES "
                     + ", ".join(batch))
                 batch.clear()
 

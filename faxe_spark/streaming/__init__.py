@@ -13,6 +13,7 @@ from faxe_spark.streaming.sources import stream_parquet, rate_source
 from faxe_spark.streaming.windows import win_time_stream, win_session_stream, win_clock_stream
 from faxe_spark.streaming.stateful import (
     state_change_stream,
+    state_sequence_stream,
     collect_stream,
     deadman_stream,
     triggered_timeout_stream,
@@ -31,6 +32,7 @@ __all__ = [
     "win_session_stream",
     "win_clock_stream",
     "state_change_stream",
+    "state_sequence_stream",
     "collect_stream",
     "deadman_stream",
     "triggered_timeout_stream",

@@ -13,6 +13,19 @@ Reference semantics:
   row when a key is silent for an interval) — processing-time timeout
 - collect_stream: esp_collect.erl:63 (keyed upsert table, emit current
   state on change, max_age eviction)
+
+STATE-SCHEMA COMPATIBILITY (ADVICE r10): applyInPandasWithState
+persists each lane's `state_schema` inside the streaming checkpoint,
+and Spark neither migrates nor validates it on resume — restarting a
+query from an old checkpoint after a lane's state schema changed
+(r10 widened collect_full_stream 4->5 fields and
+triggered_timeout_stream 1->2) fails or silently misreads per-key
+state. Upgrading a deployed build across such a change requires a
+FRESH checkpoint directory (drain the old query first; for the
+crawl-fold pipelines the compacted state tables carry the progress,
+so a fresh checkpoint replays only the uncommitted epoch). Lanes in
+this module follow that contract instead of versioning state rows —
+schema changes are called out in the per-lane docstrings.
 """
 
 from __future__ import annotations
@@ -396,12 +409,18 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                 state.remove()  # silent age sweep, like the reference
             else:
                 if emit_ms is not None and now_ms - last_emit >= emit_ms:
-                    # tombstones keep emitting tagged 'remove' (the
-                    # include_removed contract, esp_collect :265-269 —
-                    # review find: they were skipped yet kept re-arming
-                    # an immortal timer that never produced a row)
+                    # tombstones emit tagged 'remove' ONCE and are then
+                    # deleted — esp_collect's emit_buffer_cleanup
+                    # buffer_deletes a removed-tagged point after
+                    # including it in ONE emission (ADVICE r10 medium:
+                    # update+re-arm here meant unbounded duplicate
+                    # 'remove' rows and a state-store leak)
                     rows.append((kstr, ts_ms, payload,
                                  "remove" if removed else "emit"))
+                    if removed:
+                        state.remove()
+                        yield pd.DataFrame(rows, columns=cols)
+                        return
                     last_emit = now_ms
                 state.update((payload, ts_ms, added_ms, removed,
                               last_emit))
@@ -459,7 +478,14 @@ def collect_full_stream(df: DataFrame, *, key_col: str,
                 if remove_when is not None and remove_when(new_fields,
                                                            st_fields):
                     rows.append((kstr, ts_ms, cur["payload"], "remove"))
-                    cur = {**cur, "removed": True} if include_removed else None
+                    # a tombstone exists ONLY to ride the next periodic
+                    # emission (then deleted, see the timer path); with
+                    # no emit_every no such emission ever comes and no
+                    # timer may be armed — keeping it would be a pure
+                    # state leak (ADVICE r10 medium, second form)
+                    cur = ({**cur, "removed": True}
+                           if include_removed and emit_ms is not None
+                           else None)
         if cur is not None and max_ts_age_ms is not None \
                 and newest - cur["ts_ms"] > max_ts_age_ms:
             if include_removed:
@@ -706,6 +732,131 @@ def time_elapsed_stream(df: DataFrame, *, key_col: str, ts_col: str = "ts") -> D
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def state_sequence_stream(df: DataFrame, *, key_col: str,
+                          step_cols: list[str], within: list[str | int],
+                          strict: bool = False,
+                          wallclock_cleanup: bool = True,
+                          ts_col: str = "ts") -> DataFrame:
+    """faxe `state_sequence` (esp_state_sequence.erl:47): a per-key CEP
+    matcher over ordered states. Each point is evaluated against the
+    CURRENT step's precomputed boolean column (the reference's lambdas);
+    a match advances the FSM, and each transition i->i+1 must complete
+    within `within[i]` or the sequence resets to step 0 (the reference's
+    state_timeout, :73-75). On the final step's match the COMPLETING
+    point is emitted (the reference's `output=last`, :21) and the FSM
+    resets. `strict` resets on any non-matching point (:95-97);
+    non-strict ignores interlopers (:98-99) — but the within clock keeps
+    running through them, exactly like the reference's real-time timer.
+
+    Faithfulness notes (golden-pinned):
+    - The within check uses EVENT time between the previous matched
+      point and the candidate — the micro-batch analog of the
+      reference's arrival-time timer (arrival==event for live streams;
+      the batch lane `operators.state.state_sequence` pins the same
+      event-time gaps, so the lanes agree on ordered data).
+    - A point arriving after the deadline sees the reset FIRST and is
+      then evaluated against step 0 — in the reference the timer fires
+      before the late point's arrival, so it meets current_index=1.
+    - A strict-mode non-match consumes the point WITHOUT re-evaluating
+      it against step 0 (eval_false just resets, :95-97).
+    - Cross-batch silence: a processing-time timer with the REMAINING
+      time to the absolute deadline (the r10 deadline device — steady
+      unrelated traffic cannot postpone it) frees mid-sequence state
+      for keys that never return; the timer path REMOVES state
+      (tombstone discipline), emitting nothing, like the reference's
+      silent reset.
+    - `wallclock_cleanup=False` drops the timer (NoTimeout): pure
+      event-time semantics for REPLAYS/backfills, where a wall-clock
+      reset mid-replay would be wrong (arrival time >> event time);
+      the gap check still resets stale sequences on next arrival, and
+      mid-sequence state for never-returning keys lives until the
+      checkpoint is retired. Also the availableNow-friendly mode —
+      ProcessingTimeTimeout queries do not terminate under
+      trigger(availableNow=True) on Spark 4.1 (verified; same reason
+      the deadman/triggered_timeout goldens poll a processingTime
+      trigger instead).
+
+    Output: (key, ts_ms, start_ts_ms) — the completing point's event
+    time and the matched sequence's first-step event time.
+    """
+    import time as _time
+
+    from faxe_spark.durations import parse_duration_ms
+
+    n = len(step_cols)
+    if n == 0:
+        raise ValueError("state_sequence_stream: need at least one step")
+    if len(within) != n - 1:
+        raise ValueError(
+            f"state_sequence_stream: {n} states need exactly {n - 1} "
+            f"'within' durations (got {len(within)}) — timeouts start "
+            "after the first state matches (esp_state_sequence.erl:14)")
+    within_ms = [w if isinstance(w, int) else parse_duration_ms(w)
+                 for w in within]
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("start_ts_ms", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("idx", LongType()),
+        StructField("start_ts_ms", LongType()),
+        StructField("prev_ts_ms", LongType()),
+        StructField("deadline_ms", LongType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        now_ms = int(_time.time() * 1000)
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["key", "ts_ms", "start_ts_ms"])
+            return
+        idx, start, prev, deadline = (state.get if state.exists
+                                      else (0, None, None, None))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            matches = [pdf[c] for c in step_cols]
+            for j, ts in enumerate(pdf[ts_col]):
+                ts_ms = int(ts.value // 1_000_000)
+                if idx > 0 and ts_ms - prev > within_ms[idx - 1]:
+                    # the reference's timer fired before this arrival
+                    idx, start, prev = 0, None, None
+                m = matches[idx].iloc[j]
+                # null lambda results are False, not phantom matches
+                m = m is not None and m == m and bool(m)
+                if m:
+                    if idx == n - 1:
+                        rows.append((key[0], ts_ms,
+                                     start if start is not None else ts_ms))
+                        idx, start, prev, deadline = 0, None, None, None
+                    else:
+                        if idx == 0:
+                            start = ts_ms
+                        idx, prev = idx + 1, ts_ms
+                        # absolute deadline armed AT the advance (r10
+                        # device: re-arming from `now` each batch would
+                        # let steady non-matching traffic postpone the
+                        # cleanup timer forever)
+                        deadline = now_ms + within_ms[idx - 1]
+                elif strict:
+                    idx, start, prev, deadline = 0, None, None, None
+        if idx == 0:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((idx, start, prev, deadline))
+            if wallclock_cleanup:
+                state.setTimeoutDuration(max(1, deadline - now_ms))
+        yield pd.DataFrame(rows, columns=["key", "ts_ms", "start_ts_ms"])
+
+    timeout_mode = (GroupStateTimeout.ProcessingTimeTimeout
+                    if wallclock_cleanup else GroupStateTimeout.NoTimeout)
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", timeout_mode))
 
 
 def _round_half_up(x: float, digits: int) -> float:
@@ -1096,7 +1247,17 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         absorbed = _absorbed_through(spark, bucket_table)
-        _check_epoch_lineage(absorbed, epoch_id, bucket_table)
+        lineage = _checkpoint_identity(spark, checkpoint_dir)
+        _check_epoch_lineage(absorbed, epoch_id, bucket_table,
+                             expected=lineage,
+                             actual=_table_lineage(spark, bucket_table))
+        if (lineage is not None
+                and _table_lineage(spark, bucket_table) is None):
+            # adopt: the counts table is written by the OFFLINE
+            # compactor, which may not know the checkpoint — after the
+            # watermark guard passes, stamp the running checkpoint's
+            # identity so the next run's guard works by identity
+            _stamp_lineage(spark, bucket_table, lineage)
         if absorbed is not None and epoch_id == absorbed:
             return  # replay of the one legitimately-uncommitted epoch
         # watermark-aware seen assembly: SUM state cannot tolerate the
@@ -1119,7 +1280,60 @@ def shard_append_pipeline(df: DataFrame, *, bucket_table: str | None,
     return writer.start()
 
 
-def _check_epoch_lineage(absorbed, epoch_id: int, table: str) -> None:
+_LINEAGE_PROP = "faxe.lineage"
+
+
+def _checkpoint_identity(spark, checkpoint_dir: str) -> str | None:
+    """The streaming checkpoint's own identity: Structured Streaming
+    writes `<checkpoint>/metadata` = {"id": "<uuid>"} at query start
+    (before batch 0 commits), the uuid is stable across restarts of
+    the SAME checkpoint and fresh for a new one — exactly the lineage
+    token the epoch guard needs. Read through the Hadoop FS API
+    (spark.read.text) so cluster paths work; unreadable/absent means
+    "unknown" (None) — the guard then falls back to the watermark
+    heuristic instead of failing a healthy run."""
+    import json as _json
+
+    try:
+        lines = spark.read.text(f"{checkpoint_dir.rstrip('/')}/metadata")
+        payload = "".join(r.value for r in lines.collect())
+        ident = _json.loads(payload).get("id")
+        return str(ident) if ident else None
+    except Exception:
+        return None
+
+
+def _table_lineage(spark, table: str | None) -> str | None:
+    """The state table's stamped lineage (TBLPROPERTIES), None when the
+    table is missing or was written by a pre-lineage build."""
+    if table is None or not spark.catalog.tableExists(table):
+        return None
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r.key == _LINEAGE_PROP:
+            return r.value
+    return None
+
+
+def _stamp_lineage(spark, table: str | None, lineage: str | None) -> None:
+    """Stamp the checkpoint identity into the state table's
+    TBLPROPERTIES (VERDICT r10 #4: a lineage id does not need a row
+    column — the property survives the staged RENAME and leaves the
+    row contract untouched)."""
+    if table is None or lineage is None:
+        return
+    if not spark.catalog.tableExists(table):
+        return
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+              f"('{_LINEAGE_PROP}'='{lineage}')")
+
+
+def _check_epoch_lineage(absorbed, epoch_id: int, table: str, *,
+                         expected: str | None = None,
+                         actual: str | None = None) -> None:
     """Loud guard for the watermark-carrying pipelines (shard_append /
     dsir_select — the two whose folds are NOT idempotent): on the
     documented same-checkpoint loop, epochs commit sequentially, so a
@@ -1132,15 +1346,28 @@ def _check_epoch_lineage(absorbed, epoch_id: int, table: str) -> None:
     instead: resume from the same checkpoint, or drop/rename the
     state table to start a new crawl.
 
-    Known residual (review find): a foreign table whose watermark is
-    EXACTLY 0 (the old run compacted a single epoch) is
-    indistinguishable from a legitimate replay of uncommitted epoch 0
-    without a run identity in the state schema — that one case still
-    no-ops the fresh run's first epoch. Any longer old run raises on
-    the new run's first epoch, so the blind spot is the single-epoch
-    prior crawl only; the fix (a lineage id column) would break the
-    compact_pending_counts table contract for an edge this narrow,
-    so it is documented instead."""
+    The watermark heuristic alone had a blind spot (r10 review find):
+    a foreign table whose watermark is EXACTLY 0 (the old run
+    compacted a single epoch) is indistinguishable from a legitimate
+    replay of uncommitted epoch 0. Closed in r11 by IDENTITY, not
+    arithmetic: the pipelines stamp their checkpoint's metadata uuid
+    into the state table's TBLPROPERTIES (`faxe.lineage`), and when
+    both the running checkpoint's identity (`expected`) and the
+    table's stamp (`actual`) are known, a mismatch raises regardless
+    of the watermark. Residual: a table written by a pre-lineage
+    build (no stamp) falls back to the watermark heuristic until its
+    next compaction/epoch stamps it — the single-epoch blind spot
+    survives only for that legacy window."""
+    if expected is not None and actual is not None and expected != actual:
+        raise ValueError(
+            f"state table '{table}' is stamped with checkpoint "
+            f"lineage {actual} but this run's checkpoint identity is "
+            f"{expected}: the table belongs to a DIFFERENT crawl run "
+            "(a fresh checkpoint restarts epoch numbering, and "
+            "replay-guard no-ops would silently drop this run's "
+            "early epochs — data loss). Resume from the original "
+            "checkpoint, or drop/rename the state table to start a "
+            "new crawl run")
     if absorbed is not None and epoch_id < absorbed:
         raise ValueError(
             f"state table '{table}' is absorbed through epoch "
@@ -1175,7 +1402,8 @@ def _absorbed_through(spark, table: str | None):
 
 
 def compact_pending_counts(spark, pending_dir: str,
-                           table: str = "shard_counts") -> DataFrame:
+                           table: str = "shard_counts",
+                           checkpoint_dir: str | None = None) -> DataFrame:
     """Fold a shard_append_pipeline run's pending per-shard count rows
     into the counts table — the between-runs step of the append-stable
     layout's crawl loop. SUM semantics (the one crawl-loop state that
@@ -1196,9 +1424,16 @@ def compact_pending_counts(spark, pending_dir: str,
     from pyspark.errors import AnalysisException
 
     schema = "shard long, _cnt long, _absorbed_through long"
+    # pass the run's checkpoint_dir so the FIRST compaction stamps the
+    # table's lineage (r11: without it a single-epoch run's table has
+    # watermark 0 and no stamp — the one shape the arithmetic guard
+    # cannot tell from a legitimate epoch-0 replay); None preserves an
+    # existing stamp
+    lineage = (_checkpoint_identity(spark, checkpoint_dir)
+               if checkpoint_dir else None)
 
     def _write(dframe):
-        return _staged_replace(spark, table, dframe)
+        return _staged_replace(spark, table, dframe, lineage=lineage)
 
     absorbed = _absorbed_through(spark, table)
     try:
@@ -1223,8 +1458,11 @@ def compact_pending_counts(spark, pending_dir: str,
         new_mark = None
         pending = None
     if pending is None or new_mark is None:
-        # nothing new to absorb: keep the table (and its watermark)
+        # nothing new to absorb: keep the table (and its watermark),
+        # but still adopt the lineage stamp when the caller knows it
         if spark.catalog.tableExists(table):
+            if _table_lineage(spark, table) is None:
+                _stamp_lineage(spark, table, lineage)
             return spark.table(table)
         return _write(spark.createDataFrame([], schema))
     if spark.catalog.tableExists(table):
@@ -1241,17 +1479,25 @@ def compact_pending_counts(spark, pending_dir: str,
                   spark.createDataFrame([], schema))
 
 
-def _staged_replace(spark, table: str, dframe: DataFrame) -> DataFrame:
+def _staged_replace(spark, table: str, dframe: DataFrame,
+                    lineage: str | None = None) -> DataFrame:
     """Atomically replace `table` with `dframe` via the staged-rename
     device (compact_seen_fps's crash contract): write the stage table,
     DROP the old, RENAME — a crash between DROP and RENAME leaves the
     staged table intact for manual recovery, and readers never see a
     half-written table. `dframe` must NOT read `table` in its plan
-    (materialize first — see the collect() at every call site)."""
+    (materialize first — see the collect() at every call site).
+
+    `lineage`: the checkpoint identity to stamp on the rewritten
+    table (r11 guard); None PRESERVES the old table's stamp across
+    the rewrite (the offline compactors must not strip it)."""
+    if lineage is None:
+        lineage = _table_lineage(spark, table)
     stage = f"{table}__stage"
     dframe.write.mode("overwrite").saveAsTable(stage)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    _stamp_lineage(spark, table, lineage)
     return spark.table(table)
 
 
@@ -1294,7 +1540,10 @@ def dsir_select_pipeline(df: DataFrame, *, best_table: str,
 
         spark = batch_df.sparkSession
         absorbed = _absorbed_through(spark, best_table)
-        _check_epoch_lineage(absorbed, epoch_id, best_table)
+        lineage = _checkpoint_identity(spark, checkpoint_dir)
+        _check_epoch_lineage(absorbed, epoch_id, best_table,
+                             expected=lineage,
+                             actual=_table_lineage(spark, best_table))
         if absorbed is not None and epoch_id == absorbed:
             return  # replay of the one legitimately-uncommitted epoch
         best = None
@@ -1311,7 +1560,8 @@ def dsir_select_pipeline(df: DataFrame, *, best_table: str,
         # hazard, same fix)
         rows = marked.collect()
         _staged_replace(spark, best_table,
-                        spark.createDataFrame(rows, marked.schema))
+                        spark.createDataFrame(rows, marked.schema),
+                        lineage=lineage)
 
     writer = (df.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir)

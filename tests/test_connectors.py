@@ -1692,3 +1692,149 @@ def test_pgwire_numeric_scale_sizing_and_nonfinite_literals(spark):
     finally:
         srv.stop()
         con.close()
+
+
+# -- r11 wire-lane review pins ----------------------------------------------
+
+def test_pgwire_insert_quotes_reserved_word_columns(spark):
+    """r11 wire review: DataFrame column names are arbitrary — a
+    reserved word (or a space) in the INSERT column list broke both
+    insert paths; identifiers are now double-quoted."""
+    import duckdb
+
+    from faxe_spark.sources.pgwire import (PGWireClient, PGWireServer,
+                                           postgre_out_insert)
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE q("from" BIGINT, "my col" VARCHAR)')
+    srv = PGWireServer(con)
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "`from` long, `my col` string")
+        c = PGWireClient("127.0.0.1", srv.port)
+        try:
+            n = postgre_out_insert(c, "q", df)
+        finally:
+            c.close()
+        assert n == 2
+        assert con.execute('SELECT "from", "my col" FROM q ORDER BY 1') \
+            .fetchall() == [(1, "a"), (2, "b")]
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_pgwire_bytea_round_trip():
+    """r11 wire review: OID_BYTEA was defined but undecoded — BLOB
+    columns came back as the raw '\\x..' hex string; now bytes round
+    trip through the live server."""
+    import duckdb
+
+    from faxe_spark.sources.pgwire import PGWireClient, PGWireServer
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bl(b BLOB)")
+    con.execute("INSERT INTO bl VALUES ('\\x01AB'::BLOB), (NULL)")
+    srv = PGWireServer(con)
+    try:
+        c = PGWireClient("127.0.0.1", srv.port)
+        try:
+            _, rows = c.query("SELECT b FROM bl ORDER BY b NULLS LAST")
+        finally:
+            c.close()
+        # DuckDB's BLOB literal: \xHH escapes one byte, the rest are
+        # literal chars — '\x01AB' is 0x01 then "AB"
+        assert rows == [[b"\x01AB"], [None]]
+    finally:
+        srv.stop()
+        con.close()
+
+
+def test_pgwire_bind_range_longest_match():
+    """r11 wire review: $1 must not eat the prefix of $10+ (plain
+    str.replace corrupted queries using higher placeholder numbers)."""
+    import datetime
+
+    from faxe_spark.sources.pgwire import bind_range
+
+    q = "SELECT $1 a, $2 b, $10 c, $21 d"
+    b = bind_range(q, datetime.datetime(2024, 1, 1),
+                   datetime.datetime(2024, 1, 2))
+    assert "$10 c" in b and "$21 d" in b
+    assert b.count("TIMESTAMP '2024-01-01 00:00:00'") == 1
+    assert b.count("TIMESTAMP '2024-01-02 00:00:00'") == 1
+
+
+def test_bson_datetime_is_utc_regardless_of_host_zone():
+    """r11 wire review: BSON 0x09 is UTC ms since epoch; naive
+    datetimes encode AS UTC (not host-local) and decode back naive —
+    the stamped ms value is pinned so a non-UTC host cannot pass by
+    symmetric error."""
+    import calendar
+    import datetime
+    import struct
+
+    from faxe_spark.sources.mongo import bson_decode, bson_encode
+
+    d = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    buf = bson_encode({"t": d})
+    # element: type(1) 't\0'(2) int64 ms
+    (ms,) = struct.unpack_from("<q", buf, 4 + 1 + 2)
+    assert ms == calendar.timegm(d.timetuple()) * 1000
+    got, _ = bson_decode(buf)
+    assert got == {"t": d}
+
+
+def test_mongo_server_partial_header_drops_not_desyncs():
+    """r11 wire review: a timeout after a PARTIAL header read used to
+    discard the consumed bytes and keep the connection — every later
+    message parsed desynced. Idle-tolerance now applies only before
+    byte 0; a stalled mid-header peer is dropped (recv -> b'') instead
+    of answered with garbage."""
+    import socket
+    import struct
+    import time
+
+    from faxe_spark.sources.mongo import (MongoClient, MongoServer,
+                                          _op_msg)
+
+    srv = MongoServer({("db", "c"): [{"x": 1}]})
+    try:
+        # a fast client works
+        c = MongoClient("127.0.0.1", srv.port)
+        assert c.find("db", "c") == [{"x": 1}]
+        c.close()
+
+        # a trickling client: 8 header bytes, stall past the server's
+        # 0.5s read timeout, then the rest — must get DROPPED
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        msg = _op_msg(1, 0, {"find": "c", "filter": {}, "$db": "db"})
+        raw.sendall(msg[:8])
+        time.sleep(1.2)
+        try:
+            raw.sendall(msg[8:])
+            raw.settimeout(5)
+            got = raw.recv(16)
+        except OSError:
+            got = b""
+        assert got == b"", "desynced reply instead of a clean drop"
+        raw.close()
+
+        # the server survives and serves new connections
+        c = MongoClient("127.0.0.1", srv.port)
+        assert c.find("db", "c") == [{"x": 1}]
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_influx_nan_inf_fields_filter_out():
+    """r11 wire review: line protocol has no NaN/Inf literal — 'v=nan'
+    400s the whole request body on a real endpoint. Non-finite floats
+    filter like map/list fields; an all-non-finite point skips."""
+    from faxe_spark.sinks.influx import encode_point
+
+    line = encode_point("m", {"a": float("nan"), "b": 2.0,
+                              "c": float("inf")}, {}, 1000)
+    assert line == "m b=2.0 1000"
+    assert encode_point("m", {"a": float("-inf")}, {}, 1000) is None

@@ -1022,3 +1022,18 @@ def test_dfs_shard_and_dsir_missing_options_are_loud(spark):
         DFSCompiler(spark, tables_dir=SF_SMOKE).run(
             "|parquet('documents')\n"
             "|dsir_resample(lambda: \"lang\" == 'en')")
+
+
+def test_dfs_state_table_no_tables_dir_descriptive(spark):
+    """ADVICE r10: a plain-string carried-state name with no env match
+    and tables_dir=None must raise the descriptive ValueError, not a
+    PATH_NOT_FOUND on 'None/<name>.parquet'."""
+    from faxe_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(4)
+    with pytest.raises(ValueError, match="no tables_dir was configured"):
+        DFSCompiler(spark, sources={"epoch": docs}).run("""
+        epoch
+        |shard_append(4)
+        .counts('missing_state')
+        """)

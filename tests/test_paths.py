@@ -160,3 +160,31 @@ def test_set_deep_replaces_scalar_intermediate(nested_df):
     out = paths.set_path(nested_df, "data.code.sub", 1)
     assert out.select(
         paths.get_path("data.code.sub")).collect()[0][0] == 1
+
+
+def test_get_path_safe_index_on_json_string(spark):
+    """r11 review: 'data[2].x' where `data` is a JSON STRING is an
+    array extract of its document ($[1].x) — this shape used to fall
+    through the ArrayType check and silently read NULL while the
+    sibling 'data.x' shape JSON-extracted."""
+    from faxe_spark.paths import get_path_safe
+
+    df = spark.createDataFrame(
+        [('[{"x": 1}, {"x": 2}]', '{"rows": [5, 6]}')],
+        "data string, doc string")
+    got = df.select(
+        get_path_safe(df, "data[2].x").cast("long").alias("a"),
+        get_path_safe(df, "data[1].x").cast("long").alias("b"),
+        get_path_safe(df, "doc.rows[2]").cast("long").alias("c"),
+        get_path_safe(df, "data[9].x").alias("missing"),
+    ).collect()[0]
+    assert (got.a, got.b, got.c, got.missing) == (2, 1, 6, None)
+
+
+def test_delete_path_array_index_refuses(nested_df):
+    """r11 review: 'vals[2]' used to silently drop ALL of `vals` —
+    deleting more than asked; now it refuses like set_path."""
+    with pytest.raises(NotImplementedError, match="array-index"):
+        paths.delete_path(nested_df, "vals[2]")
+    with pytest.raises(NotImplementedError, match="array-index"):
+        paths.delete_path(nested_df, "data.meta[1]")

@@ -10,6 +10,8 @@ checkpoint, and requires cross-restart state to hold.
 
 import datetime
 
+import pytest
+
 
 def _t(m, s):
     return datetime.datetime(2024, 1, 1, 10, m, s)
@@ -1290,6 +1292,118 @@ def test_shard_append_pipeline_uncommitted_epoch_replay(spark, tmp_path):
 
         crows = spark.table(tbl).collect()
         assert sum(r._cnt for r in crows) == 22   # epochs 1-2 compacted once
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_dsir_select_pipeline_foreign_single_epoch_raises(spark, tmp_path):
+    """VERDICT r10 #4: the watermark arithmetic cannot tell a FOREIGN
+    best table with watermark 0 (old run folded exactly one epoch)
+    from a legitimate replay of uncommitted epoch 0 — the identity
+    stamp (checkpoint metadata uuid in TBLPROPERTIES) can. A fresh
+    checkpoint against the old run's table must fail loudly instead of
+    silently no-opping the new run's first epoch."""
+    import pyspark.sql.functions as F
+
+    from faxe_spark.operators import trainprep as tp
+    from faxe_spark.streaming.stateful import (_table_lineage,
+                                               dsir_select_pipeline)
+    from faxe_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wdf = tp.dsir_weights_flagged(docs, F.expr("lang = 'en'"), buckets=64)
+    w = {int(r.bucket): int(r.lam) for r in wdf.collect()}
+
+    src = tmp_path / "src"
+    tbl = "dsir_best_foreign"
+
+    def run_once(ck, glob_pat):
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/" + glob_pat))
+        q = dsir_select_pipeline(
+            stream, best_table=tbl, checkpoint_dir=ck, weights=w,
+            k=20, buckets=64)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return q
+
+    try:
+        docs.filter("doc_id % 2 = 0").repartition(1) \
+            .write.parquet(str(src / "b1"))
+        run_once(str(tmp_path / "ckA"), "b1")     # old run: ONE epoch
+        assert spark.table(tbl).selectExpr(
+            "max(_absorbed_through)").collect()[0][0] == 0
+        assert _table_lineage(spark, tbl) is not None   # stamped
+
+        docs.filter("doc_id % 2 = 1").repartition(1) \
+            .write.parquet(str(src / "b2"))
+        with pytest.raises(Exception, match="lineage"):
+            run_once(str(tmp_path / "ckB"), "b2")  # fresh checkpoint
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")
+
+
+def test_shard_append_compaction_stamps_lineage_and_guards(spark, tmp_path):
+    """Same blind spot for the SUM fold: the counts table is written
+    by the OFFLINE compactor, so compact_pending_counts(checkpoint_dir=)
+    stamps the run's identity at the first compaction; a fresh
+    checkpoint's run against that single-epoch table (watermark 0)
+    then raises by identity. The stamp also survives a later
+    lineage-less compaction (preserve-by-default in _staged_replace)."""
+    import shutil
+
+    from faxe_spark.streaming.stateful import (_table_lineage,
+                                               compact_pending_counts,
+                                               shard_append_pipeline)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    tbl = "shard_counts_foreign"
+    schema = "doc_id long, text string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.parquet(str(src / name))
+
+    def run_once(ck, glob_pat):
+        read_schema = spark.read.parquet(str(src) + "/b1").schema
+        stream = (spark.readStream.schema(read_schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/" + glob_pat))
+        q = shard_append_pipeline(
+            stream, bucket_table=tbl, out_dir=out, pending_dir=pending,
+            checkpoint_dir=ck, n_shards=4)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    try:
+        feed("b1", [(i, "t") for i in range(10)])
+        run_once(str(tmp_path / "ckA"), "b1")     # old run: ONE epoch
+        compact_pending_counts(spark, pending, tbl,
+                               checkpoint_dir=str(tmp_path / "ckA"))
+        stamp = _table_lineage(spark, tbl)
+        assert stamp is not None
+        assert spark.table(tbl).selectExpr(
+            "max(_absorbed_through)").collect()[0][0] == 0
+        shutil.rmtree(pending)
+
+        # a later compaction WITHOUT checkpoint_dir preserves the stamp
+        compact_pending_counts(spark, pending, tbl)
+        assert _table_lineage(spark, tbl) == stamp
+
+        feed("b2", [(i, "t") for i in range(10, 20)])
+        with pytest.raises(Exception, match="lineage"):
+            run_once(str(tmp_path / "ckB"), "b2")  # fresh checkpoint
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__stage")

@@ -1372,6 +1372,37 @@ def test_collect_full_emit_every_is_free_running(spark, tmp_path):
         q.stop()
 
 
+def _run_fsm(spark, tmp_path, df_rows, schema, build, name,
+             files_per_trigger=None):
+    """Shared FSM-lane golden runner (r10 verdict: the NaN/deadline bug
+    class lived in lanes whose ad-hoc fixtures skewed clean-typed —
+    every new FSM golden goes through this builder so NULL-bearing and
+    multi-batch shapes are one argument away, not a rewrite).
+    files_per_trigger=1 makes each row-group its own micro-batch."""
+    from faxe_spark.streaming import stream_parquet
+
+    src = str(tmp_path / name)
+    if isinstance(df_rows[0], list):     # one parquet file per batch
+        for batch in df_rows:
+            spark.createDataFrame(batch, schema).repartition(1) \
+                .write.mode("append").parquet(src)
+    else:
+        spark.createDataFrame(df_rows, schema).repartition(1) \
+            .write.parquet(src)
+    if files_per_trigger:
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", files_per_trigger)
+                  .parquet(src))
+    else:
+        stream = stream_parquet(spark, src)
+    out = build(stream)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
 def test_fsm_lanes_numeric_null_semantics(spark, tmp_path):
     """r10 review finds: numeric NULLs arrive from Arrow as NaN, not
     None. Pins per lane: value_diff emits a NULL diff for the null row
@@ -1379,22 +1410,13 @@ def test_fsm_lanes_numeric_null_semantics(spark, tmp_path):
     no-op; change_detect keeps NULL as a comparable value (the batch
     lane's eqNullSafe semantics); state_change treats NULL as its own
     state instead of bool-coercing."""
-    from faxe_spark.streaming import stream_parquet
     from faxe_spark.streaming.stateful import (change_detect_stream,
                                                collect_stream,
                                                state_change_stream,
                                                value_diff_stream)
 
     def run(df_rows, schema, build, name):
-        src = str(tmp_path / name)
-        spark.createDataFrame(df_rows, schema).repartition(1) \
-            .write.parquet(src)
-        out = build(stream_parquet(spark, src))
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
-        q.stop()
-        return spark.sql(f"SELECT * FROM {name}").collect()
+        return _run_fsm(spark, tmp_path, df_rows, schema, build, name)
 
     rows = run([(1, _dt(0), 1.0), (1, _dt(1), None), (1, _dt(2), 4.0)],
                "key bigint, ts timestamp, v double",
@@ -1468,3 +1490,292 @@ def test_sample_n_zero_fails_loud_both_lanes(spark):
         sample_nth(docs, 0, by=["user_id"])
     with pytest.raises(ValueError, match="n >= 1"):
         sample_stream(docs, key_col="user_id", n=0)
+
+
+# ---------------------------------------------------------------------------
+# state_sequence_stream (r11: the one §2.10 FSM node that had no
+# streaming lane — esp_state_sequence.erl:47)
+# ---------------------------------------------------------------------------
+
+_SEQ_SCHEMA = "key bigint, ts timestamp, s0 boolean, s1 boolean, s2 boolean"
+
+
+def _seq(sec, a, b, c, key=1):
+    return (key, _dt(sec), a, b, c)
+
+
+def test_state_sequence_stream_cross_batch(spark, tmp_path):
+    """A sequence whose three steps land in three different
+    micro-batches completes; start_ts_ms is the first step's event
+    time (cross-batch FSM state carried in the state store)."""
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    batches = [
+        [_seq(0, True, False, False)],            # step 0
+        [_seq(2, False, True, False)],            # step 1
+        [_seq(4, False, False, True),             # completes
+         _seq(5, True, False, False)],            # new seq, never done
+    ]
+    rows = _run_fsm(
+        spark, tmp_path, batches, _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["1h", "1h"], wallclock_cleanup=False),
+        "seq_xbatch", files_per_trigger=1)
+    assert [(r.key, r.ts_ms, r.start_ts_ms) for r in rows] == \
+        [(1, _dt(4).timestamp() * 1000, _dt(0).timestamp() * 1000)]
+
+
+def test_state_sequence_stream_event_timeout_resets(spark, tmp_path):
+    """A step arriving beyond its `within` resets the FSM first and is
+    then evaluated against step 0 (the reference's timer fires before
+    the late arrival) — so a late s1 is dropped, but a late s0 STARTS a
+    fresh sequence that can complete."""
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    rows = _run_fsm(
+        spark, tmp_path,
+        [_seq(0, True, False, False),             # step 0 at t=0
+         _seq(10, False, True, False),            # s1 late (>3s): reset
+         _seq(20, True, False, False),            # fresh start
+         _seq(22, False, True, False),            # in time
+         _seq(23, False, False, True)],           # completes
+        _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["3s", "3s"], wallclock_cleanup=False),
+        "seq_timeout")
+    assert [(r.ts_ms, r.start_ts_ms) for r in rows] == \
+        [(_dt(23).timestamp() * 1000, _dt(20).timestamp() * 1000)]
+
+
+def test_state_sequence_stream_strict_vs_lazy(spark, tmp_path):
+    """Interleaved non-matching points: strict resets (esp_state_
+    sequence.erl:95-97, without re-evaluating the interloper against
+    step 0), non-strict ignores them while the within clock keeps
+    running (:98-99)."""
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    data = [_seq(0, True, False, False),
+            _seq(1, False, False, False),         # interloper
+            _seq(2, False, True, False),
+            _seq(3, False, False, True)]
+    lazy = _run_fsm(
+        spark, tmp_path, data, _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["1h", "1h"], wallclock_cleanup=False),
+        "seq_lazy")
+    assert [(r.ts_ms, r.start_ts_ms) for r in lazy] == \
+        [(_dt(3).timestamp() * 1000, _dt(0).timestamp() * 1000)]
+    strict = _run_fsm(
+        spark, tmp_path, data, _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["1h", "1h"], strict=True, wallclock_cleanup=False),
+        "seq_strict")
+    assert strict == []
+
+
+def test_state_sequence_stream_strict_no_reeval(spark, tmp_path):
+    """Reference semantic pin: in strict mode a point failing the
+    CURRENT step is consumed by the reset — it is NOT re-tried against
+    step 0 (eval_false -> reset only). 'a a b c' therefore completes
+    NOTHING in the FSM (while the batch lead()-analog flags the inner
+    'a b c' — divergence documented in both docstrings)."""
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    rows = _run_fsm(
+        spark, tmp_path,
+        [_seq(0, True, False, False),
+         _seq(1, True, False, False),             # fails s1, consumed
+         _seq(2, False, True, False),             # FSM at 0: fails s0
+         _seq(3, False, False, True)],
+        _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["1h", "1h"], strict=True, wallclock_cleanup=False),
+        "seq_noreeval")
+    assert rows == []
+
+
+def test_state_sequence_stream_null_steps_no_phantom(spark, tmp_path):
+    """NULL lambda results (Arrow NaN or None) are False, not phantom
+    matches — the r10 NaN-as-NULL guard applied to this lane; and a
+    single-state sequence emits on every match."""
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    rows = _run_fsm(
+        spark, tmp_path,
+        [_seq(0, True, False, False),
+         (1, _dt(1), None, None, None),           # no phantom advance
+         _seq(2, False, True, False),
+         _seq(3, False, False, True)],
+        _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["1h", "1h"], wallclock_cleanup=False),
+        "seq_null")
+    assert [(r.ts_ms, r.start_ts_ms) for r in rows] == \
+        [(_dt(3).timestamp() * 1000, _dt(0).timestamp() * 1000)]
+
+    single = _run_fsm(
+        spark, tmp_path,
+        [_seq(0, True, False, False), _seq(1, True, False, False)],
+        _SEQ_SCHEMA,
+        lambda s: state_sequence_stream(
+            s, key_col="key", step_cols=["s0"], within=[], wallclock_cleanup=False),
+        "seq_single")
+    assert [r.ts_ms for r in single] == \
+        [_dt(0).timestamp() * 1000, _dt(1).timestamp() * 1000]
+
+
+def test_state_sequence_stream_matches_batch(spark, tmp_path):
+    """Lane equality on ordered data: the batch lead()-analog's flagged
+    START rows correspond 1:1 to the FSM's (start_ts, end_ts) emissions
+    on a fixture free of the documented 'a a b c' re-eval divergence
+    and of overlapping matches."""
+    from faxe_spark.operators.state import state_sequence
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    data = []
+    sec = 0
+    for k in (1, 2):
+        for pat in (["a", "b", "c"],             # complete
+                    ["a", "b", "b"],             # stalls at s2
+                    ["a", "b", "c"],             # complete
+                    ["b", "c", "a"]):            # only trailing a
+            for et in pat:
+                data.append((k, _dt(sec := sec + 2), et))
+    schema = "key bigint, ts timestamp, et string"
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    steps = [F.col("et") == v for v in ("a", "b", "c")]
+    got = _run_fsm(
+        spark, tmp_path, data, schema,
+        lambda s: state_sequence_stream(
+            s.withColumns({f"s{i}": c for i, c in enumerate(steps)}),
+            key_col="key", step_cols=["s0", "s1", "s2"],
+            within=["5s", "5s"], strict=True, wallclock_cleanup=False),
+        "seq_batch_eq")
+    got = {(r.key, r.start_ts_ms, r.ts_ms) for r in got}
+
+    bdf = spark.createDataFrame(data, schema)
+    flagged = state_sequence(
+        bdf, [f"et = '{v}'" for v in ("a", "b", "c")],
+        [5000, 5000], by=["key"], ts_col="ts")
+    want = set()
+    for r in flagged.filter("seq_complete").collect():
+        start_ms = int(r.ts.timestamp() * 1000)
+        want.add((r.key, start_ms))
+    assert {(k, s) for k, s, _ in got} == want
+    # FSM end = start of the 3rd consecutive row, rows 2s apart
+    assert all(e - s == 4000 for _, s, e in got)
+
+
+def test_state_sequence_stream_wallclock_timeout_not_postponed(spark, tmp_path):
+    """Live mode (wallclock_cleanup=True): the reference's timer is
+    wall-clock, so a mid-sequence key whose next step arrives in event
+    time but BEYOND the armed processing-time deadline has been reset —
+    and per the r10 deadline device, steady non-matching traffic must
+    not postpone that deadline. A fresh full sequence afterwards still
+    completes (the lane stays alive after a timer reset)."""
+    import os
+
+    from faxe_spark.streaming.stateful import state_sequence_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, s0 boolean, s1 boolean"
+
+    def feed(sec, a, b):
+        spark.createDataFrame([(1, _dt(sec), a, b)], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    feed(0, True, False)                 # step 0: arms a 2s deadline
+    s = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = state_sequence_stream(s, key_col="key", step_cols=["s0", "s1"],
+                                within=["2s"])
+    q = (out.writeStream.format("memory").queryName("seq_wallclock")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        # steady unrelated traffic for ~4s of wall clock, event ts
+        # within the 2s within-bound (so only the wall-clock timer
+        # can reset the FSM)
+        for i in range(6):
+            time.sleep(0.65)
+            feed(1, False, False)
+        feed(1, False, True)             # s1 in event time (1s gap) —
+        #                                  but the timer fired long ago
+        time.sleep(4)                    # let the batches drain
+        assert spark.sql("SELECT * FROM seq_wallclock").collect() == [], \
+            "wall-clock timer did not reset the armed sequence"
+        # lane alive: a fresh in-time sequence completes
+        feed(10, True, False)
+        time.sleep(0.2)
+        feed(11, False, True)
+        deadline = time.time() + 30
+        got = []
+        while time.time() < deadline and not got:
+            time.sleep(0.5)
+            got = spark.sql("SELECT * FROM seq_wallclock").collect()
+        assert [(r.ts_ms, r.start_ts_ms) for r in got] == \
+            [(int(_dt(11).timestamp() * 1000), int(_dt(10).timestamp() * 1000))]
+    finally:
+        q.stop()
+
+
+def test_collect_full_tombstone_emits_once_then_freed(spark, tmp_path):
+    """ADVICE r10 medium: with include_removed + emit_every, a removed
+    key's tombstone rides exactly ONE periodic emission (tagged
+    'remove') and is then deleted — esp_collect's emit_buffer_cleanup
+    buffer_deletes after one tagged emission. The old update+re-arm
+    emitted duplicate 'remove' rows forever and leaked the state."""
+    import os
+
+    from faxe_spark.streaming import collect_full_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key bigint, ts timestamp, v double"
+
+    def feed(sec, v):
+        spark.createDataFrame([(1, _dt(sec), v)], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    feed(0, 1.0)                         # add
+    s = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = collect_full_stream(
+        s, key_col="key", payload_cols=["v"], update_when=False,
+        # remove_when sees payload_cols only, so the kill signal must
+        # be a payload value (sentinel), not a side column
+        remove_when=lambda new, st: new.get("v") == -99.0,
+        emit_every="1s", include_removed=True)
+    q = (out.writeStream.format("memory").queryName("cfs_tomb")
+         .outputMode("append").trigger(processingTime="300 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:          # wait for the add
+            if spark.sql("SELECT * FROM cfs_tomb").collect():
+                break
+            time.sleep(0.3)
+        feed(1, -99.0)                         # data-path 'remove' row
+        deadline = time.time() + 30
+        removes = 0
+        while time.time() < deadline and removes < 2:
+            removes = spark.sql(
+                "SELECT count(*) c FROM cfs_tomb WHERE action='remove'"
+            ).collect()[0].c
+            time.sleep(0.3)
+        assert removes == 2, "tombstone never rode a periodic emission"
+        time.sleep(3.5)                        # >3 further emit ticks
+        assert spark.sql(
+            "SELECT count(*) c FROM cfs_tomb WHERE action='remove'"
+        ).collect()[0].c == 2, "tombstone kept emitting after its one ride"
+    finally:
+        q.stop()
