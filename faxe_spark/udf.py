@@ -86,6 +86,47 @@ class PythonNode:
         return default
 
 
+def _records(pdf: pd.DataFrame) -> list[dict]:
+    """Rows as point dicts with the reference's value model (r11
+    review): flowdata maps carry no undefined entries, so NULL/NaN
+    columns become ABSENT keys (`point.get` -> None, like the SDK);
+    and values are plain Python scalars — the Arrow boundary hands
+    numpy types whose exact-type checks misfire silently (the SDK's
+    `type(v) in (...)` format_state filter dropped numpy-typed attrs
+    from persisted state; NaN passed `is None` guards and propagated
+    nan through arithmetic the reference would have skipped). Array
+    cells become lists, the reference's JSON-shaped form."""
+    import numpy as np
+
+    out = []
+    for rec in pdf.to_dict("records"):  # noqa: the one to_dict site
+        d = {}
+        for k, v in rec.items():
+            if v is None:
+                continue
+            if isinstance(v, np.ndarray):
+                d[k] = v.tolist()
+                continue
+            try:
+                if pd.isna(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            d[k] = v.item() if isinstance(v, np.generic) else v
+        out.append(d)
+    return out
+
+
+def _frame(out: list[dict], columns: list[str]) -> pd.DataFrame:
+    """Emitted points -> pandas frame shaped to the declared schema's
+    columns: absent keys (a point that never carried the field, or
+    _records dropping an all-NULL column) become NULL columns instead
+    of a missing-column Arrow error. `columns` is a plain list resolved
+    DRIVER-side — schema parsing needs an active SparkSession, which
+    executors don't have."""
+    return pd.DataFrame(out).reindex(columns=columns)
+
+
 def _validate_opts(node_class: type[PythonNode], opts: dict) -> None:
     import difflib
 
@@ -121,19 +162,20 @@ def apply_node(df: DataFrame, node_class: type[PythonNode],
             [StructField(enc(f.name), f.dataType, f.nullable)
              for f in out_struct.fields])
 
+    out_cols = [f.name for f in _as_struct(output_schema).fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         node = node_class()
         node.init(**opts)
         for pdf in batches:
             if has_dots:
                 pdf = pdf.rename(columns=dec)
-            points = pdf.to_dict("records")
+            points = _records(pdf)
             out = node.handle_batch(points)
             if out:
-                opdf = pd.DataFrame(out)
                 if has_dots:
-                    opdf = opdf.rename(columns=enc)
-                yield opdf
+                    out = [{enc(k): v for k, v in p.items()} for p in out]
+                yield _frame(out, out_cols)
 
     res = df.mapInPandas(run, output_schema)
     if has_dots:
@@ -148,15 +190,16 @@ def apply_node_keyed(df: DataFrame, node_class: type[PythonNode],
     faxe's group_by cloning a @pythonclass node per group key,
     df_graph.erl:470-541). Rows arrive ts-sorted when requested."""
     _validate_opts(node_class, opts)
+    out_cols = [f.name for f in _as_struct(output_schema).fields]
 
     def run(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         node = node_class()
         node.init(**opts)
         if sort_within_key and sort_within_key in pdf.columns:
             pdf = pdf.sort_values(sort_within_key)
-        out = node.handle_batch(pdf.to_dict("records"))
-        return pd.DataFrame(out) if out else pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in _as_struct(output_schema).fields})
+        out = node.handle_batch(_records(pdf))
+        return _frame(out, out_cols) if out else pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in out_cols})
 
     return df.groupBy(*by).applyInPandas(run, output_schema)
 
@@ -180,6 +223,7 @@ def apply_node_stateful(df: DataFrame, node_class: type[PythonNode],
 
     _validate_opts(node_class, opts)
     state_schema = StructType([StructField("blob", BinaryType())])
+    out_cols = [f.name for f in _as_struct(output_schema).fields]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:  # pragma: no cover - no timeouts configured
@@ -194,11 +238,11 @@ def apply_node_stateful(df: DataFrame, node_class: type[PythonNode],
         for pdf in pdfs:
             if ts_col in pdf.columns:
                 pdf = pdf.sort_values(ts_col)
-            out = node.handle_batch(pdf.to_dict("records"))
+            out = node.handle_batch(_records(pdf))
             if node.state_mode() == PythonNode.STATE_MODE_HANDLE:
                 node.persist_state()
             if out:
-                yield pd.DataFrame(out)
+                yield _frame(out, out_cols)
         if node._pending_state is not None:
             state.update((pickle.dumps(node._pending_state,
                                        protocol=pickle.HIGHEST_PROTOCOL),))
