@@ -104,6 +104,18 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+# Staging layout version: bump when the splitting rule changes so stale
+# caches re-stage. v2 (r11): split byte-heavy tables too — the old
+# rows>=50k rule left documents (5000 rows of TEXT: the corpus behind
+# ~25 headline queries, where per-row cost is n-gram md5 work) and
+# embeddings (2000 vectors feeding every GEMM lane) as ONE parquet file
+# = one row group = ONE scan task, serializing the whole pre-exchange
+# compute of those queries on 1 of 32 cores (guide §2.5 "input skew:
+# one huge unsplittable file"). Splittable-at-the-source is exactly
+# what this staging step exists to model.
+LAYOUT_V = "v2"
+
+
 def stage_cache(spark, sf_dir: str, n_files: int) -> tuple[str, float]:
     """One-time ingest into a splittable layout (n_files per big table)."""
     from faxe_spark.tables import load_table
@@ -112,18 +124,28 @@ def stage_cache(spark, sf_dir: str, n_files: int) -> tuple[str, float]:
     cache = os.path.join(CACHE_ROOT, tag)
     marker = os.path.join(cache, "_STAGED")
     if os.path.exists(marker):
-        return cache, 0.0
+        with open(marker) as fh:
+            if fh.read().startswith(f"{LAYOUT_V}:"):
+                return cache, 0.0
     t0 = time.perf_counter()
     shutil.rmtree(cache, ignore_errors=True)
     os.makedirs(cache, exist_ok=True)
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         rows = df.count()
-        parts = n_files if rows >= 50_000 else 1
+        src_bytes = 0
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(src):
+            src_bytes = sum(os.path.getsize(os.path.join(src, f))
+                            for f in os.listdir(src))
+        elif os.path.isfile(src):
+            src_bytes = os.path.getsize(src)
+        parts = n_files if (rows >= 50_000
+                            or src_bytes >= 256 * 1024) else 1
         df.repartition(parts).write.mode("overwrite").parquet(
             os.path.join(cache, f"{name}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(sf_dir)
+        fh.write(f"{LAYOUT_V}:{sf_dir}")
     return cache, round(time.perf_counter() - t0, 3)
 
 

@@ -81,20 +81,111 @@ def _table_path(spark: SparkSession, table: str) -> str:
     return spark.conf.get("spark.sql.warehouse.dir") + "/" + table
 
 
+def _local_fs_path(spark: SparkSession, table: str) -> str | None:
+    from urllib.parse import urlparse
+
+    p = urlparse(_table_path(spark, table))
+    return p.path if p.scheme in ("", "file") else None
+
+
+def _save_small_table(spark: SparkSession, table: str, pa_table) -> bool:
+    """Driver-side parquet write for BOUNDED side tables (centroid /
+    codebook matrices, meta rows, weight tables — kilobytes by
+    contract). A Spark job for an 8-row write costs ~0.5-0.6 s of
+    scheduling + shuffle per table (measured; the old repartition(1)
+    path), i.e. pure overhead repeated on every index build — the
+    guide §5 inversion: these rows already LIVE on the driver, so
+    distributing the write buys nothing at any scale. pyarrow writes
+    the same directory-of-parquet layout Spark reads (~7 ms). Returns
+    False on a non-local warehouse (s3a://, hdfs://) so callers fall
+    back to the Spark writer."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    p = _local_fs_path(spark, table)
+    if p is None:
+        return False
+    shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(pa_table, os.path.join(p, "part-00000.parquet"))
+    return True
+
+
+def _read_small_table(spark: SparkSession, table: str):
+    """pyarrow read of a bounded side table (local warehouse only —
+    returns None otherwise; pyarrow's dataset reader skips _SUCCESS
+    markers, so Spark-written directories read identically)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = _local_fs_path(spark, table)
+    if p is None or not os.path.isdir(p):
+        return None
+    return pq.read_table(p)
+
+
 def _save_matrix(spark: SparkSession, table: str, M) -> None:
-    # repartition(1), NOT coalesce(1): coalescing a parallelized local
-    # relation into one write task measures 4-5 s per tiny side-table
-    # on Spark 4.1 (the single task computes every parent slice
-    # serially without AQE help); the one-row shuffle is ~0.4 s.
+    import pyarrow as pa
+
     rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(M)]
+    t = pa.table({"_i": pa.array([r[0] for r in rows], pa.int32()),
+                  "_vec": pa.array([r[1] for r in rows],
+                                   pa.list_(pa.float64()))})
+    if _save_small_table(spark, table, t):
+        return
+    # non-local warehouse fallback. repartition(1), NOT coalesce(1):
+    # coalescing a parallelized local relation into one write task
+    # measures 4-5 s per tiny side-table on Spark 4.1 (the single task
+    # computes every parent slice serially without AQE help); the
+    # one-row shuffle is ~0.4 s.
     (spark.createDataFrame(rows, "_i int, _vec array<double>")
      .repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, table)))
 
 
+def _save_meta(spark: SparkSession, table: str, row: dict,
+               schema: str) -> None:
+    """One-row meta table via the driver-side fast path; `schema` is
+    the Spark DDL used by the non-local fallback writer (pyarrow maps
+    int->int32 / boolean / string to the same parquet types)."""
+    import pyarrow as pa
+
+    cols = {}
+    for k, v in row.items():
+        if isinstance(v, bool):
+            typ = pa.bool_()
+        elif isinstance(v, int):
+            typ = pa.int32()
+        else:
+            typ = pa.string()
+        cols[k] = pa.array([v], typ)
+    if _save_small_table(spark, table, pa.table(cols)):
+        return
+    (spark.createDataFrame([tuple(row.values())], schema)
+     .repartition(1).write.mode("overwrite")
+     .parquet(_table_path(spark, table)))
+
+
+def _load_meta(spark: SparkSession, table: str) -> dict:
+    """First row of a meta side table as a plain dict."""
+    t = _read_small_table(spark, table)
+    if t is not None:
+        return {k: v[0] for k, v in t.to_pydict().items()}
+    return spark.read.parquet(_table_path(spark, table)) \
+        .collect()[0].asDict()
+
+
 def _load_matrix(spark: SparkSession, table: str):
     import numpy as np
 
+    t = _read_small_table(spark, table)
+    if t is not None:
+        order = np.argsort(t.column("_i").to_numpy())
+        vecs = t.column("_vec").to_pylist()
+        return np.array([vecs[i] for i in order], dtype=np.float64)
     rows = (spark.read.parquet(_table_path(spark, table))
             .orderBy("_i").collect())
     return np.array([r["_vec"] for r in rows], dtype=np.float64)
@@ -149,13 +240,12 @@ def build_ivf_index(spark: SparkSession, corpus: DataFrame, *, name: str,
      .parquet(_table_path(spark, f"{name}_lists")))
     _save_matrix(spark, f"{name}_centroids", centroids)
     id_type = corpus.schema[id_col].dataType.simpleString()
-    (spark.createDataFrame(
-        [("ivf_flat", int(len(centroids)), bool(quantize), id_col,
-          id_type)],
-        "kind string, nlist int, quantize boolean, id_col string, "
-        "id_type string")
-     .repartition(1).write.mode("overwrite")
-     .parquet(_table_path(spark, f"{name}_meta")))
+    _save_meta(spark, f"{name}_meta",
+               {"kind": "ivf_flat", "nlist": int(len(centroids)),
+                "quantize": bool(quantize), "id_col": id_col,
+                "id_type": id_type},
+               "kind string, nlist int, quantize boolean, id_col string, "
+               "id_type string")
     return AnnIndex(name=name, kind="ivf_flat", centroids=centroids,
                     codebooks=None, quantize=quantize, id_col=id_col,
                     id_type=id_type)
@@ -182,18 +272,15 @@ def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, *,
     _save_matrix(spark, f"{name}_centroids", coarse)
     # codebooks: (m, ksub, dsub) flattened as one row per (j, c)
     m_, ksub_, _ = books.shape
-    flat = [(int(j * ksub_ + cc), [float(x) for x in books[j][cc]])
-            for j in range(m_) for cc in range(ksub_)]
-    (spark.createDataFrame(flat, "_i int, _vec array<double>")
-     .repartition(1).write.mode("overwrite")
-     .parquet(_table_path(spark, f"{name}_codebooks")))
+    _save_matrix(spark, f"{name}_codebooks",
+                 books.reshape(m_ * ksub_, -1))
     id_type = corpus.schema[id_col].dataType.simpleString()
-    (spark.createDataFrame(
-        [("ivfpq", int(nlist), int(m_), int(ksub_), id_col, id_type)],
-        "kind string, nlist int, m int, ksub int, id_col string, "
-        "id_type string")
-     .repartition(1).write.mode("overwrite")
-     .parquet(_table_path(spark, f"{name}_meta")))
+    _save_meta(spark, f"{name}_meta",
+               {"kind": "ivfpq", "nlist": int(nlist), "m": int(m_),
+                "ksub": int(ksub_), "id_col": id_col,
+                "id_type": id_type},
+               "kind string, nlist int, m int, ksub int, id_col string, "
+               "id_type string")
     return AnnIndex(name=name, kind="ivfpq", centroids=coarse,
                     codebooks=books, quantize=False, id_col=id_col,
                     id_type=id_type)
@@ -202,8 +289,7 @@ def build_ivfpq_index(spark: SparkSession, corpus: DataFrame, *,
 def load_ann_index(spark: SparkSession, name: str) -> AnnIndex:
     """Rehydrate the driver handle from the persisted side tables —
     the durability path: build in one session, query from another."""
-    meta = (spark.read.parquet(_table_path(spark, f"{name}_meta"))
-            .collect()[0])
+    meta = _load_meta(spark, f"{name}_meta")
     centroids = _load_matrix(spark, f"{name}_centroids")
     books = None
     if meta["kind"] == "ivfpq":

@@ -312,20 +312,21 @@ def build_sax_index(spark, df: DataFrame, *, name: str, key_col: str,
                           alphabet=alphabet, tiebreak=tiebreak)
     (words.write.mode("overwrite").partitionBy("word")
      .parquet(_table_path(spark, f"{name}_words")))
-    (spark.createDataFrame([(key_col, int(m), int(w), int(alphabet))],
-                           "key_col string, m int, w int, alphabet int")
-     .repartition(1).write.mode("overwrite")
-     .parquet(_table_path(spark, f"{name}_meta")))
+    from faxe_spark.operators.ann_index import _save_meta
+
+    _save_meta(spark, f"{name}_meta",
+               {"key_col": key_col, "m": int(m), "w": int(w),
+                "alphabet": int(alphabet)},
+               "key_col string, m int, w int, alphabet int")
     return SaxIndex(name, key_col, m, w, alphabet)
 
 
 def load_sax_index(spark, name: str) -> SaxIndex:
     """Rehydrate the handle from the meta table (build in one session,
     query from another — the durability path)."""
-    from faxe_spark.operators.ann_index import _table_path
+    from faxe_spark.operators.ann_index import _load_meta
 
-    meta = (spark.read.parquet(_table_path(spark, f"{name}_meta"))
-            .collect()[0])
+    meta = _load_meta(spark, f"{name}_meta")
     return SaxIndex(name, meta["key_col"], int(meta["m"]),
                     int(meta["w"]), int(meta["alphabet"]))
 

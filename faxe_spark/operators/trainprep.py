@@ -572,14 +572,21 @@ def dsir_score(df: DataFrame, weights: dict[int, int], *,
             f"weights must cover all {buckets} buckets exactly, got "
             f"{len(weights)} keys (pass dsir_weights(...).collect() "
             f"rows) — a missing bucket would NULL-poison score_sum")
-    m = F.create_map(*[c for b in sorted(weights)
-                       for c in (F.lit(int(b)).cast("bigint"),
-                                 F.lit(int(weights[b])).cast("bigint"))])
+    # ONE dense array literal, indexed by bucket, instead of
+    # create_map over 2*buckets literal Columns: the map form costs
+    # 2*buckets py4j round trips to BUILD and hands Catalyst a
+    # 512-node literal tree to fold per feature lambda — measured
+    # ~1.1 s of pure driver-side plan construction per call at
+    # buckets=256 (and the crawl fold builds it once per epoch). The
+    # keys are exactly range(buckets) (validated above), so
+    # element_at(array, bucket+1) reads the identical lam value.
+    arr = F.lit([int(weights[b]) for b in range(buckets)])
     d, feats = _doc_features(df, text_col)
     lam_sum = F.aggregate(
         F.transform(feats,
-                    lambda f: F.element_at(m, _feature_bucket(
-                        f, buckets=buckets, seed=seed))),
+                    lambda f: F.element_at(
+                        arr, (_feature_bucket(f, buckets=buckets,
+                                              seed=seed) + 1).cast("int"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     from faxe_spark.operators.text import mean_pool_score
     return mean_pool_score(d, lam_sum, scale=scale).drop("_w")
@@ -706,8 +713,21 @@ def save_dsir_weights(spark, weights_df: DataFrame, *, name: str) -> None:
     later run — incremental crawl scoring, a backfill, a different
     selection k — loads the B-row table instead of re-fitting. The
     table is tiny (`buckets` rows); one file."""
-    from faxe_spark.operators.ann_index import _table_path
+    from faxe_spark.operators.ann_index import (_save_small_table,
+                                                _table_path)
 
+    # the fit job still runs (collect is the action); only the B-row
+    # WRITE moves to the driver-side fast path — a distributed write
+    # of 256 rows is a ~0.5 s scheduling tax (guide §5)
+    import pyarrow as pa
+
+    rows = weights_df.select("bucket", "lam").collect()
+    t = pa.table({"bucket": pa.array([int(r["bucket"]) for r in rows],
+                                     pa.int64()),
+                  "lam": pa.array([int(r["lam"]) for r in rows],
+                                  pa.int64())})
+    if _save_small_table(spark, f"{name}_dsir", t):
+        return
     (weights_df.repartition(1).write.mode("overwrite")
      .parquet(_table_path(spark, f"{name}_dsir")))
 
@@ -715,8 +735,13 @@ def save_dsir_weights(spark, weights_df: DataFrame, *, name: str) -> None:
 def load_dsir_weights(spark, *, name: str) -> dict[int, int]:
     """Rehydrate {bucket: lam} for dsir_score — the shape dsir_score
     takes, validated there against `buckets`."""
-    from faxe_spark.operators.ann_index import _table_path
+    from faxe_spark.operators.ann_index import (_read_small_table,
+                                                _table_path)
 
+    t = _read_small_table(spark, f"{name}_dsir")
+    if t is not None:
+        d = t.to_pydict()
+        return {int(b): int(l) for b, l in zip(d["bucket"], d["lam"])}
     rows = spark.read.parquet(_table_path(spark, f"{name}_dsir")).collect()
     return {int(r["bucket"]): int(r["lam"]) for r in rows}
 

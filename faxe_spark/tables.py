@@ -8,6 +8,8 @@ DuckDB oracle and Spark agree to the microsecond.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,10 +29,38 @@ TABLE_NAMES = (
 )
 
 
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the footer-inference skipped on repeat
+    reads: plain `read.parquet(path)` re-infers the schema from file
+    footers on EVERY call (~150-250 ms driver-side per call measured
+    on the 16-file staged tables — bench.py re-builds each query 3x,
+    so this is a per-query tax, and at 100 TB footer inference over
+    thousands of files is a driver stall, guide §7.3). We cache the
+    inferred StructType per (path, dir-mtime) on the session object
+    and hand it to `read.schema(...)`, which skips inference but still
+    re-lists files — so an in-session overwrite is picked up via the
+    mtime key (a Spark overwrite replaces the directory contents),
+    and data is always re-read from parquet (nothing is persisted)."""
+    key = path
+    try:  # local paths: key on the directory mtime so rewrites miss
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:  # remote scheme / missing: fall back to plain read
+        return spark.read.parquet(path)
+    cache = getattr(spark, "_faxe_schema_cache", None)
+    if cache is None:
+        cache = spark._faxe_schema_cache = {}
+    schema = cache.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        cache[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalizes events.ts to TimestampType."""
     configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         # ns -> us truncation via integer division (double division would
