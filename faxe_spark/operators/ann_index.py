@@ -518,9 +518,17 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
     probers = (_probe_rows(queries, index, nprobe, vec_col=vec_col)
                .localCheckpoint(eager=False))
 
-    # partition pruning: the probed-list union is <= nlist ints
-    pids = sorted(r["_pid"] for r in
-                  probers.select("_pid").distinct().collect())
+    # partition pruning: the probed-list union is <= nlist ints.
+    # Full probe (nprobe == nlist, the exact mode every oracle-checked
+    # crawl query runs) short-circuits: every query probes every list,
+    # so the union IS range(nlist) — no distinct+collect job. Unprobed
+    # lists could only ever drop at the kernel's counts join anyway,
+    # so a superset here never changes a row.
+    if nprobe >= index.nlist:
+        pids = list(range(index.nlist))
+    else:
+        pids = sorted(r["_pid"] for r in
+                      probers.select("_pid").distinct().collect())
     members = (spark.read.parquet(_table_path(spark, index.lists_table))
                .filter(F.col("_cid").isin([int(c) for c in pids]))
                .select(F.col("_cid").alias("_pid"),
@@ -608,8 +616,12 @@ def embedding_neardup_incremental(new_df: DataFrame,
            else max(1, min(nprobe, index.nlist)))
     probers = (_probe_rows(new_df, index, np_, vec_col=vec_col)
                .localCheckpoint(eager=False))
-    pids = sorted(r["_pid"] for r in
-                  probers.select("_pid").distinct().collect())
+    # full-probe short-circuit, same reasoning as range_query_ann_index
+    if np_ >= index.nlist:
+        pids = list(range(index.nlist))
+    else:
+        pids = sorted(r["_pid"] for r in
+                      probers.select("_pid").distinct().collect())
     q_type = new_df.schema[id_col].dataType.simpleString()
     members_old = (spark.read.parquet(
         _table_path(spark, index.lists_table))
@@ -622,13 +634,18 @@ def embedding_neardup_incremental(new_df: DataFrame,
         id_col="_mid_", query_id_col="_qid_", q_type=q_type)
         .select(F.col("_qid_").alias(id_col)))
     # in-batch rule: the batch's own frozen-quantizer encoding is the
-    # member side, smaller id wins
-    members_new = (_ivf_flat_lists(new_df, index.centroids,
-                                   quantize=index.quantize,
-                                   id_col=id_col, vec_col=vec_col)
-                   .select(F.col("_cid").alias("_pid"),
-                           F.col(id_col).alias("_mid"),
-                           F.col("_cvs").alias("_mvs")))
+    # member side, smaller id wins. The SAME encoded rows are what the
+    # add phase appends, so encode once (lazy checkpoint — the dropped
+    # barrier below materializes it) instead of running the Arrow
+    # assignment pass twice per batch (once here, once inside
+    # add_to_ann_index).
+    lists_new = (_ivf_flat_lists(new_df, index.centroids,
+                                 quantize=index.quantize,
+                                 id_col=id_col, vec_col=vec_col)
+                 .localCheckpoint(eager=False))
+    members_new = lists_new.select(F.col("_cid").alias("_pid"),
+                                   F.col(id_col).alias("_mid"),
+                                   F.col("_cvs").alias("_mvs"))
     hit_new = (sim._range_pairs(
         probers, members_new, threshold, block_size=1024,
         id_col="_mid_", query_id_col="_qid_", q_type=q_type)
@@ -637,7 +654,9 @@ def embedding_neardup_incremental(new_df: DataFrame,
     dropped = (hit_new.union(hit_old).distinct()
                .localCheckpoint())           # BARRIER before the add
     fresh = new_df.join(dropped, id_col, "left_anti")
-    add_to_ann_index(spark, index, new_df, vec_col=vec_col)
+    # the add phase (same rows add_to_ann_index would encode+append)
+    lists_new.write.mode("append").partitionBy("_cid").parquet(
+        _table_path(spark, index.lists_table))
     return fresh, index
 
 

@@ -310,6 +310,13 @@ def build_sax_index(spark, df: DataFrame, *, name: str, key_col: str,
     words = _sax_words_df(df, key_col=key_col, ts_col=ts_col,
                           value_col=value_col, m=m, w=w,
                           alphabet=alphabet, tiebreak=tiebreak)
+    # NOT rebalanced by word before the write (measured r11): the word
+    # distribution here is heavily concentrated (5 distinct words at
+    # sf0.1), so clustering costs a full shuffle of the windows table
+    # and drops write parallelism to the distinct-word count for a
+    # 14-file -> 9-file saving. A 100 TB deployment with alphabet^w
+    # word dirs x thousands of write tasks would flip this: cluster at
+    # ingest with a REBALANCE-by-word hint (guide §6) there.
     (words.write.mode("overwrite").partitionBy("word")
      .parquet(_table_path(spark, f"{name}_words")))
     from faxe_spark.operators.ann_index import _save_meta

@@ -3049,17 +3049,17 @@ def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-execute everything above it; a row_number window would sort
     # every copy of a viral duplicate onto one task). First version
     # measured 25 s at raw sf0.1 from the re-executions alone.
-    # spread the scan and BARRIER it (the driver corpus is a one-file
-    # parquet; without the checkpoint Catalyst pushes the repetition
-    # filter below the repartition exchange and the whole feature stage
-    # runs on one task — measured 12 s vs 4 s at raw sf0.1), then
-    # materialize the filtered corpus once: boilerplate_remove's
-    # chunk-frequency count and mark-join both read it, and without
-    # that the repetition subtree executes twice. At 100 TB both
-    # checkpoints become persist-to-storage decisions; the shapes hold.
-    par = spark.sparkContext.defaultParallelism
-    spread = d.repartition(par).localCheckpoint(eager=True)
-    rep = (text_ops.repetition_features(spread)
+    # materialize the filtered corpus once (BARRIER):
+    # boilerplate_remove's chunk-frequency count and mark-join both
+    # read it, and without the checkpoint the repetition subtree
+    # executes twice. At 100 TB this checkpoint becomes a
+    # persist-to-storage decision; the shape holds. (r11: the former
+    # spread = repartition(par) + second checkpoint that guarded
+    # against the one-file driver corpus serializing the feature stage
+    # is gone — the bench stages a splittable layout now (bench.py
+    # LAYOUT_V v2), so the repartition was a pure extra shuffle +
+    # materialization of the whole corpus in the timed path.)
+    rep = (text_ops.repetition_features(d)
            .filter("repetition_ok").select("doc_id", "source", "text")
            .localCheckpoint(eager=True))
     bp = tp_ops.boilerplate_remove(rep, chunk_words=8, min_df=2,
