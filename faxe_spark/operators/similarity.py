@@ -755,10 +755,19 @@ def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
         nprobe = nlist
     nprobe = max(1, min(nprobe, nlist))
 
+    from faxe_spark.operators.common import barrier
+
     c = corpus.select(F.col(id_col).cast("long").alias("_id"),
                       _as_double(F.col(vec_col)).alias("_cv"),
                       quantize_vec(F.col(vec_col)).alias("_vq"))
-    ap = assign_probes(c, centroids, id_col="_id", nprobe=nprobe)
+    # BARRIER the assignment pass: `ap` is referenced by the within
+    # lane (clustered), the probers and the members — mapInPandas
+    # subtrees are opaque to Catalyst, so each reference re-ran the
+    # whole Arrow assignment (plan read r11: 9 MapInPandas nodes for
+    # one logical pass). The materialized rows are (id, cid, probes)
+    # — a few ints per vector, the smallest frame in the op.
+    ap = barrier(assign_probes(c, centroids, id_col="_id",
+                               nprobe=nprobe))
     clustered = (corpus
                  .select(F.col(id_col), F.col(vec_col),
                          F.col(id_col).cast("long").alias("_id"))

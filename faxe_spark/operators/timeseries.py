@@ -248,7 +248,18 @@ def subsequence_topk_sax(df: DataFrame, pattern: Sequence[float], *,
     word = sax_word_of(pattern, w=w, alphabet=alphabet)
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    # BARRIER (lazy localCheckpoint) between the z-norm fold and its
+    # consumers — the _windows_z re-execution class, caught here by a
+    # plan read in r11: CollapseProject inlines the _z higher-order
+    # expression into EVERY reference, and the word compare alone
+    # makes w*(alphabet-1) references (plus the distance fold), so the
+    # whole z-norm CASE/fold chain re-evaluated ~20x per window. With
+    # the barrier the word filter and the score read a stored array
+    # (exactly what the persisted-index path gets from parquet).
+    from faxe_spark.operators.common import barrier
+
+    z = barrier(subs.select(key_col, "end_ts",
+                            _znorm_expr(F.col("seq"), m).alias("_z")))
     cand = z.filter(
         _sax_word_expr(F.col("_z"), m, w, alphabet) == F.lit(word))
     return _score_topk(cand, pattern, key_col=key_col, k=k,
@@ -285,9 +296,17 @@ def _sax_words_df(df: DataFrame, *, key_col: str, ts_col: str,
     by build and add so their consistency contract (build(A)+add(B) ==
     build(A∪B)) is structural, not copy-paste discipline (review
     find)."""
+    from faxe_spark.operators.common import barrier
+
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    # barrier between the z-norm fold and the word expression — same
+    # CollapseProject blowup as subsequence_topk_sax: the word makes
+    # w*(alphabet-1) references to _z, each of which would otherwise
+    # inline (and re-evaluate) the whole z-norm fold chain per window
+    # at table-build time
+    z = barrier(subs.select(key_col, "end_ts",
+                            _znorm_expr(F.col("seq"), m).alias("_z")))
     return z.select(key_col, "end_ts", "_z",
                     _sax_word_expr(F.col("_z"), m, w, alphabet)
                     .alias("word"))
