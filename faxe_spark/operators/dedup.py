@@ -374,8 +374,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     base = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
             % F.lit(MINHASH_P))
     hashed = sh.select(id_col, base.alias("_h"))
+    # one parsed SQL string per permutation, not a composed Column
+    # tree (the simhash() construction-cost fix, same reasoning —
+    # ints here all fit in BIGINT: a,b < P < 2^31 and _h < P, so
+    # a*_h + b < 2^62; the L suffixes pin BIGINT arithmetic exactly
+    # like F.lit's long literals did)
     aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.expr(f"min(({a}L * _h + {b}L) % {MINHASH_P}L)").alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -1071,17 +1076,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,
     sh = shingle_rows(df, id_col, text_col, n=shingle_n)
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     hashed = sh.select(id_col, h.alias("h"))
+    # each vote / reassembly term is ONE parsed SQL string, not a
+    # composed Column tree: the bits x ~6-node py4j composition built
+    # ~400 JVM round trips per call, 0.65-0.85 s of pure driver-side
+    # construction per batch (measured r11 — the fold calls this once
+    # per crawl batch). Same expressions, same results; long literals
+    # ({v}L) keep the reassembly sum in BIGINT exactly like the
+    # F.lit(1 << b) path did.
     votes = [
-        F.sum(F.when(F.expr(f"(h >> {b}) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)))
+        F.expr(f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)")
         .alias(f"v{b}")
         for b in range(bits)
     ]
     per_doc = hashed.groupBy(id_col).agg(*votes)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
+    sig = F.expr("CAST(" + " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(bits)) + " AS BIGINT)")
+    return per_doc.select(id_col, sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *,

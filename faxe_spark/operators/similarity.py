@@ -270,11 +270,16 @@ def hash_sample_matrix(corpus: DataFrame, *, id_col: str, vec_col: str,
 
 
 def assign_lists(corpus: DataFrame, centroids, *, id_col: str,
-                 vec_col: str = "_cv") -> DataFrame:
+                 vec_col: str = "_cv",
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Nearest-centroid assignment (the inverted-list builder): one
     Arrow pass, argmax of a single GEMM against the broadcast centroid
     matrix. Input needs (id_col, vec_col=array<double>); output
-    (id_col, _cid int)."""
+    (id_col, _cid int, *carry). `carry` columns are echoed through the
+    pass unchanged — the device that lets an encode-and-store caller
+    (_ivf_flat_lists) get (id, _cid, stored-vector) in ONE pass instead
+    of joining the assignment back to the corpus (that join was a full
+    extra exchange of the corpus per build/add — guide §2.4)."""
     import numpy as np
 
     bc = _centroid_broadcast(corpus.sparkSession.sparkContext, centroids)
@@ -288,11 +293,17 @@ def assign_lists(corpus: DataFrame, centroids, *, id_col: str,
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cid = np.argmax(V @ C.T - half[None, :], axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid})
+            out = {id_col: pdf[id_col], "_cid": cid}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    return (corpus.select(id_col, vec_col)
-            .mapInPandas(assign, f"{id_col} {id_type}, _cid int"))
+    schema = f"{id_col} {id_type}, _cid int" + "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}"
+        for c in carry)
+    return (corpus.select(id_col, vec_col, *carry)
+            .mapInPandas(assign, schema))
 
 
 def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
@@ -800,7 +811,8 @@ def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
 
 def _range_pairs(probers: DataFrame, members: DataFrame,
                  threshold: float, *, block_size: int, id_col: str,
-                 query_id_col: str, q_type: str) -> DataFrame:
+                 query_id_col: str, q_type: str,
+                 m_flag_col: str | None = None) -> DataFrame:
     """Tiled float64 GEMM RANGE scoring of (_pid, _qid, _qvs) probers
     against (_pid, _mid, _mvs) members, emitting every pair with
     cosine >= threshold — the shared kernel of cosine_pairs_ivf's
@@ -810,7 +822,15 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
     across the other's blocks — the cosine_pairs structure), so one
     viral list cannot hand a single Python worker an unbounded
     np.stack. Lists with no probers or no members drop at the counts
-    join. Exact over integer-quantized vectors (see cosine_pairs)."""
+    join. Exact over integer-quantized vectors (see cosine_pairs).
+
+    m_flag_col: optional BOOLEAN member column carried through the
+    tile into the output rows — the device that lets the crawl folds
+    score old-members and in-batch-members in ONE kernel call (one
+    pass over the probers, one counts pair, one Arrow stage) and
+    apply the member-class predicate (smaller-id-only for in-batch)
+    AFTER the GEMM instead of running the kernel twice (guide §1.2
+    step 1: fewer passes over the big side)."""
     import numpy as np
 
     pc = probers.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
@@ -820,6 +840,7 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
         .cast("int")
     nmb = F.greatest(F.lit(1), F.ceil(F.col("_mn") / F.lit(block_size))) \
         .cast("int")
+    flags = [m_flag_col] if m_flag_col else []
     p_tagged = (probers.join(F.broadcast(counts), "_pid")
                 .select("_pid",
                         F.col("_qid").cast("string").alias("_sid"),
@@ -829,7 +850,7 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
                         F.explode(F.sequence(F.lit(0), nmb - 1))
                         .alias("_mb")))
     m_tagged = (members.join(F.broadcast(counts), "_pid")
-                .select("_pid", "_mid", "_mvs",
+                .select("_pid", "_mid", "_mvs", *flags,
                         F.explode(F.sequence(F.lit(0), npb - 1))
                         .alias("_pb"),
                         F.pmod(F.xxhash64(F.col("_mid").cast("string")),
@@ -837,15 +858,19 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
     both = (p_tagged.select(
         "_pid", "_pb", "_mb", F.lit(1).alias("_side"), "_sid", "_qvs",
         F.lit(None).cast(members.schema["_mid"].dataType).alias("_mid"),
-        F.lit(None).cast(members.schema["_mvs"].dataType).alias("_mvs"))
+        F.lit(None).cast(members.schema["_mvs"].dataType).alias("_mvs"),
+        *[F.lit(None).cast("boolean").alias(c) for c in flags])
         .unionByName(m_tagged.select(
             "_pid", "_pb", "_mb", F.lit(0).alias("_side"),
             F.lit(None).cast("string").alias("_sid"),
             F.lit(None).cast(p_tagged.schema["_qvs"].dataType)
-            .alias("_qvs"), "_mid", "_mvs")))
+            .alias("_qvs"), "_mid", "_mvs", *flags)))
 
     thr = threshold
     m_type = members.schema["_mid"].dataType.simpleString()
+    out_schema = (f"{query_id_col} string, {id_col} {m_type}, "
+                  "cosine double" + "".join(f", {c} boolean"
+                                            for c in flags))
 
     def tile(key, pdf):
         import pandas as pd
@@ -853,8 +878,10 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
         left = pdf[pdf["_side"] == 1]
         right = pdf[pdf["_side"] == 0]
         if left.empty or right.empty:
-            return pd.DataFrame({query_id_col: [], id_col: [],
-                                 "cosine": []})
+            out = {query_id_col: [], id_col: [], "cosine": []}
+            for c in flags:
+                out[c] = []
+            return pd.DataFrame(out)
         qid = left["_sid"].to_numpy()
         mid = right["_mid"].to_numpy()
         X = np.stack(left["_qvs"].to_numpy()).astype(np.float64)
@@ -864,13 +891,14 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
         ny = np.sqrt((Y * Y).sum(axis=1))
         cos = dots / np.outer(nx, ny)
         ia, ib = np.nonzero(cos >= thr)
-        return pd.DataFrame({query_id_col: qid[ia], id_col: mid[ib],
-                             "cosine": cos[ia, ib]})
+        out = {query_id_col: qid[ia], id_col: mid[ib],
+               "cosine": cos[ia, ib]}
+        for c in flags:
+            out[c] = right[c].to_numpy()[ib]
+        return pd.DataFrame(out)
 
     return (both.groupBy("_pid", "_pb", "_mb")
-            .applyInPandas(
-                tile, f"{query_id_col} string, {id_col} {m_type}, "
-                      "cosine double")
+            .applyInPandas(tile, out_schema)
             .withColumn(query_id_col,
                         F.col(query_id_col).cast(q_type)))
 

@@ -296,17 +296,17 @@ def _sax_words_df(df: DataFrame, *, key_col: str, ts_col: str,
     by build and add so their consistency contract (build(A)+add(B) ==
     build(A∪B)) is structural, not copy-paste discipline (review
     find)."""
-    from faxe_spark.operators.common import barrier
-
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
-    # barrier between the z-norm fold and the word expression — same
-    # CollapseProject blowup as subsequence_topk_sax: the word makes
-    # w*(alphabet-1) references to _z, each of which would otherwise
-    # inline (and re-evaluate) the whole z-norm fold chain per window
-    # at table-build time
-    z = barrier(subs.select(key_col, "end_ts",
-                            _znorm_expr(F.col("seq"), m).alias("_z")))
+    # NO barrier here, unlike subsequence_topk_sax (A/B-measured r11:
+    # build-write 2.63 s inline vs 3.09 s barriered): at table-WRITE
+    # time `_z` and `word` land in ONE Project, where the engine's
+    # subexpression machinery handles the repeated references; a
+    # checkpoint would add a full extra materialization pass to every
+    # build/add for nothing. The one-shot query path is different —
+    # its word compare sits in a FILTER above the project, so the
+    # fold re-evaluates across operators without the barrier there.
+    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
     return z.select(key_col, "end_ts", "_z",
                     _sax_word_expr(F.col("_z"), m, w, alphabet)
                     .alias("word"))

@@ -243,10 +243,22 @@ def mix_sample(df: DataFrame, weights: dict[str, float], *,
         F.md5(F.concat(F.coalesce(F.col(key_col).cast("string"), F.lit("")),
                        F.coalesce(F.col(domain_col).cast("string"),
                                   F.lit("")))), 1, 8)
-    thr = F.lit(_rate_threshold(default_rate))
-    for dom, rate in sorted(weights.items()):
-        thr = F.when(F.col(domain_col) == dom,
-                     F.lit(_rate_threshold(rate))).otherwise(thr)
+    # ONE parsed CASE expression instead of a len(weights)-deep nested
+    # F.when chain (the simhash() construction-cost class: a 100-domain
+    # weights table built ~300 py4j round trips and a 100-deep Column
+    # tree per call — r11). Domains are distinct equality arms, so CASE
+    # arm order cannot change the result; quotes in names are escaped
+    # by doubling (SQL string literal rules).
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    arms = " ".join(
+        f"WHEN {q(dom)} THEN {q(_rate_threshold(rate))}"
+        for dom, rate in sorted(weights.items()))
+    thr = F.expr(
+        f"CASE `{domain_col}` {arms} "
+        f"ELSE {q(_rate_threshold(default_rate))} END"
+    ) if weights else F.lit(_rate_threshold(default_rate))
     return df.filter(h < thr)
 
 

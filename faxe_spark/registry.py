@@ -3059,9 +3059,16 @@ def trainprep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is gone — the bench stages a splittable layout now (bench.py
     # LAYOUT_V v2), so the repartition was a pure extra shuffle +
     # materialization of the whole corpus in the timed path.)
+    # the keep-flag is computed BEFORE the checkpoint and the filter
+    # applied AFTER it (r11, measured: .filter("repetition_ok") pushed
+    # below the projection re-evaluates the non-codegen token-fold
+    # chain per reference — 1.21 s vs 0.20 s for the same rows; the
+    # checkpoint boundary evaluates the folds exactly once and the
+    # filter reads materialized blocks)
     rep = (text_ops.repetition_features(d)
-           .filter("repetition_ok").select("doc_id", "source", "text")
-           .localCheckpoint(eager=True))
+           .select("doc_id", "source", "text", "repetition_ok")
+           .localCheckpoint(eager=True)
+           .filter("repetition_ok").drop("repetition_ok"))
     bp = tp_ops.boilerplate_remove(rep, chunk_words=8, min_df=2,
                                    carry_cols=("source",))
     surv = bp.filter(F.col("clean_text") != "")

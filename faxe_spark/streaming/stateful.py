@@ -1668,10 +1668,6 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
                 pend.select(F.col("_cid").alias("_pid"),
                             F.col(id_col).alias("_mid"),
                             F.col("_cvs").alias("_mvs")))
-        hit_old = (sim._range_pairs(
-            probers, members, threshold, block_size=block_size,
-            id_col="_mid_", query_id_col="_qid_", q_type=q_type)
-            .select(F.col("_qid_").alias(id_col)))
         # in-batch rule over the batch's own encoding (computed once —
         # it is also this epoch's pending write), smaller id wins;
         # no long cast anywhere, so string crawl ids work
@@ -1680,15 +1676,22 @@ def embedding_dedup_pipeline(df: DataFrame, *, index_name: str,
             id_col=id_col, vec_col=vec_col)
             .select(id_col, "_cvs", "_cid")
             .localCheckpoint(eager=False))
-        members_new = new_rows.select(
-            F.col("_cid").alias("_pid"), F.col(id_col).alias("_mid"),
-            F.col("_cvs").alias("_mvs"))
-        hit_new = (sim._range_pairs(
-            probers, members_new, threshold, block_size=block_size,
-            id_col="_mid_", query_id_col="_qid_", q_type=q_type)
-            .filter(F.col("_mid_") < F.col("_qid_"))
-            .select(F.col("_qid_").alias(id_col)))
-        dropped = hit_new.union(hit_old).distinct()
+        # ONE kernel call over seen ∪ in-batch members (the m_flag_col
+        # device — one pass over the probers, one counts pair, one
+        # Arrow stage): a seen member drops the prober on any hit, an
+        # in-batch member only when its id is smaller (arrival order)
+        members = (members.withColumn("_new", F.lit(False))
+                   .unionByName(new_rows.select(
+                       F.col("_cid").alias("_pid"),
+                       F.col(id_col).alias("_mid"),
+                       F.col("_cvs").alias("_mvs"),
+                       F.lit(True).alias("_new"))))
+        dropped = (sim._range_pairs(
+            probers, members, threshold, block_size=block_size,
+            id_col="_mid_", query_id_col="_qid_", q_type=q_type,
+            m_flag_col="_new")
+            .filter(~F.col("_new") | (F.col("_mid_") < F.col("_qid_")))
+            .select(F.col("_qid_").alias(id_col)).distinct())
         fresh = batch_df.join(dropped, id_col, "left_anti")
         (fresh.write.mode("overwrite")
          .parquet(f"{out_dir}/epoch={epoch_id}"))
