@@ -225,18 +225,24 @@ def _write_lists(df: DataFrame, path: str, *, mode: str,
     sees (16 tasks x 8 lists = 128 files for a 1000-row table,
     measured) and every later partition-pruned scan pays the listing
     + per-file open cost — the guide §6 small-files trap. Clustering
-    by (_cid, id-hash bucket) gives defaultParallelism write tasks,
-    each holding exactly one (list, bucket) group -> one file: at
-    local[32]/nlist=8 that is 32 files (write 1.33 -> 0.78 s, scan
-    0.31 -> 0.16 s, A/B-measured), and on a cluster the bucket count
-    scales with the core count so the write stays parallel and file
-    sizes track corpus/cores. The bucket key is deterministic
-    (xxhash64 of the id — guide §2.5's retry-safety rule)."""
+    by (_cid, id-hash bucket) bounds files at (lists x buckets); the
+    bucket count scales with the core count so a big corpus's write
+    stays parallel. The partition COUNT is left to AQE (r11: no
+    explicit N on the repartition) — its advisory-size coalescing
+    merges the shuffle output into byte-sized write tasks, so a small
+    table writes 1-2 tasks / ~nlist files instead of launching
+    defaultParallelism tasks for 32 tiny files (encode+write of a
+    1000-row lists table 1.01 -> 0.91 s warm A/B — the win is the
+    file count and task launches, the Arrow encode dominates the
+    remaining time), while a 100 TB
+    table still fans out to every (list, bucket) group. The bucket key
+    is deterministic (xxhash64 of the id — guide §2.5's retry-safety
+    rule)."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     buckets = max(1, par // max(1, nlist))
     id_col = df.columns[0]
-    (df.repartition(par, F.col("_cid"),
+    (df.repartition(F.col("_cid"),
                     F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                            F.lit(buckets)))
      .write.mode(mode).partitionBy("_cid").parquet(path))
@@ -617,11 +623,14 @@ def embedding_neardup_incremental(new_df: DataFrame,
     nprobe is the recall/cost dial at scale. The index is built
     quantize=True so the threshold compare is engine-exact.
 
-    Returns (fresh_docs, index). In the incremental branch the
-    dropped-id set is force-materialized (eager localCheckpoint)
-    BEFORE the add appends to the lists table — the range scan reads
-    that table lazily, and without the barrier a batch would see its
-    own vectors and drop everything."""
+    Returns (fresh_docs, index). The whole drop computation is LAZY
+    (r11): the member scan's parquet file listing is frozen at
+    DataFrame creation, so the add-phase append that follows in the
+    same call is invisible to it (append isolation — pinned by
+    test_parquet_read_is_append_isolated) and a batch can never see
+    its own vectors. Epoch kernels therefore pipeline into the
+    caller's final action instead of materializing serially per
+    epoch."""
     spark = new_df.sparkSession
     smaller = F.col("_mid_") < F.col("_qid_")
     if index is None:
@@ -682,10 +691,19 @@ def embedding_neardup_incremental(new_df: DataFrame,
         id_col="_mid_", query_id_col="_qid_", q_type=q_type,
         m_flag_col="_new")
         .filter(~F.col("_new") | smaller)
-        .select(F.col("_qid_").alias(id_col)).distinct()
-        .localCheckpoint())           # BARRIER before the add
+        .select(F.col("_qid_").alias(id_col)).distinct())
     fresh = new_df.join(dropped, id_col, "left_anti")
-    # the add phase (same rows add_to_ann_index would encode+append)
+    # The add phase (same rows add_to_ann_index would encode+append).
+    # `dropped` is LAZY (r11): the members_old scan above froze its
+    # file listing when the DataFrame was created — a parquet read
+    # never sees files appended afterwards (pinned by
+    # test_ann_index.test_parquet_read_is_append_isolated), so this
+    # append cannot leak the batch's own vectors into its member side
+    # and the old eager barrier here was a pure extra materialization.
+    # With every epoch's kernel lazy, a multi-epoch fold's kernels are
+    # independent subtrees of the caller's ONE final action and
+    # schedule concurrently, instead of running as serial per-epoch
+    # driver-blocking jobs (guide §7.3 driver stalls / §1.2 job count).
     _write_lists(lists_new, _table_path(spark, index.lists_table),
                  mode="append", nlist=index.nlist)
     return fresh, index

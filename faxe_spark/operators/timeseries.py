@@ -27,6 +27,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+# Above this window length the z-norm/score expressions stay as
+# higher-order folds (bounded plan size / construction cost); at or
+# below it they unroll to scalar arithmetic, which whole-stage codegen
+# compiles (the HOF forms are interpreted per row — A/B on the sf0.1
+# events window build: fold 1.35 s vs unrolled 0.41 s, exceptAll = 0
+# both ways, r11).
+_UNROLL_MAX = 32
+
+
+def _unrolled_sum(terms: list[Column]) -> Column:
+    """((0.0 + t0) + t1) + ... — EXACTLY the association order of
+    F.aggregate(arr, lit(0.0), acc + x), so unrolled and folded forms
+    are bit-identical under IEEE754 (floating-point + is not
+    associative; any other grouping could flip an ulp and break the
+    oracle hash)."""
+    acc = F.lit(0.0) + terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def _shifted_stats(arr: Column, m: int) -> tuple[Column, Column, Column]:
     """(shifted array, mean, std) of an array<double> of known length m
     — the shared shifted-fold kernel of _znorm_expr and the flat flag.
@@ -51,12 +72,34 @@ def _shifted_stats(arr: Column, m: int) -> tuple[Column, Column, Column]:
 def _znorm_expr(arr: Column, m: int) -> Column:
     """z-normalize an array<double> of known length m as a pure
     expression; a flat (zero-variance) window normalizes to all-zeros
-    (the UCR convention — flat matches flat at distance 0)."""
-    sh, mean, std = _shifted_stats(arr, m)
+    (the UCR convention — flat matches flat at distance 0).
+
+    For m <= _UNROLL_MAX the fold is UNROLLED to scalar arithmetic in
+    the fold's own association order (see _unrolled_sum): same values
+    to the bit, but whole-stage codegen compiles it instead of
+    interpreting three higher-order lambdas per row."""
+    if m > _UNROLL_MAX:
+        sh, mean, std = _shifted_stats(arr, m)
+        return F.when(
+            std <= F.lit(1e-12),
+            F.transform(arr, lambda x: F.lit(0.0)),
+        ).otherwise(F.transform(sh, lambda y: (y - mean) / std))
+    # F.get, NOT getItem: the consumer's filter (e.g. the SAX word
+    # compare) can be pushed through the projection to sit beside the
+    # size filter, where ANSI getItem would THROW on the short head
+    # windows the size filter drops. get() yields NULL there — the
+    # whole expression NULL-propagates and the row is dropped exactly
+    # as before; full-length windows are bit-identical.
+    x0 = F.get(arr, 0)
+    sh = [F.get(arr, i) - x0 for i in range(m)]
+    mean = _unrolled_sum(sh) / F.lit(float(m))
+    var = (_unrolled_sum([y * y for y in sh]) / F.lit(float(m))
+           - mean * mean)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
     return F.when(
         std <= F.lit(1e-12),
-        F.transform(arr, lambda x: F.lit(0.0)),
-    ).otherwise(F.transform(sh, lambda y: (y - mean) / std))
+        F.array(*[F.lit(0.0)] * m),
+    ).otherwise(F.array(*[(y - mean) / std for y in sh]))
 
 
 def subsequences(df: DataFrame, *, key_col: str, ts_col: str,
@@ -192,8 +235,15 @@ def _sax_word_expr(z: Column, m: int, w: int, alphabet: int) -> Column:
 
     parts = []
     for j in range(w):
-        s = F.aggregate(F.slice(z, j * seg + 1, seg), F.lit(0.0),
-                        lambda a, x: a + x) / F.lit(float(seg))
+        if m > _UNROLL_MAX:
+            s = F.aggregate(F.slice(z, j * seg + 1, seg), F.lit(0.0),
+                            lambda a, x: a + x) / F.lit(float(seg))
+        else:
+            # unrolled segment mean, fold association order preserved;
+            # F.get (NULL on OOB), not getItem — see _znorm_expr
+            s = _unrolled_sum([F.get(z, j * seg + i)
+                               for i in range(seg)]) \
+                / F.lit(float(seg))
         parts.append(sym(s))
     return F.concat_ws("", *parts)
 
@@ -405,6 +455,26 @@ def query_sax_index(spark, index: SaxIndex, pattern: Sequence[float], *,
                        per_key=per_key, salt=salt)
 
 
+def _zdist_expr(zcol: Column, pattern: Sequence[float]) -> Column:
+    """Exact z-distance of a `_z` array to the (driver-z-normed) query
+    pattern. Unrolled to scalar arithmetic for small patterns — same
+    association order as the zip_with+aggregate fold (_unrolled_sum),
+    so bit-identical; codegen instead of two interpreted lambdas."""
+    zq = znorm_query(pattern)
+    m = len(zq)
+    if m > _UNROLL_MAX:
+        q = F.array(*[F.lit(v) for v in zq])
+        sq = F.aggregate(F.zip_with(zcol, q,
+                                    lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    else:
+        # F.get (NULL on OOB), not getItem — see _znorm_expr
+        sq = _unrolled_sum([(F.get(zcol, i) - F.lit(zq[i]))
+                            * (F.get(zcol, i) - F.lit(zq[i]))
+                            for i in range(m)])
+    return F.sqrt(F.greatest(sq, F.lit(0.0)))
+
+
 def _score_topk(z: DataFrame, pattern: Sequence[float], *, key_col: str,
                 k: int, per_key: bool, salt: int | None) -> DataFrame:
     """Shared scoring tail of subsequence_topk and its SAX variant:
@@ -412,12 +482,7 @@ def _score_topk(z: DataFrame, pattern: Sequence[float], *, key_col: str,
     column, deterministic (end_ts, key) tiebreak, salted top-k."""
     from faxe_spark.operators.aggregate import top_k
 
-    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
-    dist = F.sqrt(F.greatest(
-        F.aggregate(F.zip_with(F.col("_z"), q,
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x),
-        F.lit(0.0)))
+    dist = _zdist_expr(F.col("_z"), pattern)
     scored = z.select(key_col, "end_ts",
                       F.round(dist, 10).alias("dist"))
     scored = scored.withColumn(
@@ -477,9 +542,15 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
     # two higher-order folds aren't CSE'd): _z is all-zero IFF the
     # z-norm took the std<=1e-12 branch — a non-flat window always has
     # at least one |z_i| >= ~1 (max deviation >= std by definition),
-    # so the sum-of-squares test can't false-positive.
-    flat = F.aggregate(F.col("_z"), F.lit(0.0),
-                       lambda a, x: a + x * x) <= F.lit(0.0)
+    # so the sum-of-squares test can't false-positive. Unrolled for
+    # small m (same association order — _unrolled_sum).
+    if m > _UNROLL_MAX:
+        flat = F.aggregate(F.col("_z"), F.lit(0.0),
+                           lambda a, x: a + x * x) <= F.lit(0.0)
+    else:
+        z = F.col("_z")
+        flat = _unrolled_sum([F.get(z, i) * F.get(z, i)
+                              for i in range(m)]) <= F.lit(0.0)
     from faxe_spark.operators.common import barrier
 
     return barrier(subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
@@ -741,12 +812,7 @@ def subsequence_match(df: DataFrame, pattern: Sequence[float], *,
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
     z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-    q = F.array(*[F.lit(v) for v in znorm_query(pattern)])
-    dist = F.sqrt(F.greatest(
-        F.aggregate(F.zip_with(F.col("_z"), q,
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x),
-        F.lit(0.0)))
+    dist = _zdist_expr(F.col("_z"), pattern)
     return (z.select(F.col(key_col).cast("string").alias("key"),
                      F.unix_millis("end_ts").alias("end_ts_ms"),
                      F.round(dist, 10).alias("dist"))

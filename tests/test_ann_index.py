@@ -279,3 +279,24 @@ def test_embedding_neardup_incremental_string_ids(spark):
         assert sorted(r.vec_id for r in f2.collect()) == ["url/d"]
     finally:
         annix.drop_ann_index(spark, name)
+
+
+def test_parquet_read_is_append_isolated(spark, tmp_path):
+    """Engine contract the lazy crawl folds rely on (r11): a parquet
+    DataFrame freezes its file listing at creation, so rows appended
+    to the same (partitioned) path AFTERWARDS are invisible to it.
+    embedding_neardup_incremental keeps its drop computation fully
+    lazy across the add-phase append on the strength of this — if an
+    engine upgrade ever starts re-listing, this fails loudly and the
+    eager barrier must come back."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "append_isolated")
+    (spark.range(0, 10).withColumn("_cid", (F.col("id") % 2).cast("int"))
+     .write.mode("overwrite").partitionBy("_cid").parquet(p))
+    before = spark.read.parquet(p)
+    (spark.range(100, 110)
+     .withColumn("_cid", (F.col("id") % 2).cast("int"))
+     .write.mode("append").partitionBy("_cid").parquet(p))
+    assert before.count() == 10, "pre-append DataFrame must not re-list"
+    assert spark.read.parquet(p).count() == 20

@@ -644,20 +644,20 @@ def test_host_cap_exact_deterministic_and_salted_equal(spark):
             for r in salted.collect()} == want
 
 
-def test_host_cap_salted_spreads_hot_host(spark):
-    """Plan shape: the salted lane's first window partitions by
-    (host, _salt) — the viral host's rows spread over `salt` buckets
-    instead of one task."""
+def test_host_cap_hot_host_bounded_map_side(spark):
+    """Plan shape (r11): top_k no longer builds the manual salted
+    pre-phase — the engine's WindowGroupLimit rewrite bounds every
+    task's buffer at `cap` rows per host BEFORE the exchange (the same
+    hot-host protection the salt phase bought, minus its extra
+    shuffle). Pin the rewrite so an engine/config change that drops it
+    fails loudly; pin the absence of the manual phase's xxhash bucket."""
     df = _docs(spark, [(i, "t", "viral") for i in range(50)]) \
         .withColumnRenamed("source", "host")
-    plan = tp.host_cap(df, cap=3, salt=8)._jdf.queryExecution() \
-        .executedPlan().toString()
-    # the phase-1 window keys on the xxhash64 salt bucket (the alias is
-    # resolved away in the physical plan — the expression itself shows)
-    assert "xxhash64" in plan
-    unsalted = tp.host_cap(df, cap=3)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "xxhash64" not in unsalted
+    for salt in (8, None):
+        plan = tp.host_cap(df, cap=3, salt=salt)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "xxhash64" not in plan
 
 
 # -- incremental per-host cap (round 6) ---------------------------------------
