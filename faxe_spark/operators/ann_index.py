@@ -578,11 +578,24 @@ def range_query_ann_index(queries: DataFrame, index: AnnIndex,
 def _probe_rows(queries: DataFrame, index: AnnIndex, nprobe: int, *,
                 vec_col: str) -> DataFrame:
     """(_pid, _qid, _qvs) prober rows for the range kernel: one Arrow
-    assign_probes pass, own list + the next nprobe-1 exploded."""
+    assign_probes pass, own list + the next nprobe-1 exploded.
+
+    FULL-PROBE SHORTCUT (r11): at nprobe >= nlist every query probes
+    every list by definition, so the centroid-ranking GEMM pass (plus
+    its join back onto the queries) decides nothing — the prober set
+    IS queries x range(nlist). The kernel pairs by equi-_pid and tiles
+    by hash, so prober row ORDER is irrelevant; this removes one of
+    the two Arrow passes each full-probe range query/crawl epoch paid
+    (guide §1.2 step 1 / §4: don't ship rows to Python to compute a
+    constant)."""
     prep = sim.quantize_vec if index.quantize else sim._as_double
     q = queries.select(F.col(index.id_col).alias("_qid"),
                        sim._as_double(F.col(vec_col)).alias("_cv"),
                        prep(F.col(vec_col)).alias("_qvs"))
+    if nprobe >= index.nlist:
+        return q.select(
+            F.explode(F.sequence(F.lit(0), F.lit(index.nlist - 1)))
+            .alias("_pid"), "_qid", "_qvs")
     ap = sim.assign_probes(q, index.centroids, id_col="_qid",
                            nprobe=nprobe)
     return (q.join(ap, "_qid")
