@@ -48,6 +48,33 @@ def _unrolled_sum(terms: list[Column]) -> Column:
     return acc
 
 
+# --- SQL-string twins of the unrolled builders (r11, guide §7.3) ---
+# The unrolled expressions used to be composed as py4j Column trees:
+# a few hundred JVM round trips PER CALL (~0.15-0.3 s of pure driver
+# time per ts query fn(), measured). Emitting the SAME expression as
+# ONE parsed SQL string is one round trip; the optimized canonical
+# plan is IDENTICAL (A/B-verified: optimizedPlan().canonicalized()
+# equal on the sf0.1 window frame), so results cannot drift — this is
+# the simhash/minhash wave-4b construction fix applied to the ts
+# family. `get()` (NULL on out-of-bounds), not element_at/getItem —
+# same reasoning as the Column form below.
+
+def _sql_dlit(v: float) -> str:
+    """Exact double literal: repr round-trips the IEEE value and the
+    D suffix keeps the SQL parser in DoubleType (an unsuffixed 0.1
+    would parse as DECIMAL). Parenthesized so negative values embed
+    safely in arithmetic."""
+    return f"({float(v)!r}D)"
+
+
+def _sql_sum(terms: list[str]) -> str:
+    """String twin of _unrolled_sum — identical association order."""
+    acc = f"(0.0D + {terms[0]})"
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return acc
+
+
 def _shifted_stats(arr: Column, m: int) -> tuple[Column, Column, Column]:
     """(shifted array, mean, std) of an array<double> of known length m
     — the shared shifted-fold kernel of _znorm_expr and the flat flag.
@@ -69,7 +96,7 @@ def _shifted_stats(arr: Column, m: int) -> tuple[Column, Column, Column]:
     return sh, mean, std
 
 
-def _znorm_expr(arr: Column, m: int) -> Column:
+def _znorm_expr(arr: Column | str, m: int) -> Column:
     """z-normalize an array<double> of known length m as a pure
     expression; a flat (zero-variance) window normalizes to all-zeros
     (the UCR convention — flat matches flat at distance 0).
@@ -77,8 +104,13 @@ def _znorm_expr(arr: Column, m: int) -> Column:
     For m <= _UNROLL_MAX the fold is UNROLLED to scalar arithmetic in
     the fold's own association order (see _unrolled_sum): same values
     to the bit, but whole-stage codegen compiles it instead of
-    interpreting three higher-order lambdas per row."""
+    interpreting three higher-order lambdas per row. When `arr` is a
+    column NAME the unrolled form is emitted as ONE SQL string (the
+    _sql_* twins — identical canonical plan, ~0 driver construction
+    cost vs a few hundred py4j round trips)."""
     if m > _UNROLL_MAX:
+        if isinstance(arr, str):
+            arr = F.col(arr)
         sh, mean, std = _shifted_stats(arr, m)
         return F.when(
             std <= F.lit(1e-12),
@@ -90,6 +122,17 @@ def _znorm_expr(arr: Column, m: int) -> Column:
     # windows the size filter drops. get() yields NULL there — the
     # whole expression NULL-propagates and the row is dropped exactly
     # as before; full-length windows are bit-identical.
+    if isinstance(arr, str):
+        x0 = f"get(`{arr}`, 0)"
+        sh = [f"(get(`{arr}`, {i}) - {x0})" for i in range(m)]
+        mean = f"({_sql_sum(sh)} / {_sql_dlit(m)})"
+        var = (f"(({_sql_sum([f'({y} * {y})' for y in sh])}"
+               f" / {_sql_dlit(m)}) - ({mean} * {mean}))")
+        std = f"SQRT(GREATEST({var}, 0.0D))"
+        zeros = ", ".join(["0.0D"] * m)
+        zs = ", ".join(f"(({y} - {mean}) / {std})" for y in sh)
+        return F.expr(f"CASE WHEN {std} <= 1e-12D THEN array({zeros}) "
+                      f"ELSE array({zs}) END")
     x0 = F.get(arr, 0)
     sh = [F.get(arr, i) - x0 for i in range(m)]
     mean = _unrolled_sum(sh) / F.lit(float(m))
@@ -214,10 +257,13 @@ _SAX_BREAKPOINTS = {
 }
 
 
-def _sax_word_expr(z: Column, m: int, w: int, alphabet: int) -> Column:
+def _sax_word_expr(z: Column | str, m: int, w: int,
+                   alphabet: int) -> Column:
     """PAA (w segment means over a length-m z-normed array) quantized
     to SAX symbols via the N(0,1) breakpoints, concatenated to one
-    word string — a pure Column expression."""
+    word string — a pure Column expression. With a column NAME and
+    m <= _UNROLL_MAX the whole word is ONE SQL string (see the
+    _sql_* twins: identical canonical plan, ~0 construction cost)."""
     if m % w != 0:
         raise ValueError(f"w={w} must divide m={m}")
     if alphabet not in _SAX_BREAKPOINTS:
@@ -225,6 +271,22 @@ def _sax_word_expr(z: Column, m: int, w: int, alphabet: int) -> Column:
                          f"{sorted(_SAX_BREAKPOINTS)}")
     seg = m // w
     bps = _SAX_BREAKPOINTS[alphabet]
+
+    if isinstance(z, str) and m <= _UNROLL_MAX:
+        parts = []
+        for j in range(w):
+            # unrolled segment mean, fold association order preserved;
+            # get() (NULL on OOB), not getItem — see _znorm_expr
+            s = (f"({_sql_sum([f'get(`{z}`, {j * seg + i})' for i in range(seg)])}"
+                 f" / {_sql_dlit(seg)})")
+            idx = None
+            for bp in bps:
+                step = f"(CASE WHEN {s} > {_sql_dlit(bp)} THEN 1 ELSE 0 END)"
+                idx = step if idx is None else f"({idx} + {step})"
+            parts.append(f"CAST({idx} AS STRING)")
+        return F.expr(f"concat_ws('', {', '.join(parts)})")
+    if isinstance(z, str):
+        z = F.col(z)
 
     def sym(val: Column) -> Column:
         idx = None
@@ -309,9 +371,9 @@ def subsequence_topk_sax(df: DataFrame, pattern: Sequence[float], *,
     from faxe_spark.operators.common import barrier
 
     z = barrier(subs.select(key_col, "end_ts",
-                            _znorm_expr(F.col("seq"), m).alias("_z")))
+                            _znorm_expr("seq", m).alias("_z")))
     cand = z.filter(
-        _sax_word_expr(F.col("_z"), m, w, alphabet) == F.lit(word))
+        _sax_word_expr("_z", m, w, alphabet) == F.lit(word))
     return _score_topk(cand, pattern, key_col=key_col, k=k,
                        per_key=per_key, salt=salt)
 
@@ -356,9 +418,9 @@ def _sax_words_df(df: DataFrame, *, key_col: str, ts_col: str,
     # build/add for nothing. The one-shot query path is different —
     # its word compare sits in a FILTER above the project, so the
     # fold re-evaluates across operators without the barrier there.
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    z = subs.withColumn("_z", _znorm_expr("seq", m))
     return z.select(key_col, "end_ts", "_z",
-                    _sax_word_expr(F.col("_z"), m, w, alphabet)
+                    _sax_word_expr("_z", m, w, alphabet)
                     .alias("word"))
 
 
@@ -455,18 +517,28 @@ def query_sax_index(spark, index: SaxIndex, pattern: Sequence[float], *,
                        per_key=per_key, salt=salt)
 
 
-def _zdist_expr(zcol: Column, pattern: Sequence[float]) -> Column:
+def _zdist_expr(zcol: Column | str, pattern: Sequence[float]) -> Column:
     """Exact z-distance of a `_z` array to the (driver-z-normed) query
     pattern. Unrolled to scalar arithmetic for small patterns — same
     association order as the zip_with+aggregate fold (_unrolled_sum),
-    so bit-identical; codegen instead of two interpreted lambdas."""
+    so bit-identical; codegen instead of two interpreted lambdas.
+    With a column NAME the unrolled form is ONE SQL string (_sql_*
+    twins: identical canonical plan, ~0 construction cost)."""
     zq = znorm_query(pattern)
     m = len(zq)
     if m > _UNROLL_MAX:
+        if isinstance(zcol, str):
+            zcol = F.col(zcol)
         q = F.array(*[F.lit(v) for v in zq])
         sq = F.aggregate(F.zip_with(zcol, q,
                                     lambda a, b: (a - b) * (a - b)),
                          F.lit(0.0), lambda acc, x: acc + x)
+    elif isinstance(zcol, str):
+        # get() (NULL on OOB), not getItem — see _znorm_expr
+        terms = [f"((get(`{zcol}`, {i}) - {_sql_dlit(zq[i])})"
+                 f" * (get(`{zcol}`, {i}) - {_sql_dlit(zq[i])}))"
+                 for i in range(m)]
+        return F.expr(f"SQRT(GREATEST({_sql_sum(terms)}, 0.0D))")
     else:
         # F.get (NULL on OOB), not getItem — see _znorm_expr
         sq = _unrolled_sum([(F.get(zcol, i) - F.lit(zq[i]))
@@ -482,7 +554,7 @@ def _score_topk(z: DataFrame, pattern: Sequence[float], *, key_col: str,
     column, deterministic (end_ts, key) tiebreak, salted top-k."""
     from faxe_spark.operators.aggregate import top_k
 
-    dist = _zdist_expr(F.col("_z"), pattern)
+    dist = _zdist_expr("_z", pattern)
     scored = z.select(key_col, "end_ts",
                       F.round(dist, 10).alias("dist"))
     scored = scored.withColumn(
@@ -548,12 +620,12 @@ def _windows_z(df: DataFrame, *, key_col: str, ts_col: str,
         flat = F.aggregate(F.col("_z"), F.lit(0.0),
                            lambda a, x: a + x * x) <= F.lit(0.0)
     else:
-        z = F.col("_z")
-        flat = _unrolled_sum([F.get(z, i) * F.get(z, i)
-                              for i in range(m)]) <= F.lit(0.0)
+        terms = [f"(get(`_z`, {i}) * get(`_z`, {i}))"
+                 for i in range(m)]
+        flat = F.expr(f"{_sql_sum(terms)} <= 0.0D")
     from faxe_spark.operators.common import barrier
 
-    return barrier(subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    return barrier(subs.withColumn("_z", _znorm_expr("seq", m))
                    .withColumn("_flat", flat)
                    .drop("seq"))
 
@@ -786,7 +858,7 @@ def subsequence_topk(df: DataFrame, pattern: Sequence[float], *,
         raise ValueError("pattern needs at least 2 points")
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
+    z = subs.withColumn("_z", _znorm_expr("seq", m))
     return _score_topk(z, pattern, key_col=key_col, k=k,
                        per_key=per_key, salt=salt)
 
@@ -811,8 +883,8 @@ def subsequence_match(df: DataFrame, pattern: Sequence[float], *,
         raise ValueError("pattern needs at least 2 points")
     subs = subsequences(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, m=m, tiebreak=tiebreak)
-    z = subs.withColumn("_z", _znorm_expr(F.col("seq"), m))
-    dist = _zdist_expr(F.col("_z"), pattern)
+    z = subs.withColumn("_z", _znorm_expr("seq", m))
+    dist = _zdist_expr("_z", pattern)
     return (z.select(F.col(key_col).cast("string").alias("key"),
                      F.unix_millis("end_ts").alias("end_ts_ms"),
                      F.round(dist, 10).alias("dist"))
