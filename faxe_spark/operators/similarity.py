@@ -19,6 +19,46 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def _key_py(key) -> tuple:
+    """applyInArrow passes group keys as pyarrow scalars (applyInPandas
+    passed Python natives) — normalize once at tile entry."""
+    return tuple(k.as_py() if hasattr(k, "as_py") else k for k in key)
+
+
+def _arrow_mat(col, idx=None):
+    """float64 (n, dim) matrix from an Arrow list<double> column —
+    the Arrow-native replacement for np.stack(pdf[col].to_numpy()):
+    no per-row numpy-object creation, one zero-copy-ish flatten of the
+    child buffer + reshape (vectors are fixed-dim by construction, so
+    the reshape is exact; a ragged column would fail loudly). idx
+    (optional int ndarray) takes a row subset BEFORE flattening.
+    MUST use .flatten(), never .values: .values ignores the slice
+    offsets Arrow batches routinely carry."""
+    import numpy as np
+
+    comb = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if idx is not None:
+        import pyarrow as pa
+
+        comb = comb.take(pa.array(idx, type=pa.int64()))
+    n = len(comb)
+    flat = np.asarray(comb.flatten(), dtype=np.float64)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _arrow_np(col, idx=None):
+    """1-D numpy view of a scalar Arrow column (ids, flags, keys);
+    object dtype for strings — same dtypes the pandas path produced."""
+    import numpy as np
+
+    comb = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if idx is not None:
+        import pyarrow as pa
+
+        comb = comb.take(pa.array(idx, type=pa.int64()))
+    return np.asarray(comb)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -582,11 +622,19 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
     else:
         group_cols = ["_gi", "_gj"]
 
-    def tile(key, pdf):
+    def tile(key, tbl):
+        # ARROW-NATIVE boundary (r11 wave 9, guide §4.2): the pandas
+        # form paid one numpy-object allocation PER ROW converting the
+        # list<double> column (plus a pandas frame build per group);
+        # Arrow hands the same bytes as one flat child buffer that
+        # reshapes into the GEMM input (interleaved A/B on the sf0.1
+        # ts shape: 1.46 -> 1.25 s kernel pass, exceptAll = 0 both
+        # ways). All per-key arithmetic below is the SAME numpy code
+        # on the SAME float64 values — bit-identical by construction.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        i, j = key[-2:]
+        i, j = _key_py(key)[-2:]
         thr = threshold
 
         def score(X, Y):
@@ -606,43 +654,44 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
             keep = cos[ia, ib] >= thr
             return ids[ia[keep]], ids[ib[keep]], cos[ia[keep], ib[keep]]
 
+        blk_type = tbl.schema.field(pack_col).type if emit_block else None
+
+        def table(ida, idb, cos, blk_vals):
+            out = {"id_a": pa.array(np.asarray(ida, dtype=np.int64)),
+                   "id_b": pa.array(np.asarray(idb, dtype=np.int64)),
+                   "cosine": pa.array(np.asarray(cos, dtype=np.float64))}
+            if emit_block:
+                out[block_col] = pa.array(blk_vals, type=blk_type)
+            return pa.table(out)
+
         def emit(ida, idb, cos, blk):
-            # finisher (numpy contract) then the ONE frame build per
+            # finisher (numpy contract) then the ONE table build per
             # tile group — r8 3rd wave: the packed lane used to build
             # a pandas frame PER KEY, which dominated the bucket at
             # the IoT shape (micro-bench: 24.7 -> 4.7 ms/bucket)
             if pair_finisher is not None and len(cos):
                 ida, idb, cos = pair_finisher(ida, idb, cos)
-            out = pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": cos})
-            if emit_block:
-                out[block_col] = blk
-            return out
+            return table(ida, idb, cos, [blk] * len(cos))
 
-        empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "cosine": pd.Series([], dtype="float64")})
-        if emit_block:
-            empty[block_col] = pd.Series([], dtype=pdf.dtypes[pack_col])
+        empty = table([], [], [], [])
         if j == -1:
-            # packed bucket of single-block partitions: ONE stack +
+            # packed bucket of single-block partitions: ONE flatten +
             # stable (key, id) sort for the whole bucket, then a
             # numpy-only per-key segment loop — identical per-key
             # arithmetic (self_pairs_np), none of the per-key pandas
             # (groupby / drop_duplicates / frame build) the r7 form
             # paid n_keys times
-            ids_all = pdf["_id"].to_numpy()
-            keys_all = pdf[pack_col].to_numpy()
+            ids_all = _arrow_np(tbl.column("_id"))
+            keys_all = _arrow_np(tbl.column(pack_col))
             order = np.lexsort((ids_all, keys_all))  # stable
             ids_all, keys_all = ids_all[order], keys_all[order]
-            X_all = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
             # keep-first dedup of (key, id) — matches the r7
             # drop_duplicates semantics (stable sort preserves input
             # order among equals)
             uniq = np.r_[True, (keys_all[1:] != keys_all[:-1])
                          | (ids_all[1:] != ids_all[:-1])]
-            ids_all, keys_all, X_all = (ids_all[uniq], keys_all[uniq],
-                                        X_all[uniq])
+            ids_all, keys_all = ids_all[uniq], keys_all[uniq]
+            X_all = _arrow_mat(tbl.column("_v"), idx=order[uniq])
             cuts = np.flatnonzero(np.r_[True, keys_all[1:] != keys_all[:-1],
                                         True])
             outs = []
@@ -657,46 +706,51 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
                                  np.full(len(cos), keys_all[s])))
             if not outs:
                 return empty
-            out = pd.DataFrame({
-                "id_a": np.concatenate([o[0] for o in outs]),
-                "id_b": np.concatenate([o[1] for o in outs]),
-                "cosine": np.concatenate([o[2] for o in outs])})
-            if emit_block:
-                out[block_col] = np.concatenate([o[3] for o in outs])
-            return out
+            return table(np.concatenate([o[0] for o in outs]),
+                         np.concatenate([o[1] for o in outs]),
+                         np.concatenate([o[2] for o in outs]),
+                         np.concatenate([o[3] for o in outs])
+                         if emit_block else [])
         if i == j:
-            if len(pdf) < 2:
+            if tbl.num_rows < 2:
                 return empty
-            ids = pdf["_id"].to_numpy()
+            ids = _arrow_np(tbl.column("_id"))
             order = np.lexsort((ids,))
             ids = ids[order]
             uniq = np.r_[True, ids[1:] != ids[:-1]]
             ids = ids[uniq]
             if len(ids) < 2:
                 return empty
-            X = np.stack(pdf["_v"].to_numpy()[order][uniq]).astype(np.float64)
-            return emit(*self_pairs_np(ids, X), key[0])
-        left = pdf[pdf["_c"] == i]
-        right = pdf[pdf["_c"] == j]
-        if left.empty or right.empty:
+            X = _arrow_mat(tbl.column("_v"), idx=order[uniq])
+            return emit(*self_pairs_np(ids, X), _key_py(key)[0])
+        c = _arrow_np(tbl.column("_c"))
+        li = np.flatnonzero(c == i)
+        ri = np.flatnonzero(c == j)
+        if not len(li) or not len(ri):
             return empty
-        lid = left["_id"].to_numpy()
-        rid = right["_id"].to_numpy()
-        X = np.stack(left["_v"].to_numpy()).astype(np.float64)
-        Y = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        lid = _arrow_np(tbl.column("_id"), idx=li)
+        rid = _arrow_np(tbl.column("_id"), idx=ri)
+        X = _arrow_mat(tbl.column("_v"), idx=li)
+        Y = _arrow_mat(tbl.column("_v"), idx=ri)
         cos = score(X, Y)
         ia, ib = np.nonzero(cos >= thr)
         a_ids, b_ids = lid[ia], rid[ib]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
-        return emit(lo, hi, cos[ia, ib], key[0])
+        return emit(lo, hi, cos[ia, ib], _key_py(key)[0])
 
     out_schema = "id_a long, id_b long, cosine double"
     if emit_block:
         btype = corpus.schema[block_col].dataType.simpleString()
         out_schema += f", {block_col} {btype}"
-    return (tagged.groupBy(*group_cols)
-            .applyInPandas(tile, out_schema))
+    # project the tile's actual inputs before the exchange (guide §2.3:
+    # _nb/_t fed only the group-index derivation and were dead weight
+    # in the shuffle)
+    tile_cols = [*group_cols, "_id", "_v", "_c"]
+    if part and pack_col not in tile_cols:
+        tile_cols.append(pack_col)
+    return (tagged.select(*tile_cols).groupBy(*group_cols)
+            .applyInArrow(tile, out_schema))
 
 
 def assign_probes(corpus: DataFrame, centroids, *, id_col: str,
@@ -872,33 +926,45 @@ def _range_pairs(probers: DataFrame, members: DataFrame,
                   "cosine double" + "".join(f", {c} boolean"
                                             for c in flags))
 
-    def tile(key, pdf):
-        import pandas as pd
+    def tile(key, tbl):
+        # ARROW-NATIVE boundary (r11 wave 9) — same conversion as the
+        # cosine_pairs tile: no per-row numpy objects for the vector
+        # columns, no pandas frame build; identical numpy arithmetic
+        # on identical float64 values (see cosine_pairs tile note).
+        import pyarrow as pa
 
-        left = pdf[pdf["_side"] == 1]
-        right = pdf[pdf["_side"] == 0]
-        if left.empty or right.empty:
-            out = {query_id_col: [], id_col: [], "cosine": []}
+        mid_type = tbl.schema.field("_mid").type
+
+        def out_table(qid, mid, cos, fl):
+            out = {query_id_col: pa.array(qid, type=pa.string()),
+                   id_col: pa.array(mid, type=mid_type),
+                   "cosine": pa.array(np.asarray(cos, dtype=np.float64))}
             for c in flags:
-                out[c] = []
-            return pd.DataFrame(out)
-        qid = left["_sid"].to_numpy()
-        mid = right["_mid"].to_numpy()
-        X = np.stack(left["_qvs"].to_numpy()).astype(np.float64)
-        Y = np.stack(right["_mvs"].to_numpy()).astype(np.float64)
+                out[c] = pa.array(fl[c], type=pa.bool_())
+            return pa.table(out)
+
+        from faxe_spark.operators.similarity import _arrow_mat, _arrow_np
+
+        side = _arrow_np(tbl.column("_side"))
+        li = np.flatnonzero(side == 1)
+        ri = np.flatnonzero(side == 0)
+        if not len(li) or not len(ri):
+            return out_table([], [], [], {c: [] for c in flags})
+        qid = _arrow_np(tbl.column("_sid"), idx=li)
+        mid = _arrow_np(tbl.column("_mid"), idx=ri)
+        X = _arrow_mat(tbl.column("_qvs"), idx=li)
+        Y = _arrow_mat(tbl.column("_mvs"), idx=ri)
         dots = X @ Y.T
         nx = np.sqrt((X * X).sum(axis=1))
         ny = np.sqrt((Y * Y).sum(axis=1))
         cos = dots / np.outer(nx, ny)
         ia, ib = np.nonzero(cos >= thr)
-        out = {query_id_col: qid[ia], id_col: mid[ib],
-               "cosine": cos[ia, ib]}
-        for c in flags:
-            out[c] = right[c].to_numpy()[ib]
-        return pd.DataFrame(out)
+        return out_table(qid[ia], mid[ib], cos[ia, ib],
+                         {c: _arrow_np(tbl.column(c), idx=ri)[ib]
+                          for c in flags})
 
     return (both.groupBy("_pid", "_pb", "_mb")
-            .applyInPandas(tile, out_schema)
+            .applyInArrow(tile, out_schema)
             .withColumn(query_id_col,
                         F.col(query_id_col).cast(q_type)))
 

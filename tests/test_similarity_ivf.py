@@ -311,14 +311,15 @@ def test_cosine_pairs_small_key_packing_equivalence(spark):
     assert k(got) == k(want)
     assert len(k(got)) == (12 * 11) // 2 + sum(
         (n * (n - 1)) // 2 for n in (2, 3, 4, 2, 3, 4))
-    # plan shape: ONE FlatMapGroupsInPandas and ONE pass over the
-    # upstream subtree — packed and tiled groups share a single
-    # groupBy (the first two-lane form recomputed the upstream per
-    # lane). AQE's plan string repeats the tree under
-    # '== Initial Plan ==' — count only the final section.
+    # plan shape: ONE grouped-map Python node (Arrow-native since r11
+    # wave 9) and ONE pass over the upstream subtree — packed and
+    # tiled groups share a single groupBy (the first two-lane form
+    # recomputed the upstream per lane). AQE's plan string repeats the
+    # tree under '== Initial Plan ==' — count only the final section.
     plan = got._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("FlatMapGroupsInPandas") == 1, plan
+    assert (final.count("FlatMapGroupsInArrow")
+            + final.count("FlatMapGroupsInPandas")) == 1, plan
 
 
 def test_cosine_pairs_blocked_lane_rejects_string_ids(spark):

@@ -61,7 +61,8 @@ def main() -> None:
         exch = plan.count("Exchange")
         py = sum(plan.count(k) for k in (
             "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-            "FlatMapGroupsInPandas", "PythonMapInArrow", "MapInArrow"))
+            "FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
+            "PythonMapInArrow", "MapInArrow"))
         out[name] = {"build_sec": round(best_b, 3),
                      "noop_sec": round(best_n, 3),
                      "total_sec": round(best_b + best_n, 3),
