@@ -325,25 +325,33 @@ def assign_lists(corpus: DataFrame, centroids, *, id_col: str,
     bc = _centroid_broadcast(corpus.sparkSession.sparkContext, centroids)
 
     def assign(batches):
-        import pandas as pd
+        # mapInArrow (r11 wave 10, same boundary fix as the wave-9
+        # tile kernels): the vector column reshapes from the Arrow
+        # child buffer instead of one numpy object per row, and the
+        # id/carry columns pass through as Arrow arrays untouched
+        # (zero conversion either way for the stored-vector carry).
+        import pyarrow as pa
 
         C = bc.value                       # (nlist, dim)
         half = 0.5 * (C * C).sum(axis=1)   # ||c||^2 / 2
-        for pdf in batches:
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        for rb in batches:
+            V = _arrow_mat(rb.column(vec_col))
+            # out-of-place: the zero-copy Arrow view is read-only
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
             cid = np.argmax(V @ C.T - half[None, :], axis=1)
-            out = {id_col: pdf[id_col], "_cid": cid}
+            out = {id_col: rb.column(id_col),
+                   "_cid": pa.array(cid.astype(np.int32))}
             for c in carry:
-                out[c] = pdf[c]
-            yield pd.DataFrame(out)
+                out[c] = rb.column(c)
+            yield pa.RecordBatch.from_pydict(out)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, _cid int" + "".join(
         f", {c} {corpus.schema[c].dataType.simpleString()}"
         for c in carry)
     return (corpus.select(id_col, vec_col, *carry)
-            .mapInPandas(assign, schema))
+            .mapInArrow(assign, schema))
 
 
 def cosine_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
@@ -766,24 +774,33 @@ def assign_probes(corpus: DataFrame, centroids, *, id_col: str,
     bc = _centroid_broadcast(corpus.sparkSession.sparkContext, centroids)
 
     def assign(batches):
-        import pandas as pd
+        # mapInArrow (r11 wave 10): see assign_lists. The probe-set
+        # list column is built directly from the (n, nprobe-1) int32
+        # slab (one offsets array, no per-row list objects).
+        import pyarrow as pa
 
         C = bc.value
         half = 0.5 * (C * C).sum(axis=1)
-        for pdf in batches:
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        for rb in batches:
+            V = _arrow_mat(rb.column(vec_col))
+            # out-of-place: the zero-copy Arrow view is read-only
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
             order = np.argsort(-(V @ C.T - half[None, :]), axis=1,
                                kind="stable").astype(np.int32)
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "_cid": order[:, 0],
-                "_probes": list(order[:, 1:nprobe])})
+            probes = np.ascontiguousarray(order[:, 1:nprobe])
+            n, w = probes.shape
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * w)
+            yield pa.RecordBatch.from_pydict({
+                id_col: rb.column(id_col),
+                "_cid": pa.array(np.ascontiguousarray(order[:, 0])),
+                "_probes": pa.ListArray.from_arrays(
+                    offsets, pa.array(probes.ravel()))})
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     return (corpus.select(id_col, vec_col)
-            .mapInPandas(assign, f"{id_col} {id_type}, _cid int, "
-                                 "_probes array<int>"))
+            .mapInArrow(assign, f"{id_col} {id_type}, _cid int, "
+                                "_probes array<int>"))
 
 
 def cosine_pairs_ivf(corpus: DataFrame, threshold: float, *,
@@ -1084,23 +1101,29 @@ def pq_encode(corpus: DataFrame, codebooks, *, vec_col: str = "embedding",
     bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
 
     def enc(batches):
-        import pandas as pd
+        # mapInArrow (r11 wave 10): see assign_lists — the code rows
+        # are emitted as one list column from the (n, m) int64 slab.
+        import pyarrow as pa
 
         B = bc.value                      # (m, ksub, dsub)
         m_, _, dsub = B.shape
-        for pdf in batches:
-            V = np.array(list(pdf["_v"]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        for rb in batches:
+            V = _arrow_mat(rb.column("_v"))
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
             codes = np.empty((len(V), m_), dtype=np.int64)
             for j in range(m_):
                 sub = V[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
                 codes[:, j] = _argmin_sq_dist(sub, B[j])
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                "codes": list(codes)})
+            offsets = pa.array(np.arange(len(V) + 1, dtype=np.int32) * m_)
+            yield pa.RecordBatch.from_pydict({
+                id_col: rb.column(id_col),
+                "codes": pa.ListArray.from_arrays(
+                    offsets, pa.array(codes.ravel()))})
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     return (corpus.select(id_col, _as_double(F.col(vec_col)).alias("_v"))
-            .mapInPandas(enc, f"{id_col} {id_type}, codes array<bigint>"))
+            .mapInArrow(enc, f"{id_col} {id_type}, codes array<bigint>"))
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame, codebooks, k: int, *,
@@ -1248,29 +1271,34 @@ def ivfpq_index(corpus: DataFrame, *, vec_col: str = "embedding",
     bc = corpus.sparkSession.sparkContext.broadcast((coarse, books))
 
     def enc(batches):
-        import pandas as pd
+        # mapInArrow (r11 wave 10): see assign_lists / pq_encode.
+        import pyarrow as pa
 
         C, B = bc.value
         h = 0.5 * (C * C).sum(axis=1)
         m_, _, ds = B.shape
-        for pdf in batches:
-            V = np.array(list(pdf["_v"]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
-                            1e-12)
+        for rb in batches:
+            V = _arrow_mat(rb.column("_v"))
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
             cid = np.argmax(V @ C.T - h[None, :], axis=1)
             R = V - C[cid]
             codes = np.empty((len(V), m_), dtype=np.int64)
             for j in range(m_):
                 sub = R[:, j * ds:(j + 1) * ds]
                 codes[:, j] = _argmin_sq_dist(sub, B[j])
-            yield pd.DataFrame({id_col: pdf[id_col], "_cid": cid,
-                                "codes": list(codes)})
+            offsets = pa.array(np.arange(len(V) + 1, dtype=np.int32) * m_)
+            yield pa.RecordBatch.from_pydict({
+                id_col: rb.column(id_col),
+                "_cid": pa.array(cid.astype(np.int32)),
+                "codes": pa.ListArray.from_arrays(
+                    offsets, pa.array(codes.ravel()))})
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     codes_df = (corpus.select(id_col,
                               _as_double(F.col(vec_col)).alias("_v"))
-                .mapInPandas(enc, f"{id_col} {id_type}, _cid int, "
-                                  "codes array<bigint>"))
+                .mapInArrow(enc, f"{id_col} {id_type}, _cid int, "
+                                 "codes array<bigint>"))
     return coarse, books, codes_df
 
 
