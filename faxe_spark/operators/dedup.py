@@ -1220,33 +1220,61 @@ def _simhash_incr_core(new_df: DataFrame, seen_sigs: DataFrame | None,
                        checkpoint: bool) -> tuple[DataFrame, DataFrame]:
     """(fresh_docs, NEW (fingerprint, simhash) rows) — the per-batch
     kernel; like _minhash_incr_core, new rows exclude anything already
-    seen so unions stay duplicate-free."""
+    seen so unions stay duplicate-free.
+
+    Scale shape: band over DISTINCT signatures, never docs — the
+    simhash_pairs/minhash_lsh_candidates construction, for the same
+    reason (dup-heavy corpora collapse thousands of docs onto one
+    signature; banding doc rows squares every such group inside the
+    bucket self-join — at sf0.1 the corpus is 5000 docs over ~2k
+    distinct signatures with a 942-doc top group). Per distinct
+    signature s the fold keeps _first(s) = min doc id, the band
+    self-join computes m(s) = min(_first(t)) over banded neighbors t
+    within the hamming threshold (s pairs with itself, so m(s) <=
+    _first(s) always), and a doc with signature s drops iff
+    m(s) < its id — exactly the old per-doc rule: an earlier
+    within-threshold doc exists iff the minimum such id is smaller
+    (pigeonhole makes the band superset complete, bit_count decides).
+    The seen-side hit is a property of the signature alone, so it
+    joins at sig level and expands to docs in the same single join."""
     sig = simhash(new_df, id_col=id_col, text_col=text_col, bits=bits,
                   shingle_n=shingle_n)
     if checkpoint:
         sig = sig.localCheckpoint(eager=False)
-    band = simhash_band_rows(sig, bits=bits, hamming_max=hamming_max)
+    # NOT checkpointed: a lazy barrier here serializes the epochs'
+    # kernels (A/B-measured 5.0 s vs 2.8-3.2 s with a flat control);
+    # the repeated groupBy references are small and pipeline freely
+    dsig = sig.groupBy("simhash").agg(F.min(id_col).alias("_first"))
+    band = simhash_band_rows(dsig, bits=bits, hamming_max=hamming_max)
 
     ham = F.expr("bit_count(simhash ^ _seen_sig)")
-    hit_old = None
+    neigh = band.select("fingerprint",
+                        F.col("simhash").alias("_seen_sig"),
+                        F.col("_first").alias("_nf"))
+    meta = (band.join(neigh, "fingerprint")
+            .filter(ham <= hamming_max)
+            .groupBy("simhash").agg(F.min("_nf").alias("_m")))
     if seen_sigs is not None:
         hit_old = (band.join(
             seen_sigs.select("fingerprint",
                              F.col("simhash").alias("_seen_sig")),
             "fingerprint")
             .filter(ham <= hamming_max)
-            .select(id_col))
-    earlier = band.select(
-        "fingerprint", F.col(id_col).alias("_eid"),
-        F.col("simhash").alias("_seen_sig"))
-    hit_new = (band.join(earlier, "fingerprint")
-               .filter((F.col("_eid") < F.col(id_col))
-                       & (ham <= hamming_max))
+            .select("simhash").distinct()
+            .withColumn("_old", F.lit(True)))
+        meta = meta.join(hit_old, "simhash", "left")
+        drop_cond = (F.col(id_col) > F.col("_m")) | F.col("_old").isNotNull()
+    else:
+        drop_cond = F.col(id_col) > F.col("_m")
+    dropped = (sig.join(meta, "simhash")
+               .filter(drop_cond)
                .select(id_col))
-    dropped = hit_new if hit_old is None else hit_new.union(hit_old)
-    fresh = new_df.join(dropped.distinct(), id_col, "left_anti")
+    fresh = new_df.join(dropped, id_col, "left_anti")
 
-    new_rows = band.select("fingerprint", "simhash").distinct()
+    # band rows of DISTINCT signatures are already unique: the band
+    # prefix separates bands within a signature, and distinct
+    # signatures cannot share a (fingerprint, simhash) row
+    new_rows = band.select("fingerprint", "simhash")
     if seen_sigs is not None:
         new_rows = new_rows.join(seen_sigs, ["fingerprint", "simhash"],
                                  "left_anti")
