@@ -235,6 +235,47 @@ def _signature_gemm(df: DataFrame, vec_col: str, out_col: str,
     return df.withColumn(out_col, sig(F.col(vec_col)))
 
 
+def _sig_rows_arrow(df: DataFrame, vec_col: str, *, dim: int,
+                    planes: int, tables: int) -> DataFrame:
+    """(key, _t, _sig) bucket-membership rows for ALL tables in ONE
+    mapInArrow pass — the wave-9/10 boundary fix applied to the LSH
+    signature kernel: the vector column reshapes from the Arrow child
+    buffer ((n, dim) float64, no per-row numpy objects — the
+    pandas_udf form paid one object per row), the key column passes
+    through untouched, and the per-table explode is fused into the
+    pass (one RecordBatch per table instead of `tables` UDF columns +
+    an explode). Arithmetic is the exact _signature_gemm formula
+    (float64 GEMM against the ±1 planes, >= 0 test, bit weights), so
+    buckets are bit-identical: quantized components are <= 1e6 and
+    dim-bounded sums stay far below 2^53."""
+    import numpy as np
+
+    key = df.columns[0]
+    pms = [np.array(hyperplane_planes(dim, planes, table=t),
+                    dtype=np.float64).T for t in range(tables)]
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+    bc = df.sparkSession.sparkContext.broadcast((pms, weights))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        pms_, w_ = bc.value
+        for rb in batches:
+            X = _arrow_mat(rb.column(1))
+            keys = rb.column(0)
+            n = len(keys)
+            for t, P in enumerate(pms_):
+                sig = ((X @ P >= 0) * w_).sum(axis=1).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [keys, pa.array(np.full(n, t, dtype=np.int32)),
+                     pa.array(sig)],
+                    names=[key, "_t", "_sig"])
+
+    key_type = df.schema[key].dataType.simpleString()
+    return (df.select(key, vec_col)
+            .mapInArrow(gen, f"{key} {key_type}, _t int, _sig bigint"))
+
+
 def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                     dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", planes: int = 8,
@@ -267,12 +308,15 @@ def cosine_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                        quantize_vec(F.col(vec_col)).alias("_qv"))
 
     def with_sigs(df, vcol):
+        if use_arrow:
+            # one fused Arrow pass for all tables (signature GEMM +
+            # table explode); bit-identical buckets to the JVM fold —
+            # pinned by test_lsh_topk_arrow_path_matches_jvm_path
+            return _sig_rows_arrow(df, vcol, dim=dim, planes=planes,
+                                   tables=tables)
         for t in range(tables):
             pm = hyperplane_planes(dim, planes, table=t)
-            if use_arrow:
-                df = _signature_gemm(df, vcol, f"_sig{t}", pm)
-            else:
-                df = df.withColumn(f"_sig{t}", hyperplane_signature(F.col(vcol), pm))
+            df = df.withColumn(f"_sig{t}", hyperplane_signature(F.col(vcol), pm))
         sigs = F.array(*[F.struct(F.lit(t).alias("_t"), F.col(f"_sig{t}").alias("_sig"))
                          for t in range(tables)])
         return df.select(df.columns[0], F.explode(sigs).alias("_e")) \

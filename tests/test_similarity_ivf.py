@@ -58,6 +58,11 @@ def test_lsh_jvm_and_gemm_signatures_identical_1024d(spark):
     j = {r.vec_id: r._sig for r in jvm.collect()}
     g = {r.vec_id: r._sig for r in gemm.collect()}
     assert j == g
+    # the fused mapInArrow bucket-row kernel (r11 wave 12) must assign
+    # the same buckets as both scalar kernels
+    rows = sim._sig_rows_arrow(qv, "_v", dim=1024, planes=16, tables=1)
+    a = {r.vec_id: r._sig for r in rows.collect()}
+    assert a == j
 
 
 def test_lsh_topk_recall_vs_brute(spark):
